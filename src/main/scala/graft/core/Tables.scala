@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access over a directory of parquet files (one file/dir per table).
+  *
+  * Mirrors the reference's catalog surface (reference
+  * `sql/query_builder.py:390-567` introspects `information_schema`; here the
+  * "catalog" is a directory of parquet tables read through the Spark catalog).
+  *
+  * Scale note: parquet scans here are plain `spark.read.parquet`, so Catalyst
+  * predicate pushdown / column pruning apply unchanged on a 100 TB layout —
+  * the sf-directories used in tests are just small instances of the same shape.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = table("region")
+  def nation: DataFrame = table("nation")
+  def customer: DataFrame = table("customer")
+  def supplier: DataFrame = table("supplier")
+  def part: DataFrame = table("part")
+  def orders: DataFrame = table("orders")
+  def lineitem: DataFrame = table("lineitem")
+  def events: DataFrame = table("events")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+object GraftSession {
+  /** Local session with the settings every entrypoint needs: UTC (oracle
+    * parity), AQE on (runtime re-plan / skew handling at scale), shuffle
+    * partitions sized for local[32] rather than the 200 default.
+    */
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics query patterns — the Spark-native re-expression of the
+  * reference's `sql/common_queries.py` (pivot, running totals, lag/lead,
+  * cohort retention, time-series gap detection).
+  *
+  * All combinators are pure `DataFrame => DataFrame`: Catalyst sees the whole
+  * plan, so pushdown/pruning/AQE apply across combinator boundaries. Every
+  * window here partitions by a caller-supplied key, so at 100 TB the work
+  * distributes by key — no global windows (a global `Window.orderBy` with no
+  * partition would serialize onto one task and is deliberately absent).
+  */
+object Analytics {
+
+  /** Pivot table via conditional aggregation (reference
+    * `sql/common_queries.py:297-341`). `pivotValues` must be supplied
+    * explicitly: an open pivot triggers an extra distinct-collect job over the
+    * full table, which at 100 TB is a full scan just to discover headers.
+    */
+  def pivotTable(
+      df: DataFrame,
+      rowKeys: Seq[String],
+      pivotCol: String,
+      pivotValues: Seq[String],
+      agg: Column): DataFrame =
+    df.groupBy(rowKeys.map(col): _*)
+      .pivot(pivotCol, pivotValues)
+      .agg(agg)
+
+  /** Running totals with optional period reset (reference
+    * `sql/common_queries.py:344-396`): cumulative sum + running average over a
+    * per-partition ordered frame `ROWS UNBOUNDED PRECEDING..CURRENT ROW`.
+    * `resetBy` ∈ {year, quarter, month} adds the period to the partition key,
+    * which *narrows* partitions — strictly better parallelism at scale.
+    *
+    * The running average is derived as exact-sum / row-count rather than
+    * `avg().over`, so the result is deterministic under any partition order
+    * (sum of DecimalType is associative; a double sum is not).
+    */
+  def runningTotals(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      value: Column,
+      resetBy: Option[String] = None): DataFrame = {
+    val dateCol = orderBy.head
+    val resetCols: Seq[Column] = resetBy match {
+      case Some("year")    => Seq(year(dateCol))
+      case Some("quarter") => Seq(year(dateCol), quarter(dateCol))
+      case Some("month")   => Seq(year(dateCol), month(dateCol))
+      case None            => Nil
+      case Some(other) =>
+        throw new IllegalArgumentException(s"resetBy must be year|quarter|month, got $other")
+    }
+    val w = Window
+      .partitionBy(partitionBy ++ resetCols: _*)
+      .orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runSum = sum(value).over(w)
+    val runCnt = count(lit(1)).over(w)
+    df.withColumn("running_total", runSum)
+      .withColumn("running_avg", runSum.cast("double") / runCnt.cast("double"))
+  }
+
+  /** Lag/lead deltas and percent change per period offset (reference
+    * `sql/common_queries.py:399-445`). Emits, for each offset n in `periods`:
+    * `prev_{n}`, `next_{n}`, `delta_{n}` and `pct_change_{n}` =
+    * ROUND(100*(v - prev)/prev, 2) with NULLIF(prev,0) zero-guard semantics.
+    */
+  def lagLead(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      value: Column,
+      periods: Seq[Int] = Seq(1)): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    periods.foldLeft(df) { (acc, n) =>
+      val prev = lag(value, n).over(w)
+      val vd = value.cast("double")
+      val pd = prev.cast("double")
+      acc
+        .withColumn(s"prev_$n", prev)
+        .withColumn(s"next_$n", lead(value, n).over(w))
+        .withColumn(s"delta_$n", value - prev)
+        .withColumn(
+          s"pct_change_$n",
+          round(lit(100.0) * (vd - pd) / when(pd =!= 0.0, pd), 2))
+    }
+  }
+
+  /** Time-series gap detection (reference `sql/common_queries.py:514-580`,
+    * intended semantics per SURVEY §2.14): for each partition ordered by
+    * `dateCol`, a gap is a consecutive pair more than `maxGapDays` apart.
+    * Output rows: partition keys + gap_start, gap_end, gap_days.
+    */
+  def timeSeriesGaps(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      dateCol: Column,
+      maxGapDays: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(dateCol)
+    df.withColumn("gap_start", to_date(dateCol))
+      .withColumn("gap_end", lead(to_date(dateCol), 1).over(w))
+      .withColumn("gap_days", datediff(col("gap_end"), col("gap_start")))
+      .where(col("gap_days") > maxGapDays)
+  }
+
+  /** Cohort retention (reference `sql/common_queries.py:448-511`): cohort =
+    * first activity month per entity; period index = whole months between the
+    * activity month and the cohort month; count distinct entities per
+    * (cohort, period), plus cohort size and retention rate.
+    *
+    * The cohort assignment is a window `min` (one shuffle by entity), then a
+    * single aggregation by (cohort, period) — two shuffles total; at 100 TB
+    * both keys are high-cardinality so neither hotspots.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      entity: Column,
+      eventDate: Column): DataFrame = {
+    val cohortW = Window.partitionBy(entity)
+    val withCohort = df
+      .withColumn("cohort_month", date_trunc("month", min(eventDate).over(cohortW)))
+      .withColumn("activity_month", date_trunc("month", eventDate))
+      .withColumn(
+        "period_number",
+        floor(months_between(col("activity_month"), col("cohort_month"))).cast("int"))
+    val retained = withCohort
+      .groupBy(col("cohort_month"), col("period_number"))
+      .agg(countDistinct(entity).as("active_entities"))
+    val sizeW = Window.partitionBy(col("cohort_month"))
+    retained
+      .withColumn(
+        "cohort_size",
+        max(when(col("period_number") === 0, col("active_entities"))).over(sizeW))
+      .withColumn(
+        "retention_pct",
+        round(lit(100.0) * col("active_entities").cast("double") /
+          col("cohort_size").cast("double"), 2))
+  }
+
+  /** Dedup-latest (reference `README.md:604-610`): keep the newest row per
+    * key, ordered by `orderBy` descending with deterministic tie-breaks.
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderBy.map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+}
