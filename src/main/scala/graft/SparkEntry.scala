@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,20 @@ object SparkEntry {
     "q24_soft_delete" -> (Relational.softDeleteNegativeBalances _),
     "q25_share_of_total" -> (Relational.segmentRevenueShare _),
     "q26_row_hash" -> (Relational.rowHashNation _),
+    "q27_graph_traversal" -> (Pipeline.graphReachability _),
+    "q28_event_windowed_agg" -> (Pipeline.eventHourlyRollup _),
+    "q29_event_sessionization" -> (Pipeline.eventSessions _),
+    "q30_dedup_exact" -> (Pipeline.dedupExact _),
+    "q31_token_stats" -> (Pipeline.tokenStats _),
+    "q32_text_quality" -> (Pipeline.textQuality _),
+    "q33_lang_id" -> (Pipeline.langIdConfusion _),
+    "q34_dedup_minhash_lsh" -> (Pipeline.dedupMinhash _),
+    "q35_dedup_simhash" -> (Pipeline.dedupSimhash _),
+    "q36_ngram_jaccard" -> (Pipeline.ngramJaccardPairs _),
+    "q37_fingerprint" -> (Pipeline.fingerprints _),
+    "q40_knn_brute_force" -> (Pipeline.knnBruteForce _),
+    "q41_knn_lsh" -> (Pipeline.knnLsh _),
+    "q42_vector_stats" -> (Pipeline.vectorStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,5 +252,118 @@ object SparkEntry {
         |  concat_ws('=', 'n_nationkey', COALESCE(CAST(n_nationkey AS VARCHAR), '')),
         |  concat_ws('=', 'n_regionkey', COALESCE(CAST(n_regionkey AS VARCHAR), '')))) AS row_hash
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q27_graph_traversal" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS src, 'nation/' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+        |  UNION ALL
+        |  SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'region/' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |walk AS (
+        |  SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS seed, 'supplier/' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS depth FROM supplier
+        |  UNION ALL
+        |  SELECT w.seed, e.dst, w.depth + 1 FROM walk w JOIN edges e ON w.node = e.src WHERE w.depth < 5)
+        |SELECT seed, node, MIN(depth) AS depth FROM walk WHERE depth > 0
+        |GROUP BY seed, node ORDER BY seed, node""".stripMargin,
+    "q28_event_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS event_hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q29_event_sessionization" ->
+      """WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_sec FROM events),
+        |flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN LAG(ts_sec) OVER w IS NULL OR date_diff('second', LAG(ts_sec) OVER w, ts_sec) > 1800 THEN 1 ELSE 0 END AS is_new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+        |SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new_session) AS BIGINT) AS n_sessions
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q31_token_stats" ->
+      """SELECT lang, n_docs, total_tokens, total_subword_tokens,
+        |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_tokens
+        |FROM (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_subword_tokens
+        |  FROM documents GROUP BY lang)
+        |ORDER BY lang""".stripMargin,
+    "q32_text_quality" ->
+      """SELECT doc_id, n_tokens, stopword_hits, punct_chars, quality_score,
+        |  CASE WHEN quality_score >= 0.8 THEN 'high' WHEN quality_score >= 0.5 THEN 'medium' ELSE 'low' END AS quality_label
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS INTEGER) AS stopword_hits,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS INTEGER) AS punct_chars,
+        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |          ELSE 0.0 END) AS quality_score
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q33_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(the|is|of|and|that|with|for|this)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|está|por|con|para)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|est|dans|pour|avec|une)\b')) AS s_fr
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN cjk > 0 THEN 'zh'
+        |         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |         ELSE 'und' END AS predicted_lang
+        |  FROM scored)
+        |SELECT lang, predicted_lang, COUNT(*) AS n_docs FROM pred
+        |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    "q36_ngram_jaccard" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, CAST(len(toks) AS INTEGER) - 1), i -> toks[i] || ' ' || toks[i + 1]) END) AS bset
+        |  FROM toksrc),
+        |pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents)
+        |SELECT id_a, id_b, n_intersect, n_union,
+        |  CAST(n_intersect AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+        |FROM (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(len(list_intersect(a.bset, b.bset)) AS INTEGER) AS n_intersect,
+        |    CAST(len(list_distinct(list_concat(a.bset, b.bset))) AS INTEGER) AS n_union
+        |  FROM pairs p JOIN sets a ON p.id_a = a.doc_id JOIN sets b ON p.id_b = b.doc_id)
+        |ORDER BY id_a""".stripMargin,
+    "q40_knn_brute_force" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, cosine_sim FROM (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q42_vector_stats" ->
+      """SELECT label, n_vectors, min_norm, max_norm, total_norm,
+        |  CAST(total_norm AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS avg_norm
+        |FROM (
+        |  SELECT label, COUNT(*) AS n_vectors, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+        |    CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_norm
+        |  FROM (
+        |    SELECT label, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |    FROM embeddings)
+        |  GROUP BY label)
+        |ORDER BY label""".stripMargin,
   )
 }

@@ -22,7 +22,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  def events: DataFrame = table("events")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark's vectorized reader rejects. Read them as nanosecond Longs and
+    * truncate to microsecond TimestampType with integer division (`div`, not
+    * `/` — double division loses precision past 2^53 ns ≈ 1970+104 days).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions over `Array[Float]`/`Array[Double]`
+  * columns, built from higher-order functions (`zip_with`/`aggregate`) —
+  * no UDF serialization, executes row-parallel everywhere.
+  *
+  * Determinism: `aggregate` is a sequential left fold per row, so the result
+  * is a fixed IEEE operation sequence — bit-identical across partitionings
+  * (cross-ROW double sums are order-dependent; per-row folds are not).
+  */
+object VectorFunctions {
+
+  /** Elementwise dot product (operands cast to double first). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in a fixed op order: dot / (norm(a) * norm(b)). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic ±1 pseudo-random hyperplane component for LSH: derived
+    * from xxhash64 of (plane index, dimension index) — no RNG state, so every
+    * executor/engine derives the same planes.
+    */
+  private def signAt(plane: Int, dim: Column): Column =
+    when(pmod(xxhash64(lit(plane), dim), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane (SimHash) LSH signature: `nPlanes` sign bits packed
+    * into a Long. Vectors with small cosine distance collide with high
+    * probability; used to bucket candidates for ANN search.
+    */
+  def hyperplaneSignature(vec: Column, nPlanes: Int): Column = {
+    val dims = transform(vec, (_, i) => i)
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, i) => x.cast("double") * signAt(p, i)),
+        lit(0.0),
+        (acc, v) => acc + v)
+      when(proj >= 0.0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.lineage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-lineage graph traversal — the Spark-native form of the reference's
+  * recursive CTEs (`logs/data_lineage.py:358-584`, `sql/common_queries.py:
+  * 113-193`): upstream/downstream reachability with depth numbering from 1,
+  * cycle prevention via a path array, and a hard depth cap.
+  *
+  * Spark has no recursive CTE, so recursion is a driver-side iterative loop:
+  * each step is `frontier ⋈ edges` (a keyed shuffle join). The edge table is
+  * cached once; the frontier shrinks as paths exhaust. The depth cap (default
+  * 5, as the reference) bounds the loop; `array_contains(path, node)`
+  * reproduces the reference's `NOT (x = ANY(path))` cycle guard.
+  *
+  * Scale: lineage graphs are metadata-sized (≤ millions of edges), so each
+  * iteration is cheap; the pattern still distributes correctly if edges are
+  * huge because every step is a hash join on the node key.
+  */
+object Lineage {
+
+  /** Edge schema: (src, dst) node names, plus any metadata columns. */
+
+  /** Reachability from `seeds` following src→dst (downstream) with depth and
+    * path tracking. Output: seed, node, depth (1-based), path (array of nodes
+    * from seed to node inclusive).
+    */
+  def traverse(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxDepth: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")).distinct().cache()
+    var frontier = seeds
+      .select(col(seedCol).as("seed"))
+      .distinct()
+      .withColumn("node", col("seed"))
+      .withColumn("depth", lit(0))
+      .withColumn("path", array(col("seed")))
+    var acc = frontier.where(lit(false)) // empty, same schema
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("node") === e("_src"))
+        .where(!array_contains(col("path"), col("_dst")))
+        .select(
+          col("seed"),
+          col("_dst").as("node"),
+          lit(depth).as("depth"),
+          concat(col("path"), array(col("_dst"))).as("path"))
+      // localCheckpoint truncates the growing lineage chain so the plan does
+      // not deepen linearly with iterations (classic iterative-Spark pitfall).
+      frontier = next.localCheckpoint(eager = true)
+      if (frontier.isEmpty) done = true
+      else acc = acc.unionByName(frontier)
+    }
+    acc
+  }
+
+  /** Distinct reachable nodes per seed with their minimum depth (the
+    * reference dedups traversal output and buckets by depth,
+    * `logs/data_lineage.py:441-466`).
+    */
+  def reachable(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxDepth: Int = 5): DataFrame =
+    traverse(edges, srcCol, dstCol, seeds, seedCol, maxDepth)
+      .groupBy(col("seed"), col("node"))
+      .agg(min(col("depth")).as("depth"))
+
+  /** Upstream = downstream over reversed edges. */
+  def upstream(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxDepth: Int = 5): DataFrame =
+    reachable(edges, dstCol, srcCol, seeds, seedCol, maxDepth)
+
+  /** Impact analysis (reference `logs/data_lineage.py:658-752`): downstream
+    * table count → severity LOW / MEDIUM (>2) / HIGH (>5), max depth affected.
+    */
+  def impact(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxDepth: Int = 5): DataFrame =
+    reachable(edges, srcCol, dstCol, seeds, seedCol, maxDepth)
+      .where(col("node") =!= col("seed"))
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("downstream_count"), max(col("depth")).as("max_depth"))
+      .withColumn(
+        "severity",
+        when(col("downstream_count") > 5, "HIGH")
+          .when(col("downstream_count") > 2, "MEDIUM")
+          .otherwise("LOW"))
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard — the four standard tiers, each expressed as
+  * shuffles on hash keys (never pairwise over the corpus).
+  *
+  * Scale design: exact dedup is one hash-shuffle; MinHash/SimHash candidate
+  * generation is a band-bucket shuffle whose fan-out is bounded by bucket
+  * size, so the quadratic pair-verification only ever runs inside small
+  * buckets. At 100 TB the only dangerous step is a degenerate bucket (e.g.
+  * all-empty documents hashing together) — callers should cap bucket size or
+  * pre-filter degenerate docs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text MD5: one row per distinct
+    * content hash with its canonical (minimum) id and occurrence count.
+    */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(normalizeText(text)).as("content_hash"))
+      .agg(min(id).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact dedup: keep one row (minimum id) per normalized content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Analytics.dedupLatest(
+      df.withColumn("_content_hash", md5(normalizeText(col(textCol)))),
+      keys = Seq(col("_content_hash")),
+      // dedupLatest keeps the DESC-first row; negate to keep the MIN id.
+      orderBy = Seq(-col(idCol))).drop("_content_hash")
+  }
+
+  /** MinHash signature: `numHashes` permutation-minima over word-`n`-gram
+    * shingle hashes. Hash family h_j(x) = (a_j·x + b_j) mod p with
+    * deterministic odd a_j, b_j; shingle base-hash via xxhash64 reduced
+    * mod p so products stay within Long (ANSI-safe).
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
+    val p = 2147483647L // 2^31 − 1
+    val baseHashes = transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(p)))
+    val sig = (0 until numHashes).map { j =>
+      val a = 2 * j + 1
+      val b = 104729L * (j + 1)
+      array_min(transform(baseHashes, h => pmod(lit(a) * h + lit(b), lit(p))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs: signatures split into
+    * `numBands` bands; documents sharing any band bucket become a candidate
+    * pair, then pairs are verified with exact shingle-set Jaccard and kept at
+    * `minJaccard`. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * The band explode produces `numBands` rows per doc; the self-join is on
+    * (band, band_hash) — a key-equi shuffle join, never a cross join.
+    */
+  def minhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val docs = df
+      .select(
+        col(idCol).as("doc_id"),
+        array_distinct(shingles(col(textCol), shingleN)).as("shingle_set"),
+        minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+      .where(size(col("shingle_set")) > 0)
+
+    val banded = docs.select(
+      col("doc_id"),
+      col("shingle_set"),
+      explode(
+        array((0 until numBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("shingle_set"), col("bb.band"), col("bb.band_hash"))
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val pairs = a
+      .join(
+        b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        col("a.shingle_set").as("set_a"),
+        col("b.shingle_set").as("set_b"))
+      .distinct()
+
+    pairs
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 votes from
+    * each token's xxhash64 bit b; the fingerprint sets bit b when the vote
+    * is positive. Computed as one per-row fold — no explode/groupBy.
+    */
+  def simhash64(text: Column): Column = {
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(masks, m => when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))),
+          (x, y) => x + y))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0L, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate candidates: block on the 4 16-bit quarters of the
+    * fingerprint (any pair within Hamming distance 3 shares at least one
+    * exact quarter — pigeonhole), verify with full Hamming distance.
+    */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp"))
+    val blocked = docs.select(
+      col("doc_id"),
+      col("fp"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL)).as("qh"))
+      }: _*)).as("blk"))
+      .select(col("doc_id"), col("fp"), col("blk.q"), col("blk.qh"))
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(
+        b,
+        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (pairs: columns id_a, id_b). Join-based: each side fetches its shingle
+    * set by key — no cross product.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      shingleN: Int = 2): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("jid"),
+      array_distinct(shingles(col(textCol), shingleN)).as("jset"))
+    pairs
+      .join(sets.withColumnRenamed("jid", "id_a").withColumnRenamed("jset", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("jid", "id_b").withColumnRenamed("jset", "set_b"), Seq("id_b"))
+      .withColumn("n_intersect", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("n_union", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn(
+        "jaccard",
+        col("n_intersect").cast("double") / col("n_union").cast("double"))
+      .select(col("id_a"), col("id_b"), col("n_intersect"), col("n_union"), col("jaccard"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]] — exact cosine top-k: one scan, per-partition
+  *     top-k then global merge of k·partitions candidates (Spark's
+  *     TakeOrdered). Correct baseline at any scale; cost O(N·d).
+  *   - [[lshTopK]] — random-hyperplane LSH: probe only vectors whose
+  *     signature is within `maxBitDiff` of the query's. At 100 TB the
+  *     signature is precomputed+stored and the probe prunes the scan to the
+  *     matching buckets (partition the table by signature prefix).
+  *   - [[ivfTopK]] — inverted-file: vectors pre-assigned to their nearest of
+  *     `nCentroids` coarse centroids; queries probe `nProbe` nearest lists.
+  */
+object Similarity {
+
+  /** Exact cosine top-k against a literal query vector. */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val base = excludeId.map(e => emb.where(col(idCol) =!= e)).getOrElse(emb)
+    base
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: rank candidates whose hyperplane signature differs
+    * from the query signature in at most `maxBitDiff` of `nPlanes` bits,
+    * then exact-rank the survivors. Returns the same schema as brute force;
+    * recall < 1 by construction (tested against the exact baseline).
+    */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nPlanes: Int = 16,
+      maxBitDiff: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val base = excludeId.map(e => emb.where(col(idCol) =!= e)).getOrElse(emb)
+    val withSig = base.withColumn("_sig", hyperplaneSignature(col(vecCol), nPlanes))
+    val qSig = hyperplaneSignature(q, nPlanes)
+    withSig
+      .where(bit_count(col("_sig").bitwiseXOR(qSig)) <= maxBitDiff)
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Assign every vector to its nearest centroid (by cosine) — the IVF
+    * build step. `centroids` must be small (broadcast); at scale they come
+    * from a sampled k-means; here any deterministic seed set works.
+    * Returns the input plus a `centroid_id` column.
+    */
+  def ivfAssign(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    // argmax over a literal centroid set, computed as one expression:
+    // greatest similarity wins; ties resolve to the lowest centroid id.
+    val sims: Seq[(Int, Column)] =
+      centroids.map { case (cid, c) => cid -> cosine(col(vecCol), array(c.map(lit): _*)) }
+    val best = greatest(sims.map(_._2): _*)
+    val pick = sims.foldLeft(when(lit(false), -1)) { case (acc, (cid, s)) =>
+      acc.when(s === best, cid)
+    }
+    emb.withColumn("centroid_id", pick.otherwise(-1))
+  }
+
+  /** IVF query: probe the `nProbe` centroids nearest to the query, exact-rank
+    * only vectors assigned to those lists. `assigned` is the [[ivfAssign]]
+    * output (precomputed once, reused across queries).
+    */
+  def ivfTopK(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      d / (na * nb)
+    }
+    val probeIds = centroids
+      .map { case (cid, c) => cid -> cosineLocal(query, c) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe)
+      .map(_._1)
+    val q = array(query.map(lit): _*)
+    val base = excludeId.map(e => assigned.where(col(idCol) =!= e)).getOrElse(assigned)
+    base
+      .where(col("centroid_id").isin(probeIds: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

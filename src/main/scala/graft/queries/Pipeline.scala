@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.lineage.Lineage
+
+/** LLM-training-data pipeline operators (dedup, text analysis, similarity
+  * search) and the streaming-adjacent event analytics + graph traversal —
+  * exercised over the driver's `documents`, `embeddings`, `events`, and
+  * dimension tables. Determinism rules as in [[Relational]]; additionally,
+  * per-row `aggregate` folds over arrays are sequential and therefore
+  * bit-deterministic, which is what makes cosine similarity oracle-able.
+  */
+object Pipeline {
+
+  // ---------------------------------------------------------------- events
+
+  /** q28 — hourly event rollup (the batch shape of the Structured Streaming
+    * windowed aggregation in graft.streaming; reference has no streams, this
+    * is the `events`-table extension). One shuffle on (hour, type).
+    */
+  def eventHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    e.groupBy(
+        date_trunc("hour", col("ts")).as("event_hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_hour"), col("event_type"))
+  }
+
+  /** q29 — sessionization via lag-gap (30-minute inactivity): events are
+    * second-truncated first so nanosecond precision differences cannot flip
+    * a boundary. Window is keyed by user — distributes by user at scale.
+    */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val flagged = e.withColumn(
+      "is_new_session",
+      when(
+        lag(col("ts_sec"), 1).over(w).isNull ||
+          (unix_timestamp(col("ts_sec")) - unix_timestamp(lag(col("ts_sec"), 1).over(w))) > 1800,
+        1L).otherwise(0L))
+    flagged
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("is_new_session")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  // ----------------------------------------------------------------- graph
+
+  /** q27 — iterative graph reachability (the recursive-CTE replacement,
+    * reference `logs/data_lineage.py:358-470`): supplier→nation→region edge
+    * walk with depth tracking and cycle guard, verified against a real
+    * WITH RECURSIVE oracle.
+    */
+  def graphReachability(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.supplier
+      .select(
+        concat(lit("supplier/"), col("s_suppkey").cast("string")).as("src"),
+        concat(lit("nation/"), col("s_nationkey").cast("string")).as("dst"))
+      .unionByName(t.nation.select(
+        concat(lit("nation/"), col("n_nationkey").cast("string")).as("src"),
+        concat(lit("region/"), col("n_regionkey").cast("string")).as("dst")))
+    val seeds = t.supplier
+      .select(concat(lit("supplier/"), col("s_suppkey").cast("string")).as("seed"))
+    Lineage
+      .reachable(edges, "src", "dst", seeds, "seed", maxDepth = 5)
+      .orderBy(col("seed"), col("node"))
+  }
+
+  // ----------------------------------------------------------------- dedup
+
+  /** q30 — exact deduplication groups by normalized content hash. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup
+      .exactGroups(d, col("doc_id"), col("text"))
+      .orderBy(col("content_hash"))
+  }
+
+  /** q34 — MinHash+LSH near-duplicate pairs (no SQL oracle: the hash family
+    * is xxhash64-based; verified in ScalaTest against exact Jaccard).
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup
+      .minhashNearDuplicates(d, "doc_id", "text",
+        numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q35 — SimHash fingerprints + Hamming-blocked near-dup candidates
+    * (no SQL oracle; deterministic across runs).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup
+      .simhashNearDuplicates(d, "doc_id", "text", maxHamming = 16)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q36 — exact word-bigram Jaccard over candidate pairs (consecutive doc
+    * ids as a deterministic pair set).
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    Dedup
+      .ngramJaccard(d, "doc_id", "text", pairs, shingleN = 2)
+      .orderBy(col("id_a"))
+  }
+
+  // ------------------------------------------------------------------ text
+
+  /** q31 — token statistics per language: whitespace tokens and BPE-ish
+    * sub-word tokens (reference has no text ops; LLM-pipeline extension).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(regexTokenCount(col("text")).cast("long")).as("total_subword_tokens"))
+      .withColumn(
+        "avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  /** q32 — per-document quality scoring: length/stopword/punctuation
+    * heuristics combined into a [0,1] score with a quality label.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        wordHits(col("text"), EnglishStopwords).as("stopword_hits"),
+        punctCount(col("text")).as("punct_chars"),
+        qualityScore(col("text")).as("quality_score"))
+      .withColumn(
+        "quality_label",
+        when(col("quality_score") >= 0.8, "high")
+          .when(col("quality_score") >= 0.5, "medium")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q33 — language-ID confusion matrix: heuristic prediction vs the
+    * dataset's lang column.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.withColumn("predicted_lang", langId(col("text")))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  /** q37 — rolling-hash document fingerprints (no SQL oracle: xxhash64
+    * token basis; deterministic across runs, unit-tested for stability).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(
+        col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- vectors
+
+  private def queryVector(spark: SparkSession, dir: String): Seq[Double] = {
+    val row = Tables(spark, dir).embeddings
+      .where(col("vec_id") === 0)
+      .select(col("embedding"))
+      .head()
+    row.getSeq[Float](0).map(_.toDouble).toSeq
+  }
+
+  /** q40 — exact brute-force cosine top-k neighbors of vec_id 0. The per-row
+    * dot product is a sequential array fold → bit-deterministic → oracle-able.
+    */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      query = queryVector(spark, dir), k = 10, excludeId = Some(0L))
+  }
+
+  /** q41 — LSH-bucketed ANN variant (no SQL oracle; recall vs the exact
+    * baseline is asserted in ScalaTest).
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.lshTopK(
+      emb, "vec_id", "embedding",
+      query = queryVector(spark, dir), k = 10,
+      nPlanes = 16, maxBitDiff = 6, excludeId = Some(0L))
+  }
+
+  /** q42 — embedding statistics per label: counts and norm extrema (min/max
+    * of per-row deterministic doubles; no cross-row double sums).
+    */
+  def vectorStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = Tables(spark, dir).embeddings
+    emb
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        sum(col("nrm").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_norm"))
+      .withColumn(
+        "avg_norm",
+        col("total_norm").cast("double") / col("n_vectors").cast("double"))
+      .orderBy(col("label"))
+  }
+}

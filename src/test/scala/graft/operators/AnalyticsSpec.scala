@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.QualityChecks._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runningTotals resets at year boundaries") {
+    val df = Seq(
+      ("k", Date.valueOf("2023-12-30"), 10),
+      ("k", Date.valueOf("2023-12-31"), 20),
+      ("k", Date.valueOf("2024-01-01"), 5)
+    ).toDF("k", "d", "v")
+    val out = Analytics
+      .runningTotals(df, Seq(col("k")), Seq(col("d")), col("v"), resetBy = Some("year"))
+      .orderBy("d")
+      .select("running_total").as[Long].collect()
+    assert(out.sameElements(Array(10L, 30L, 5L)), s"got ${out.mkString(",")}")
+  }
+
+  test("lagLead computes deltas and zero-guarded pct change") {
+    val df = Seq(("k", 1, 100), ("k", 2, 0), ("k", 3, 50)).toDF("k", "t", "v")
+    val out = Analytics
+      .lagLead(df, Seq(col("k")), Seq(col("t")), col("v"), Seq(1))
+      .orderBy("t")
+      .select("delta_1", "pct_change_1")
+      .collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).getInt(0) == -100 && out(1).getDouble(1) == -100.0)
+    assert(out(2).getInt(0) == 50 && out(2).isNullAt(1), "lag=0 → pct null (NULLIF)")
+  }
+
+  test("timeSeriesGaps finds only above-threshold gaps") {
+    val df = Seq(
+      ("k", Date.valueOf("2024-01-01")),
+      ("k", Date.valueOf("2024-01-03")),
+      ("k", Date.valueOf("2024-03-01"))
+    ).toDF("k", "d")
+    val gaps = Analytics.timeSeriesGaps(df, Seq(col("k")), col("d"), maxGapDays = 30)
+      .select("gap_days").as[Int].collect()
+    assert(gaps.sameElements(Array(58)))
+  }
+
+  test("cohortRetention: period 0 retention is 100%") {
+    val df = Seq(
+      (1L, Date.valueOf("2024-01-05")),
+      (2L, Date.valueOf("2024-01-20")),
+      (1L, Date.valueOf("2024-02-10"))
+    ).toDF("u", "d")
+    val out = Analytics.cohortRetention(df, col("u"), col("d"))
+      .orderBy("period_number")
+      .collect()
+    assert(out(0).getInt(1) == 0 && out(0).getLong(2) == 2 && out(0).getDouble(4) == 100.0)
+    assert(out(1).getInt(1) == 1 && out(1).getLong(2) == 1 && out(1).getDouble(4) == 50.0)
+  }
+
+  test("dataQuality classifies PASS / WARNING / FAIL") {
+    val df = (1 to 100).map { i =>
+      (if (i <= 3) null else s"v$i", if (i <= 10) -1 else i) // 3% nulls, 10% negatives
+    }.toDF("name", "amount")
+    val out = QualityChecks
+      .dataQuality(df, Seq(NullCheck("name"), RangeCheck("amount", 0, 1000), DuplicateCheck(Seq("amount"))))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(4))
+      .toMap
+    assert(out("null_check_name") == "WARNING")
+    assert(out("range_check_amount") == "FAIL")
+    assert(out("duplicate_check_amount") == "FAIL") // -1 repeated 10× → 9 dups > 5%
+  }
+}

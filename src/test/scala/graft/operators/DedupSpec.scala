@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "THE  quick brown fox jumps over the lazy dog "), // exact dup of 1 after normalize
+    (4L, "completely different content about spark engines"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses normalization-equal docs") {
+    val groups = Dedup.exactGroups(docs, col("doc_id"), col("text")).collect()
+    val dupGroup = groups.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined, "docs 1 and 3 should share a content hash")
+    assert(dupGroup.get.getLong(1) == 1L, "canonical id is the minimum")
+    assert(groups.length == 4)
+  }
+
+  test("exactDedup keeps one row per content, minimum id") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 2L, 4L, 5L)))
+  }
+
+  test("minhash LSH finds the near-duplicate pair and nothing spurious") {
+    val pairs = Dedup
+      .minhashNearDuplicates(docs, "doc_id", "text",
+        numHashes = 16, numBands = 8, shingleN = 1, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)),
+      s"expected near-dup pair among $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) },
+      "doc 4 shares almost nothing and must not pair")
+  }
+
+  test("ngramJaccard computes exact unigram jaccard") {
+    // docs 1 and 2: 8 distinct tokens each, 7 shared, union 9 → 7/9.
+    val exact = Dedup
+      .ngramJaccard(
+        docs, "doc_id", "text",
+        Seq((1L, 2L)).toDF("id_a", "id_b"), shingleN = 1)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(exact - 7.0 / 9.0) < 1e-9)
+  }
+
+  test("simhash: identical content → distance 0; near-dup → small; distinct → large") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(1L, 3L) == 0, "normalization-equal docs have equal fingerprints")
+    assert(ham(1L, 2L) < ham(1L, 4L), "near-dup closer than unrelated doc")
+  }
+
+  test("simhash near-duplicate blocking finds the exact dup pair") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+}

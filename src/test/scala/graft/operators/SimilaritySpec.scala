@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, Sf0001).embeddings
+  private lazy val query: Seq[Double] = emb
+    .where(org.apache.spark.sql.functions.col("vec_id") === 0)
+    .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+
+  test("brute-force top-k returns k ranked neighbors with sane cosines") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10, Some(0L))
+      .collect()
+    assert(top.length == 10)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse), "descending order")
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("LSH top-k achieves reasonable recall vs the exact baseline") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", query, 10,
+      nPlanes = 16, maxBitDiff = 8, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (approx=$approx exact=$exact)")
+  }
+
+  test("IVF probe returns neighbors from the probed lists with recall > 0") {
+    val centroids = emb.orderBy("vec_id").limit(4).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq }
+      .toSeq
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val counts = assigned.groupBy("centroid_id").count().collect()
+    assert(counts.map(_.getLong(1)).sum == emb.count(), "every vector assigned")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids, query, 10,
+      nProbe = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty && (exact & ivf).nonEmpty)
+  }
+}
