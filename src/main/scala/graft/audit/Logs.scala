@@ -1,0 +1,344 @@
+package graft.audit
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** Observability subsystem — Spark-native form of the reference's `logs/`
+  * package: process audit, error logging with retry/backoff, performance
+  * metrics, configuration audit, lineage edge tracking
+  * (`logs/audit_logger.py`, `logs/error_handler.py`,
+  * `logs/performance_monitor.py`, `logs/data_lineage.py`;
+  * ORM schemas `models/logs_models.py:58-305`).
+  *
+  * Mutation strategy (SURVEY §7.5-1): PostgreSQL UPDATEs (end_process,
+  * mark_error_resolved) become an append-only event log; the "current" state
+  * is a latest-wins view (`row_number` dedup by id on the event sequence).
+  * Frequent tiny audit updates therefore never rewrite the table — at scale
+  * an append of one row beats rewriting a 100 TB log.
+  */
+final case class ProcessLog(
+    log_id: Long,
+    process_name: String,
+    process_description: String,
+    start_time: Timestamp,
+    end_time: Option[Timestamp],
+    status: String, // RUNNING | SUCCESS | FAILED | CANCELLED
+    rows_processed: Option[Long],
+    rows_inserted: Option[Long],
+    rows_updated: Option[Long],
+    rows_deleted: Option[Long],
+    source_system: Option[String],
+    target_layer: Option[String],
+    error_message: Option[String],
+    created_by: String)
+
+final case class ErrorLog(
+    error_id: Long,
+    process_log_id: Option[Long],
+    error_timestamp: Timestamp,
+    error_level: String, // DEBUG..CRITICAL
+    error_code: String,
+    error_message: String,
+    error_detail: Option[String],
+    table_name: Option[String],
+    recovery_suggestion: Option[String],
+    is_resolved: Boolean,
+    resolved_by: Option[String],
+    resolved_timestamp: Option[Timestamp])
+
+final case class DataLineageEdge(
+    lineage_id: Long,
+    process_log_id: Option[Long],
+    source_schema: String,
+    source_table: String,
+    target_schema: String,
+    target_table: String,
+    transformation_logic: Option[String],
+    record_count: Option[Long],
+    created_timestamp: Timestamp)
+
+final case class PerformanceMetric(
+    metric_id: Long,
+    process_log_id: Option[Long],
+    metric_name: String,
+    metric_value: Double,
+    metric_unit: String,
+    measurement_timestamp: Timestamp)
+
+final case class ConfigurationLog(
+    config_log_id: Long,
+    config_key: String,
+    old_value: Option[String],
+    new_value: String,
+    change_reason: Option[String],
+    changed_by: String,
+    change_timestamp: Timestamp,
+    environment: String)
+
+/** Injectable clock (SURVEY §7.5-5: deterministic tests need stable times). */
+trait Clock { def now(): Timestamp }
+object SystemClock extends Clock {
+  def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+}
+
+/** Append-only parquet store per log table with a latest-wins current view.
+  * Id assignment is max-existing+1 — single-writer, as the reference's DB
+  * sequences effectively are (SURVEY §7.5-4).
+  */
+final class LogStore(val spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  private def path(table: String) = s"$dir/logs/$table"
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def appendEvents(table: String, df: DataFrame): Unit =
+    df.withColumn("_event_seq", lit(seq.incrementAndGet()))
+      .coalesce(1) // audit appends are tiny; one file per event batch
+      .write.mode(SaveMode.Append).parquet(path(table))
+
+  def exists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+
+  def events(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** Latest-wins state per id. */
+  def current(table: String, idCol: String): DataFrame =
+    if (!exists(table)) spark.emptyDataFrame
+    else
+      Analytics
+        .dedupLatest(events(table), Seq(col(idCol)), Seq(col("_event_seq")))
+        .drop("_event_seq")
+
+  def nextId(table: String, idCol: String): Long =
+    if (!exists(table)) 1L
+    else events(table).agg(max(col(idCol))).head().getLong(0) + 1L
+}
+
+/** Process lifecycle logging (reference `logs/audit_logger.py:188-399`). */
+final class ProcessLogger(store: LogStore, clock: Clock = SystemClock) {
+  import store.spark.implicits._
+  private val table = "process_log"
+
+  def startProcess(
+      name: String,
+      description: String = "",
+      sourceSystem: Option[String] = None,
+      targetLayer: Option[String] = None,
+      createdBy: String = "system"): Long = {
+    val id = store.nextId(table, "log_id")
+    val row = ProcessLog(id, name, description, clock.now(), None, "RUNNING",
+      None, None, None, None, sourceSystem, targetLayer, None, createdBy)
+    store.appendEvents(table, Seq(row).toDF())
+    id
+  }
+
+  def endProcess(
+      id: Long,
+      status: String,
+      rowsProcessed: Option[Long] = None,
+      rowsInserted: Option[Long] = None,
+      errorMessage: Option[String] = None): Unit = {
+    val cur = store.current(table, "log_id").where(col("log_id") === id).as[ProcessLog].head()
+    val done = cur.copy(
+      end_time = Some(clock.now()),
+      status = status,
+      rows_processed = rowsProcessed.orElse(cur.rows_processed),
+      rows_inserted = rowsInserted.orElse(cur.rows_inserted),
+      error_message = errorMessage.orElse(cur.error_message))
+    store.appendEvents(table, Seq(done).toDF())
+  }
+
+  def activeProcesses(): DataFrame =
+    store.current(table, "log_id").where(col("status") === "RUNNING")
+
+  /** History with derived duration (audit_logger.py:331-399). */
+  def processHistory(days: Int, nameFilter: Option[String] = None): DataFrame = {
+    val base = store.current(table, "log_id")
+      .where(col("start_time") >= date_sub(current_timestamp(), days))
+      .withColumn(
+        "duration_seconds",
+        unix_timestamp(col("end_time")) - unix_timestamp(col("start_time")))
+    nameFilter.fold(base)(n => base.where(col("process_name") === n))
+      .orderBy(col("start_time").desc)
+  }
+}
+
+/** Error logging + recovery (reference `logs/error_handler.py:185-483`). */
+final class ErrorLogger(store: LogStore, clock: Clock = SystemClock) {
+  import store.spark.implicits._
+  private val table = "error_log"
+
+  def logError(
+      level: String,
+      code: String,
+      message: String,
+      processLogId: Option[Long] = None,
+      detail: Option[String] = None,
+      tableName: Option[String] = None,
+      recovery: Option[String] = None): Long = {
+    val id = store.nextId(table, "error_id")
+    val row = ErrorLog(id, processLogId, clock.now(), level, code, message,
+      detail, tableName, recovery, is_resolved = false, None, None)
+    store.appendEvents(table, Seq(row).toDF())
+    id
+  }
+
+  def logException(e: Throwable, processLogId: Option[Long] = None): Long =
+    logError(
+      "ERROR",
+      e.getClass.getSimpleName,
+      Option(e.getMessage).getOrElse(""),
+      processLogId,
+      detail = Some(e.getStackTrace.take(5).mkString("\n")))
+
+  def markResolved(id: Long, by: String, notes: Option[String] = None): Unit = {
+    val cur = store.current(table, "error_id").where(col("error_id") === id).as[ErrorLog].head()
+    val resolved = cur.copy(
+      is_resolved = true,
+      resolved_by = Some(by),
+      resolved_timestamp = Some(clock.now()),
+      error_detail = notes.map(n => cur.error_detail.fold(n)(_ + "\n" + n)).orElse(cur.error_detail))
+    store.appendEvents(table, Seq(resolved).toDF())
+  }
+
+  def unresolvedErrors(): DataFrame =
+    store.current(table, "error_id").where(!col("is_resolved"))
+}
+
+/** Retry with exponential backoff, logging each attempt
+  * (reference `logs/error_handler.py:408-483`).
+  */
+object Retry {
+  def withBackoff[T](
+      errors: ErrorLogger,
+      maxRetries: Int = 3,
+      baseDelayMs: Long = 1000,
+      multiplier: Double = 2.0,
+      sleeper: Long => Unit = Thread.sleep)(f: => T): T = {
+    var attempt = 0
+    var delay = baseDelayMs.toDouble
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt > maxRetries) {
+            errors.logError("ERROR", "RETRY_EXHAUSTED",
+              s"failed after $maxRetries retries: ${e.getMessage}")
+            throw e
+          }
+          errors.logError("WARNING", "RETRY",
+            s"attempt $attempt failed: ${e.getMessage}; retrying in ${delay.toLong} ms")
+          sleeper(delay.toLong)
+          delay *= multiplier
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Performance metrics + timing (reference `logs/performance_monitor.py`). */
+final class PerformanceMonitor(store: LogStore, clock: Clock = SystemClock) {
+  import store.spark.implicits._
+  private val table = "performance_metrics"
+
+  def record(
+      name: String,
+      value: Double,
+      unit: String,
+      processLogId: Option[Long] = None): Unit = {
+    val id = store.nextId(table, "metric_id")
+    store.appendEvents(table,
+      Seq(PerformanceMetric(id, processLogId, name, value, unit, clock.now())).toDF())
+  }
+
+  /** Loan-pattern timer: records `<name>_execution_time` in seconds. */
+  def timed[T](name: String, processLogId: Option[Long] = None)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f
+    finally record(s"${name}_execution_time", (System.nanoTime() - t0) / 1e9, "sec", processLogId)
+  }
+
+  /** Per-metric summary stats (performance_monitor.py:409-425). */
+  def summary(): DataFrame =
+    store.events(table)
+      .groupBy(col("metric_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("metric_value")).as("avg_value"),
+        min(col("metric_value")).as("min_value"),
+        max(col("metric_value")).as("max_value"),
+        stddev(col("metric_value")).as("stddev_value"))
+
+  /** 95th-percentile bottleneck thresholds (performance_monitor.py:556-593). */
+  def bottleneckThresholds(): DataFrame =
+    store.events(table)
+      .groupBy(col("metric_name"))
+      .agg(expr("percentile(metric_value, 0.95)").as("p95"),
+        expr("percentile(metric_value, 0.05)").as("p05"))
+}
+
+/** Configuration-change audit (reference `logs/audit_logger.py:473-569`). */
+final class ConfigurationLogger(store: LogStore, clock: Clock = SystemClock) {
+  import store.spark.implicits._
+  private val table = "configuration_log"
+
+  def logChange(
+      key: String,
+      oldValue: Option[String],
+      newValue: String,
+      reason: Option[String] = None,
+      by: String = "system",
+      environment: String = "dev"): Unit = {
+    val id = store.nextId(table, "config_log_id")
+    store.appendEvents(table,
+      Seq(ConfigurationLog(id, key, oldValue, newValue, reason, by, clock.now(), environment)).toDF())
+  }
+
+  def history(key: Option[String] = None): DataFrame = {
+    val base = store.events(table).drop("_event_seq")
+    key.fold(base)(k => base.where(col("config_key") === k))
+      .orderBy(col("change_timestamp").desc)
+  }
+}
+
+/** Lineage edge recording (reference `logs/data_lineage.py:119-200`);
+  * traversal lives in [[graft.lineage.Lineage]].
+  */
+final class LineageTracker(store: LogStore, clock: Clock = SystemClock) {
+  import store.spark.implicits._
+  private val table = "data_lineage"
+
+  def recordEdge(
+      sourceSchema: String,
+      sourceTable: String,
+      targetSchema: String,
+      targetTable: String,
+      processLogId: Option[Long] = None,
+      logic: Option[String] = None,
+      recordCount: Option[Long] = None): Unit = {
+    val id = store.nextId(table, "lineage_id")
+    store.appendEvents(table,
+      Seq(DataLineageEdge(id, processLogId, sourceSchema, sourceTable,
+        targetSchema, targetTable, logic, recordCount, clock.now())).toDF())
+  }
+
+  def edges(): DataFrame =
+    store.events(table)
+      .withColumn("src", concat_ws(".", col("source_schema"), col("source_table")))
+      .withColumn("dst", concat_ws(".", col("target_schema"), col("target_table")))
+
+  /** Medallion flow rollup (data_lineage.py:596-622). */
+  def flowSummary(): DataFrame =
+    store.events(table)
+      .groupBy(col("source_schema"), col("target_schema"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        countDistinct(col("transformation_logic")).as("n_logics"),
+        max(col("created_timestamp")).as("last_activity"),
+        sum(col("record_count")).as("total_records"))
+}

@@ -1,0 +1,41 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Catalog lifecycle over a parquet warehouse directory — the Spark-native
+  * form of the reference's `setup/` package: the four medallion databases
+  * created in dependency order (logs first, `create_schemas.py:347-351`),
+  * existence checks, and drop in reverse order
+  * (`create_schemas.py:399`: gold → silver → bronze → logs).
+  */
+final class WarehouseCatalog(spark: SparkSession, warehouseDir: String) {
+
+  val databases: Seq[String] = Seq("logs", "bronze", "silver", "gold")
+
+  private def q(db: String) = s"graft_$db" // namespaced to avoid collisions
+
+  def createDatabases(): Unit = databases.foreach { db =>
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS ${q(db)} COMMENT '$db medallion layer' " +
+        s"LOCATION '$warehouseDir/${db}.db'")
+  }
+
+  def databaseExists(db: String): Boolean = spark.catalog.databaseExists(q(db))
+
+  def tableExists(db: String, table: String): Boolean =
+    spark.catalog.tableExists(s"${q(db)}.$table")
+
+  def saveTable(db: String, table: String, df: DataFrame, mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).format("parquet").saveAsTable(s"${q(db)}.$table")
+
+  def readTable(db: String, table: String): DataFrame =
+    spark.table(s"${q(db)}.$table")
+
+  def listTables(db: String): Seq[String] =
+    spark.catalog.listTables(q(db)).collect().map(_.name).toSeq
+
+  /** Reverse-order teardown (gold first), as the reference's rollback. */
+  def dropDatabases(): Unit = databases.reverse.foreach { db =>
+    spark.sql(s"DROP DATABASE IF EXISTS ${q(db)} CASCADE")
+  }
+}

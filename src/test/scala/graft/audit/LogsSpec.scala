@@ -1,0 +1,106 @@
+package graft.audit
+
+import graft.SparkSpec
+
+class LogsSpec extends SparkSpec {
+
+  private def freshStore = new LogStore(
+    spark, java.nio.file.Files.createTempDirectory("graft-logs").toString)
+
+  object FixedClock extends Clock {
+    def now() = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+  }
+
+  test("process lifecycle: start RUNNING, end SUCCESS, latest-wins view") {
+    val store = freshStore
+    val pl = new ProcessLogger(store, FixedClock)
+    val id = pl.startProcess("bronze_load", "load cust_info", Some("CRM"), Some("bronze"))
+    assert(pl.activeProcesses().count() == 1)
+    pl.endProcess(id, "SUCCESS", rowsProcessed = Some(100), rowsInserted = Some(100))
+    assert(pl.activeProcesses().count() == 0)
+    val cur = store.current("process_log", "log_id").collect().head
+    assert(cur.getAs[String]("status") == "SUCCESS")
+    assert(cur.getAs[Long]("rows_processed") == 100)
+    // the event log keeps both versions; the view keeps one
+    assert(store.events("process_log").count() == 2)
+    assert(store.current("process_log", "log_id").count() == 1)
+  }
+
+  test("ids are sequential across appends") {
+    val store = freshStore
+    val pl = new ProcessLogger(store, FixedClock)
+    assert(pl.startProcess("a") == 1L)
+    assert(pl.startProcess("b") == 2L)
+    assert(pl.startProcess("c") == 3L)
+  }
+
+  test("error logging and resolution") {
+    val store = freshStore
+    val el = new ErrorLogger(store, FixedClock)
+    val id = el.logError("ERROR", "E42", "boom", tableName = Some("bronze.t"))
+    assert(el.unresolvedErrors().count() == 1)
+    el.markResolved(id, "ops", Some("restarted"))
+    assert(el.unresolvedErrors().count() == 0)
+  }
+
+  test("retry with backoff logs attempts and eventually succeeds") {
+    val store = freshStore
+    val el = new ErrorLogger(store, FixedClock)
+    var calls = 0
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Retry.withBackoff(el, maxRetries = 3, baseDelayMs = 10,
+      sleeper = delays.append(_)) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"fail $calls")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(delays.toSeq == Seq(10L, 20L), "exponential backoff ×2")
+    assert(store.events("error_log").count() == 2, "one WARNING per retry")
+  }
+
+  test("retry exhaustion rethrows and logs RETRY_EXHAUSTED") {
+    val store = freshStore
+    val el = new ErrorLogger(store, FixedClock)
+    intercept[RuntimeException] {
+      Retry.withBackoff(el, maxRetries = 2, baseDelayMs = 1, sleeper = _ => ())(
+        throw new RuntimeException("always"))
+    }
+    val codes = store.events("error_log")
+      .select("error_code").collect().map(_.getString(0))
+    assert(codes.count(_ == "RETRY") == 2 && codes.contains("RETRY_EXHAUSTED"))
+  }
+
+  test("performance monitor records timed blocks and summarizes") {
+    val store = freshStore
+    val pm = new PerformanceMonitor(store, FixedClock)
+    val v = pm.timed("unit_of_work") { 41 + 1 }
+    assert(v == 42)
+    pm.record("rows_per_second", 12345.0, "rows/sec")
+    val names = pm.summary().collect().map(_.getString(0)).toSet
+    assert(names == Set("unit_of_work_execution_time", "rows_per_second"))
+  }
+
+  test("configuration audit keeps ordered history") {
+    val store = freshStore
+    val cl = new ConfigurationLogger(store, FixedClock)
+    cl.logChange("batch_size", Some("10000"), "20000", Some("throughput"), "ops")
+    cl.logChange("batch_size", Some("20000"), "40000")
+    assert(cl.history(Some("batch_size")).count() == 2)
+  }
+
+  test("lineage edges feed the graph traversal") {
+    val store = freshStore
+    val lt = new LineageTracker(store, FixedClock)
+    lt.recordEdge("source", "cust_info.csv", "bronze", "crm_customers_raw", recordCount = Some(18493L))
+    lt.recordEdge("bronze", "crm_customers_raw", "silver", "crm_customers")
+    lt.recordEdge("silver", "crm_customers", "gold", "customer_analytics")
+    import store.spark.implicits._
+    val down = graft.lineage.Lineage.reachable(
+      lt.edges(), "src", "dst",
+      Seq("source.cust_info.csv").toDF("seed"), "seed", maxDepth = 5)
+    assert(down.count() == 3, "full bronze→silver→gold chain reachable")
+    val flow = lt.flowSummary().collect()
+    assert(flow.length == 3)
+  }
+}

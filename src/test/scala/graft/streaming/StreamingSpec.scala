@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed streaming counts match the batch equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // stage the sf0.001 events parquet as a file-stream drop
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events-0.parquet"))
+
+    val stream = EventStream.windowedCounts(
+      EventStream.readEvents(spark, dir), "1 hour", "2 hours")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("hourly")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly")
+    // append mode only emits windows the watermark has passed; every emitted
+    // window must agree with the batch aggregation
+    val batch = graft.core.Tables(spark, Sf0001).events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val joined = streamed.alias("s").join(
+      batch.alias("b"),
+      Seq("window_start", "event_type"))
+    val mismatches = joined.where(col("s.n_events") =!= col("b.n_events")).count()
+    assert(mismatches == 0, "streamed windows must match batch counts")
+    assert(streamed.count() > 0, "watermark should have released some windows")
+  }
+
+  test("stateful sessionization closes sessions on the 30-minute gap") {
+    val events = Seq(
+      EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      EventStream.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "view", 1.0),
+      // 40-minute gap → session break
+      EventStream.Event(3, java.sql.Timestamp.valueOf("2024-01-01 10:50:00"), 1L, "click", 1.0),
+      EventStream.Event(4, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "view", 1.0)
+    ).toDS()
+    val closed = EventStream.sessionize(events).collect()
+    // only user 1's first session closes within this batch
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 1L && closed.head.n_events == 2)
+    assert(closed.head.duration_sec == 600.0)
+  }
+
+  test("multimodal feature extraction preserves ids and drops blobs") {
+    val docs = graft.core.Tables(spark, Sf0001).documents
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
+    val feats = graft.multimodal.Multimodal.extractFeatures(media)
+    assert(feats.count() == docs.count())
+    assert(!feats.columns.contains("content"), "blob column must not survive")
+    assert(feats.where(col("content_sha256").isNull).count() == 0)
+    val img = feats.where(col("media_type") === "image")
+    assert(img.where(col("width").isNull).count() == 0, "images get dimensions")
+    assert(feats.where(col("media_type") =!= "image")
+      .where(col("width").isNotNull).count() == 0, "non-images do not")
+    val vecLens = feats.select(size(col("feature_vec"))).distinct().as[Int].collect()
+    assert(vecLens.sameElements(Array(8)), "fixed-width feature vectors")
+  }
+}
