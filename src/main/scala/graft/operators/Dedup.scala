@@ -40,14 +40,23 @@ object Dedup {
     * mod p so products stay within Long (ANSI-safe).
     */
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
-    val p = 2147483647L // 2^31 − 1
-    val baseHashes = transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(p)))
-    val sig = (0 until numHashes).map { j =>
-      val a = 2 * j + 1
-      val b = 104729L * (j + 1)
-      array_min(transform(baseHashes, h => pmod(lit(a) * h + lit(b), lit(p))))
-    }
-    array(sig: _*)
+    val p = lit(2147483647L) // 2^31 − 1
+    val aArr = array((0 until numHashes).map(j => lit(2L * j + 1)): _*)
+    val bArr = array((0 until numHashes).map(j => lit(104729L * (j + 1))): _*)
+    val idx = array((1 to numHashes).map(lit): _*)
+    val baseHashes = transform(shingles(text, shingleN), s => pmod(xxhash64(s), p))
+    // One fold over the shingle hashes updating all minima at once: the
+    // naive `numHashes × array_min(transform(...))` shape re-evaluates the
+    // shingle+xxhash subtree per hash function (Catalyst inlines shared
+    // higher-order subexpressions) — 16× the work.
+    aggregate(
+      baseHashes,
+      array_repeat(p, numHashes),
+      (acc, h) =>
+        zip_with(
+          acc,
+          idx,
+          (m, j) => least(m, pmod(element_at(aArr, j) * h + element_at(bArr, j), p))))
   }
 
   /** MinHash+LSH near-duplicate candidate pairs: signatures split into
@@ -65,7 +74,8 @@ object Dedup {
       numHashes: Int = 16,
       numBands: Int = 4,
       shingleN: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 50): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val docs = df
       .select(
@@ -74,33 +84,44 @@ object Dedup {
         minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
       .where(size(col("shingle_set")) > 0)
 
+    // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
+    // attached per-key after candidate pairs are deduped, so the band
+    // shuffle moves ids, not documents.
     val banded = docs.select(
       col("doc_id"),
-      col("shingle_set"),
       explode(
         array((0 until numBands).map { b =>
           struct(
             lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
         }: _*)).as("bb"))
-      .select(col("doc_id"), col("shingle_set"), col("bb.band"), col("bb.band_hash"))
+      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
 
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    // Degenerate-bucket guard: a bucket of size s yields s(s−1)/2 candidate
+    // pairs, so one boilerplate-heavy bucket turns the join quadratic (at
+    // sf0.1 this was 94% of total bench time). Buckets above the cap are
+    // dropped — near-universal content is not "near-duplicate" signal.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))
+    val capped = banded
+      .withColumn("_bucket_size", count(lit(1)).over(w))
+      .where(col("_bucket_size") <= maxBucketSize)
+      .drop("_bucket_size")
+
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     val pairs = a
       .join(
         b,
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"),
-        col("b.doc_id").as("id_b"),
-        col("a.shingle_set").as("set_a"),
-        col("b.shingle_set").as("set_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
+    val sets = docs.select(col("doc_id"), col("shingle_set"))
     pairs
+      .join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingle_set", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle_set", "set_b"), Seq("id_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
@@ -141,15 +162,22 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 200): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp"))
-    val blocked = docs.select(
+    val blockedRaw = docs.select(
       col("doc_id"),
       col("fp"),
       explode(array((0 until 4).map { q =>
         struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL)).as("qh"))
       }: _*)).as("blk"))
       .select(col("doc_id"), col("fp"), col("blk.q"), col("blk.qh"))
+    // Same degenerate-bucket guard as the MinHash path.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"), col("qh"))
+    val blocked = blockedRaw
+      .withColumn("_bucket_size", count(lit(1)).over(w))
+      .where(col("_bucket_size") <= maxBucketSize)
+      .drop("_bucket_size")
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     a.join(
