@@ -58,6 +58,9 @@ object SparkEntry {
     "q40_knn_brute_force" -> (Pipeline.knnBruteForce _),
     "q41_knn_lsh" -> (Pipeline.knnLsh _),
     "q42_vector_stats" -> (Pipeline.vectorStats _),
+    "q43_json_extract" -> (Pipeline.jsonExtract _),
+    "q44_pagination" -> (Pipeline.paginatedCustomers _),
+    "q45_soft_delete_convention" -> (Pipeline.activeCustomersBySegment _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -365,5 +368,15 @@ object SparkEntry {
         |    FROM embeddings)
         |  GROUP BY label)
         |ORDER BY label""".stripMargin,
+    "q43_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_pagination" ->
+      """SELECT c_custkey, c_name FROM customer
+        |ORDER BY c_custkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q45_soft_delete_convention" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+        |WHERE NOT (c_acctbal < 0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

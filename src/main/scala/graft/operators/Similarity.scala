@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CosineSimilarity.cosineFast
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -31,7 +32,7 @@ object Similarity {
     val q = array(query.map(lit): _*)
     val base = excludeId.map(e => emb.where(col(idCol) =!= e)).getOrElse(emb)
     base
-      .select(col(idCol), cosine(col(vecCol), q).as("cosine_sim"))
+      .select(col(idCol), cosineFast(col(vecCol), q).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
   }
@@ -56,7 +57,7 @@ object Similarity {
     val qSig = hyperplaneSignature(q, nPlanes)
     withSig
       .where(bit_count(col("_sig").bitwiseXOR(qSig)) <= maxBitDiff)
-      .select(col(idCol), cosine(col(vecCol), q).as("cosine_sim"))
+      .select(col(idCol), cosineFast(col(vecCol), q).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
   }
@@ -110,7 +111,7 @@ object Similarity {
     val base = excludeId.map(e => assigned.where(col(idCol) =!= e)).getOrElse(assigned)
     base
       .where(col("centroid_id").isin(probeIds: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("cosine_sim"))
+      .select(col(idCol), cosineFast(col(vecCol), q).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
   }

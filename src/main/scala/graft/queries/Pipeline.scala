@@ -59,6 +59,46 @@ object Pipeline {
       .orderBy(col("user_id"))
   }
 
+  /** q43 — JSON metadata extraction (reference JSONB read-through,
+    * `models/logs_models.py:115`; SURVEY §2.7): parse the events `props`
+    * JSON and aggregate by the extracted key.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    e.select(get_json_object(col("props"), "$.k").cast("int").as("k_value"))
+      .groupBy(col("k_value"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("k_value"))
+  }
+
+  /** q44 — pagination (reference `sql/query_builder.py:227-242`): page 3 of
+    * 50, keyset-ordered. (At 100 TB, OFFSET pagination degrades — prefer
+    * keyset `WHERE key > last` pagination, which is what incrementalLoad
+    * implements; this exercises the reference's page/limit arithmetic.)
+    */
+  def paginatedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val page = 3
+    val size = 50
+    Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+      .offset((page - 1) * size)
+      .limit(size)
+  }
+
+  /** q45 — the engine-wide implicit `is_deleted = FALSE` convention
+    * (reference `sql/query_builder.py:121-124`): soft-delete then query
+    * through the `active()` accessor.
+    */
+  def activeCustomersBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    val flagged = graft.dml.Mutations.softDelete(c, col("c_acctbal") < 0, "quality_job")
+    graft.ddl.TableSpec.active(flagged)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // ----------------------------------------------------------------- graph
 
   /** q27 — iterative graph reachability (the recursive-CTE replacement,
