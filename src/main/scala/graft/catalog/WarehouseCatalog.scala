@@ -34,6 +34,25 @@ final class WarehouseCatalog(spark: SparkSession, warehouseDir: String) {
   def listTables(db: String): Seq[String] =
     spark.catalog.listTables(q(db)).collect().map(_.name).toSeq
 
+  /** Save a table bucketed+sorted by join keys: two tables bucketed the same
+    * way join with ZERO shuffle (the Spark replacement for the reference's
+    * BTREE indexes on join columns, and the core co-location lever at
+    * 100 TB — the shuffle is paid once at write, not per query).
+    */
+  def saveBucketed(
+      db: String,
+      table: String,
+      df: DataFrame,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(s"${q(db)}.$table")
+
   /** Reverse-order teardown (gold first), as the reference's rollback. */
   def dropDatabases(): Unit = databases.reverse.foreach { db =>
     spark.sql(s"DROP DATABASE IF EXISTS ${q(db)} CASCADE")

@@ -39,12 +39,20 @@ object Dedup {
     * deterministic odd a_j, b_j; shingle base-hash via xxhash64 reduced
     * mod p so products stay within Long (ANSI-safe).
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
+    minhashSignatureOfShingles(shingles(text, shingleN), numHashes)
+
+  /** MinHash signature from an existing shingle-array column. Min is
+    * duplicate-insensitive, so a distinct or raw shingle array give the same
+    * signature — callers that already materialized `array_distinct(shingles)`
+    * can reuse that column and compute the shingle pass once.
+    */
+  def minhashSignatureOfShingles(shingleCol: Column, numHashes: Int): Column = {
     val p = lit(2147483647L) // 2^31 − 1
     val aArr = array((0 until numHashes).map(j => lit(2L * j + 1)): _*)
     val bArr = array((0 until numHashes).map(j => lit(104729L * (j + 1))): _*)
     val idx = array((1 to numHashes).map(lit): _*)
-    val baseHashes = transform(shingles(text, shingleN), s => pmod(xxhash64(s), p))
+    val baseHashes = transform(shingleCol, s => pmod(xxhash64(s), p))
     // One fold over the shingle hashes updating all minima at once: the
     // naive `numHashes × array_min(transform(...))` shape re-evaluates the
     // shingle+xxhash subtree per hash function (Catalyst inlines shared
@@ -77,12 +85,19 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 50): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // Two projections on purpose: the signature is derived from the
+    // materialized shingle_set attribute, and CollapseProject refuses to
+    // inline non-cheap expressions — so the tokenize+shingle pass runs once
+    // per row, not once per consumer.
     val docs = df
       .select(
         col(idCol).as("doc_id"),
-        array_distinct(shingles(col(textCol), shingleN)).as("shingle_set"),
-        minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+        array_distinct(shingles(col(textCol), shingleN)).as("shingle_set"))
       .where(size(col("shingle_set")) > 0)
+      .select(
+        col("doc_id"),
+        col("shingle_set"),
+        minhashSignatureOfShingles(col("shingle_set"), numHashes).as("sig"))
 
     // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
     // attached per-key after candidate pairs are deduped, so the band
