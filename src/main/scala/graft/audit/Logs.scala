@@ -306,6 +306,61 @@ final class ConfigurationLogger(store: LogStore, clock: Clock = SystemClock) {
   }
 }
 
+/** Batch-progress logging (reference `logs/audit_logger.py:578-693`):
+  * batch id `batch_%Y%m%d_%H%M%S`, estimated batches by ceiling division,
+  * per-batch progress rows carried as JSON metadata on the process log.
+  */
+final class BatchLogger(processes: ProcessLogger, clock: Clock = SystemClock) {
+
+  final case class BatchRun(processLogId: Long, batchId: String, estimatedBatches: Long)
+
+  def startBatchRun(name: String, totalRows: Long, batchSize: Long): BatchRun = {
+    val batchId = "batch_" +
+      new java.text.SimpleDateFormat("yyyyMMdd_HHmmss").format(clock.now())
+    val estimated = (totalRows + batchSize - 1) / batchSize // ceil div, ref :648
+    val pid = processes.startProcess(name, s"""{"batch_id":"$batchId","estimated_batches":$estimated}""")
+    BatchRun(pid, batchId, estimated)
+  }
+
+  def completeBatchRun(run: BatchRun, rowsProcessed: Long, ok: Boolean = true): Unit =
+    processes.endProcess(run.processLogId, if (ok) "SUCCESS" else "FAILED",
+      rowsProcessed = Some(rowsProcessed))
+}
+
+/** Circuit breaker (reference `logs/error_handler.py:485-522` — deliberately
+  * a simplified pass-through there; here: opens after `failureThreshold`
+  * consecutive failures, half-opens after `resetAfterMs`).
+  */
+final class CircuitBreaker(
+    failureThreshold: Int = 5,
+    resetAfterMs: Long = 60000,
+    nowMs: () => Long = System.currentTimeMillis) {
+  private var failures = 0
+  private var openedAt: Option[Long] = None
+
+  def state: String =
+    openedAt match {
+      case Some(t) if nowMs() - t < resetAfterMs => "OPEN"
+      case Some(_) => "HALF_OPEN"
+      case None => "CLOSED"
+    }
+
+  def call[T](f: => T): T = {
+    if (state == "OPEN") throw new IllegalStateException("circuit open")
+    try {
+      val out = f
+      failures = 0
+      openedAt = None
+      out
+    } catch {
+      case e: Throwable =>
+        failures += 1
+        if (failures >= failureThreshold) openedAt = Some(nowMs())
+        throw e
+    }
+  }
+}
+
 /** Lineage edge recording (reference `logs/data_lineage.py:119-200`);
   * traversal lives in [[graft.lineage.Lineage]].
   */

@@ -35,14 +35,35 @@ object Bronze {
     def uuid8(): String = java.util.UUID.randomUUID().toString.take(8)
   }
 
+  /** COPY-statement option surface (reference `generate_copy_statement`,
+    * sql/dml.py:394-445): delimiter, encoding, null marker, quote, escape,
+    * header — mapped onto Spark CSV reader options.
+    */
+  final case class CsvOptions(
+      delimiter: String = ",",
+      encoding: String = "UTF-8",
+      nullValue: String = "",
+      quote: String = "\"",
+      escape: String = "\\",
+      header: Boolean = true,
+      inferSchema: Boolean = true)
+
   /** CSV read with the bronze inference contract. Spark's `inferSchema`
     * matches the reference mapping (BIGINT/NUMERIC/BOOLEAN/TIMESTAMP/TEXT);
     * one extra sampling pass over the file, as in the reference's pandas read.
     */
-  def readCsv(spark: SparkSession, path: String): DataFrame =
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      opts: CsvOptions = CsvOptions()): DataFrame =
     spark.read
-      .option("header", "true")
-      .option("inferSchema", "true")
+      .option("header", opts.header.toString)
+      .option("inferSchema", opts.inferSchema.toString)
+      .option("sep", opts.delimiter)
+      .option("encoding", opts.encoding)
+      .option("nullValue", opts.nullValue)
+      .option("quote", opts.quote)
+      .option("escape", opts.escape)
       .csv(path)
 
   /** Order-independent row hash over the given columns: SHA-256 of the

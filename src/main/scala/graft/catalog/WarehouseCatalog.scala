@@ -34,6 +34,29 @@ final class WarehouseCatalog(spark: SparkSession, warehouseDir: String) {
   def listTables(db: String): Seq[String] =
     spark.catalog.listTables(q(db)).collect().map(_.name).toSeq
 
+  /** Column introspection (reference catalog metadata queries,
+    * sql/query_builder.py:390-567: information_schema.columns).
+    */
+  def listColumns(db: String, table: String): Seq[(String, String, Boolean)] =
+    spark.catalog.listColumns(s"${q(db)}.$table").collect()
+      .map(c => (c.name, c.dataType, c.nullable)).toSeq
+
+  /** Table statistics via ANALYZE + DESCRIBE EXTENDED (the reference's
+    * pg_stat-based table stats; in Spark these also feed the CBO).
+    */
+  def tableStats(db: String, table: String): Map[String, String] = {
+    spark.sql(s"ANALYZE TABLE ${q(db)}.$table COMPUTE STATISTICS")
+    spark.sql(s"DESCRIBE TABLE EXTENDED ${q(db)}.$table").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+  }
+
+  /** ALTER TABLE ADD COLUMNS (reference sql/ddl.py:347-385). */
+  def addColumns(db: String, table: String, columns: Seq[(String, String)]): Unit =
+    spark.sql(
+      s"ALTER TABLE ${q(db)}.$table ADD COLUMNS (" +
+        columns.map { case (n, t) => s"`$n` $t" }.mkString(", ") + ")")
+
   /** Save a table bucketed+sorted by join keys: two tables bucketed the same
     * way join with ZERO shuffle (the Spark replacement for the reference's
     * BTREE indexes on join columns, and the core co-location lever at
