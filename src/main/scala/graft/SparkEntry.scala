@@ -54,6 +54,7 @@ object SparkEntry {
     "q34_dedup_minhash_lsh" -> (Pipeline.dedupMinhash _),
     "q35_dedup_simhash" -> (Pipeline.dedupSimhash _),
     "q36_ngram_jaccard" -> (Pipeline.ngramJaccardPairs _),
+    "q38_embedding_neardup" -> (Pipeline.embeddingNearDupExact _),
     "q37_fingerprint" -> (Pipeline.fingerprints _),
     "q40_knn_brute_force" -> (Pipeline.knnBruteForce _),
     "q41_knn_lsh" -> (Pipeline.knnLsh _),
@@ -348,6 +349,15 @@ object SparkEntry {
         |    CAST(len(list_distinct(list_concat(a.bset, b.bset))) AS INTEGER) AS n_union
         |  FROM pairs p JOIN sets a ON p.id_a = a.doc_id JOIN sets b ON p.id_b = b.doc_id)
         |ORDER BY id_a""".stripMargin,
+    "q38_embedding_neardup" ->
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT id_a, id_b, cosine_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
+        |  FROM sub a, sub b WHERE a.vec_id < b.vec_id)
+        |WHERE cosine_sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
     "q40_knn_brute_force" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, cosine_sim FROM (

@@ -207,6 +207,40 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    * candidates (same full signature → high cosine with high probability),
+    * then exact cosine verifies. Same shuffle shape as the MinHash path —
+    * key-equi join on signature, never a cross join — so it scales the same
+    * way; `nPlanes` trades recall for bucket selectivity.
+    */
+  def embeddingNearDuplicates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      nPlanes: Int = 12,
+      maxBucketSize: Int = 200): DataFrame = {
+    import graft.functions.VectorFunctions.hyperplaneSignature
+    import graft.functions.CosineSimilarity.cosineFast
+    val docs = emb.select(
+      col(idCol).as("vid"),
+      col(vecCol).as("vec"),
+      hyperplaneSignature(col(vecCol), nPlanes).as("sig"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+    val capped = docs
+      .withColumn("_bucket_size", count(lit(1)).over(w))
+      .where(col("_bucket_size") <= maxBucketSize)
+      .drop("_bucket_size")
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.vid") < col("b.vid"))
+      .select(
+        col("a.vid").as("id_a"),
+        col("b.vid").as("id_b"),
+        cosineFast(col("a.vec"), col("b.vec")).as("cosine_sim"))
+      .where(col("cosine_sim") >= minCosine)
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (pairs: columns id_a, id_b). Join-based: each side fetches its shingle
     * set by key — no cross product.

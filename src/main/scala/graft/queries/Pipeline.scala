@@ -164,6 +164,25 @@ object Pipeline {
       .orderBy(col("id_a"))
   }
 
+  /** q38 — embedding-cosine near-duplicate detection, exact variant on a
+    * deterministic subset (every 10th vector): pairwise cosine ≥ 0.25.
+    * The scale path is [[Dedup.embeddingNearDuplicates]] (LSH-bucketed,
+    * recall-tested in ScalaTest); this exact form is the oracle-checkable
+    * ground truth of the same semantics.
+    */
+  def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineFast
+    val e = Tables(spark, dir).embeddings
+      .where(col("vec_id") % 10 === 0)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineFast(col("va"), col("vb")).as("cosine_sim"))
+      .where(col("cosine_sim") >= 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------ text
 
   /** q31 — token statistics per language: whitespace tokens and BPE-ish

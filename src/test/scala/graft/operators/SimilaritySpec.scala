@@ -29,6 +29,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low (approx=$approx exact=$exact)")
   }
 
+  test("embedding LSH near-dup finds planted duplicate vectors") {
+    import spark.implicits._
+    val base = emb.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // plant an exact duplicate of vector 0 under a new id
+    val planted = (base :+ ((9999L, base.head._2))).toSeq.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(
+      planted, "vec_id", "embedding", minCosine = 0.999, nPlanes = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((base.head._1, 9999L)),
+      s"planted duplicate must be found, got $pairs")
+  }
+
   test("IVF probe returns neighbors from the probed lists with recall > 0") {
     val centroids = emb.orderBy("vec_id").limit(4).collect()
       .zipWithIndex
