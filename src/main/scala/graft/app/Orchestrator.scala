@@ -119,7 +119,22 @@ final class SetupOrchestrator(
       }
     write("crm_customers_raw", "crm_customers", Silver.cleanCrmCustomers)
     write("crm_products_raw", "crm_products", Silver.cleanCrmProducts)
-    write("crm_sales_raw", "crm_sales", Silver.cleanCrmSales)
+    // The sales fact is partitioned by order year (the reference RANGE-
+    // partitions on the creation date, ddl.py:199-206): date-bounded queries
+    // prune whole partitions instead of scanning the fact table. Year
+    // granularity keeps file counts sane at small SF; at 100 TB this becomes
+    // month/day.
+    if (exists("crm_sales_raw")) {
+      val pid = processes.startProcess("silver_build_crm_sales", "", None, Some("silver"))
+      Silver.cleanCrmSales(bronzeTable("crm_sales_raw"))
+        .withColumn("order_year", org.apache.spark.sql.functions.year(
+          org.apache.spark.sql.functions.col("sls_order_dt")))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("order_year")
+        .parquet(s"$warehouseDir/silver/crm_sales")
+      lineage.recordEdge("bronze", "crm_sales_raw", "silver", "crm_sales", Some(pid), Some("cleansing"))
+      processes.endProcess(pid, "SUCCESS")
+    }
     write("erp_customers_raw", "erp_customers", Silver.cleanErpCustomers)
     write("erp_locations_raw", "erp_locations", Silver.cleanErpLocations)
   }

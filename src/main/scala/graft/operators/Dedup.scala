@@ -85,10 +85,10 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 50): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    // Two projections on purpose: the signature is derived from the
-    // materialized shingle_set attribute, and CollapseProject refuses to
-    // inline non-cheap expressions — so the tokenize+shingle pass runs once
-    // per row, not once per consumer.
+    // The shingle pass feeds two consumers (band generation and the final
+    // jaccard verify); persist it so tokenize+shingle+hash runs once.
+    // MEMORY_AND_DISK: at corpus scale the shingle sets exceed memory and
+    // spill, which still beats recomputing the regex tokenization.
     val docs = df
       .select(
         col(idCol).as("doc_id"),
@@ -98,6 +98,7 @@ object Dedup {
         col("doc_id"),
         col("shingle_set"),
         minhashSignatureOfShingles(col("shingle_set"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
     // attached per-key after candidate pairs are deduped, so the band

@@ -42,6 +42,14 @@ class OrchestratorSpec extends SparkSpec {
       Seq("bronze.crm_sales_raw").toDF("seed"), "seed", maxDepth = 5)
     assert(impact.collect().map(_.getString(1)).contains("gold.customer_analytics"))
 
+    // the partitioned sales fact prunes year partitions on date-bounded scans
+    val sales = spark.read.parquet(s"$dir/silver/crm_sales")
+    val pruned = sales.where(col("order_year") === 2013)
+    val scanNode = pruned.queryExecution.executedPlan.toString
+    assert(scanNode.contains("PartitionFilters") && scanNode.contains("order_year"),
+      s"expected partition pruning in:\n$scanNode")
+    assert(pruned.count() > 0)
+
     orch.rollback() // reverse-order teardown must not throw
   }
 
