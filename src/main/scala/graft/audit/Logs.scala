@@ -116,6 +116,13 @@ final class LogStore(val spark: SparkSession, dir: String) {
   def nextId(table: String, idCol: String): Long =
     if (!exists(table)) 1L
     else events(table).agg(max(col(idCol))).head().getLong(0) + 1L
+
+  /** Typed current view (SURVEY §1.4: fixed-schema logs tables are natural
+    * `Dataset[T]`s — compile-time field checks on the audit path).
+    */
+  def currentAs[T: org.apache.spark.sql.Encoder](
+      table: String, idCol: String): org.apache.spark.sql.Dataset[T] =
+    current(table, idCol).as[T]
 }
 
 /** Process lifecycle logging (reference `logs/audit_logger.py:188-399`). */

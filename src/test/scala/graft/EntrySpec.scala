@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The driver's smoke contract plus the streaming bronze-append path. */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns rows at sf0.001 (driver smoke contract)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every query name has either an oracle or a documented rows-only gate") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // xxhash64-based operators have no SQL equivalent; everything else must
+    // carry an oracle
+    assert(noOracle == Set(
+      "q34_dedup_minhash_lsh", "q35_dedup_simhash", "q37_fingerprint", "q41_knn_lsh"),
+      s"unexpected oracle-less queries: $noOracle")
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty,
+      "oracles without queries")
+  }
+
+  test("streaming toBronze appends micro-batches exactly once via checkpoint") {
+    import graft.streaming.EventStream
+    val base = java.nio.file.Files.createTempDirectory("graft-tobronze")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      in.resolve("drop-0.parquet"))
+    val q = EventStream.toBronze(EventStream.readEvents(spark, in.toString), out, ckpt)
+    q.processAllAvailable()
+    val n1 = spark.read.parquet(out).count()
+    q.stop()
+    assert(n1 == 1000, s"all sf0.001 events land once, got $n1")
+    // restart from the same checkpoint: no reprocessing of the same file
+    val q2 = EventStream.toBronze(EventStream.readEvents(spark, in.toString), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(out).count() == 1000, "checkpoint prevents duplicates")
+  }
+}
