@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 64-bit SimHash over a token array.
+  *
+  * Semantics identical to [[graft.operators.Dedup.simhash64]]'s higher-order
+  * formulation (per bit b: sum ±1 votes from bit b of each token's xxhash64,
+  * seed 42; fingerprint sets b when the vote is positive) — but computed in
+  * one fused pass with a primitive `long[64]` vote array. The HOF version
+  * evaluates a 64-wide `zip_with` lambda per token (interpreted, allocating);
+  * this is a tight loop per row. `CodegenFallback` is acceptable: the row
+  * cost is dominated by hashing tokens, not expression dispatch.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<string>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1L else votes(b) -= 1L
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0L) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => SimHash64Expr(exprs.head),
+      "built-in")
+
+  def simhash64Fast(tokens: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("simhash64", tokens)
+  }
+
+  private[graft] def hashToken(s: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+}

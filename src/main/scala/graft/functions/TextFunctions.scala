@@ -91,10 +91,12 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+    if (n == 1) toks // unigram shingles ARE the tokens — skip the rebuild
+    else
+      when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
   }
 
   /** Polynomial rolling-hash fingerprint over the token stream, mod 2^31−1.

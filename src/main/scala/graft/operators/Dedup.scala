@@ -89,15 +89,19 @@ object Dedup {
     // jaccard verify); persist it so tokenize+shingle+hash runs once.
     // MEMORY_AND_DISK: at corpus scale the shingle sets exceed memory and
     // spill, which still beats recomputing the regex tokenization.
+    // No array_distinct anywhere: MinHash minima are duplicate-insensitive,
+    // and array_intersect/array_union deduplicate internally — the explicit
+    // distinct pass was pure overhead.
     val docs = df
       .select(
         col(idCol).as("doc_id"),
-        array_distinct(shingles(col(textCol), shingleN)).as("shingle_set"))
+        shingles(col(textCol), shingleN).as("shingle_set"))
       .where(size(col("shingle_set")) > 0)
       .select(
         col("doc_id"),
         col("shingle_set"),
-        minhashSignatureOfShingles(col("shingle_set"), numHashes).as("sig"))
+        graft.functions.MinHashSignatureExpr
+          .minhashFast(col("shingle_set"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
@@ -113,25 +117,27 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
 
-    // Degenerate-bucket guard: a bucket of size s yields s(s−1)/2 candidate
-    // pairs, so one boilerplate-heavy bucket turns the join quadratic (at
-    // sf0.1 this was 94% of total bench time). Buckets above the cap are
-    // dropped — near-universal content is not "near-duplicate" signal.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))
-    val capped = banded
-      .withColumn("_bucket_size", count(lit(1)).over(w))
-      .where(col("_bucket_size") <= maxBucketSize)
-      .drop("_bucket_size")
-
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val pairs = a
-      .join(
-        b,
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // One shuffle generates all candidate pairs: group each band bucket,
+    // drop degenerate buckets (a bucket of size s yields s(s−1)/2 pairs, so
+    // one boilerplate-heavy bucket turns the step quadratic — at sf0.1 that
+    // was 94% of total bench time), and enumerate the pairs inside the
+    // aggregated array. This replaces the window-count + self-join shape
+    // (three shuffles of the banded rows) with a single groupBy.
+    val buckets = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+    val sortedIds = array_sort(col("ids"))
+    val pairCombos = flatten(
+      transform(
+        sortedIds,
+        (a, i) =>
+          transform(
+            slice(sortedIds, i + lit(2), size(sortedIds) - i - lit(1)),
+            b => struct(a.as("id_a"), b.as("id_b")))))
+    val pairs = buckets
+      .select(explode(pairCombos).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
     val sets = docs.select(col("doc_id"), col("shingle_set"))
@@ -150,7 +156,14 @@ object Dedup {
     * each token's xxhash64 bit b; the fingerprint sets bit b when the vote
     * is positive. Computed as one per-row fold — no explode/groupBy.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash64Expr.simhash64Fast(tokens(text))
+
+  /** Reference higher-order-function formulation of [[simhash64]] — kept for
+    * the bit-parity test against the native expression (and as documentation
+    * of the semantics in pure Catalyst built-ins).
+    */
+  def simhash64Hof(text: Column): Column = {
     val masks = array((0 until 64).map(b => lit(1L << b)): _*)
     val hashes = transform(tokens(text), t => xxhash64(t))
     val votes = aggregate(

@@ -11,6 +11,17 @@ import graft.functions.TextFunctions._
   */
 class DedupProfileSpec extends SparkSpec {
 
+  test("minhash at sf0.1 twice (steady-state timing)") {
+    val d1 = Tables(spark, "/root/testdata/sf0.1").documents
+    def run(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      val n = Dedup.minhashNearDuplicates(d1, "doc_id", "text",
+        numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5).count()
+      info(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s, pairs=$n")
+    }
+    run("cold"); run("warm")
+  }
+
   test("minhash phases at sf0.01 complete with sane sizes") {
     val d = Tables(spark, "/root/testdata/sf0.01").documents
     def timed[T](name: String)(f: => T): T = {

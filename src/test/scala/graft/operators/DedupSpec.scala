@@ -60,6 +60,24 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 2L) < ham(1L, 4L), "near-dup closer than unrelated doc")
   }
 
+  test("native minhash signature is bit-identical to the HOF formulation") {
+    val d = graft.core.Tables(spark, Sf0001).documents
+    import graft.functions.TextFunctions.shingles
+    val both = d.select(
+      graft.functions.MinHashSignatureExpr
+        .minhashFast(shingles(col("text"), 1), 16).as("fast"),
+      Dedup.minhashSignatureOfShingles(shingles(col("text"), 1), 16).as("hof"))
+    assert(both.where(col("fast") =!= col("hof")).count() == 0)
+  }
+
+  test("native simhash expression is bit-identical to the HOF formulation") {
+    val d = graft.core.Tables(spark, Sf0001).documents
+    val both = d.select(
+      Dedup.simhash64(col("text")).as("fast"),
+      Dedup.simhash64Hof(col("text")).as("hof"))
+    assert(both.where(col("fast") =!= col("hof")).count() == 0)
+  }
+
   test("simhash near-duplicate blocking finds the exact dup pair") {
     val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
