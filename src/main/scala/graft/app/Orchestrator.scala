@@ -32,14 +32,48 @@ final class SetupOrchestrator(
 
   final case class StepResult(step: String, ok: Boolean, seconds: Double, error: Option[String])
 
-  /** Ordered setup with stop-on-first-failure and rollback on failure. */
-  def runCompleteSetup(rollbackOnFailure: Boolean = true): Seq[StepResult] = {
-    val steps: Seq[(String, () => Unit)] = Seq(
+  /** Ordered setup with stop-on-first-failure and rollback on failure.
+    * `samples` adds the reference's three sample medallion tables
+    * (setup_orchestrator.py:464-523); `forceRecreate` drops everything first.
+    */
+  def runCompleteSetup(
+      rollbackOnFailure: Boolean = true,
+      samples: Boolean = false,
+      forceRecreate: Boolean = false): Seq[StepResult] = {
+    import graft.ddl.TableSpec._
+    import org.apache.spark.sql.types._
+    val sampleStep: Seq[(String, () => Unit)] =
+      if (!samples) Nil
+      else Seq("samples" -> (() => {
+        createTable(spark,
+          medallionTemplate("bronze", "crm_customers", Seq(
+            ColumnSpec("customer_id", IntegerType),
+            ColumnSpec("customer_name", StringType),
+            ColumnSpec("email", StringType))),
+          "graft_bronze.crm_customers_sample")
+        createTable(spark,
+          medallionTemplate("silver", "customers", Seq(
+            ColumnSpec("customer_key", LongType, nullable = false),
+            ColumnSpec("customer_id", IntegerType),
+            ColumnSpec("email_normalized", StringType),
+            ColumnSpec("data_quality_score", DecimalType(3, 2)))),
+          "graft_silver.customers_sample")
+        createTable(spark,
+          medallionTemplate("gold", "customer_analytics", Seq(
+            ColumnSpec("customer_key", LongType, nullable = false),
+            ColumnSpec("customer_segment", StringType),
+            ColumnSpec("lifetime_value", DecimalType(10, 2)),
+            ColumnSpec("total_orders", IntegerType))),
+          "graft_gold.customer_analytics_sample")
+      }))
+    val recreateStep: Seq[(String, () => Unit)] =
+      if (forceRecreate) Seq("drop_existing" -> (() => catalog.dropDatabases())) else Nil
+    val steps: Seq[(String, () => Unit)] = recreateStep ++ Seq(
       "databases" -> (() => catalog.createDatabases()),
       "logging" -> (() => {
         // touch the log store so downstream audit writes have a home
         val _ = store.exists("process_log")
-      }))
+      })) ++ sampleStep
     val results = scala.collection.mutable.ArrayBuffer.empty[StepResult]
     var failed = false
     steps.foreach { case (name, run) =>
@@ -165,10 +199,16 @@ object Main {
     val warehouseDir = argValue("--warehouse", "/tmp/graft-warehouse")
     val datasetsDir = argValue("--datasets", "/root/reference/datasets")
     val spark = GraftSession.local()
+    if (flags("--verbose")) spark.sparkContext.setLogLevel("INFO")
+    // --batch-size maps to the write-side file-size knob (Spark parallelizes
+    // appends; the reference's per-commit chunking has no other analog)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", argValue("--batch-size", "0"))
     val orch = new SetupOrchestrator(spark, warehouseDir)
 
     if (flags("--setup") || flags("--full-pipeline")) {
-      val results = orch.runCompleteSetup()
+      val results = orch.runCompleteSetup(
+        samples = flags("--samples"),
+        forceRecreate = flags("--force-recreate"))
       results.foreach(r => println(s"[setup] ${r.step}: ${if (r.ok) "OK" else "FAILED"} (${"%.2f".format(r.seconds)}s)"))
       if (results.exists(!_.ok)) sys.exit(1)
     }
