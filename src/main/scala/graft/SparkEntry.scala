@@ -62,6 +62,7 @@ object SparkEntry {
     "q43_json_extract" -> (Pipeline.jsonExtract _),
     "q44_pagination" -> (Pipeline.paginatedCustomers _),
     "q45_soft_delete_convention" -> (Pipeline.activeCustomersBySegment _),
+    "q50_multimodal_features" -> (Pipeline.multimodalFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -388,5 +389,11 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
         |WHERE NOT (c_acctbal < 0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q50_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_length,
+        |  sha256(text) AS content_sha256
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -83,6 +83,51 @@ object Similarity {
     emb.withColumn("centroid_id", pick.otherwise(-1))
   }
 
+  /** Sampled distributed k-means for IVF centroids: deterministic seeding
+    * (every step-th vector by id — no global sort/window), then Lloyd
+    * iterations as pure DataFrame ops: assign → elementwise means via
+    * posexplode + groupBy(centroid, dim). Each iteration is two shuffles
+    * regardless of data size; only the k×d centroid matrix ever reaches the
+    * driver. Empty clusters keep their previous centroid.
+    */
+  def kmeansCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 3): Seq[(Int, Seq[Double])] = {
+    val n = emb.count()
+    val step = math.max(n / k, 1L)
+    var centroids: Seq[(Int, Seq[Double])] = emb
+      .where(pmod(col(idCol), lit(step)) === 0)
+      .orderBy(col(idCol))
+      .limit(k)
+      .collect()
+      .toIndexedSeq
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Any](r.fieldIndex(vecCol)).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toSeq
+      }
+    (0 until iterations).foreach { _ =>
+      val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dims"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq)
+        .toMap
+      centroids = centroids.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    centroids
+  }
+
   /** IVF query: probe the `nProbe` centroids nearest to the query, exact-rank
     * only vectors assigned to those lists. `assigned` is the [[ivfAssign]]
     * output (precomputed once, reused across queries).

@@ -242,6 +242,24 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q50 — multimodal feature-extraction plumbing over binary media columns
+    * (decode stubbed; the schema/batching/metadata path is real): media built
+    * deterministically from documents, features extracted per partition,
+    * blob-independent metadata columns verified against the oracle.
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
+    Multimodal
+      .extractFeatures(media)
+      .select(
+        col("media_id"),
+        col("media_type"),
+        col("byte_length"),
+        col("content_sha256"))
+      .orderBy(col("media_id"))
+  }
+
   // ---------------------------------------------------------------- vectors
 
   private def queryVector(spark: SparkSession, dir: String): Seq[Double] = {

@@ -42,6 +42,24 @@ class SimilaritySpec extends SparkSpec {
       s"planted duplicate must be found, got $pairs")
   }
 
+  test("k-means centroids assign all vectors and improve over raw seeds") {
+    val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)
+    assert(centroids.length == 8)
+    assert(centroids.forall(_._2.length == 64), "centroid dimensionality preserved")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val sizes = assigned.groupBy("centroid_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == emb.count())
+    assert(sizes.keys.forall(_ >= 0), "no unassigned vectors")
+    // trained IVF with 3 probes should recover a healthy share of exact top-10
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids, query, 10,
+      nProbe = 3, excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"trained-IVF recall too low: $recall")
+  }
+
   test("IVF probe returns neighbors from the probed lists with recall > 0") {
     val centroids = emb.orderBy("vec_id").limit(4).collect()
       .zipWithIndex
