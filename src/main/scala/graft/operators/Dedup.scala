@@ -234,12 +234,11 @@ object Dedup {
       minCosine: Double = 0.95,
       nPlanes: Int = 12,
       maxBucketSize: Int = 200): DataFrame = {
-    import graft.functions.VectorFunctions.hyperplaneSignature
     import graft.functions.CosineSimilarity.cosineFast
     val docs = emb.select(
       col(idCol).as("vid"),
       col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), nPlanes).as("sig"))
+      graft.functions.HyperplaneSignatureExpr.hyperplaneFast(col(vecCol), nPlanes).as("sig"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
     val capped = docs
       .withColumn("_bucket_size", count(lit(1)).over(w))

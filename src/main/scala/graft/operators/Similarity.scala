@@ -53,8 +53,9 @@ object Similarity {
       excludeId: Option[Long] = None): DataFrame = {
     val q = array(query.map(lit): _*)
     val base = excludeId.map(e => emb.where(col(idCol) =!= e)).getOrElse(emb)
-    val withSig = base.withColumn("_sig", hyperplaneSignature(col(vecCol), nPlanes))
-    val qSig = hyperplaneSignature(q, nPlanes)
+    val withSig = base.withColumn("_sig",
+      graft.functions.HyperplaneSignatureExpr.hyperplaneFast(col(vecCol), nPlanes))
+    val qSig = graft.functions.HyperplaneSignatureExpr.hyperplaneFast(q, nPlanes)
     withSig
       .where(bit_count(col("_sig").bitwiseXOR(qSig)) <= maxBitDiff)
       .select(col(idCol), cosineFast(col(vecCol), q).as("cosine_sim"))

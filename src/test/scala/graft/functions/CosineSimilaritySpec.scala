@@ -42,6 +42,14 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("native hyperplane signature is bit-identical to the HOF formulation") {
+    val emb = Tables(spark, Sf0001).embeddings
+    val both = emb.select(
+      VectorFunctions.hyperplaneSignature(col("embedding"), 16).as("hof"),
+      HyperplaneSignatureExpr.hyperplaneFast(col("embedding"), 16).as("gen"))
+    assert(both.where(col("hof") =!= col("gen")).count() == 0)
+  }
+
   test("type check rejects non-array inputs") {
     val bad = CosineSimilarity(
       org.apache.spark.sql.catalyst.expressions.Literal(1),
