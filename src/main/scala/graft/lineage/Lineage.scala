@@ -59,6 +59,9 @@ object Lineage {
       if (frontier.isEmpty) done = true
       else acc = acc.unionByName(frontier)
     }
+    // Every kept frontier is localCheckpointed (materialized), so the edge
+    // cache is no longer referenced by the result — release it.
+    e.unpersist()
     acc
   }
 
