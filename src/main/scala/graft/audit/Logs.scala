@@ -287,6 +287,27 @@ final class PerformanceMonitor(store: LogStore, clock: Clock = SystemClock) {
       .groupBy(col("metric_name"))
       .agg(expr("percentile(metric_value, 0.95)").as("p95"),
         expr("percentile(metric_value, 0.05)").as("p05"))
+
+  /** Daily throughput over the process log (performance_monitor.py:470-497):
+    * per-day process counts, row totals, average duration, and derived
+    * rows/sec with the reference's zero-duration guard.
+    */
+  def dailyThroughput(processes: DataFrame): DataFrame =
+    processes
+      .where(col("end_time").isNotNull)
+      .groupBy(to_date(col("start_time")).as("run_date"))
+      .agg(
+        count(lit(1)).as("n_processes"),
+        sum(col("rows_processed")).as("total_rows"),
+        avg(col("rows_processed")).as("avg_rows"),
+        avg(unix_timestamp(col("end_time")) - unix_timestamp(col("start_time")))
+          .as("avg_duration_sec"))
+      .withColumn(
+        "rows_per_second",
+        when(col("avg_duration_sec") > 0,
+          col("total_rows").cast("double") / (col("avg_duration_sec") * col("n_processes")))
+          .otherwise(0.0))
+      .orderBy(col("run_date"))
 }
 
 /** Configuration-change audit (reference `logs/audit_logger.py:473-569`). */
@@ -311,6 +332,47 @@ final class ConfigurationLogger(store: LogStore, clock: Clock = SystemClock) {
     key.fold(base)(k => base.where(col("config_key") === k))
       .orderBy(col("change_timestamp").desc)
   }
+}
+
+/** Error-report analytics (reference `logs/error_handler.py:560-650`):
+  * error-pattern rollups with resolution-time averages, daily trend, and the
+  * top-N problematic tables.
+  */
+final class ErrorAnalyzer(store: LogStore) {
+
+  private def errors: DataFrame = store.current("error_log", "error_id")
+
+  /** Per (code, level): counts, resolved counts, avg hours-to-resolve
+    * (error_handler.py:587-598).
+    */
+  def patternSummary(): DataFrame =
+    errors
+      .groupBy(col("error_code"), col("error_level"))
+      .agg(
+        count(lit(1)).as("n_errors"),
+        count(when(col("is_resolved"), 1)).as("n_resolved"),
+        avg((unix_timestamp(col("resolved_timestamp")) -
+          unix_timestamp(col("error_timestamp"))) / 3600.0).as("avg_hours_to_resolve"))
+      .orderBy(col("n_errors").desc, col("error_code"))
+
+  /** Daily error counts per level (error_handler.py:601-610). */
+  def dailyTrend(days: Int = 30): DataFrame =
+    errors
+      .where(col("error_timestamp") >= date_sub(current_timestamp(), days))
+      .groupBy(to_date(col("error_timestamp")).as("error_date"), col("error_level"))
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy(col("error_date"), col("error_level"))
+
+  /** Top-N tables by error count (error_handler.py:613-624). */
+  def topProblematicTables(n: Int = 10): DataFrame =
+    errors
+      .where(col("table_name").isNotNull)
+      .groupBy(col("table_name"))
+      .agg(
+        count(lit(1)).as("n_errors"),
+        countDistinct(col("error_code")).as("n_distinct_codes"))
+      .orderBy(col("n_errors").desc, col("table_name"))
+      .limit(n)
 }
 
 /** Batch-progress logging (reference `logs/audit_logger.py:578-693`):

@@ -81,6 +81,37 @@ class LogsSpec extends SparkSpec {
     assert(names == Set("unit_of_work_execution_time", "rows_per_second"))
   }
 
+  test("error analyzer: patterns, daily trend, and top tables") {
+    val store = freshStore
+    val el = new ErrorLogger(store, FixedClock)
+    el.logError("ERROR", "E_IO", "disk", tableName = Some("bronze.sales"))
+    el.logError("ERROR", "E_IO", "disk again", tableName = Some("bronze.sales"))
+    val id = el.logError("WARNING", "E_SCHEMA", "drift", tableName = Some("bronze.cust"))
+    el.markResolved(id, "ops")
+    val an = new ErrorAnalyzer(store)
+    val patterns = an.patternSummary().collect()
+    assert(patterns.head.getString(0) == "E_IO" && patterns.head.getLong(2) == 2)
+    val resolved = patterns.find(_.getString(0) == "E_SCHEMA").get
+    assert(resolved.getLong(3) == 1, "resolved count")
+    val top = an.topProblematicTables(1).collect()
+    assert(top.head.getString(0) == "bronze.sales" && top.head.getLong(1) == 2)
+    assert(an.dailyTrend(36500).count() == 2, "two (date, level) buckets")
+  }
+
+  test("daily throughput derives rows/sec with zero-duration guard") {
+    val store = freshStore
+    val pl = new ProcessLogger(store, FixedClock)
+    val id = pl.startProcess("load")
+    pl.endProcess(id, "SUCCESS", rowsProcessed = Some(1000))
+    val out = new PerformanceMonitor(store, FixedClock)
+      .dailyThroughput(store.current("process_log", "log_id"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("total_rows") == 1000)
+    // FixedClock makes start == end → zero duration → guarded to 0.0
+    assert(out.head.getAs[Double]("rows_per_second") == 0.0)
+  }
+
   test("configuration audit keeps ordered history") {
     val store = freshStore
     val cl = new ConfigurationLogger(store, FixedClock)
