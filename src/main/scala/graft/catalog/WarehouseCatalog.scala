@@ -57,6 +57,21 @@ final class WarehouseCatalog(spark: SparkSession, warehouseDir: String) {
       s"ALTER TABLE ${q(db)}.$table ADD COLUMNS (" +
         columns.map { case (n, t) => s"`$n` $t" }.mkString(", ") + ")")
 
+  /** Layer analysis (reference `sql/common_queries.py:63-110`
+    * analyze_medallion_layer): per-table row counts and column counts for a
+    * medallion database — metadata-sized driver loop, one count job per
+    * table.
+    */
+  def analyzeMedallionLayer(db: String): DataFrame = {
+    import spark.implicits._
+    listTables(db)
+      .map { t =>
+        val df = readTable(db, t)
+        (db, t, df.count(), df.columns.length)
+      }
+      .toDF("layer", "table_name", "n_rows", "n_columns")
+  }
+
   /** Save a table bucketed+sorted by join keys: two tables bucketed the same
     * way join with ZERO shuffle (the Spark replacement for the reference's
     * BTREE indexes on join columns, and the core co-location lever at

@@ -80,6 +80,23 @@ object Lineage {
       .groupBy(col("seed"), col("node"))
       .agg(min(col("depth")).as("depth"))
 
+  /** Bidirectional trace (reference `sql/common_queries.py:113-193`): one
+    * result with a `direction` tag, upstream and downstream from the same
+    * seeds, default depth 3 as the reference's combined trace.
+    */
+  def bidirectionalTrace(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxDepth: Int = 3): DataFrame =
+    reachable(edges, srcCol, dstCol, seeds, seedCol, maxDepth)
+      .withColumn("direction", lit("downstream"))
+      .unionByName(
+        upstream(edges, srcCol, dstCol, seeds, seedCol, maxDepth)
+          .withColumn("direction", lit("upstream")))
+
   /** Upstream = downstream over reversed edges. */
   def upstream(
       edges: DataFrame,

@@ -60,6 +60,8 @@ class BatchAndBreakersSpec extends SparkSpec {
       assert(stats.get("Statistics").exists(_.contains("rows")), stats.toString)
       cat.addColumns("silver", "t_intro", Seq("extra" -> "STRING"))
       assert(cat.listColumns("silver", "t_intro").map(_._1).contains("extra"))
+      val layer = cat.analyzeMedallionLayer("silver").collect()
+      assert(layer.exists(r => r.getString(1) == "t_intro" && r.getLong(2) == 1))
     } finally cat.dropDatabases()
   }
 }

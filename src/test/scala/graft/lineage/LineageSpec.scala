@@ -34,6 +34,14 @@ class LineageSpec extends SparkSpec {
     assert(shallow == Set("silver.x"))
   }
 
+  test("bidirectional trace tags both directions from one seed") {
+    val out = Lineage.bidirectionalTrace(
+      edges, "src", "dst", Seq("silver.x").toDF("seed"), "seed")
+      .collect().map(r => (r.getString(3), r.getString(1))).toSet
+    assert(out.contains(("downstream", "gold.k")))
+    assert(out.contains(("upstream", "bronze.a")) && out.contains(("upstream", "bronze.b")))
+  }
+
   test("impact severity classifies by downstream count") {
     val wide = (1 to 7).map(i => ("hub", s"t$i")).toDF("src", "dst")
     val sev = Lineage.impact(wide, "src", "dst", Seq("hub").toDF("seed"), "seed")
