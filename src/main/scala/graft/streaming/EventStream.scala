@@ -88,6 +88,19 @@ object EventStream {
         })
   }
 
+  /** Streaming deduplication: drop events whose key was already seen within
+    * the watermark horizon (`dropDuplicatesWithinWatermark` — state is
+    * bounded by the watermark, so this runs indefinitely on an unbounded
+    * stream; the streaming twin of the batch exact-dedup tier).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Incremental bronze ingestion as a stream: append every micro-batch to a
     * parquet table via foreachBatch (the streaming twin of
     * `dml.incrementalLoad`); checkpointing makes it exactly-once.

@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0, "watermark should have released some windows")
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    // stage the same file twice under different names → every event_id twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/b.parquet"))
+    val q = EventStream
+      .dedupStream(EventStream.readEvents(spark, dir), Seq("event_id"), "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("deduped")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("deduped")
+    assert(out.count() == 1000, s"2000 staged events dedup to 1000, got ${out.count()}")
+    assert(out.select("event_id").distinct().count() == 1000)
+  }
+
   test("stateful sessionization closes sessions on the 30-minute gap") {
     val events = Seq(
       EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
