@@ -62,8 +62,14 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val runSum = sum(value).over(w)
     val runCnt = count(lit(1)).over(w)
-    df.withColumn("running_total", runSum)
-      .withColumn("running_avg", runSum.cast("double") / runCnt.cast("double"))
+    // Both columns in ONE projection: chained withColumns re-alias the reset
+    // expression between Projects, so the planner sees two distinct window
+    // specs and emits two Window operators with an extra Exchange (and
+    // computes the sum twice). A single select keeps one Window, one shuffle.
+    df.select(
+      col("*"),
+      runSum.as("running_total"),
+      (runSum.cast("double") / runCnt.cast("double")).as("running_avg"))
   }
 
   /** Lag/lead deltas and percent change per period offset (reference
