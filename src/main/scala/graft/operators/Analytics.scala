@@ -152,8 +152,15 @@ object Analytics {
   /** Dedup-latest (reference `README.md:604-610`): keep the newest row per
     * key, ordered by `orderBy` descending with deterministic tie-breaks.
     */
-  def dedupLatest(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(orderBy.map(_.desc): _*)
+  def dedupLatest(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame =
+    dedupOrdered(df, keys, orderBy.map(_.desc))
+
+  /** Keep the first row per key under ascending order (e.g. minimum id). */
+  def dedupFirst(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame =
+    dedupOrdered(df, keys, orderBy.map(_.asc))
+
+  private def dedupOrdered(df: DataFrame, keys: Seq[Column], ordered: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ordered: _*)
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")

@@ -25,14 +25,14 @@ object Dedup {
     df.groupBy(md5(normalizeText(text)).as("content_hash"))
       .agg(min(id).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Exact dedup: keep one row (minimum id) per normalized content. */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    Analytics.dedupLatest(
+  /** Exact dedup: keep one row (minimum id) per normalized content. Works
+    * for any orderable id type (string ids included).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Analytics.dedupFirst(
       df.withColumn("_content_hash", md5(normalizeText(col(textCol)))),
       keys = Seq(col("_content_hash")),
-      // dedupLatest keeps the DESC-first row; negate to keep the MIN id.
-      orderBy = Seq(-col(idCol))).drop("_content_hash")
-  }
+      orderBy = Seq(col(idCol))).drop("_content_hash")
 
   /** MinHash signature: `numHashes` permutation-minima over word-`n`-gram
     * shingle hashes. Hash family h_j(x) = (a_j·x + b_j) mod p with
