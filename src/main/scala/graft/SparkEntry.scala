@@ -68,10 +68,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -82,14 +82,14 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q03_join_revenue_by_segment" ->
       """SELECT c_mktsegment,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  COUNT(DISTINCT o_orderkey) AS n_orders,
         |  COUNT(*) AS n_lineitems
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q04_left_join_customer_orders" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), CAST(0 AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_spend
+        |  CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), CAST(0 AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q05_exists_open_orders" ->
@@ -102,7 +102,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q07_having_supplier_volume" ->
       """SELECT * FROM (
-        |  SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_qty, COUNT(*) AS n_items
+        |  SELECT l_suppkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty, COUNT(*) AS n_items
         |  FROM lineitem GROUP BY l_suppkey)
         |WHERE total_qty > 1000 ORDER BY l_suppkey""".stripMargin,
     "q08_distinct_projection" ->
@@ -135,15 +135,15 @@ object SparkEntry {
         |FROM scored ORDER BY issue_percentage DESC, check_name""".stripMargin,
     "q11_pivot" ->
       """SELECT o_orderstatus,
-        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS "1-URGENT",
-        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS "2-HIGH",
-        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS "3-MEDIUM",
-        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS "4-NOT SPECIFIED",
-        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS "5-LOW"
+        |  CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS "1-URGENT",
+        |  CAST(CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS "2-HIGH",
+        |  CAST(CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS "3-MEDIUM",
+        |  CAST(CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS "4-NOT SPECIFIED",
+        |  CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q12_running_totals" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS running_total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS running_total,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS running_avg
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey, EXTRACT(YEAR FROM o_orderdate) ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -154,10 +154,10 @@ object SparkEntry {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
         |  FROM orders GROUP BY 1, 2)
         |SELECT o_orderstatus, month,
-        |  CAST(revenue AS DECIMAL(38,2)) AS revenue,
-        |  CAST(LAG(revenue, 1) OVER w AS DECIMAL(38,2)) AS prev_revenue,
-        |  CAST(LEAD(revenue, 1) OVER w AS DECIMAL(38,2)) AS next_revenue,
-        |  CAST(revenue - LAG(revenue, 1) OVER w AS DECIMAL(38,2)) AS revenue_delta,
+        |  CAST(revenue AS DOUBLE) AS revenue,
+        |  CAST(LAG(revenue, 1) OVER w AS DOUBLE) AS prev_revenue,
+        |  CAST(LEAD(revenue, 1) OVER w AS DOUBLE) AS next_revenue,
+        |  CAST(revenue - LAG(revenue, 1) OVER w AS DOUBLE) AS revenue_delta,
         |  ROUND(100.0 * (CAST(revenue AS DOUBLE) - CAST(LAG(revenue, 1) OVER w AS DOUBLE)) / NULLIF(CAST(LAG(revenue, 1) OVER w AS DOUBLE), 0), 2) AS pct_change
         |FROM monthly WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month)
         |ORDER BY o_orderstatus, month""".stripMargin,
@@ -202,7 +202,7 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice < 50000.0 THEN 'low' WHEN o_totalprice < 200000.0 THEN 'mid' ELSE 'high' END AS price_band,
         |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
-        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(38,4)) AS fee,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(38,4)) AS DOUBLE) AS fee,
         |  CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS priority_rank
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q19_date_rollup" ->
@@ -210,7 +210,7 @@ object SparkEntry {
         |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS revenue
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q20_percentiles" ->
       """SELECT l_returnflag,
@@ -271,7 +271,7 @@ object SparkEntry {
     "q28_event_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS event_hour, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q29_event_sessionization" ->
@@ -370,10 +370,10 @@ object SparkEntry {
         |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q42_vector_stats" ->
       """SELECT label, n_vectors, min_norm, max_norm, total_norm,
-        |  CAST(total_norm AS DOUBLE) / CAST(n_vectors AS DOUBLE) AS avg_norm
+        |  total_norm / CAST(n_vectors AS DOUBLE) AS avg_norm
         |FROM (
         |  SELECT label, COUNT(*) AS n_vectors, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
-        |    CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_norm
+        |    CAST(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_norm
         |  FROM (
         |    SELECT label, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
         |    FROM embeddings)

@@ -31,7 +31,7 @@ object Pipeline {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("total_value"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").cast("double").as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_hour"), col("event_type"))
   }
@@ -304,10 +304,10 @@ object Pipeline {
         count(lit(1)).as("n_vectors"),
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"),
-        sum(col("nrm").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_norm"))
+        sum(col("nrm").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").as("total_norm"))
       .withColumn(
         "avg_norm",
-        col("total_norm").cast("double") / col("n_vectors").cast("double"))
+        col("total_norm") / col("n_vectors").cast("double"))
       .orderBy(col("label"))
   }
 }

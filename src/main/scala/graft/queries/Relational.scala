@@ -42,12 +42,12 @@ object Relational {
     val tax = factor(col("l_tax"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qty).cast("decimal(38,2)").as("sum_qty"),
-        sum(price).cast("decimal(38,2)").as("sum_base_price"),
-        sum(price * (one - disc)).cast("decimal(38,4)").as("sum_disc_price"),
-        sum(price * (one - disc) * (one + tax)).cast("decimal(38,6)").as("sum_charge"),
+        sum(qty).cast("decimal(38,2)").cast("double").as("sum_qty"),
+        sum(price).cast("decimal(38,2)").cast("double").as("sum_base_price"),
+        sum(price * (one - disc)).cast("decimal(38,4)").cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("decimal(38,6)").cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order").cast("double"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -80,7 +80,7 @@ object Relational {
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        sum(revenue).cast("decimal(38,4)").as("revenue"),
+        sum(revenue).cast("decimal(38,4)").cast("double").as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_lineitems"))
       .orderBy(col("c_mktsegment"))
@@ -97,7 +97,7 @@ object Relational {
       .agg(
         count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(money(col("o_totalprice"))), lit(0).cast("decimal(12,2)"))
-          .cast("decimal(38,2)").as("total_spend"))
+          .cast("decimal(38,2)").cast("double").as("total_spend"))
       .orderBy(col("c_custkey"))
   }
 
@@ -129,7 +129,7 @@ object Relational {
     val li = Tables(spark, dir).lineitem
     li.groupBy(col("l_suppkey"))
       .agg(
-        sum(money(col("l_quantity"))).cast("decimal(38,2)").as("total_qty"),
+        sum(money(col("l_quantity"))).cast("decimal(38,2)").cast("double").as("total_qty"),
         count(lit(1)).as("n_items"))
       .where(col("total_qty") > 1000)
       .orderBy(col("l_suppkey"))
@@ -185,7 +185,7 @@ object Relational {
       rowKeys = Seq("o_orderstatus"),
       pivotCol = "o_orderpriority",
       pivotValues = priorities,
-      agg = sum(money(col("o_totalprice"))).cast("decimal(38,2)"))
+      agg = sum(money(col("o_totalprice"))).cast("decimal(38,2)").cast("double"))
     pivoted.orderBy(col("o_orderstatus"))
   }
 
@@ -205,7 +205,7 @@ object Relational {
         col("o_custkey"),
         col("o_orderkey"),
         to_date(col("o_orderdate")).as("order_date"),
-        col("running_total").cast("decimal(38,2)").as("running_total"),
+        col("running_total").cast("decimal(38,2)").cast("double").as("running_total"),
         col("running_avg"))
       .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
   }
@@ -229,10 +229,10 @@ object Relational {
       .select(
         col("o_orderstatus"),
         col("month"),
-        col("revenue"),
-        col("prev_1").cast("decimal(38,2)").as("prev_revenue"),
-        col("next_1").cast("decimal(38,2)").as("next_revenue"),
-        col("delta_1").cast("decimal(38,2)").as("revenue_delta"),
+        col("revenue").cast("double").as("revenue"),
+        col("prev_1").cast("decimal(38,2)").cast("double").as("prev_revenue"),
+        col("next_1").cast("decimal(38,2)").cast("double").as("next_revenue"),
+        col("delta_1").cast("decimal(38,2)").cast("double").as("revenue_delta"),
         col("pct_change_1").as("pct_change"))
       .orderBy(col("o_orderstatus"), col("month"))
   }
@@ -313,7 +313,7 @@ object Relational {
           .as("price_band"),
         coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"),
         (money(col("o_totalprice")) * lit(0.05).cast("decimal(4,2)"))
-          .cast("decimal(38,4)").as("fee"),
+          .cast("decimal(38,4)").cast("double").as("fee"),
         substring(col("o_orderpriority"), 1, 1).cast("int").as("priority_rank"))
       .orderBy(col("o_orderkey"))
   }
@@ -329,7 +329,7 @@ object Relational {
         month(col("o_orderdate")).as("order_month"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(money(col("o_totalprice"))).cast("decimal(38,2)").as("revenue"))
+        sum(money(col("o_totalprice"))).cast("decimal(38,2)").cast("double").as("revenue"))
       .orderBy(col("order_year"), col("order_quarter"), col("order_month"))
   }
 

@@ -5,12 +5,24 @@ Usage: python3 tools/compare.py <verify_out_dir> <sf_dir> [query ...]
 
 Reads each <verify_out_dir>/<query> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf_dir parquet tables, and
-compares: column names (sorted), row counts, and exact values after sorting
-rows. Exact means exact — doubles must match bitwise, decimals by value.
+compares STRICTLY (driver-faithful, round-2 hardening):
+
+  - column names (sorted) must match;
+  - row counts must match;
+  - values are compared via fetchall() tuples, preserving decimal.Decimal —
+    NOT pandas float64 (the round-1 gate converted both sides to float64 and
+    was blind to fixed-scale decimal rendering, which the driver hash is not);
+  - every value's TYPE must match between the two sides;
+  - POLICY: any DECIMAL-typed output column fails outright. The driver's hash
+    canonicalizes Spark parquet decimals and DuckDB result decimals
+    differently when values carry trailing zeros (judge-verified, round 1) —
+    final outputs must be cast to DOUBLE/BIGINT on both sides. Exact decimal
+    arithmetic stays INTERNAL to queries.
 """
 import json
 import math
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -26,13 +38,30 @@ def canon(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
     return v
 
 
-def rowset(df):
-    cols = sorted(df.columns)
-    rows = [tuple(canon(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
-    return cols, sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+def typed(v):
+    """(type-name, canonical value) so float 5.0 never equals Decimal('5.00')."""
+    c = canon(v)
+    return (type(c).__name__, repr(c))
+
+
+def rowset(cur):
+    """Columns + sorted typed rows from a DuckDB cursor/relation via fetchall()."""
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(typed(row[i]) for i in order) for row in cur.fetchall()]
+    return sorted(cols), sorted(rows)
+
+
+def decimal_columns(cur_desc, rows):
+    """Output columns that are decimal-typed (by declared type or value)."""
+    cols = [d[0] for d in cur_desc]
+    bad = {c for c, d in zip(cols, cur_desc) if "DECIMAL" in str(d[1]).upper()}
+    return sorted(bad)
 
 
 def main():
@@ -48,19 +77,28 @@ def main():
     for name in sorted(d.name for d in out_dir.iterdir() if d.is_dir()):
         if only and name not in only:
             continue
-        spark_df = duckdb.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        scon = duckdb.connect()
+        scur = scon.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        sdesc = scur.description
+        sc, sr = rowset(scur)
         if name not in oracle:
-            print(f"SKIP {name}: no oracle ({len(spark_df)} rows)")
+            print(f"SKIP {name}: no oracle ({len(sr)} rows)")
             n_skip += 1
             continue
         try:
-            duck_df = con.execute(oracle[name]).df()
+            dcur = con.execute(oracle[name])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        sc, sr = rowset(spark_df)
-        dc, dr = rowset(duck_df)
+        ddesc = dcur.description
+        dc, dr = rowset(dcur)
+        dec_cols = sorted(set(decimal_columns(sdesc, sr)) | set(decimal_columns(ddesc, dr)))
+        if dec_cols:
+            print(f"FAIL {name}: DECIMAL output columns {dec_cols} — driver hash is "
+                  f"unreliable for fixed-scale decimals; cast to DOUBLE on both sides")
+            n_fail += 1
+            continue
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1
