@@ -333,6 +333,94 @@ object SparkEntry {
         |  FROM scored)
         |SELECT lang, predicted_lang, COUNT(*) AS n_docs FROM pred
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
+    "q34_dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM toks WHERE len(sh) > 0),
+        |sigs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT s.doc_id, b.band,
+        |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
+        |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b),
+        |buckets AS (
+        |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
+        |  FROM banded GROUP BY band, bkey
+        |  HAVING count(*) BETWEEN 2 AND 50),
+        |pairs AS (
+        |  SELECT DISTINCT pr.a AS id_a, pr.b AS id_b FROM (
+        |    SELECT UNNEST(flatten(list_transform(range(1, CAST(len(ids) AS INTEGER)), i ->
+        |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
+        |    FROM buckets))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |  FROM pairs p JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q35_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT)) AS hs
+        |  FROM toks),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), b ->
+        |      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+        |  FROM hashed),
+        |blocked AS (
+        |  SELECT f.doc_id, f.fp, q.q, (f.fp >> CAST(q.q * 16 AS INTEGER)) & 65535 AS qh
+        |  FROM fps f, (SELECT unnest(range(0, 4)) AS q) q),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, fp, q, qh, count(*) OVER (PARTITION BY q, qh) AS bs FROM blocked)
+        |  WHERE bs <= 200)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.fp, b.fp)) AS hamming
+        |FROM capped a JOIN capped b ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q37_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |        t -> CAST(('0x' || substring(sha256(t), 1, 15)) AS BIGINT) % 2147483647)),
+        |    (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_knn_lsh" ->
+      """WITH dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
+        |    SELECT t.p, list_transform(range(0, dims.d), i ->
+        |      CASE WHEN CAST(('0x' || substring(sha256(CAST(t.p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+        |           THEN 1.0 ELSE -1.0 END) AS sgn
+        |    FROM range(0, 16) t(p), dims)),
+        |sigs AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(0, 16), p ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
+        |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
+        |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM embeddings, planes),
+        |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+        |SELECT vec_id, cosine_sim FROM (
+        |  SELECT s.vec_id,
+        |    list_reduce(list_transform(list_zip(s.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(s.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine_sim,
+        |    bit_count(xor(s.sig, q.qsig)) AS bd
+        |  FROM sigs s, q WHERE s.vec_id <> 0)
+        |WHERE bd <= 6
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q36_ngram_jaccard" ->
       """WITH toksrc AS (
         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),

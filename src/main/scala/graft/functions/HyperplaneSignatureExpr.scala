@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -11,14 +11,31 @@ import org.apache.spark.sql.types._
   * projections onto pseudo-random ±1 hyperplanes, packed into a Long.
   *
   * Bit-identical to [[VectorFunctions.hyperplaneSignature]]: plane component
-  * (p, i) is +1 when xxhash64(p, i) (seed 42, chained int hashing — exactly
-  * Spark's multi-arg xxhash64) is even, −1 otherwise; each projection is a
+  * (p, i) is +1 when [[Sha60]] of the string "p:i" is even, −1 otherwise —
+  * a deterministic constant matrix both Spark and a DuckDB SQL oracle derive
+  * identically (no RNG state, no engine-private hash). Each projection is a
   * sequential left fold starting at 0.0. The HOF version runs `nPlanes`
   * interpreted aggregate passes per row; this computes all projections in
-  * one primitive loop over the vector.
+  * one primitive loop over the vector, with the sign matrix materialized
+  * once per (nPlanes, dim) rather than re-hashed per row.
   */
 case class HyperplaneSignatureExpr(child: Expression, nPlanes: Int)
     extends UnaryExpression with CodegenFallback {
+
+  // Sign matrix cache keyed by vector dimensionality: planes are constants,
+  // so hash work is O(nPlanes·d) once, not per row.
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def signsFor(d: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent(
+      d,
+      _ =>
+        Array.tabulate(nPlanes) { p =>
+          Array.tabulate(d) { i =>
+            if (Sha60.hashString(s"$p:$i") % 2 == 0) 1.0 else -1.0
+          }
+        })
 
   override def dataType: DataType = LongType
 
@@ -40,15 +57,14 @@ case class HyperplaneSignatureExpr(child: Expression, nPlanes: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    val signs = signsFor(n)
     val projections = new Array[Double](nPlanes)
     var i = 0
     while (i < n) {
       val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       var p = 0
       while (p < nPlanes) {
-        val h = XXH64.hashInt(i, XXH64.hashInt(p, 42L))
-        val s = if (java.lang.Math.floorMod(h, 2L) == 0L) 1.0 else -1.0
-        projections(p) += x * s
+        projections(p) += x * signs(p)(i)
         p += 1
       }
       i += 1

@@ -2,14 +2,14 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native MinHash signature over a shingle array: `numHashes` permutation
-  * minima of h_j(x) = (a_j·x + b_j) mod p, base hash xxhash64 (seed 42)
-  * reduced mod p = 2^31−1 — exactly the arithmetic of
+  * minima of h_j(x) = (a_j·x + b_j) mod p, base hash [[Sha60]] (sha256-prefix,
+  * DuckDB-replicable) reduced mod p = 2^31−1 — exactly the arithmetic of
   * [[graft.operators.Dedup.minhashSignatureOfShingles]], fused into one
   * primitive loop.
   *
@@ -43,8 +43,8 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val raw = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        val h = java.lang.Math.floorMod(raw, P)
+        val raw = Sha60.hashBytes(arr.getUTF8String(i).getBytes)
+        val h = raw % P // raw is non-negative (60-bit)
         var j = 0
         while (j < numHashes) {
           val v = ((2L * j + 1) * h + 104729L * (j + 1)) % P

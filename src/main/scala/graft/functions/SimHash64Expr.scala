@@ -2,17 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 64-bit SimHash over a token array.
   *
   * Semantics identical to [[graft.operators.Dedup.simhash64]]'s higher-order
-  * formulation (per bit b: sum ±1 votes from bit b of each token's xxhash64,
-  * seed 42; fingerprint sets b when the vote is positive) — but computed in
+  * formulation (per bit b: sum ±1 votes from bit b of each token's [[Sha60]]
+  * hash; fingerprint sets b when the vote is positive; the base hash is
+  * 60-bit so bits 60–63 are always 0) — but computed in
   * one fused pass with a primitive `long[64]` vote array. The HOF version
   * evaluates a 64-wide `zip_with` lambda per token (interpreted, allocating);
   * this is a tight loop per row. `CodegenFallback` is acceptable: the row
@@ -40,7 +40,7 @@ case class SimHash64Expr(child: Expression)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = Sha60.hashBytes(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) != 0L) votes(b) += 1L else votes(b) -= 1L
@@ -74,6 +74,5 @@ object SimHash64Expr {
     org.apache.spark.sql.functions.call_function("simhash64", tokens)
   }
 
-  private[graft] def hashToken(s: String): Long =
-    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+  private[graft] def hashToken(s: String): Long = Sha60.hashString(s)
 }

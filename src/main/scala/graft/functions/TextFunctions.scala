@@ -101,8 +101,9 @@ object TextFunctions {
 
   /** Polynomial rolling-hash fingerprint over the token stream, mod 2^31−1.
     * Order-dependent (unlike the bronze row hash): transposed tokens produce
-    * different fingerprints. Token values are first mapped through xxhash64
-    * and reduced mod p so products never overflow Long (ANSI-safe).
+    * different fingerprints. Token values are first mapped through
+    * [[Sha60]] (sha256-prefix, DuckDB-replicable) and reduced mod p so
+    * products never overflow Long (ANSI-safe).
     */
   def rollingFingerprint(text: Column): Column = {
     val p = lit(2147483647L)
@@ -110,6 +111,6 @@ object TextFunctions {
     aggregate(
       toks,
       lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+      (acc, t) => pmod(acc * lit(31L) + pmod(Sha60.sha60(t), p), p))
   }
 }

@@ -27,11 +27,13 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic ±1 pseudo-random hyperplane component for LSH: derived
-    * from xxhash64 of (plane index, dimension index) — no RNG state, so every
-    * executor/engine derives the same planes.
+    * from [[Sha60]] of the string "plane:dim" — no RNG state, so every
+    * executor (and a DuckDB SQL oracle) derives the same planes.
     */
   private def signAt(plane: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(plane), dim), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+    when(
+      pmod(Sha60.sha60(concat(lit(s"$plane:"), dim.cast("string"))), lit(2L)) === 0L,
+      lit(1.0)).otherwise(lit(-1.0))
 
   /** Random-hyperplane (SimHash) LSH signature: `nPlanes` sign bits packed
     * into a Long. Vectors with small cosine distance collide with high

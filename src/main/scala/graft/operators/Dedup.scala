@@ -36,8 +36,9 @@ object Dedup {
 
   /** MinHash signature: `numHashes` permutation-minima over word-`n`-gram
     * shingle hashes. Hash family h_j(x) = (a_j·x + b_j) mod p with
-    * deterministic odd a_j, b_j; shingle base-hash via xxhash64 reduced
-    * mod p so products stay within Long (ANSI-safe).
+    * deterministic odd a_j, b_j; shingle base-hash via [[graft.functions.Sha60]]
+    * (sha256-prefix, DuckDB-replicable) reduced mod p so products stay within
+    * Long (ANSI-safe).
     */
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
     minhashSignatureOfShingles(shingles(text, shingleN), numHashes)
@@ -52,7 +53,7 @@ object Dedup {
     val aArr = array((0 until numHashes).map(j => lit(2L * j + 1)): _*)
     val bArr = array((0 until numHashes).map(j => lit(104729L * (j + 1))): _*)
     val idx = array((1 to numHashes).map(lit): _*)
-    val baseHashes = transform(shingleCol, s => pmod(xxhash64(s), p))
+    val baseHashes = transform(shingleCol, s => pmod(graft.functions.Sha60.sha60(s), p))
     // One fold over the shingle hashes updating all minima at once: the
     // naive `numHashes × array_min(transform(...))` shape re-evaluates the
     // shingle+xxhash subtree per hash function (Catalyst inlines shared
@@ -107,13 +108,18 @@ object Dedup {
     // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
     // attached per-key after candidate pairs are deduped, so the band
     // shuffle moves ids, not documents.
+    // Band key = the signature slice itself rendered as a string: only
+    // equality matters, and a plain join of the values (unlike a hash of
+    // them) is reproducible by any SQL engine for the driver oracle.
     val banded = docs.select(
       col("doc_id"),
       explode(
         array((0 until numBands).map { b =>
           struct(
             lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+            array_join(
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"),
+              "_").as("band_hash"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
 
@@ -153,8 +159,9 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 votes from
-    * each token's xxhash64 bit b; the fingerprint sets bit b when the vote
-    * is positive. Computed as one per-row fold — no explode/groupBy.
+    * each token's [[graft.functions.Sha60]] hash bit b; the fingerprint sets
+    * bit b when the vote is positive (the base hash is 60-bit, so bits 60–63
+    * are always 0). Computed as one per-row fold — no explode/groupBy.
     */
   def simhash64(text: Column): Column =
     graft.functions.SimHash64Expr.simhash64Fast(tokens(text))
@@ -165,7 +172,7 @@ object Dedup {
     */
   def simhash64Hof(text: Column): Column = {
     val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val hashes = transform(tokens(text), t => xxhash64(t))
+    val hashes = transform(tokens(text), t => graft.functions.Sha60.sha60(t))
     val votes = aggregate(
       hashes,
       array_repeat(lit(0L), 64),

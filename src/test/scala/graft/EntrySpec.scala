@@ -10,13 +10,9 @@ class EntrySpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("every query name has either an oracle or a documented rows-only gate") {
+  test("every query has an oracle (sha256-prefix hashing made them all SQL-expressible)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64-based operators have no SQL equivalent; everything else must
-    // carry an oracle
-    assert(noOracle == Set(
-      "q34_dedup_minhash_lsh", "q35_dedup_simhash", "q37_fingerprint", "q41_knn_lsh"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty,
       "oracles without queries")
   }
