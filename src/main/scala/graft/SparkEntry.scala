@@ -62,6 +62,10 @@ object SparkEntry {
     "q43_json_extract" -> (Pipeline.jsonExtract _),
     "q44_pagination" -> (Pipeline.paginatedCustomers _),
     "q45_soft_delete_convention" -> (Pipeline.activeCustomersBySegment _),
+    "q46_merge_delete" -> (Relational.mergeWithDelete _),
+    "q47_upsert_guard" -> (Relational.upsertWithGuard _),
+    "q48_conflict_skip" -> (Relational.conflictSkipNewCustomers _),
+    "q49_batch_update" -> (Relational.batchUpdateBalances _),
     "q50_multimodal_features" -> (Pipeline.multimodalFeatures _),
   )
 
@@ -477,6 +481,34 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
         |WHERE NOT (c_acctbal < 0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q46_merge_delete" ->
+      """WITH target AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        |source AS (SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+        |FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+        |WHERE NOT (s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL AND t.c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q47_upsert_guard" ->
+      """WITH target AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+        |source AS (SELECT c_custkey, UPPER(c_name) AS c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL AND (t.c_custkey IS NULL OR t.c_acctbal < 0)
+        |       THEN s.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL AND (t.c_custkey IS NULL OR t.c_acctbal < 0)
+        |       THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+        |FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q48_conflict_skip" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey % 3 = 0
+        |  AND c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q49_batch_update" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q50_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -93,12 +93,27 @@ final class LogStore(val spark: SparkSession, dir: String) {
   import spark.implicits._
 
   private def path(table: String) = s"$dir/logs/$table"
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  // Seeded lazily from the persisted max so a new LogStore over an existing
+  // event log keeps the sequence monotonic: without this, an update appended
+  // after a restart would sort BELOW older events and the latest-wins
+  // current() view would silently return stale state.
+  private val seq = new java.util.concurrent.atomic.AtomicLong(-1L)
 
-  def appendEvents(table: String, df: DataFrame): Unit =
+  private def seqStart(table: String): Unit =
+    seq.compareAndSet(
+      -1L,
+      if (!exists(table)) 0L
+      else {
+        val r = events(table).agg(max(col("_event_seq"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      })
+
+  def appendEvents(table: String, df: DataFrame): Unit = {
+    seqStart(table)
     df.withColumn("_event_seq", lit(seq.incrementAndGet()))
       .coalesce(1) // audit appends are tiny; one file per event batch
       .write.mode(SaveMode.Append).parquet(path(table))
+  }
 
   def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()

@@ -26,21 +26,42 @@ object Mutations {
 
   /** Upsert (reference `sql/dml.py:96-167`): full-outer merge of source into
     * target by `keys`; for each non-key column the source value wins when the
-    * source row exists, else the target value is kept. Matched rows get
-    * `updated_at`/`updated_by` refreshed when those columns exist.
+    * source row exists, else the target value is kept.
+    *
+    * Reference-parity audit semantics: matched rows that take the source value
+    * get `updated_at = CURRENT_TIMESTAMP` refreshed when the target has that
+    * column, and `updated_by` set when `updatedBy` is given (dml.py:118-133).
+    * `updateWhere` is the reference's optional WHERE guard (dml.py:134-151):
+    * a matched row only takes source values when the guard holds (reference
+    * target columns as `col("t.x")`, source as `col("s.x")`); inserts are
+    * unaffected.
     */
   def upsert(
       target: DataFrame,
       source: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String],
+      updatedBy: Option[String] = None,
+      updateWhere: Option[Column] = None): DataFrame = {
     val t = target.alias("t")
     val s = source.alias("s")
     val dataCols = target.columns.filterNot(keys.contains)
     val srcExists = col(s"s.${keys.head}").isNotNull
+    val tgtExists = col(s"t.${keys.head}").isNotNull
+    val guard = updateWhere.getOrElse(lit(true))
+    // unmatched source rows always insert; matched rows update only per guard
+    val takeSource = (srcExists && !tgtExists) || (srcExists && tgtExists && guard)
+    val isUpdate = srcExists && tgtExists && guard
     val keyCols = keys.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k))
     val valCols = dataCols.toSeq.map { c =>
-      if (source.columns.contains(c)) when(srcExists, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-      else col(s"t.$c").as(c)
+      val base =
+        if (source.columns.contains(c)) when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c"))
+        else col(s"t.$c")
+      val refreshed = c match {
+        case "updated_at" => when(isUpdate, current_timestamp()).otherwise(base)
+        case "updated_by" if updatedBy.isDefined => when(isUpdate, lit(updatedBy.get)).otherwise(base)
+        case _ => base
+      }
+      refreshed.as(c)
     }
     t.join(s, keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
       .select(keyCols ++ valCols: _*)
@@ -61,16 +82,56 @@ object Mutations {
 
   final case class MergeResult(merged: DataFrame, counts: DataFrame)
 
-  /** Full MERGE (reference `sql/dml.py:248-337`): returns the merged table
-    * (target rows updated from source, unmatched source rows inserted) and the
-    * (inserted_count, updated_count) summary the reference's CTE pipeline
-    * emits. One wide full-outer join — the counts reuse the classification
-    * plan, so with `merged.cache()` the join runs once.
+  /** Full MERGE (reference `sql/dml.py:248-337`): returns the merged table and
+    * the per-action count summary (`merge_action`, `n`) the reference's CTE
+    * pipeline emits — INSERT / UPDATE and, when `deleteWhere` is given, DELETE.
+    *
+    * Branch precedence follows SQL MERGE: a matched row satisfying
+    * `deleteWhere` (reference `dml.py:300-336`, WHEN MATCHED AND cond THEN
+    * DELETE) is removed from the output and counted `deleted` — evaluated
+    * BEFORE the update branch. `deleteWhere` may reference both sides as
+    * `col("t.x")` / `col("s.x")`. Matched updates refresh
+    * `updated_at`/`updated_by` as in [[upsert]]. One wide full-outer join;
+    * counts reuse the same tagged plan.
     */
-  def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): MergeResult = {
-    val merged = upsert(target, source, keys)
-    val counts = classifyMerge(source, target, keys)
-      .groupBy(col("merge_action"))
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      deleteWhere: Option[Column] = None,
+      updatedBy: Option[String] = None): MergeResult = {
+    val t = target.alias("t")
+    val s = source.alias("s")
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val srcExists = col(s"s.${keys.head}").isNotNull
+    val tgtExists = col(s"t.${keys.head}").isNotNull
+    val del = deleteWhere.getOrElse(lit(false))
+    val action = when(srcExists && tgtExists && del, "DELETE")
+      .when(srcExists && tgtExists, "UPDATE")
+      .when(srcExists, "INSERT")
+      .otherwise("KEEP") // target-only rows pass through unchanged, uncounted
+    val tagged = t.join(s, joinCond, "full_outer").withColumn("_merge_action", action)
+    val takeSource = col("_merge_action").isin("INSERT", "UPDATE")
+    val isUpdate = col("_merge_action") === "UPDATE"
+    val dataCols = target.columns.filterNot(keys.contains)
+    val keyCols = keys.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k))
+    val valCols = dataCols.toSeq.map { c =>
+      val base =
+        if (source.columns.contains(c)) when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c"))
+        else col(s"t.$c")
+      val refreshed = c match {
+        case "updated_at" => when(isUpdate, current_timestamp()).otherwise(base)
+        case "updated_by" if updatedBy.isDefined => when(isUpdate, lit(updatedBy.get)).otherwise(base)
+        case _ => base
+      }
+      refreshed.as(c)
+    }
+    val merged = tagged
+      .where(col("_merge_action") =!= "DELETE")
+      .select(keyCols ++ valCols: _*)
+    val counts = tagged
+      .where(col("_merge_action") =!= "KEEP")
+      .groupBy(col("_merge_action").as("merge_action"))
       .agg(count(lit(1)).as("n"))
     MergeResult(merged, counts)
   }
@@ -92,11 +153,29 @@ object Mutations {
     withAudit
   }
 
-  /** Batch update (reference `sql/dml.py:206-245`): SET col = expr WHERE cond. */
-  def batchUpdate(df: DataFrame, set: Map[String, Column], cond: Column): DataFrame =
-    set.foldLeft(df) { case (acc, (c, e)) =>
+  /** Batch update (reference `sql/dml.py:206-245`): SET col = expr WHERE cond.
+    * Affected rows additionally get `updated_at = CURRENT_TIMESTAMP` (and
+    * `updated_by` when given) refreshed when those columns exist — the
+    * reference's automatic metadata refresh (dml.py:226-239).
+    */
+  def batchUpdate(
+      df: DataFrame,
+      set: Map[String, Column],
+      cond: Column,
+      updatedBy: Option[String] = None): DataFrame = {
+    val withSet = set.foldLeft(df) { case (acc, (c, e)) =>
       acc.withColumn(c, when(cond, e).otherwise(col(c)))
     }
+    val withAt =
+      if (df.columns.contains("updated_at") && !set.contains("updated_at"))
+        withSet.withColumn("updated_at", when(cond, current_timestamp()).otherwise(col("updated_at")))
+      else withSet
+    updatedBy match {
+      case Some(u) if df.columns.contains("updated_by") && !set.contains("updated_by") =>
+        withAt.withColumn("updated_by", when(cond, lit(u)).otherwise(col("updated_by")))
+      case _ => withAt
+    }
+  }
 
   /** Incremental watermark load (reference `sql/dml.py:340-391`): rows past
     * the watermark, oldest-first, capped at `batchSize`. The watermark filter
@@ -124,13 +203,24 @@ object Mutations {
   def overwriteTable(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val staging = path + "__staging"
     val old = path + "__old"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val oldPath = new org.apache.hadoop.fs.Path(old)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hadoopPath)) {
-      fs.rename(hadoopPath, new org.apache.hadoop.fs.Path(old))
+    // A leftover __old means a prior swap died mid-flight: refuse to proceed
+    // rather than silently shadowing (or later deleting) the only good copy.
+    if (fs.exists(oldPath))
+      throw new IllegalStateException(
+        s"$old exists — a previous overwrite did not complete; recover it before retrying")
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    if (fs.exists(hadoopPath) && !fs.rename(hadoopPath, oldPath))
+      throw new java.io.IOException(s"failed to move live table $path aside to $old")
+    if (!fs.rename(stagingPath, hadoopPath)) {
+      // put the live table back before failing so readers see the old data
+      if (fs.exists(oldPath)) fs.rename(oldPath, hadoopPath)
+      throw new java.io.IOException(s"failed to promote staging $staging to $path")
     }
-    fs.rename(new org.apache.hadoop.fs.Path(staging), hadoopPath)
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    // only after the swap is confirmed is the backup disposable
+    fs.delete(oldPath, true)
   }
 }

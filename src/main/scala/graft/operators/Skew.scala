@@ -23,6 +23,14 @@ object Skew {
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    // right/full outer would emit every unmatched small-side row once per
+    // salt replica — saltBuckets duplicates. Only joins where the small side
+    // never surfaces unmatched rows are salting-safe.
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support '$joinType': the replicated small side would " +
+        "duplicate unmatched right-side rows; use inner/left/left_semi/left_anti")
     val salted = large.withColumn(
       "_salt",
       pmod(xxhash64(large.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int"))

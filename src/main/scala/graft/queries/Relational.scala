@@ -391,6 +391,62 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** q46 — MERGE with a DELETE branch (reference `sql/dml.py:300-336`):
+    * matched customers with negative balance are deleted, other matches
+    * update (source wins), unmatched source rows insert.
+    */
+  def mergeWithDelete(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    val target = c.where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val source = c.where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"), col("c_acctbal"))
+    Mutations
+      .merge(target, source, Seq("c_custkey"), deleteWhere = Some(col("t.c_acctbal") < 0))
+      .merged
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q47 — upsert with the reference's optional WHERE guard
+    * (`sql/dml.py:134-151`): only matched rows with negative target balance
+    * take source values.
+    */
+  def upsertWithGuard(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    val target = c.where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val source = c.where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"), col("c_acctbal"))
+    Mutations
+      .upsert(target, source, Seq("c_custkey"), updateWhere = Some(col("t.c_acctbal") < 0))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q48 — ON CONFLICT DO NOTHING (reference `sql/dml.py:42-93`): incoming
+    * rows whose key already exists are skipped.
+    */
+  def conflictSkipNewCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    val incoming = c.where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val existing = c.where(col("c_custkey") % 2 === 0)
+    Mutations
+      .conflictSkip(incoming, existing, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q49 — batch UPDATE ... SET ... WHERE (reference `sql/dml.py:206-245`):
+    * double the balance of one segment, leave the rest untouched.
+    */
+  def batchUpdateBalances(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    Mutations
+      .batchUpdate(c, Map("c_acctbal" -> (col("c_acctbal") * 2)), col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** q24 — soft delete (reference `sql/dml.py:170-203`): flag customers with
     * negative balances; the table keeps all rows.
     */

@@ -63,28 +63,44 @@ object EventStream {
 
   /** Custom stateful sessionization: 30-minute inactivity gap closes a
     * session (the streaming twin of the batch q29 sessionization), via
-    * `flatMapGroupsWithState` with processing-time timeout.
+    * `flatMapGroupsWithState` with a processing-time timeout.
+    *
+    * The timeout is what bounds state on an unbounded stream: a user who
+    * stops sending events fires `hasTimedOut` after `gapSec`, the open
+    * session is emitted closed, and the per-user state is removed — without
+    * it, idle users' state would accumulate forever and their last session
+    * would never surface.
     */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.nEvents > 0 && t - st.last > gapSec * 1000) {
-              closed += SessionOut(userId, st.nEvents, (st.last - st.start) / 1000.0, closed = true)
-              st = SessionState(t, t, 1L)
-            } else {
-              st = SessionState(math.min(st.start, t), math.max(st.last, t), st.nEvents + 1)
+          if (state.hasTimedOut) {
+            // inactivity expiry: close and emit the open session, drop state
+            val out = state.getOption
+              .filter(_.nEvents > 0)
+              .map(st => SessionOut(userId, st.nEvents, (st.last - st.start) / 1000.0, closed = true))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.nEvents > 0 && t - st.last > gapSec * 1000) {
+                closed += SessionOut(userId, st.nEvents, (st.last - st.start) / 1000.0, closed = true)
+                st = SessionState(t, t, 1L)
+              } else {
+                st = SessionState(math.min(st.start, t), math.max(st.last, t), st.nEvents + 1)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(gapSec * 1000)
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
         })
   }
 
@@ -101,16 +117,27 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** Incremental bronze ingestion as a stream: append every micro-batch to a
-    * parquet table via foreachBatch (the streaming twin of
-    * `dml.incrementalLoad`); checkpointing makes it exactly-once.
+  /** Incremental bronze ingestion as a stream: each micro-batch lands in its
+    * own `_batch_id=<id>` partition via dynamic partition overwrite, so a
+    * batch retried after a mid-write failure REPLACES its partition instead
+    * of appending duplicates — foreachBatch is only exactly-once when the
+    * sink is idempotent per batchId; a blind append would be at-least-once.
+    * Readers `spark.read.parquet(tablePath)` as usual (the partition column
+    * is metadata).
     */
   def toBronze(events: DataFrame, tablePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(tablePath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch
+          .withColumn("_batch_id", lit(batchId))
+          .write
+          .partitionBy("_batch_id")
+          .mode("overwrite")
+          .parquet(tablePath)
       }
       .start()
 }

@@ -26,6 +26,20 @@ class LogsSpec extends SparkSpec {
     assert(store.current("process_log", "log_id").count() == 1)
   }
 
+  test("a restarted LogStore keeps the event sequence monotonic (latest-wins survives restarts)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs-restart").toString
+    val store1 = new LogStore(spark, dir)
+    val pl1 = new ProcessLogger(store1, FixedClock)
+    val id = pl1.startProcess("bronze_load")
+    // new store instance over the same directory — simulates a session restart
+    val store2 = new LogStore(spark, dir)
+    val pl2 = new ProcessLogger(store2, FixedClock)
+    pl2.endProcess(id, "SUCCESS")
+    val cur = store2.current("process_log", "log_id").collect().head
+    assert(cur.getAs[String]("status") == "SUCCESS",
+      "the post-restart update must win over the pre-restart RUNNING event")
+  }
+
   test("ids are sequential across appends") {
     val store = freshStore
     val pl = new ProcessLogger(store, FixedClock)

@@ -70,4 +70,69 @@ class MutationsSpec extends SparkSpec {
     Mutations.overwriteTable(spark, Mutations.upsert(target, source, Seq("id")), path)
     assert(spark.read.parquet(path).count() == 3)
   }
+
+  test("overwriteTable refuses to run over a leftover __old backup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-overwrite-old").toString
+    val path = s"$dir/t"
+    Mutations.overwriteTable(spark, target, path)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(path + "__old"))
+    val e = intercept[IllegalStateException] {
+      Mutations.overwriteTable(spark, source, path)
+    }
+    assert(e.getMessage.contains("__old"))
+    // the live table is untouched
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  private def auditedTarget = Seq(
+    (1L, "alice", 10.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "loader"),
+    (2L, "bob", 20.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "loader")
+  ).toDF("id", "name", "score", "updated_at", "updated_by")
+
+  test("upsert refreshes updated_at/updated_by on matched rows only (dml.py:118-133)") {
+    val src = Seq((2L, "BOB", 25.0)).toDF("id", "name", "score")
+    val out = Mutations.upsert(auditedTarget, src, Seq("id"), updatedBy = Some("merger"))
+      .collect().map(r => r.getLong(0) -> ((r.getTimestamp(3), r.getString(4)))).toMap
+    assert(out(1L) == (java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "loader"),
+      "untouched row keeps its audit columns")
+    assert(out(2L)._1.after(java.sql.Timestamp.valueOf("2020-01-02 00:00:00")),
+      "matched row's updated_at is refreshed")
+    assert(out(2L)._2 == "merger", "matched row's updated_by is refreshed")
+  }
+
+  test("upsert WHERE guard restricts which matched rows update (dml.py:134-151)") {
+    val src = Seq((1L, "ALICE", 11.0), (2L, "BOB", 25.0)).toDF("id", "name", "score")
+    val out = Mutations
+      .upsert(target, src, Seq("id"), updateWhere = Some(col("t.score") >= 15.0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "alice", 2L -> "BOB"),
+      "only the matched row satisfying the guard takes source values")
+  }
+
+  test("merge DELETE branch removes matched rows and counts all three actions (dml.py:300-336)") {
+    val res = Mutations.merge(
+      target, source, Seq("id"),
+      deleteWhere = Some(col("t.score") >= 20.0))
+    // matched row id=2 (t.score=20) deletes; id=3 inserts; no updates remain
+    val merged = res.merged.collect().map(_.getLong(0)).toSet
+    assert(merged == Set(1L, 3L), s"row 2 deleted, got $merged")
+    val counts = res.counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("INSERT" -> 1L, "DELETE" -> 1L))
+  }
+
+  test("merge delete precedence: a row matching the delete guard is not also updated") {
+    val res = Mutations.merge(target, source, Seq("id"), deleteWhere = Some(lit(true)))
+    val counts = res.counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("INSERT" -> 1L, "DELETE" -> 1L))
+    assert(res.merged.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("batchUpdate refreshes metadata columns alongside the SET map (dml.py:226-239)") {
+    val out = Mutations
+      .batchUpdate(auditedTarget, Map("score" -> (col("score") * 2)), col("id") === 1,
+        updatedBy = Some("batch_job"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getString(4)))).toMap
+    assert(out(1L) == (20.0, "batch_job"), "affected row: SET applied + updated_by refreshed")
+    assert(out(2L) == (20.0, "loader"), "unaffected row keeps metadata")
+  }
 }
