@@ -75,15 +75,25 @@ object TextFunctions {
   /** Language-ID: argmax of per-language marker scores; CJK characters send
     * the document to zh; ties resolve in profile order (de,en,es,fr), and a
     * document with zero marker hits is "und" (undetermined).
+    *
+    * Shape matters: the argmax is `array_max` over (score, tiebreak, lang)
+    * structs — struct ordering is lexicographic, so the max is the highest
+    * score with ties going to the lowest profile index, and a score-0
+    * sentinel yields "und". Each language regex is evaluated exactly ONCE
+    * per row; the previous `greatest` + per-language `=== best` chain
+    * re-evaluated every regex ~6× because Catalyst does not CSE shared
+    * regex subtrees (q33 was the third-slowest bench query).
     */
   def langId(text: Column): Column = {
     val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
-    val scores = LangProfiles.map { case (lang, words) => lang -> wordHits(text, words) }
-    val best = greatest(scores.map(_._2): _*)
-    val pick = scores.foldLeft(when(lit(false), "und")) { case (acc, (lang, _)) =>
-      acc.when(scores.toMap.apply(lang) === best, lang)
+    val entries = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(wordHits(text, words).as("score"), lit(-i).as("tie"), lit(lang).as("lang"))
     }
-    when(cjk > 0, "zh").when(best === 0, "und").otherwise(pick.otherwise("und"))
+    // sentinel: score 0 with a tiebreak ABOVE every real entry, so it wins
+    // only when no language scored a single hit
+    val sentinel = struct(lit(0).as("score"), lit(1).as("tie"), lit("und").as("lang"))
+    val best = array_max(array(sentinel +: entries: _*))
+    when(cjk > 0, "zh").otherwise(best.getField("lang"))
   }
 
   /** Word n-gram shingles of the normalized text (for MinHash / Jaccard).
