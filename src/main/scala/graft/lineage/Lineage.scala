@@ -108,7 +108,18 @@ object Lineage {
     reachable(edges, dstCol, srcCol, seeds, seedCol, maxDepth)
 
   /** Impact analysis (reference `logs/data_lineage.py:658-752`): downstream
-    * table count → severity LOW / MEDIUM (>2) / HIGH (>5), max depth affected.
+    * table count → severity LOW / MEDIUM (>2) / HIGH (>5), max depth affected,
+    * plus the reference's two refinements:
+    *
+    *   - critical paths (`data_lineage.py:701-709`): the downstream nodes in
+    *     the gold layer (`isCritical`, default: node name starts with
+    *     "gold."), with the depth each is reached at — sorted (depth, node)
+    *     structs;
+    *   - rule-based recommendations (`data_lineage.py:728-752`): the exact
+    *     reference rule list keyed on severity, critical-path count, and
+    *     affected-table count, falling back to the LOW-IMPACT line.
+    *
+    * All computed in the one aggregation over the traversal — no extra pass.
     */
   def impact(
       edges: DataFrame,
@@ -116,14 +127,43 @@ object Lineage {
       dstCol: String,
       seeds: DataFrame,
       seedCol: String,
-      maxDepth: Int = 5): DataFrame =
-    reachable(edges, srcCol, dstCol, seeds, seedCol, maxDepth)
+      maxDepth: Int = 5,
+      isCritical: Column => Column = _.startsWith("gold.")): DataFrame = {
+    val base = reachable(edges, srcCol, dstCol, seeds, seedCol, maxDepth)
       .where(col("node") =!= col("seed"))
       .groupBy(col("seed"))
-      .agg(count(lit(1)).as("downstream_count"), max(col("depth")).as("max_depth"))
+      .agg(
+        count(lit(1)).as("downstream_count"),
+        max(col("depth")).as("max_depth"),
+        // collect_list drops nulls, so only critical nodes land in the array
+        sort_array(collect_list(when(
+          isCritical(col("node")),
+          struct(col("depth").as("depth"), col("node").as("target_table")))))
+          .as("critical_paths"))
+      .withColumn("critical_count", size(col("critical_paths")))
       .withColumn(
         "severity",
         when(col("downstream_count") > 5, "HIGH")
           .when(col("downstream_count") > 2, "MEDIUM")
           .otherwise("LOW"))
+    val rules = array_compact(array(
+      when(col("severity") === "HIGH",
+        lit("HIGH IMPACT: Coordinate with downstream teams before making changes")),
+      when(col("severity") === "HIGH",
+        lit("Consider implementing change in phases with rollback plan")),
+      when(col("critical_count") > 0,
+        concat(lit("CRITICAL: "), col("critical_count").cast("string"),
+          lit(" gold layer tables affected - validate business logic"))),
+      when(col("critical_count") > 0,
+        lit("Test changes in development environment with full data pipeline")),
+      when(col("downstream_count") > 3,
+        lit("Multiple tables affected - consider batching notifications")),
+      when(col("downstream_count") > 3,
+        lit("Update data lineage documentation after changes"))))
+    base.withColumn(
+      "recommendations",
+      when(size(rules) === 0,
+        array(lit("LOW IMPACT: Standard change management processes apply")))
+        .otherwise(rules))
+  }
 }

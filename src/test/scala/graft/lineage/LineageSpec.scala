@@ -46,10 +46,46 @@ class LineageSpec extends SparkSpec {
     val wide = (1 to 7).map(i => ("hub", s"t$i")).toDF("src", "dst")
     val sev = Lineage.impact(wide, "src", "dst", Seq("hub").toDF("seed"), "seed")
       .collect().head
-    assert(sev.getLong(1) == 7 && sev.getString(3) == "HIGH")
+    assert(sev.getAs[Long]("downstream_count") == 7 && sev.getAs[String]("severity") == "HIGH")
     val narrow = (1 to 2).map(i => ("hub", s"t$i")).toDF("src", "dst")
     val sev2 = Lineage.impact(narrow, "src", "dst", Seq("hub").toDF("seed"), "seed")
       .collect().head
-    assert(sev2.getString(3) == "LOW")
+    assert(sev2.getAs[String]("severity") == "LOW")
+  }
+
+  test("impact extracts critical paths to gold with their depths (data_lineage.py:701-709)") {
+    val row = Lineage.impact(edges, "src", "dst", seeds, "seed").collect().head
+    val paths = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("critical_paths")
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(paths == Seq((2, "gold.k")), s"gold.k reached at depth 2, got $paths")
+    assert(row.getAs[Int]("critical_count") == 1)
+  }
+
+  test("impact recommendations follow the reference rules (data_lineage.py:728-752)") {
+    // diamond fixture: 2 downstream (silver.x, gold.k), 1 critical -> the two
+    // CRITICAL lines, no HIGH/multiple-table lines
+    val recs = Lineage.impact(edges, "src", "dst", seeds, "seed")
+      .collect().head.getAs[scala.collection.Seq[String]]("recommendations")
+    assert(recs == Seq(
+      "CRITICAL: 1 gold layer tables affected - validate business logic",
+      "Test changes in development environment with full data pipeline"))
+
+    // wide fan-out into gold: HIGH + CRITICAL + multiple-tables lines, in rule order
+    val wide = (1 to 7).map(i => ("hub", s"gold.t$i")).toDF("src", "dst")
+    val recsWide = Lineage.impact(wide, "src", "dst", Seq("hub").toDF("seed"), "seed")
+      .collect().head.getAs[scala.collection.Seq[String]]("recommendations")
+    assert(recsWide == Seq(
+      "HIGH IMPACT: Coordinate with downstream teams before making changes",
+      "Consider implementing change in phases with rollback plan",
+      "CRITICAL: 7 gold layer tables affected - validate business logic",
+      "Test changes in development environment with full data pipeline",
+      "Multiple tables affected - consider batching notifications",
+      "Update data lineage documentation after changes"))
+
+    // no downstream rules fire -> the LOW IMPACT fallback line
+    val narrow = Seq(("hub", "t1")).toDF("src", "dst")
+    val recsNarrow = Lineage.impact(narrow, "src", "dst", Seq("hub").toDF("seed"), "seed")
+      .collect().head.getAs[scala.collection.Seq[String]]("recommendations")
+    assert(recsNarrow == Seq("LOW IMPACT: Standard change management processes apply"))
   }
 }
