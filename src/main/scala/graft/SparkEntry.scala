@@ -67,6 +67,7 @@ object SparkEntry {
     "q48_conflict_skip" -> (Relational.conflictSkipNewCustomers _),
     "q49_batch_update" -> (Relational.batchUpdateBalances _),
     "q50_multimodal_features" -> (Pipeline.multimodalFeatures _),
+    "q51_constraint_violations" -> (Relational.constraintViolations _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -515,5 +516,24 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_length,
         |  sha256(text) AS content_sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q51_constraint_violations" ->
+      """SELECT constraint_name, violations FROM (
+        |  SELECT 'pk_orders' AS constraint_name,
+        |    CAST((SELECT COUNT(*) FILTER (WHERE cnt > 1)
+        |            + COALESCE(SUM(cnt) FILTER (WHERE o_orderkey IS NULL), 0)
+        |          FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey) g) AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'uq_orders_custkey',
+        |    CAST((SELECT COUNT(*) FILTER (WHERE cnt > 1)
+        |          FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) g) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'nn_orders_orderdate',
+        |    CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'pk_lineitem',
+        |    CAST((SELECT COUNT(*) FILTER (WHERE cnt > 1)
+        |            + COALESCE(SUM(cnt) FILTER (WHERE l_orderkey IS NULL OR l_linenumber IS NULL), 0)
+        |          FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2) g) AS BIGINT)
+        |) t ORDER BY constraint_name""".stripMargin,
   )
 }

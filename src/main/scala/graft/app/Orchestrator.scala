@@ -8,7 +8,7 @@ import graft.audit._
 import graft.bronze.Bronze
 import graft.catalog.WarehouseCatalog
 import graft.core.GraftSession
-import graft.medallion.{Gold, Silver}
+import graft.medallion.{Gold, PartitionedFact, Silver}
 
 /** Setup + pipeline orchestration — the Spark-native `main.py` +
   * `setup/setup_orchestrator.py`: dependency-ordered steps (database →
@@ -139,7 +139,7 @@ final class SetupOrchestrator(
   /** Silver build from whichever bronze tables exist (per-source tolerance,
     * as the reference's partial-failure handling), with lineage.
     */
-  def runSilver(): Unit = {
+  def runSilver(granularity: PartitionedFact.Granularity = PartitionedFact.Year): Unit = {
     def bronzeTable(t: String) = spark.read.parquet(s"$warehouseDir/bronze/$t")
     def exists(t: String) = new java.io.File(s"$warehouseDir/bronze/$t").exists()
     def write(bronzeName: String, name: String,
@@ -153,19 +153,18 @@ final class SetupOrchestrator(
       }
     write("crm_customers_raw", "crm_customers", Silver.cleanCrmCustomers)
     write("crm_products_raw", "crm_products", Silver.cleanCrmProducts)
-    // The sales fact is partitioned by order year (the reference RANGE-
-    // partitions on the creation date, ddl.py:199-206): date-bounded queries
-    // prune whole partitions instead of scanning the fact table. Year
-    // granularity keeps file counts sane at small SF; at 100 TB this becomes
-    // month/day.
+    // The sales fact is date-partitioned (the reference RANGE-partitions on
+    // the creation date, ddl.py:199-206): date-bounded queries prune whole
+    // partitions instead of scanning the fact table. The granularity knob
+    // picks year (sane file counts at small SF) through month/day (the
+    // 100 TB settings); incremental loads land via
+    // PartitionedFact.mergeDelta, rewriting only touched partitions.
     if (exists("crm_sales_raw")) {
       val pid = processes.startProcess("silver_build_crm_sales", "", None, Some("silver"))
-      Silver.cleanCrmSales(bronzeTable("crm_sales_raw"))
-        .withColumn("order_year", org.apache.spark.sql.functions.year(
-          org.apache.spark.sql.functions.col("sls_order_dt")))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("order_year")
-        .parquet(s"$warehouseDir/silver/crm_sales")
+      PartitionedFact.overwrite(
+        Silver.cleanCrmSales(bronzeTable("crm_sales_raw")),
+        dateCol = "sls_order_dt", prefix = "order", g = granularity,
+        path = s"$warehouseDir/silver/crm_sales")
       lineage.recordEdge("bronze", "crm_sales_raw", "silver", "crm_sales", Some(pid), Some("cleansing"))
       processes.endProcess(pid, "SUCCESS")
     }
@@ -219,7 +218,14 @@ object Main {
         case scala.util.Failure(e) => println(s"[bronze] FAILED: ${e.getMessage}")
       }
     }
-    if (flags("--silver") || flags("--full-pipeline")) { orch.runSilver(); println("[silver] built") }
+    if (flags("--silver") || flags("--full-pipeline")) {
+      val granularity = argValue("--granularity", "year") match {
+        case "day"   => PartitionedFact.Day
+        case "month" => PartitionedFact.Month
+        case _       => PartitionedFact.Year
+      }
+      orch.runSilver(granularity); println("[silver] built")
+    }
     if (flags("--gold") || flags("--full-pipeline")) { orch.runGold(); println("[gold] built") }
     if (flags("--monitor")) {
       orch.perf.summary().show(50, truncate = false)

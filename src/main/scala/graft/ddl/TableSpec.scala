@@ -131,6 +131,43 @@ object TableSpec {
         name -> df.where(col(c).isNull).count()
     }.toMap
 
+  /** Distributed constraint report: one `(constraint_name, violations)` row
+    * per constraint, as a DataFrame the caller composes/sinks — unlike
+    * [[checkConstraints]] (driver-side Map, one job per constraint), this is
+    * the 100 TB shape. Scan economy: ALL NotNull checks share one
+    * aggregation pass; each PrimaryKey/Unique key set costs exactly one
+    * groupBy — a PK's null-row count rides the same shuffle, since null-keyed
+    * rows form groups too. PK violations = duplicate groups + null-key rows
+    * (the [[checkConstraints]] semantics, reference `sql/ddl.py:299-344`).
+    */
+  def constraintReport(df: DataFrame, constraints: Seq[ConstraintSpec]): DataFrame = {
+    val keyChecks: Seq[DataFrame] = constraints.collect {
+      case PrimaryKey(name, cols) =>
+        val anyNull = cols.map(col(_).isNull).reduce(_ || _)
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(
+            sum(when(col("cnt") > 1, lit(1L)).otherwise(lit(0L)) +
+              when(anyNull, col("cnt")).otherwise(lit(0L))),
+            lit(0L)).as("violations"))
+          .select(lit(name).as("constraint_name"), col("violations"))
+      case Unique(name, cols) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+          .agg(coalesce(sum(when(col("cnt") > 1, lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("violations"))
+          .select(lit(name).as("constraint_name"), col("violations"))
+    }
+    val notNulls = constraints.collect { case NotNullCheck(name, c) => (name, c) }
+    val rowChecks: Seq[DataFrame] = if (notNulls.isEmpty) Nil else {
+      val aggs = notNulls.map { case (name, c) =>
+        coalesce(sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))), lit(0L)).as(name)
+      }
+      val stackArgs = notNulls.map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
+      Seq(df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${notNulls.size}, $stackArgs) AS (constraint_name, violations)"))
+    }
+    (keyChecks ++ rowChecks).reduce(_ unionByName _)
+  }
+
   /** The engine-wide implicit soft-delete convention
     * (`"is_deleted" = FALSE` appended to every query,
     * query_builder.py:121-124): the API-layer accessor.

@@ -481,6 +481,24 @@ object Relational {
     * order-independent SHA-256 over sorted (column=value) pairs, null → ''.
     * Exercised on string/int columns (double formatting is engine-specific).
     */
+  /** q51 — constraints as data-quality assertions (reference
+    * `sql/ddl.py:299-344`, SURVEY §2.9): PK / UNIQUE / NOT NULL violation
+    * counts over orders and lineitem, computed distributed — one shared scan
+    * for the row-level checks plus one groupBy per key set
+    * ([[graft.ddl.TableSpec.constraintReport]]).
+    */
+  def constraintViolations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ddl.TableSpec
+    val t = Tables(spark, dir)
+    TableSpec.constraintReport(t.orders, Seq(
+      TableSpec.PrimaryKey("pk_orders", Seq("o_orderkey")),
+      TableSpec.Unique("uq_orders_custkey", Seq("o_custkey")),
+      TableSpec.NotNullCheck("nn_orders_orderdate", "o_orderdate")))
+      .unionByName(TableSpec.constraintReport(t.lineitem, Seq(
+        TableSpec.PrimaryKey("pk_lineitem", Seq("l_orderkey", "l_linenumber")))))
+      .orderBy(col("constraint_name"))
+  }
+
   def rowHashNation(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables(spark, dir).nation
     val cols = Seq("n_name", "n_nationkey", "n_regionkey").sorted

@@ -50,6 +50,27 @@ class TableSpecSpec extends SparkSpec {
     assert(out == Map("pk_id" -> 1L, "nn_v" -> 1L))
   }
 
+  test("constraintReport matches checkConstraints semantics, as a DataFrame") {
+    // id=1 duplicated (1 dup group), one null id row (1 null row) -> pk = 2;
+    // v has 1 null; (id,v) pairs are unique except the two (1,x) rows -> uq = 1
+    val df = Seq(
+      (Option(1L), Option("x")), (Option(1L), Option("x")),
+      (Option(2L), None), (None, Option("z"))
+    ).toDF("id", "v")
+    val out = constraintReport(df, Seq(
+      PrimaryKey("pk_id", Seq("id")),
+      Unique("uq_id_v", Seq("id", "v")),
+      NotNullCheck("nn_v", "v"),
+      NotNullCheck("nn_id", "id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("pk_id" -> 2L, "uq_id_v" -> 1L, "nn_v" -> 1L, "nn_id" -> 1L))
+    // empty input: all zero, never null
+    val empty = constraintReport(df.limit(0), Seq(
+      PrimaryKey("pk_id", Seq("id")), NotNullCheck("nn_v", "v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(empty == Map("pk_id" -> 0L, "nn_v" -> 0L))
+  }
+
   test("active() applies the implicit is_deleted = FALSE convention") {
     val df = Seq((1L, false), (2L, true)).toDF("id", "is_deleted")
     assert(active(df).select("id").as[Long].collect().sameElements(Array(1L)))
