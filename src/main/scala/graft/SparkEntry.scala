@@ -68,6 +68,8 @@ object SparkEntry {
     "q49_batch_update" -> (Relational.batchUpdateBalances _),
     "q50_multimodal_features" -> (Pipeline.multimodalFeatures _),
     "q51_constraint_violations" -> (Relational.constraintViolations _),
+    "q52_dup_clusters" -> (Pipeline.dupClusters _),
+    "q53_dedup_corpus" -> (Pipeline.dedupCorpusBySource _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -535,5 +537,64 @@ object SparkEntry {
         |            + COALESCE(SUM(cnt) FILTER (WHERE l_orderkey IS NULL OR l_linenumber IS NULL), 0)
         |          FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2) g) AS BIGINT)
         |) t ORDER BY constraint_name""".stripMargin,
+    "q52_dup_clusters" ->
+      (dupClusterCtes +
+        """SELECT c.doc_id, c.cluster_id, s.cluster_size
+          |FROM comp c
+          |JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |      FROM comp GROUP BY cluster_id) s USING (cluster_id)
+          |ORDER BY c.doc_id""".stripMargin),
+    "q53_dedup_corpus" ->
+      (dupClusterCtes +
+        """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+          |GROUP BY source ORDER BY source""".stripMargin),
   )
+
+  /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline
+    * closed under transitivity with a recursive reachability CTE —
+    * `comp(doc_id, cluster_id)` mirrors
+    * [[graft.operators.Dedup.duplicateClusters]] (cluster_id = component
+    * minimum).
+    */
+  private val dupClusterCtes: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+      |  FROM toks WHERE len(sh) > 0),
+      |sigs AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(range(0, 16), j ->
+      |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT s.doc_id, b.band,
+      |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
+      |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b),
+      |buckets AS (
+      |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
+      |  FROM banded GROUP BY band, bkey
+      |  HAVING count(*) BETWEEN 2 AND 50),
+      |cand AS (
+      |  SELECT DISTINCT pr.a AS id_a, pr.b AS id_b FROM (
+      |    SELECT UNNEST(flatten(list_transform(range(1, CAST(len(ids) AS INTEGER)), i ->
+      |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
+      |    FROM buckets)),
+      |dup AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT p.id_a, p.id_b,
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |    FROM cand p JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id)
+      |  WHERE jaccard >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM dup UNION SELECT id_b, id_a FROM dup),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |""".stripMargin
 }

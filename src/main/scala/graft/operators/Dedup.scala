@@ -261,6 +261,90 @@ object Dedup {
       .where(col("cosine_sim") >= minCosine)
   }
 
+  /** Connected components over duplicate pairs — the stage after candidate
+    * generation in a corpus dedup pipeline: near-dup pairs are transitive in
+    * practice (A~B, B~C ⇒ keep one of {A,B,C}), so the keep-set is one
+    * canonical document per *component*, not per pair.
+    *
+    * Iterative min-label propagation with pointer jumping: each round every
+    * node takes the minimum label among itself, its neighbours, and its
+    * label's label (path compression — the hash-to-min idea from Rastogi et
+    * al., "Finding Connected Components in Map-Reduce", ICDE 2013). The jump
+    * step makes convergence logarithmic in component diameter, so a chain of
+    * k consecutive near-dups needs ~log₂ k rounds, not k. Each round is
+    * bounded work: one key-equi join + groupBy over the edges and one
+    * self-join over the labels; `localCheckpoint` truncates lineage growth
+    * (the same pattern as lineage traversal); driver state is one boolean
+    * per round. Converged = no label changed.
+    *
+    * Returns (doc_id, cluster_id) for every node that appears in `pairs`,
+    * cluster_id = minimum doc id in the component. Singleton documents never
+    * appear (they have no pair).
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst"), col("src")).toDF("src", "dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = labels.isEmpty
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val relabeled = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: follow the current label one hop (label(label(n)))
+      val step = relabeled.as("x")
+        .join(
+          relabeled.select(col("id").as("lid"), col("label").as("llabel")),
+          col("x.label") === col("lid"), "left")
+        .select(
+          col("x.id").as("id"),
+          col("x.old_label").as("old_label"),
+          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
+        .localCheckpoint()
+      converged = step.where(col("label") < col("old_label")).isEmpty
+      labels = step.select("id", "label")
+      iters += 1
+    }
+    require(converged, s"duplicateClusters did not converge in $maxIters rounds")
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Corpus dedup end-to-end: keep the canonical (minimum-id) document of
+    * every duplicate component plus all documents that paired with nothing.
+    * `pairs` is any candidate-pair frame — [[minhashNearDuplicates]],
+    * [[simhashNearDuplicates]], [[embeddingNearDuplicates]] output all fit.
+    * The cluster map is tiny relative to the corpus (only clustered ids), so
+    * the join is a key-equi join on the id; at 100 TB this is one shuffle of
+    * ids against the corpus, never a pairwise pass.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    // rename the cluster-map columns so they can never collide with a corpus
+    // column (the corpus id is usually also called doc_id)
+    val clusters = duplicateClusters(pairs)
+      .select(col("doc_id").as("__cc_id"), col("cluster_id").as("__cc_cluster"))
+    docs
+      .join(clusters, docs(idCol) === clusters("__cc_id"), "left")
+      .where(col("__cc_cluster").isNull || docs(idCol) === col("__cc_cluster"))
+      .drop("__cc_id", "__cc_cluster")
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (pairs: columns id_a, id_b). Join-based: each side fetches its shingle
     * set by key — no cross product.

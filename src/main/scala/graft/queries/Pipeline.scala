@@ -153,6 +153,37 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q52 — duplicate clusters: MinHash+LSH candidate pairs (the q34
+    * pipeline) closed under transitivity via distributed connected
+    * components ([[Dedup.duplicateClusters]]); one row per clustered doc
+    * with its component's canonical id and size.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = Dedup.minhashNearDuplicates(d, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q53 — the corpus after LSH dedup ([[Dedup.dedupCorpus]] over the q52
+    * clusters): per-source surviving-document counts — the "what did dedup
+    * do to my corpus" report.
+    */
+  def dedupCorpusBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = Dedup.minhashNearDuplicates(d, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    Dedup.dedupCorpus(d, "doc_id", pairs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** q36 — exact word-bigram Jaccard over candidate pairs (consecutive doc
     * ids as a deterministic pair set).
     */

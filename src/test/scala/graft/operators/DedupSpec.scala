@@ -83,4 +83,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L)))
   }
+
+  test("duplicateClusters closes pairs under transitivity (chain + triangle + isolated pair)") {
+    // chain 1-2-3-4 (diameter 3, exercises multi-round propagation),
+    // triangle 10-11-12 with redundant edges, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicateClusters converges logarithmically on a long chain") {
+    // a 60-node chain would need 60 rounds of plain propagation; pointer
+    // jumping must finish well inside maxIters=25
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain).collect()
+    assert(out.length == 60 && out.forall(_.getLong(1) == 1L))
+  }
+
+  test("duplicateClusters on empty pairs returns empty") {
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(none).isEmpty)
+  }
+
+  test("dedupCorpus keeps canonical member per component plus singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L)) // 2,3 fold into 1; 4,5 untouched
+  }
 }
