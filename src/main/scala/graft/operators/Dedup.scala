@@ -287,12 +287,18 @@ object Dedup {
       idB: String = "id_b",
       maxIters: Int = 25): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // hash-partition the symmetric edge set on src once: every round's
+    // neighbour-min join keys on src, so the (persisted) edge side never
+    // re-shuffles
     val edges = fwd.union(fwd.select(col("dst"), col("src")).toDF("src", "dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
+    // seed each node with min(self, neighbours) — the same result as running
+    // one propagation round on identity labels, for the price of the groupBy
+    // that enumerates the nodes anyway
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint()
     var converged = labels.isEmpty
     var iters = 0
