@@ -287,10 +287,31 @@ object Dedup {
       idB: String = "id_b",
       maxIters: Int = 25): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val idType = fwd.schema("src").dataType
+    // Contraction pre-pass for integral ids: a per-partition union-find
+    // collapses every partition-local component into a min-rooted star, so
+    // the propagation loop below runs on the (much smaller, much shallower)
+    // star graph instead of the raw pair graph. Memory is bounded by the
+    // nodes of one edge partition; connectivity is preserved exactly (stars
+    // keep the same node sets, and stars from different partitions overlap
+    // on shared nodes). Profiling at sf0.1 showed the raw graph has a giant
+    // component that needs 5 propagation rounds; contracted, it needs 2.
+    val base = idType match {
+      case _: org.apache.spark.sql.types.LongType |
+          _: org.apache.spark.sql.types.IntegerType |
+          _: org.apache.spark.sql.types.ShortType =>
+        import fwd.sparkSession.implicits._
+        fwd.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)]
+          .mapPartitions(localMinStars)
+          .toDF("src", "dst")
+          .select(col("src").cast(idType), col("dst").cast(idType))
+      case _ => fwd
+    }
     // hash-partition the symmetric edge set on src once: every round's
     // neighbour-min join keys on src, so the (persisted) edge side never
     // re-shuffles
-    val edges = fwd.union(fwd.select(col("dst"), col("src")).toDF("src", "dst"))
+    val edges = base.union(base.select(col("dst"), col("src")).toDF("src", "dst"))
       .distinct()
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -314,15 +335,7 @@ object Dedup {
           col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: follow the current label one hop (label(label(n)))
-      val step = relabeled.as("x")
-        .join(
-          relabeled.select(col("id").as("lid"), col("label").as("llabel")),
-          col("x.label") === col("lid"), "left")
-        .select(
-          col("x.id").as("id"),
-          col("x.old_label").as("old_label"),
-          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
-        .localCheckpoint()
+      val step = jump(relabeled).localCheckpoint()
       converged = step.where(col("label") < col("old_label")).isEmpty
       labels = step.select("id", "label")
       iters += 1
@@ -331,6 +344,44 @@ object Dedup {
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Union-find over one partition's edges, union-by-min with path
+    * compression: emits one star edge (root, node) per node, root = minimum
+    * id of the node's partition-local component. Driver never sees the data;
+    * per-task memory is one map entry per distinct node in the partition.
+    */
+  private def localMinStars(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().iterator().asScala.map(n => (find(n), n))
+  }
+
+  /** One pointer-jump step over an (id, old_label, label) frame: each node
+    * takes min(label, label(label)). The frame is referenced twice but the
+    * identical aggregate exchange is shared by Spark's ReuseExchange rule.
+    */
+  private def jump(l: DataFrame): DataFrame =
+    l.as("x")
+      .join(
+        l.select(col("id").as("lid"), col("label").as("llabel")),
+        col("x.label") === col("lid"), "left")
+      .select(
+        col("x.id").as("id"),
+        col("x.old_label").as("old_label"),
+        least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
 
   /** Corpus dedup end-to-end: keep the canonical (minimum-id) document of
     * every duplicate component plus all documents that paired with nothing.
