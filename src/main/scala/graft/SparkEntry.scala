@@ -70,6 +70,11 @@ object SparkEntry {
     "q51_constraint_violations" -> (Relational.constraintViolations _),
     "q52_dup_clusters" -> (Pipeline.dupClusters _),
     "q53_dedup_corpus" -> (Pipeline.dedupCorpusBySource _),
+    "q54_contamination" -> (Pipeline.contaminationCheck _),
+    "q55_repetition_quality" -> (Pipeline.repetitionQuality _),
+    "q56_stratified_sample" -> (Pipeline.stratifiedSampleBySource _),
+    "q57_sequence_packing" -> (Pipeline.sequencePacking _),
+    "q58_doc_frequency" -> (Pipeline.docFrequencyTop _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -550,6 +555,73 @@ object SparkEntry {
           |FROM documents
           |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
           |GROUP BY source ORDER BY source""".stripMargin),
+    "q54_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER)), i -> t[i] || ' ' || t[i+1])) AS bgs
+        |  FROM toks),
+        |train AS (SELECT DISTINCT unnest(bgs) AS gram FROM bg WHERE doc_id % 17 <> 0),
+        |ev AS (SELECT doc_id, unnest(bgs) AS gram FROM bg WHERE doc_id % 17 = 0)
+        |SELECT ev.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(COUNT(tr.gram) AS BIGINT) AS n_contaminated,
+        |  CAST(COUNT(tr.gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+        |FROM ev LEFT JOIN train tr ON ev.gram = tr.gram
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+    "q55_repetition_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t,
+        |    list_transform(range(1, CAST(len(t) AS INTEGER)), i -> t[i] || ' ' || t[i+1]) AS bg
+        |  FROM toks),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS distinct_token_ratio,
+        |    CASE WHEN len(bg) > 0 THEN
+        |      CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+        |        / CAST(len(bg) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac
+        |  FROM m)
+        |SELECT doc_id, n_tokens, distinct_token_ratio, top_bigram_frac,
+        |  CASE WHEN distinct_token_ratio < 0.3 OR (top_bigram_frac > 0.18 AND n_tokens >= 20)
+        |    THEN 'repetitive' ELSE 'ok' END AS repetition_label
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q56_stratified_sample" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+        |    ) AS BIGINT) AS sample_rank
+        |  FROM documents) ranked
+        |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+    "q57_sequence_packing" ->
+      """WITH x AS (
+        |  SELECT source AS stratum, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |y AS (
+        |  SELECT stratum, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM x)
+        |SELECT stratum,
+        |  CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS bin_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM y GROUP BY stratum, bin_id ORDER BY stratum, bin_id""".stripMargin,
+    "q58_doc_frequency" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count FROM (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))) AS token
+        |  FROM documents) u
+        |GROUP BY token ORDER BY df_count DESC, token LIMIT 20""".stripMargin,
   )
 
   /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline

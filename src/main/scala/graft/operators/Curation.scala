@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sha60
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators for training-data pipelines: eval-set
+  * contamination checks, repetition-based quality metrics, deterministic
+  * sampling, sequence packing, and vocabulary statistics.
+  *
+  * These go beyond the warehouse reference (which has no text pipeline) but
+  * follow the same engine rules: built-in expressions only (codegen-friendly,
+  * no UDFs), hash-derived values based on [[Sha60]] so every operator is
+  * certifiable by the driver's DuckDB oracle, and shuffle shapes that survive
+  * 100 TB — inverted-index joins and per-stratum windows, never corpus×corpus.
+  */
+object Curation {
+
+  /** Train/eval contamination check: for each eval document, the fraction of
+    * its distinct word `shingleN`-grams that occur anywhere in the training
+    * corpus — the standard benchmark-leakage test (n-gram overlap, as used
+    * for eval decontamination in LLM training).
+    *
+    * Shape: the training side becomes a distinct n-gram vocabulary (explode +
+    * distinct — one shuffle, the inverted-index build); the eval side joins
+    * against it per n-gram and aggregates per document. Eval sets are small
+    * relative to the corpus, so the join streams the vocabulary past the
+    * eval grams without ever pairing documents. Documents with no n-gram
+    * (fewer than `shingleN` tokens) are excluded — they have no overlap
+    * defined.
+    */
+  def contamination(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 2): DataFrame = {
+    val trainVocab = train
+      .select(explode(array_distinct(shingles(col(textCol), shingleN))).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val evalGrams = evalSet
+      .select(
+        col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("gram"))
+    evalGrams
+      .join(trainVocab, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn(
+        "contamination_rate",
+        col("n_contaminated").cast("double") / col("n_ngrams").cast("double"))
+  }
+
+  /** Repetition-based quality metrics (the Gopher/MassiveText family of
+    * rules): per document, the distinct-token ratio and the fraction of word
+    * bigrams taken by the single most frequent bigram. Heavily repetitive
+    * machine-generated text scores low/high respectively; `repetition_label`
+    * applies the standard-style thresholds.
+    *
+    * Per-row higher-order functions only — embarrassingly parallel, column
+    * pruning reads `text` alone. The top-bigram scan is O(d·n) per row in
+    * the distinct-bigram count d, bounded by document length, not corpus
+    * size.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("t"),
+      shingles(col(textCol), 2).as("bg"))
+    base
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("t"))).cast("double") /
+          size(col("t")).cast("double")).as("distinct_token_ratio"),
+        when(
+          size(col("bg")) > 0,
+          array_max(
+            transform(
+              array_distinct(col("bg")),
+              x => size(filter(col("bg"), y => y === x)))).cast("double") /
+            size(col("bg")).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .withColumn(
+        "repetition_label",
+        // the top-bigram rule only fires on docs long enough that one
+        // dominant bigram is signal, not small-sample noise (a 6-token doc
+        // of distinct words already has top_bigram_frac = 0.2)
+        when(
+          col("distinct_token_ratio") < 0.3 ||
+            (col("top_bigram_frac") > 0.18 && col("n_tokens") >= 20),
+          "repetitive").otherwise("ok"))
+  }
+
+  /** Deterministic stratified sample: the `k` documents per stratum with the
+    * smallest [[Sha60]] hash of their id (ties by id). Hash-rank sampling is
+    * reproducible across runs, engines, and corpus growth — a document's
+    * rank only changes if documents hashing lower enter its stratum — which
+    * is what makes train/validation splits stable under incremental loads.
+    *
+    * One window per stratum; at scale the stratum is the partition key, so
+    * skew follows stratum size — use a composite stratum (e.g. source×date)
+    * when a single source dominates.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(Sha60.sha60(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins by their
+    * running token offset within a stratum (documents ordered by id; a
+    * document lands in the bin where it starts, the streaming-concat packing
+    * used to batch LLM training sequences). Returns per-bin document and
+    * token counts.
+    *
+    * One window + one groupBy per stratum. Deterministic: integer token
+    * counts, integer cumulative sums, floor division.
+    */
+  def packSequences(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      textCol: String,
+      tokenBudget: Int): DataFrame = {
+    df.select(
+        col(strataCol).as("stratum"),
+        col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("stratum")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "bin_id",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / tokenBudget.toDouble))
+      .groupBy(col("stratum"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** Token document frequency: number of documents containing each distinct
+    * token — the vocabulary statistic behind df-based filtering and stopword
+    * derivation. Explode distinct tokens per document, one hash-shuffle
+    * groupBy: the classic inverted-index aggregation.
+    */
+  def docFrequency(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_count"))
+}

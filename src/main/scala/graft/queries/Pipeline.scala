@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import graft.lineage.Lineage
 
 /** LLM-training-data pipeline operators (dedup, text analysis, similarity
@@ -182,6 +182,58 @@ object Pipeline {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
+  }
+
+  // -------------------------------------------------------------- curation
+
+  /** q54 — eval-set contamination: every 17th document plays the eval set,
+    * the rest the training corpus; per eval doc, the fraction of its distinct
+    * word bigrams present anywhere in the training corpus.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val evalSet = d.where(col("doc_id") % 17 === 0)
+    val train = d.where(col("doc_id") % 17 =!= 0)
+    Curation.contamination(train, evalSet, "doc_id", "text", shingleN = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q55 — repetition-based quality metrics (Gopher-style): distinct-token
+    * ratio and top-bigram fraction per document, with a repetitive/ok label.
+    */
+  def repetitionQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.repetitionMetrics(d, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q56 — deterministic stratified sample: 5 documents per source by
+    * sha256-prefix hash rank.
+    */
+  def stratifiedSampleBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.stratifiedSample(d, "source", "doc_id", k = 5)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  /** q57 — sequence packing into 512-token bins per source: per-bin document
+    * and token counts.
+    */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.packSequences(d, "source", "doc_id", "text", tokenBudget = 512)
+      .orderBy(col("stratum"), col("bin_id"))
+  }
+
+  /** q58 — token document frequency, top 20 by df (ties by token): the
+    * vocabulary statistic behind df-based filters.
+    */
+  def docFrequencyTop(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.docFrequency(d, "text")
+      .orderBy(col("df_count").desc, col("token"))
+      .limit(20)
   }
 
   /** q36 — exact word-bigram Jaccard over candidate pairs (consecutive doc

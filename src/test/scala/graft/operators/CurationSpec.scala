@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta", "s1"),
+    (2L, "alpha beta epsilon zeta", "s1"),
+    (3L, "one two three four five six", "s1"),
+    (4L, "spam spam spam spam spam spam", "s2"),
+    (5L, "unique words only here now", "s2"),
+    (6L, "alpha beta gamma again", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("contamination: rate is the fraction of eval bigrams seen in train") {
+    // eval = doc 6 ("alpha beta", "beta gamma", "gamma again");
+    // train = docs 1-5 contain "alpha beta" and "beta gamma", not "gamma again"
+    val out = Curation
+      .contamination(docs.where($"doc_id" =!= 6L), docs.where($"doc_id" === 6L),
+        "doc_id", "text", shingleN = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_ngrams") == 3L)
+    assert(r.getAs[Long]("n_contaminated") == 2L)
+    assert(math.abs(r.getAs[Double]("contamination_rate") - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("repetitionMetrics flags the repetitive doc and passes diverse ones") {
+    val out = Curation.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 4: one token repeated 6 times -> ratio 1/6, top bigram 5/5
+    assert(math.abs(out(4L).getAs[Double]("distinct_token_ratio") - 1.0 / 6.0) < 1e-12)
+    assert(out(4L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(4L).getAs[String]("repetition_label") == "repetitive")
+    // doc 3: all distinct
+    assert(out(3L).getAs[Double]("distinct_token_ratio") == 1.0)
+    assert(out(3L).getAs[String]("repetition_label") == "ok")
+  }
+
+  test("stratifiedSample keeps k per stratum, deterministically") {
+    val a = Curation.stratifiedSample(docs, "source", "doc_id", k = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Curation.stratifiedSample(docs, "source", "doc_id", k = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "hash-rank sampling must be reproducible")
+    val perSource = Curation.stratifiedSample(docs, "source", "doc_id", k = 2)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource == Map("s1" -> 2L, "s2" -> 2L))
+  }
+
+  test("packSequences bins by running token offset within the stratum") {
+    val out = Curation
+      .packSequences(docs, "source", "doc_id", "text", tokenBudget = 8)
+      .collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("bin_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens")))
+      .toMap
+    // s1: docs 1 (4 tok, offset 0 -> bin 0), 2 (4 tok, offset 4 -> bin 0),
+    //     3 (6 tok, offset 8 -> bin 1)
+    assert(out(("s1", 0L)) == ((2L, 8L)))
+    assert(out(("s1", 1L)) == ((1L, 6L)))
+    // s2: docs 4 (6 tok, offset 0 -> bin 0), 5 (5 tok, offset 6 -> bin 0),
+    //     6 (4 tok, offset 11 -> bin 1)
+    assert(out(("s2", 0L)) == ((2L, 11L)))
+    assert(out(("s2", 1L)) == ((1L, 4L)))
+  }
+
+  test("docFrequency counts documents, not occurrences") {
+    val df = Curation.docFrequency(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("alpha") == 3L) // docs 1, 2, 6
+    assert(df("spam") == 1L)  // repeated within doc 4 but one document
+    assert(df("beta") == 3L)
+  }
+}
