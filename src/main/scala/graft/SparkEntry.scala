@@ -55,6 +55,7 @@ object SparkEntry {
     "q35_dedup_simhash" -> (Pipeline.dedupSimhash _),
     "q36_ngram_jaccard" -> (Pipeline.ngramJaccardPairs _),
     "q38_embedding_neardup" -> (Pipeline.embeddingNearDupExact _),
+    "q39_knn_ivf" -> (Pipeline.knnIvfSeeded _),
     "q37_fingerprint" -> (Pipeline.fingerprints _),
     "q40_knn_brute_force" -> (Pipeline.knnBruteForce _),
     "q41_knn_lsh" -> (Pipeline.knnLsh _),
@@ -467,6 +468,36 @@ object SparkEntry {
         |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
         |       * sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine_sim
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q39_knn_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    list_reduce(list_transform(list_zip(e.embedding, c.cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS s
+        |  FROM embeddings e, c),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |      list_reduce(list_transform(list_zip(c.cv, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |         * sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS sq
+        |    FROM c, q)
+        |  ORDER BY sq DESC, cid LIMIT 2),
+        |assign AS (
+        |  SELECT vec_id, embedding FROM (
+        |    SELECT vec_id, embedding, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1 AND cid IN (SELECT cid FROM probe))
+        |SELECT vec_id, cosine_sim FROM (
+        |  SELECT a.vec_id,
+        |    list_reduce(list_transform(list_zip(a.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a2, b2) -> a2 + b2)
+        |    / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a2, b2) -> a2 + b2))
+        |       * sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a2, b2) -> a2 + b2))) AS cosine_sim
+        |  FROM assign a, q WHERE a.vec_id <> 0)
         |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q42_vector_stats" ->
       """SELECT label, n_vectors, min_norm, max_norm, total_norm,

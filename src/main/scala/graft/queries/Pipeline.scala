@@ -363,6 +363,27 @@ object Pipeline {
       query = queryVector(spark, dir), k = 10, excludeId = Some(0L))
   }
 
+  /** q39 — IVF ANN with seeded coarse centroids: vectors 1..4 act as the
+    * (deterministic) centroid set, every vector is assigned to its nearest
+    * centroid, and the query probes the 2 nearest lists. Seeding (instead of
+    * trained k-means) keeps every arithmetic step a fixed-order per-row fold,
+    * so unlike the trained path (spec-gated: centroid means are cross-row
+    * float sums) this probe pipeline is certifiable by the SQL oracle.
+    */
+  def knnIvfSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroids = emb
+      .where(col("vec_id").between(1, 4))
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+      query = queryVector(spark, dir), k = 10, nProbe = 2, excludeId = Some(0L))
+  }
+
   /** q41 — LSH-bucketed ANN variant (no SQL oracle; recall vs the exact
     * baseline is asserted in ScalaTest).
     */
