@@ -76,6 +76,8 @@ object SparkEntry {
     "q56_stratified_sample" -> (Pipeline.stratifiedSampleBySource _),
     "q57_sequence_packing" -> (Pipeline.sequencePacking _),
     "q58_doc_frequency" -> (Pipeline.docFrequencyTop _),
+    "q59_pii_redaction" -> (Pipeline.piiRedaction _),
+    "q60_token_df_score" -> (Pipeline.tokenDfScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -653,6 +655,37 @@ object SparkEntry {
         |    unnest(list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))) AS token
         |  FROM documents) u
         |GROUP BY token ORDER BY df_count DESC, token LIMIT 20""".stripMargin,
+    "q59_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-867-530' || CAST(doc_id % 10 AS VARCHAR)
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted_text
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "q60_token_df_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |inst AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        |dfreq AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count FROM (
+        |    SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks) u
+        |  GROUP BY token)
+        |SELECT i.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_token_instances,
+        |  CAST(SUM(d.df_count) AS BIGINT) AS sum_df,
+        |  CAST(SUM(d.df_count) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_df
+        |FROM inst i JOIN dfreq d USING (token)
+        |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
   )
 
   /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline

@@ -160,4 +160,53 @@ object Curation {
     df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df_count"))
+
+  /** PII patterns (Java and RE2 compatible — the masking must behave
+    * identically in Spark and any SQL engine auditing it).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: count and mask emails, phone numbers, and IPv4 addresses.
+    * Pure per-row regex work (codegen-friendly, no UDFs); masking order is
+    * email → phone → IP so address-shaped fragments inside already-masked
+    * spans cannot double-match. Counts are taken on the original text.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
+          PhonePattern, "[PHONE]"),
+        Ipv4Pattern, "[IP]").as("redacted_text"))
+
+  /** Corpus-informedness score: per document, the mean document frequency of
+    * its token instances — rare-gibberish documents score low, stopword soup
+    * scores high. Two passes over the corpus: the [[docFrequency]] statistic,
+    * then a token-level join back (at scale both sides shuffle on the token
+    * key; the df table is vocabulary-sized, far smaller than the corpus).
+    * Integer sums + one final division — deterministic.
+    */
+  def meanTokenDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val instances = df.select(
+      col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    instances
+      .join(docFrequency(df, textCol), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_token_instances"),
+        sum(col("df_count")).as("sum_df"))
+      .withColumn(
+        "mean_token_df",
+        col("sum_df").cast("double") / col("n_token_instances").cast("double"))
+  }
 }

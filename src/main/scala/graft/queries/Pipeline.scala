@@ -236,6 +236,33 @@ object Pipeline {
       .limit(20)
   }
 
+  /** q59 — PII redaction: documents augmented with deterministic synthetic
+    * PII (the corpus itself has none), then emails/phones/IPs counted and
+    * masked; the full redacted text is oracle-compared, making this a strict
+    * cross-engine regex-semantics check.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val augmented = d.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-867-530"), (col("doc_id") % 10).cast("string"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
+    Curation.redactPii(augmented, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q60 — corpus-informedness scoring: mean token document frequency per
+    * document (df statistic joined back at token level).
+    */
+  def tokenDfScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.meanTokenDf(d, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** q36 — exact word-bigram Jaccard over candidate pairs (consecutive doc
     * ids as a deterministic pair set).
     */

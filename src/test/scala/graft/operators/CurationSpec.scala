@@ -69,6 +69,30 @@ class CurationSpec extends SparkSpec {
     assert(out(("s2", 1L)) == ((1L, 4L)))
   }
 
+  test("redactPii masks emails, phones, and IPs and counts them") {
+    val pii = Seq(
+      (1L, "mail me at a.b+c@test.org or call 555-123-4567 from 192.168.0.1"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(pii, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(1L).getAs[Long]("n_ips") == 1L)
+    assert(out(1L).getAs[String]("redacted_text") ==
+      "mail me at [EMAIL] or call [PHONE] from [IP]")
+    assert(out(2L).getAs[String]("redacted_text") == "nothing sensitive here")
+  }
+
+  test("meanTokenDf scores common-vocabulary docs higher") {
+    val out = Curation.meanTokenDf(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 5 is all-unique vocabulary: every token df = 1
+    assert(out(5L).getAs[Double]("mean_token_df") == 1.0)
+    // doc 1 "alpha beta gamma delta": dfs 3,3,2,1 -> mean 9/4
+    assert(out(1L).getAs[Double]("mean_token_df") == 2.25)
+  }
+
   test("docFrequency counts documents, not occurrences") {
     val df = Curation.docFrequency(docs, "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
