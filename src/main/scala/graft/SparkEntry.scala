@@ -78,6 +78,7 @@ object SparkEntry {
     "q58_doc_frequency" -> (Pipeline.docFrequencyTop _),
     "q59_pii_redaction" -> (Pipeline.piiRedaction _),
     "q60_token_df_score" -> (Pipeline.tokenDfScore _),
+    "q61_frame_sample" -> (Pipeline.frameSampleMetadata _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -686,6 +687,14 @@ object SparkEntry {
         |  CAST(SUM(d.df_count) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_df
         |FROM inst i JOIN dfreq d USING (token)
         |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
+    "q61_frame_sample" ->
+      """SELECT media_id, frame_index,
+        |  sha256(text || ':' || CAST(frame_index AS VARCHAR)) AS frame_sha256
+        |FROM (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range(0, 1 + (strlen(text) % 7))) AS frame_index
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_index""".stripMargin,
   )
 
   /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline

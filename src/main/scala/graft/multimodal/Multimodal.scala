@@ -77,6 +77,73 @@ object Multimodal {
     spark.createDataFrame(out, featureSchema)
   }
 
+  /** STUB resize: a real implementation would decode, scale, re-encode; the
+    * stub emits sha256(bytes) ++ "WxH" so output bytes are deterministic and
+    * dimension-dependent. The DataFrame shape is the real one: per-partition
+    * codec init, blob in → blob out, metadata updated in place.
+    */
+  def resizeImageStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    digest ++ s"${w}x$h".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Resize every image row to `w`×`h` (non-image rows pass through
+    * untouched). Same `mediaSchema` out as in — resize composes with any
+    * other media stage.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .select("media_id", "media_type", "content", "mime_type", "source_uri")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mtype = r.getString(1)
+          if (mtype != "image") Row(r.getLong(0), mtype, r.get(2), r.get(3), r.get(4))
+          else {
+            val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
+            Row(r.getLong(0), mtype, resizeImageStub(bytes, w, h), r.get(3),
+              r.getString(4) + s"?resized=${w}x$h")
+          }
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_index", LongType, nullable = false),
+    StructField("frame_sha256", StringType, nullable = false),
+    StructField("frame_bytes", BinaryType, nullable = true)))
+
+  /** Frame sampling for video rows: one input blob fans out to its sampled
+    * frames (count = 1 + byte_length mod `maxFrames` in the stub; a real
+    * decoder would step the container by timestamp). STUB frame bytes are
+    * `content ++ ":index"` so every frame is deterministic and
+    * oracle-replicable via sha256; the shape — flatMap fan-out inside
+    * `mapPartitions`, blob dropped before any shuffle — is the real one.
+    */
+  def sampleFrames(media: DataFrame, maxFrames: Int): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "video")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          val n = 1 + bytes.length % maxFrames
+          (0 until n).map { i =>
+            val frame = bytes ++ s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            Row(id, i.toLong, sha.digest(frame).map("%02x".format(_)).mkString, frame)
+          }
+        }
+      }
+    spark.createDataFrame(out, frameSchema)
+  }
+
   /** Build a media table from the documents table (text bytes as stand-in
     * blobs) — gives the multimodal path a deterministic test fixture.
     */

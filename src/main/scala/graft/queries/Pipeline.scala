@@ -370,6 +370,19 @@ object Pipeline {
       .orderBy(col("media_id"))
   }
 
+  /** q61 — video frame sampling metadata: the [[graft.multimodal.Multimodal
+    * .sampleFrames]] fan-out (one blob → its sampled frames) with the frame
+    * bytes dropped; the per-frame sha256 makes the stubbed decode
+    * oracle-checkable.
+    */
+  def frameSampleMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(Tables(spark, dir).documents)
+    Multimodal.sampleFrames(media, maxFrames = 7)
+      .select(col("media_id"), col("frame_index"), col("frame_sha256"))
+      .orderBy(col("media_id"), col("frame_index"))
+  }
+
   // ---------------------------------------------------------------- vectors
 
   private def queryVector(spark: SparkSession, dir: String): Seq[Double] = {

@@ -91,4 +91,40 @@ class StreamingSpec extends SparkSpec {
     val vecLens = feats.select(size(col("feature_vec"))).distinct().as[Int].collect()
     assert(vecLens.sameElements(Array(8)), "fixed-width feature vectors")
   }
+
+  test("multimodal resize touches only images and is deterministic") {
+    val docs = graft.core.Tables(spark, Sf0001).documents
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
+    val resized = graft.multimodal.Multimodal.resizeImages(media, 224, 224)
+    assert(resized.count() == media.count(), "resize is 1:1")
+    val img = resized.where(col("media_type") === "image")
+    assert(img.where(!col("source_uri").endsWith("?resized=224x224")).count() == 0)
+    // stub output = sha256 digest (32 bytes) + "224x224" (7 bytes)
+    assert(img.where(length(col("content")) =!= 39).count() == 0)
+    val others = resized.where(col("media_type") =!= "image")
+    val origOthers = media.where(col("media_type") =!= "image")
+    assert(others.select("media_id", "source_uri").except(
+      origOthers.select("media_id", "source_uri")).count() == 0,
+      "non-images pass through untouched")
+    val a = resized.where(col("media_type") === "image")
+      .select(col("media_id"), sha2(col("content"), 256).as("h"))
+    val b = graft.multimodal.Multimodal.resizeImages(media, 224, 224)
+      .where(col("media_type") === "image")
+      .select(col("media_id"), sha2(col("content"), 256).as("h"))
+    assert(a.except(b).count() == 0, "resize output is deterministic")
+  }
+
+  test("multimodal frame sampling fans out video blobs deterministically") {
+    val docs = graft.core.Tables(spark, Sf0001).documents
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
+    val frames = graft.multimodal.Multimodal.sampleFrames(media, maxFrames = 7)
+    val nVideos = media.where(col("media_type") === "video").count()
+    val perMedia = frames.groupBy("media_id").count()
+    assert(perMedia.count() == nVideos, "every video emits at least one frame")
+    assert(frames.where(col("frame_index") >= 7).count() == 0, "fan-out is capped")
+    // frame count = 1 + byte_length % maxFrames, checked against the source
+    val expected = media.where(col("media_type") === "video")
+      .select(col("media_id"), (lit(1) + length(col("content")) % 7).cast("long").as("n"))
+    assert(perMedia.withColumnRenamed("count", "n").except(expected).count() == 0)
+  }
 }
