@@ -34,6 +34,16 @@ object Bench {
         "aggregate(split(s, ' '), 0L, (a, t) -> a + length(t)) as f")
       .agg(Map("h" -> "max", "sh" -> "max", "n" -> "sum", "f" -> "sum"))
       .collect()
+    // warm the native signature expressions' codegen paths (q34/q35/q52/q53
+    // otherwise pay their whole-stage-codegen + JIT compile on first use) —
+    // synthetic input again, no benchmark data touched
+    spark.range(0, 50000)
+      .selectExpr("split(cast(id as string) || ' a b c ' || cast(id % 13 as string), ' ') as toks")
+      .select(
+        graft.functions.MinHashSignatureExpr.minhashFast(org.apache.spark.sql.functions.col("toks"), 16).as("mh"),
+        graft.functions.SimHash64Expr.simhash64Fast(org.apache.spark.sql.functions.col("toks")).as("sh"))
+      .selectExpr("max(cast(mh as array<string>))", "max(sh)")
+      .collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
