@@ -64,4 +64,88 @@ class PropertySpec extends SparkSpec {
       assert(out == (t.map(_._1).toSet ++ s.map(_._1).toSet))
     }
   }
+
+  private val docsGen: Gen[List[(Long, String, String)]] =
+    Gen.listOfN(
+      8,
+      for {
+        id <- Gen.chooseNum(0L, 30L)
+        words <- Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta", "x9"))
+        src <- Gen.oneOf("s1", "s2", "s3")
+      } yield (id, words.mkString(" "), src))
+
+  test("packSequences conserves documents and tokens (property, 10 cases)") {
+    samples(docsGen, 10).foreach { rows =>
+      val docs = rows.distinctBy(_._1).toDF("doc_id", "text", "source")
+      val packed = graft.operators.Curation
+        .packSequences(docs, "source", "doc_id", "text", tokenBudget = 7)
+        .collect()
+      val totalDocs = packed.map(_.getAs[Long]("n_docs")).sum
+      val totalTokens = packed.map(_.getAs[Long]("total_tokens")).sum
+      assert(totalDocs == docs.count(), s"docs lost/duplicated for $rows")
+      val expectedTokens = docs
+        .select(sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")))
+        .as[Long].head()
+      assert(totalTokens == expectedTokens, s"tokens not conserved for $rows")
+    }
+  }
+
+  test("stratifiedSample is a deterministic subset of exact size (property, 10 cases)") {
+    samples(docsGen, 10).foreach { rows =>
+      val docs = rows.distinctBy(_._1).toDF("doc_id", "text", "source")
+      val k = 2
+      val sampled = graft.operators.Curation
+        .stratifiedSample(docs, "source", "doc_id", k)
+      val ids = sampled.select("doc_id").as[Long].collect().toSet
+      val all = docs.select("doc_id").as[Long].collect().toSet
+      assert(ids.subsetOf(all))
+      val perStratum = sampled.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizes = docs.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.foreach { case (s, n) =>
+        assert(perStratum.getOrElse(s, 0L) == math.min(k.toLong, n),
+          s"stratum $s expected min($k, $n) for $rows")
+      }
+    }
+  }
+
+  test("contamination rate is 1 when the eval set is inside train (property, 10 cases)") {
+    samples(docsGen, 10).foreach { rows =>
+      val docs = rows.distinctBy(_._1).toDF("doc_id", "text", "source")
+      val out = graft.operators.Curation
+        .contamination(docs, docs, "doc_id", "text", shingleN = 2)
+        .collect()
+      assert(out.forall(_.getAs[Double]("contamination_rate") == 1.0),
+        s"self-contained eval must be fully contaminated for $rows")
+    }
+  }
+
+  private val ccPairsGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
+      .map(_.filter { case (a, b) => a != b })
+
+  test("duplicateClusters labels = component minimum, closed under edges (property, 10 cases)") {
+    samples(ccPairsGen, 10).foreach { pairs =>
+      val out = graft.operators.Dedup
+        .duplicateClusters(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find on the driver
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.map { n =>
+        val root = find(n)
+        n -> nodes.filter(m => find(m) == root).min
+      }.toMap
+      assert(out == expected, s"cluster mismatch for pairs=$pairs")
+    }
+  }
 }
