@@ -79,6 +79,8 @@ object SparkEntry {
     "q59_pii_redaction" -> (Pipeline.piiRedaction _),
     "q60_token_df_score" -> (Pipeline.tokenDfScore _),
     "q61_frame_sample" -> (Pipeline.frameSampleMetadata _),
+    "q62_asof_join" -> (Pipeline.purchaseAsofClick _),
+    "q63_range_join" -> (Pipeline.eventValueBands _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -695,6 +697,30 @@ object SparkEntry {
         |    unnest(range(0, 1 + (strlen(text) % 7))) AS frame_index
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY media_id, frame_index""".stripMargin,
+    "q62_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c0 AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM (
+        |    SELECT c0.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM c0) WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_since_click
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q63_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (CAST(0 AS BIGINT), 0.0, 1.0), (1, 1.0, 5.0), (2, 5.0, 20.0), (3, 20.0, 50.0),
+        |  (4, 50.0, 100.0), (5, 100.0, 200.0), (6, 200.0, 350.0), (7, 350.0, 500.0))
+        |SELECT band_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+        |FROM events e JOIN bands b
+        |  ON e.value >= CAST(b.lo AS DOUBLE) AND e.value < CAST(b.hi AS DOUBLE)
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
   )
 
   /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time ("as-of") join — for every left row, the single most recent
+  * right row with the same key and `rightTs <= leftTs`. The operator Spark's
+  * join zoo lacks (kdb aj, DuckDB/Pandas ASOF JOIN); a naive theta-join
+  * (`l.ts >= r.ts` + latest-wins dedup) explodes to one row per earlier
+  * right match before collapsing, which is quadratic per key.
+  *
+  * Formulation here is the scale-correct one: tag both sides, union, and run
+  * one `last(_, ignoreNulls)` window per key ordered by (ts, side) — right
+  * rows sort before left rows at equal timestamps, so the match is
+  * inclusive. One shuffle on the key, no row explosion, cost O((|L|+|R|)
+  * log) per key partition. Skew follows key activity like any keyed window.
+  *
+  * Right-side rows that share (key, ts) are ambiguous — pre-dedup the right
+  * side (e.g. latest event id wins) to keep the result deterministic.
+  */
+object AsOfJoin {
+
+  /** Left as-of join. Returns every left column plus an `asof` struct of
+    * `rightPayload` columns (null when the key has no right row at or before
+    * the left timestamp).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct.as("_l")).schema("_l").dataType
+    val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTsCol).as("_ts"),
+        lit(1).as("_m"),
+        lStruct.as("_l"),
+        lit(null).cast(rType).as("_r")): _*)
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTsCol).as("_ts"),
+        lit(0).as("_m"),
+        lit(null).cast(lType).as("_l"),
+        rStruct.as("_r")): _*)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_m") === 1)
+      .select(left.columns.map(c => col(s"_l.$c").as(c)) :+ col("_asof").as("asof"): _*)
+  }
+}

@@ -59,6 +59,57 @@ object Pipeline {
       .orderBy(col("user_id"))
   }
 
+  /** q62 — as-of join: every purchase matched to the user's most recent
+    * click at-or-before the purchase timestamp ([[graft.operators.AsOfJoin]]
+    * union+window formulation; DuckDB's native ASOF JOIN is the oracle).
+    * Clicks are pre-deduped per (user, ts) by highest event id so equal-ts
+    * ties are deterministic in both engines.
+    */
+  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)))
+      .where(col("_rn") === 1).drop("_rn")
+    graft.operators.AsOfJoin
+      .asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("event_id", "ts"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("asof.event_id").as("click_id"),
+        col("asof.ts").as("click_ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("asof.ts")))
+          .as("secs_since_click"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q63 — range join: events bucketed into non-uniform value bands via the
+    * chunk-quantized equi-join ([[graft.operators.RangeJoin]]); per-band
+    * event counts and value totals.
+    */
+  def eventValueBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    val bands = Seq(
+      (0L, 0.0, 1.0), (1L, 1.0, 5.0), (2L, 5.0, 20.0), (3L, 20.0, 50.0),
+      (4L, 50.0, 100.0), (5L, 100.0, 200.0), (6L, 200.0, 350.0), (7L, 350.0, 500.0)
+    ).toDF("band_id", "lo", "hi")
+    graft.operators.RangeJoin
+      .intervalJoin(e, "value", bands, "lo", "hi", chunkWidth = 25.0)
+      .groupBy(col("band_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").cast("double")
+          .as("total_value"))
+      .orderBy(col("band_id"))
+  }
+
   /** q43 — JSON metadata extraction (reference JSONB read-through,
     * `models/logs_models.py:115`; SURVEY §2.7): parse the events `props`
     * JSON and aggregate by the extracted key.

@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the most recent right row at-or-before, null when none") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")) // user 20 has no clicks
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:30:00"), 1.0),
+      (101L, 10L, ts("2024-01-01 10:00:00"), 2.0), // equal ts -> inclusive
+      (102L, 10L, ts("2024-01-01 11:00:00"), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin
+      .asofJoin(left, right, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select(col("event_id"), col("asof.event_id").as("match_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(1L).contains(101L), "equal timestamp matches (inclusive)")
+    assert(out(2L).contains(102L), "latest earlier right row wins")
+    assert(out(3L).isEmpty, "no right row -> null match")
+  }
+
+  test("asofJoin equals the naive theta-join + dedup formulation") {
+    val left = (1L to 40L).map(i => (i, i % 4, ts(f"2024-01-01 ${i % 24}%02d:0${i % 6}:00")))
+      .toDF("l_id", "k", "l_ts")
+    val right = (1L to 60L).map(i => (1000 + i, i % 4, ts(f"2024-01-01 ${(i * 7) % 24}%02d:0${i % 10 % 6}:00")))
+      .toDF("r_id", "k", "r_ts")
+      // dedup equal (k, ts) for determinism, as the contract requires
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"), col("r_ts"))
+          .orderBy(col("r_id").desc)))
+      .where(col("rn") === 1).drop("rn")
+    val fast = AsOfJoin.asofJoin(left, right, Seq("k"), "l_ts", "r_ts", Seq("r_id"))
+      .select(col("l_id"), col("asof.r_id").as("r_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naive = left.join(right, Seq("k"), "left")
+      .where(col("r_ts").isNull || col("r_ts") <= col("l_ts"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_id"))
+          .orderBy(col("r_ts").desc_nulls_last)))
+      .where(col("rn") === 1)
+      .select(col("l_id"), when(col("r_ts") <= col("l_ts"), col("r_id")).as("r_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fast.keySet == left.select("l_id").as[Long].collect().toSet)
+    fast.foreach { case (id, m) =>
+      assert(m == naive.getOrElse(id, None), s"mismatch for left row $id")
+    }
+  }
+
+  test("intervalJoin matches half-open containment exactly, across chunks") {
+    val points = Seq((1L, 0.0), (2L, 0.99), (3L, 1.0), (4L, 49.99), (5L, 50.0), (6L, 120.0), (7L, 500.0))
+      .toDF("id", "v")
+    val intervals = Seq((0L, 0.0, 1.0), (1L, 1.0, 50.0), (2L, 50.0, 500.0))
+      .toDF("band", "lo", "hi")
+    val out = RangeJoin.intervalJoin(points, "v", intervals, "lo", "hi", chunkWidth = 10.0)
+      .select("id", "band").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 2L),
+      "lo inclusive, hi exclusive, wide intervals span chunks; out-of-range point drops")
+  }
+
+  test("intervalJoin never duplicates a point") {
+    val points = (0 until 200).map(i => (i.toLong, i * 2.5)).toDF("id", "v")
+    val intervals = Seq((0L, 0.0, 100.0), (1L, 100.0, 250.0), (2L, 250.0, 1000.0))
+      .toDF("band", "lo", "hi")
+    val out = RangeJoin.intervalJoin(points, "v", intervals, "lo", "hi", chunkWidth = 7.0)
+    assert(out.count() == 200)
+    assert(out.select("id").distinct().count() == 200)
+  }
+}
