@@ -168,10 +168,20 @@ object Curation {
   val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** Mask emails → phones → IPv4s in place (ordered so address-shaped
+    * fragments inside already-masked spans cannot double-match). A pure
+    * Column function, usable identically in batch and streaming plans.
+    */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
   /** PII scrub: count and mask emails, phone numbers, and IPv4 addresses.
-    * Pure per-row regex work (codegen-friendly, no UDFs); masking order is
-    * email → phone → IP so address-shaped fragments inside already-masked
-    * spans cannot double-match. Counts are taken on the original text.
+    * Pure per-row regex work (codegen-friendly, no UDFs). Counts are taken
+    * on the original text.
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
@@ -182,11 +192,7 @@ object Curation {
         .cast("long").as("n_phones"),
       size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
         .cast("long").as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
-          PhonePattern, "[PHONE]"),
-        Ipv4Pattern, "[IP]").as("redacted_text"))
+      maskPii(col(textCol)).as("redacted_text"))
 
   /** Corpus-informedness score: per document, the mean document frequency of
     * its token instances — rare-gibberish documents score low, stopword soup

@@ -77,6 +77,28 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.duration_sec == 600.0)
   }
 
+  test("streaming document curation equals the batch gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
+    val q = DocStream.curate(DocStream.readDocs(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("curated")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("curated")
+    val batch = DocStream.curate(graft.core.Tables(spark, Sf0001).documents)
+    assert(streamed.count() > 0, "the gate should pass some documents")
+    assert(streamed.count() < graft.core.Tables(spark, Sf0001).documents.count(),
+      "the gate should reject some documents")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "stream and batch curation must produce identical rows")
+  }
+
   test("multimodal feature extraction preserves ids and drops blobs") {
     val docs = graft.core.Tables(spark, Sf0001).documents
     val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
