@@ -75,8 +75,10 @@ object Similarity {
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     // argmax over a literal centroid set, computed as one expression:
     // greatest similarity wins; ties resolve to the lowest centroid id.
+    // cosineFast = the native codegen expression, bit-identical to the HOF
+    // cosine (parity-tested) — the assignment runs once per row per centroid
     val sims: Seq[(Int, Column)] =
-      centroids.map { case (cid, c) => cid -> cosine(col(vecCol), array(c.map(lit): _*)) }
+      centroids.map { case (cid, c) => cid -> cosineFast(col(vecCol), array(c.map(lit): _*)) }
     val best = greatest(sims.map(_._2): _*)
     val pick = sims.foldLeft(when(lit(false), -1)) { case (acc, (cid, s)) =>
       acc.when(s === best, cid)
