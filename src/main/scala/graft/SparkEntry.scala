@@ -699,9 +699,12 @@ object SparkEntry {
         |ORDER BY media_id, frame_index""".stripMargin,
     "q62_asof_join" ->
       """WITH p AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |  -- CAST to microsecond TIMESTAMP: Spark's events.ts is ns-parquet
+        |  -- floored to micros, and a DuckDB that preserves TIMESTAMP_NS
+        |  -- would otherwise match/dedup at a different precision
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
         |c0 AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'),
         |c AS (
         |  SELECT event_id, user_id, ts FROM (
         |    SELECT c0.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn

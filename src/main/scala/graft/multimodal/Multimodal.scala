@@ -102,8 +102,8 @@ object Multimodal {
           if (mtype != "image") Row(r.getLong(0), mtype, r.get(2), r.get(3), r.get(4))
           else {
             val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
-            Row(r.getLong(0), mtype, resizeImageStub(bytes, w, h), r.get(3),
-              r.getString(4) + s"?resized=${w}x$h")
+            val uri = Option(r.getString(4)).map(_ + s"?resized=${w}x$h").orNull
+            Row(r.getLong(0), mtype, resizeImageStub(bytes, w, h), r.get(3), uri)
           }
         }
       }
@@ -124,6 +124,7 @@ object Multimodal {
     * `mapPartitions`, blob dropped before any shuffle — is the real one.
     */
   def sampleFrames(media: DataFrame, maxFrames: Int): DataFrame = {
+    require(maxFrames > 0, "maxFrames must be positive")
     val spark = media.sparkSession
     val out = media
       .where(col("media_type") === "video")

@@ -32,6 +32,10 @@ object AsOfJoin {
       leftTsCol: String,
       rightTsCol: String,
       rightPayload: Seq[String]): DataFrame = {
+    val reserved = Seq("_ts", "_m", "_l", "_r", "asof")
+    require(
+      !(left.columns ++ right.columns).exists(reserved.contains),
+      s"asofJoin reserves column names ${reserved.mkString(", ")}")
     val lStruct = struct(left.columns.map(col): _*)
     val rStruct = struct(rightPayload.map(col): _*)
     val lType = left.select(lStruct.as("_l")).schema("_l").dataType
@@ -42,12 +46,18 @@ object AsOfJoin {
         lit(1).as("_m"),
         lStruct.as("_l"),
         lit(null).cast(rType).as("_r")): _*)
-    val rSide = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTsCol).as("_ts"),
-        lit(0).as("_m"),
-        lit(null).cast(lType).as("_l"),
-        rStruct.as("_r")): _*)
+    // a right row with a null timestamp or null key can never be "at or
+    // before" anything (SQL ASOF: ts >= NULL is false, NULL keys never
+    // equal) — without this filter, nulls-first ordering would make a
+    // null-ts right row match every left row in its key group
+    val rSide = right
+      .where(col(rightTsCol).isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTsCol).as("_ts"),
+          lit(0).as("_m"),
+          lit(null).cast(lType).as("_l"),
+          rStruct.as("_r")): _*)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_m"))

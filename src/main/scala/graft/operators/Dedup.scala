@@ -345,28 +345,79 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Open-addressing long→long map (linear probing, power-of-two capacity)
+    * for the union-find hot loop: zero boxing, zero per-op allocation —
+    * a java.util.HashMap here would allocate a boxed Long per get/put across
+    * every edge of the partition. `MissingSentinel` (Long.MinValue) marks
+    * empty slots, so it cannot be used as a node id.
+    */
+  private final class LongLongMap(initialCapacity: Int = 1 << 10) {
+    private val Missing = Long.MinValue
+    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+    private var ks = Array.fill[Long](cap)(Missing)
+    private var vs = new Array[Long](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & (cap - 1)
+      while (ks(i) != Missing && ks(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      val i = slot(k)
+      if (ks(i) == k) vs(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (ks(i) != k) {
+        ks(i) = k; n += 1
+        if (n * 4 > cap * 3) grow()
+      }
+      vs(slot(k)) = v
+    }
+    private def grow(): Unit = {
+      val (oks, ovs) = (ks, vs)
+      cap *= 2
+      ks = Array.fill[Long](cap)(Missing)
+      vs = new Array[Long](cap)
+      var i = 0
+      while (i < oks.length) {
+        if (oks(i) != Missing) { val s = slot(oks(i)); ks(s) = oks(i); vs(s) = ovs(i) }
+        i += 1
+      }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < ks.length) { if (ks(i) != Missing) f(ks(i)); i += 1 }
+    }
+  }
+
   /** Union-find over one partition's edges, union-by-min with path
     * compression: emits one star edge (root, node) per node, root = minimum
     * id of the node's partition-local component. Driver never sees the data;
     * per-task memory is one map entry per distinct node in the partition.
     */
   private def localMinStars(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long]()
+    val parent = new LongLongMap()
     def find(x: Long): Long = {
       var r = x
-      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
       var c = x
-      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent.getOrElse(c, c); parent.put(c, r); c = nxt
+      }
       r
     }
     it.foreach { case (a, b) =>
-      parent.putIfAbsent(a, a)
-      parent.putIfAbsent(b, b)
+      require(a != Long.MinValue && b != Long.MinValue,
+        "Long.MinValue ids are reserved by the union-find map")
+      if (parent.getOrElse(a, Long.MinValue) == Long.MinValue) parent.put(a, a)
+      if (parent.getOrElse(b, Long.MinValue) == Long.MinValue) parent.put(b, b)
       val ra = find(a); val rb = find(b)
       if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
     }
-    import scala.jdk.CollectionConverters._
-    parent.keySet().iterator().asScala.map(n => (find(n), n))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parent.foreachKey(n => out += ((find(n), n)))
+    out.iterator
   }
 
   /** One pointer-jump step over an (id, old_label, label) frame: each node

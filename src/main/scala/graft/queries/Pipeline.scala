@@ -183,8 +183,9 @@ object Pipeline {
       .orderBy(col("content_hash"))
   }
 
-  /** q34 — MinHash+LSH near-duplicate pairs (no SQL oracle: the hash family
-    * is xxhash64-based; verified in ScalaTest against exact Jaccard).
+  /** q34 — MinHash+LSH near-duplicate pairs (Sha60 hash family — the DuckDB
+    * oracle recomputes the identical signatures; also recall-tested in
+    * ScalaTest against exact Jaccard).
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
@@ -195,7 +196,7 @@ object Pipeline {
   }
 
   /** q35 — SimHash fingerprints + Hamming-blocked near-dup candidates
-    * (no SQL oracle; deterministic across runs).
+    * (Sha60-based, oracle-replicated in DuckDB).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
@@ -392,8 +393,9 @@ object Pipeline {
       .orderBy(col("lang"), col("predicted_lang"))
   }
 
-  /** q37 — rolling-hash document fingerprints (no SQL oracle: xxhash64
-    * token basis; deterministic across runs, unit-tested for stability).
+  /** q37 — rolling-hash document fingerprints (Sha60 token basis — the
+    * DuckDB oracle folds the identical polynomial; also unit-tested for
+    * stability).
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
@@ -475,8 +477,9 @@ object Pipeline {
       query = queryVector(spark, dir), k = 10, nProbe = 2, excludeId = Some(0L))
   }
 
-  /** q41 — LSH-bucketed ANN variant (no SQL oracle; recall vs the exact
-    * baseline is asserted in ScalaTest).
+  /** q41 — LSH-bucketed ANN variant (Sha60-derived hyperplanes, oracle-
+    * replicated in DuckDB; recall vs the exact baseline is asserted in
+    * ScalaTest).
     */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings

@@ -32,6 +32,20 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(3L).isEmpty, "no right row -> null match")
   }
 
+  test("asofJoin never matches right rows with null timestamps or keys") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, Some(10L), None: Option[Timestamp], 1.0), // null ts
+      (101L, None: Option[Long], Some(ts("2024-01-01 09:00:00")), 2.0) // null key
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin
+      .asofJoin(left, right, Seq("user_id"), "ts", "ts", Seq("event_id"))
+      .select(col("asof.event_id")).collect()
+    assert(out.length == 1 && out.head.isNullAt(0),
+      "ts >= NULL is false and NULL keys never equal — no match")
+  }
+
   test("asofJoin equals the naive theta-join + dedup formulation") {
     val left = (1L to 40L).map(i => (i, i % 4, ts(f"2024-01-01 ${i % 24}%02d:0${i % 6}:00")))
       .toDF("l_id", "k", "l_ts")

@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("hourly")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
 
     val streamed = spark.table("hourly")
     // append mode only emits windows the watermark has passed; every emitted
@@ -56,7 +56,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("deduped")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
     val out = spark.table("deduped")
     assert(out.count() == 1000, s"2000 staged events dedup to 1000, got ${out.count()}")
     assert(out.select("event_id").distinct().count() == 1000)
@@ -89,7 +89,7 @@ class StreamingSpec extends SparkSpec {
       .queryName("curated")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
     val streamed = spark.table("curated")
     val batch = DocStream.curate(graft.core.Tables(spark, Sf0001).documents)
     assert(streamed.count() > 0, "the gate should pass some documents")
