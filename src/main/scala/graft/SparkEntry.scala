@@ -81,6 +81,7 @@ object SparkEntry {
     "q61_frame_sample" -> (Pipeline.frameSampleMetadata _),
     "q62_asof_join" -> (Pipeline.purchaseAsofClick _),
     "q63_range_join" -> (Pipeline.eventValueBands _),
+    "q64_incremental_dedup" -> (Pipeline.incrementalDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -724,6 +725,36 @@ object SparkEntry {
         |FROM events e JOIN bands b
         |  ON e.value >= CAST(b.lo AS DOUBLE) AND e.value < CAST(b.hi AS DOUBLE)
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q64_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM toks WHERE len(sh) > 0),
+        |sigs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT s.doc_id, b.band,
+        |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
+        |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b),
+        |cbuck AS (
+        |  SELECT band, bkey, list(doc_id) AS cids
+        |  FROM banded WHERE doc_id % 10 <> 0
+        |  GROUP BY band, bkey HAVING count(*) <= 50),
+        |cand AS (
+        |  SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
+        |  FROM banded d JOIN cbuck cb ON d.band = cb.band AND d.bkey = cb.bkey
+        |  WHERE d.doc_id % 10 = 0)
+        |SELECT delta_id, corpus_id, jaccard FROM (
+        |  SELECT p.delta_id, p.corpus_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |  FROM cand p JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""".stripMargin,
   )
 
   /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline

@@ -93,35 +93,13 @@ object Dedup {
     // No array_distinct anywhere: MinHash minima are duplicate-insensitive,
     // and array_intersect/array_union deduplicate internally — the explicit
     // distinct pass was pure overhead.
-    val docs = df
-      .select(
-        col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleN).as("shingle_set"))
-      .where(size(col("shingle_set")) > 0)
-      .select(
-        col("doc_id"),
-        col("shingle_set"),
-        graft.functions.MinHashSignatureExpr
-          .minhashFast(col("shingle_set"), numHashes).as("sig"))
+    val docs = sigDocs(df, idCol, textCol, shingleN, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
     // attached per-key after candidate pairs are deduped, so the band
     // shuffle moves ids, not documents.
-    // Band key = the signature slice itself rendered as a string: only
-    // equality matters, and a plain join of the values (unlike a hash of
-    // them) is reproducible by any SQL engine for the driver oracle.
-    val banded = docs.select(
-      col("doc_id"),
-      explode(
-        array((0 until numBands).map { b =>
-          struct(
-            lit(b).as("band"),
-            array_join(
-              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"),
-              "_").as("band_hash"))
-        }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
+    val banded = bandFrame(docs, numBands, rowsPerBand)
 
     // One shuffle generates all candidate pairs: group each band bucket,
     // drop degenerate buckets (a bucket of size s yields s(s−1)/2 pairs, so
@@ -156,6 +134,109 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b"))).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Shingle sets + MinHash signatures for one side of an LSH pipeline:
+    * (doc_id, shingle_set, sig). Documents with no shingle are dropped.
+    */
+  private def sigDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        shingles(col(textCol), shingleN).as("shingle_set"))
+      .where(size(col("shingle_set")) > 0)
+      .select(
+        col("doc_id"),
+        col("shingle_set"),
+        graft.functions.MinHashSignatureExpr
+          .minhashFast(col("shingle_set"), numHashes).as("sig"))
+
+  /** LSH band keys for a signature frame: (doc_id, band, band_hash). The
+    * band key is the signature slice itself rendered as a string — only
+    * equality matters, and the plain value (unlike a hash of it) is
+    * reproducible by any SQL engine for the driver oracle.
+    */
+  private def bandFrame(docs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+    docs.select(
+        col("doc_id"),
+        explode(
+          array((0 until numBands).map { b =>
+            struct(
+              lit(b).as("band"),
+              array_join(
+                slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"),
+                "_").as("band_hash"))
+          }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
+
+  /** Incremental exact dedup: the delta rows whose normalized content does
+    * not already exist in the corpus — one anti-join on the content hash,
+    * the daily-ingest shape (the corpus side is a precomputed hash index at
+    * scale, never rescanned text).
+    */
+  def exactIncrement(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val h = md5(normalizeText(col(textCol)))
+    delta.withColumn("_h", h)
+      .join(corpus.select(h.as("_h")).distinct(), Seq("_h"), "left_anti")
+      .drop("_h")
+  }
+
+  /** Incremental MinHash+LSH dedup: near-duplicate (delta, corpus) pairs —
+    * which newly arrived documents already exist (approximately) in the
+    * corpus. The corpus is never self-joined: only corpus band buckets that
+    * a delta document actually hits are expanded, so the cost is
+    * |delta bands| ⨝ bucket index + per-candidate verification. At 100 TB
+    * the corpus side is a precomputed, bucketed signature index and this
+    * operator is the daily-delta probe against it.
+    *
+    * Returns (delta_id, corpus_id, jaccard) with jaccard ≥ `minJaccard`.
+    * Degenerate corpus buckets larger than `maxBucketSize` are skipped —
+    * same cap rationale as [[minhashNearDuplicates]].
+    */
+  def minhashIncrementalDuplicates(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 50): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val cDocs = sigDocs(corpus, idCol, textCol, shingleN, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dDocs = sigDocs(delta, idCol, textCol, shingleN, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBuckets = bandFrame(cDocs, numBands, rowsPerBand)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("cids"))
+      .where(size(col("cids")) <= maxBucketSize)
+    val cand = bandFrame(dDocs, numBands, rowsPerBand)
+      .join(cBuckets, Seq("band", "band_hash"))
+      .select(col("doc_id").as("delta_id"), explode(col("cids")).as("corpus_id"))
+      .distinct()
+    cand
+      .join(
+        dDocs.select(col("doc_id").as("delta_id"), col("shingle_set").as("set_d")),
+        Seq("delta_id"))
+      .join(
+        cDocs.select(col("doc_id").as("corpus_id"), col("shingle_set").as("set_c")),
+        Seq("corpus_id"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("set_d"), col("set_c"))).cast("double") /
+          size(array_union(col("set_d"), col("set_c"))).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 votes from

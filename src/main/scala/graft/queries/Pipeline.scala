@@ -315,6 +315,20 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q64 — incremental dedup: every 10th document plays the newly arrived
+    * delta, the rest the existing corpus; near-duplicate (delta, corpus)
+    * pairs via the LSH index probe ([[Dedup.minhashIncrementalDuplicates]])
+    * — the corpus is never self-joined.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val delta = d.where(col("doc_id") % 10 === 0)
+    val corpus = d.where(col("doc_id") % 10 =!= 0)
+    Dedup.minhashIncrementalDuplicates(corpus, delta, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
   /** q36 — exact word-bigram Jaccard over candidate pairs (consecutive doc
     * ids as a deterministic pair set).
     */

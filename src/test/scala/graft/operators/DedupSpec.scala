@@ -113,6 +113,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(none).isEmpty)
   }
 
+  test("exactIncrement drops delta docs whose content exists in the corpus") {
+    val corpus = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "THE  quick brown fox"), // normalizes to corpus content -> dropped
+      (11L, "something new entirely")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactIncrement(corpus, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+  }
+
+  test("minhashIncrementalDuplicates pairs delta docs with corpus near-dups only") {
+    val corpus = docs.where($"doc_id" =!= 2L)
+    val delta = docs.where($"doc_id" === 2L) // near-dup of corpus doc 1
+    val pairs = Dedup
+      .minhashIncrementalDuplicates(corpus, delta, "doc_id", "text",
+        numHashes = 16, numBands = 8, shingleN = 1, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && pairs.forall(_._1 == 2L),
+      s"only delta ids on the left: ${pairs.toSeq}")
+    assert(pairs.map(_._2).toSet.subsetOf(Set(1L, 3L)),
+      s"doc 2 should pair with its near-dups 1/3, got ${pairs.toSeq}")
+  }
+
   test("dedupCorpus keeps canonical member per component plus singletons") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dedupCorpus(docs, "doc_id", pairs)
