@@ -32,6 +32,27 @@ object DocStream {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
 
+  /** Compact content-hash index of an existing corpus — the static side of
+    * [[dedupAgainstCorpus]]. Hash-only: at scale this is the only corpus
+    * artifact the stream needs resident.
+    */
+  def corpusIndex(corpus: DataFrame): DataFrame =
+    corpus
+      .select(md5(TextFunctions.normalizeText(col("text"))).as("content_hash"))
+      .distinct()
+
+  /** Drop stream documents whose normalized content already exists in the
+    * corpus index (stream–static `left_anti` join; Spark re-plans the static
+    * side per micro-batch, broadcasting while it fits). The streaming twin
+    * of [[graft.operators.Dedup.exactIncrement]] — within-stream dedup is
+    * [[EventStream.dedupStream]]'s watermark-bounded state instead.
+    */
+  def dedupAgainstCorpus(docs: DataFrame, index: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(TextFunctions.normalizeText(col("text"))))
+      .join(index, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+
   /** The curation gate: keep documents scoring at least `minQuality` that
     * are not repetition-flagged, emit them PII-masked with their scores.
     * Works identically on a streaming or batch DataFrame — the stream==batch

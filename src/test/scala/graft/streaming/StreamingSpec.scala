@@ -99,6 +99,30 @@ class StreamingSpec extends SparkSpec {
       "stream and batch curation must produce identical rows")
   }
 
+  test("streaming corpus dedup equals the batch incremental dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docdedup").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
+    val all = graft.core.Tables(spark, Sf0001).documents
+    val corpus = all.where(col("doc_id") % 2 === 0)
+    val q = DocStream
+      .dedupAgainstCorpus(DocStream.readDocs(spark, dir), DocStream.corpusIndex(corpus))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("docdedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("docdedup").select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Dedup.exactIncrement(corpus, all, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch, "stream and batch incremental dedup must agree")
+    assert(streamed.nonEmpty && streamed.size < all.count(),
+      "the corpus index should drop some stream documents")
+  }
+
   test("multimodal feature extraction preserves ids and drops blobs") {
     val docs = graft.core.Tables(spark, Sf0001).documents
     val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
