@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float/double arrays"),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    // band-containment joins become chunk-quantized equi-joins when
+    // spark.graft.rangeJoin.chunkWidth is set (see plans.RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -37,6 +37,51 @@ class ExtensionsAndPerfSpec extends AnyFunSuite {
     assert(v == 1.0)
   }
 
+  test("RangeJoinRewrite turns a band join into an equi-join with identical rows") {
+    import spark.implicits._
+    val points = (0 until 500).map(i => (i.toLong, i * 1.7)).toDF("id", "v")
+    val bands = Seq((0L, 0.0, 100.0), (1L, 100.0, 400.0), (2L, 400.0, 900.0))
+      .toDF("band", "lo", "hi")
+    def q() = points.join(bands, points("v") >= bands("lo") && points("v") < bands("hi"))
+      .select("id", "band")
+
+    spark.conf.unset(graft.plans.RangeJoinRewrite.ChunkWidthConf)
+    val naive = q()
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "without the rule a band join is a nested loop")
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    spark.conf.set(graft.plans.RangeJoinRewrite.ChunkWidthConf, "50")
+    try {
+      val rewritten = q()
+      val physical = rewritten.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"),
+        s"rule should eliminate the nested loop:\n$physical")
+      assert(physical.contains("BroadcastHashJoin") || physical.contains("SortMergeJoin")
+        || physical.contains("ShuffledHashJoin"),
+        s"rewritten join must be an equi-join:\n$physical")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, "rewrite must not change results")
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.ChunkWidthConf)
+  }
+
+  test("RangeJoinRewrite leaves equi-joins and outer joins alone") {
+    import spark.implicits._
+    spark.conf.set(graft.plans.RangeJoinRewrite.ChunkWidthConf, "50")
+    try {
+      val a = Seq((1L, 2.0)).toDF("k", "v")
+      val b = Seq((1L, 0.0, 10.0)).toDF("k", "lo", "hi")
+      // equi key present -> untouched (no Generate in the plan)
+      val equi = a.join(b, a("k") === b("k") && a("v") >= b("lo") && a("v") < b("hi"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("_graft_chunk"))
+      assert(equi.count() == 1)
+      // outer join -> untouched
+      val outer = a.join(b, a("v") >= b("lo") && a("v") < b("hi"), "left")
+      assert(!outer.queryExecution.optimizedPlan.toString.contains("_graft_chunk"))
+      assert(outer.count() == 1)
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.ChunkWidthConf)
+  }
+
   test("MetricsListener collects task metrics around a workload") {
     val store = new LogStore(
       spark, java.nio.file.Files.createTempDirectory("graft-perf").toString)
