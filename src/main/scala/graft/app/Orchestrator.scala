@@ -222,7 +222,10 @@ object Main {
       val granularity = argValue("--granularity", "year") match {
         case "day"   => PartitionedFact.Day
         case "month" => PartitionedFact.Month
-        case _       => PartitionedFact.Year
+        case "year"  => PartitionedFact.Year
+        case other =>
+          throw new IllegalArgumentException(
+            s"--granularity must be year|month|day, got '$other'")
       }
       orch.runSilver(granularity); println("[silver] built")
     }

@@ -93,24 +93,30 @@ final class LogStore(val spark: SparkSession, dir: String) {
   import spark.implicits._
 
   private def path(table: String) = s"$dir/logs/$table"
-  // Seeded lazily from the persisted max so a new LogStore over an existing
-  // event log keeps the sequence monotonic: without this, an update appended
-  // after a restart would sort BELOW older events and the latest-wins
-  // current() view would silently return stale state.
-  private val seq = new java.util.concurrent.atomic.AtomicLong(-1L)
+  // One counter PER TABLE, seeded lazily from that table's persisted max so
+  // a new LogStore over an existing event log keeps each table's sequence
+  // monotonic: without this, an update appended after a restart would sort
+  // BELOW older events and the latest-wins current() view would silently
+  // return stale state. A single shared counter is not enough — it would
+  // seed from whichever table is appended first and could still hand other
+  // tables values below their own persisted max. computeIfAbsent also makes
+  // the seed read run once per table, not once per append.
+  private val seqs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
-  private def seqStart(table: String): Unit =
-    seq.compareAndSet(
-      -1L,
-      if (!exists(table)) 0L
-      else {
-        val r = events(table).agg(max(col("_event_seq"))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      })
+  private def seqFor(table: String): java.util.concurrent.atomic.AtomicLong =
+    seqs.computeIfAbsent(table, t => {
+      val start =
+        if (!exists(t)) 0L
+        else {
+          val r = events(t).agg(max(col("_event_seq"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+      new java.util.concurrent.atomic.AtomicLong(start)
+    })
 
   def appendEvents(table: String, df: DataFrame): Unit = {
-    seqStart(table)
-    df.withColumn("_event_seq", lit(seq.incrementAndGet()))
+    df.withColumn("_event_seq", lit(seqFor(table).incrementAndGet()))
       .coalesce(1) // audit appends are tiny; one file per event batch
       .write.mode(SaveMode.Append).parquet(path(table))
   }

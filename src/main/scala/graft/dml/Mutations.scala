@@ -140,17 +140,24 @@ object Mutations {
     * predicate holds; refresh audit columns on affected rows only.
     */
   def softDelete(df: DataFrame, cond: Column, deletedBy: String): DataFrame = {
-    val base =
+    // materialize the predicate against the INPUT row first: the rewrites
+    // below may change columns the predicate reads (e.g. cond mentioning
+    // is_deleted), and re-evaluating it post-rewrite would target the wrong
+    // rows
+    val condCol = "_graft_cond"
+    val base0 =
       if (df.columns.contains("is_deleted")) df
       else df.withColumn("is_deleted", lit(false))
-    val flagged = base.withColumn("is_deleted", when(cond, lit(true)).otherwise(col("is_deleted")))
+    val base = base0.withColumn(condCol, cond)
+    val hit = col(condCol)
+    val flagged = base.withColumn("is_deleted", when(hit, lit(true)).otherwise(col("is_deleted")))
     val withAudit =
       if (df.columns.contains("updated_at"))
         flagged
-          .withColumn("updated_at", when(cond, current_timestamp()).otherwise(col("updated_at")))
-          .withColumn("updated_by", when(cond, lit(deletedBy)).otherwise(col("updated_by")))
+          .withColumn("updated_at", when(hit, current_timestamp()).otherwise(col("updated_at")))
+          .withColumn("updated_by", when(hit, lit(deletedBy)).otherwise(col("updated_by")))
       else flagged
-    withAudit
+    withAudit.drop(condCol)
   }
 
   /** Batch update (reference `sql/dml.py:206-245`): SET col = expr WHERE cond.
@@ -163,18 +170,26 @@ object Mutations {
       set: Map[String, Column],
       cond: Column,
       updatedBy: Option[String] = None): DataFrame = {
-    val withSet = set.foldLeft(df) { case (acc, (c, e)) =>
-      acc.withColumn(c, when(cond, e).otherwise(col(c)))
+    // evaluate the predicate against the INPUT row before any SET rewrite:
+    // when cond references a column in the set map (e.g. SET status WHERE
+    // status = 'active'), re-evaluating it after the rewrite would skip the
+    // audit refresh on exactly the rows just updated
+    val condCol = "_graft_cond"
+    val base = df.withColumn(condCol, cond)
+    val hit = col(condCol)
+    val withSet = set.foldLeft(base) { case (acc, (c, e)) =>
+      acc.withColumn(c, when(hit, e).otherwise(col(c)))
     }
     val withAt =
       if (df.columns.contains("updated_at") && !set.contains("updated_at"))
-        withSet.withColumn("updated_at", when(cond, current_timestamp()).otherwise(col("updated_at")))
+        withSet.withColumn("updated_at", when(hit, current_timestamp()).otherwise(col("updated_at")))
       else withSet
-    updatedBy match {
+    val withBy = updatedBy match {
       case Some(u) if df.columns.contains("updated_by") && !set.contains("updated_by") =>
-        withAt.withColumn("updated_by", when(cond, lit(u)).otherwise(col("updated_by")))
+        withAt.withColumn("updated_by", when(hit, lit(u)).otherwise(col("updated_by")))
       case _ => withAt
     }
+    withBy.drop(condCol)
   }
 
   /** Incremental watermark load (reference `sql/dml.py:340-391`): rows past

@@ -80,7 +80,7 @@ object PartitionedFact {
       return
     }
     val affected = keyed.select(parts.map(col): _*).distinct().collect()
-    require(affected.nonEmpty, "delta is empty — nothing to merge")
+    if (affected.isEmpty) return // routine no-data increment — nothing to merge
     val partitionFilter = affected.map { r =>
       parts.zipWithIndex.map { case (p, i) => col(p) === lit(r.get(i)) }.reduce(_ && _)
     }.reduce(_ || _)

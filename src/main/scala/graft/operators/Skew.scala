@@ -27,7 +27,7 @@ object Skew {
     // salt replica — saltBuckets duplicates. Only joins where the small side
     // never surfaces unmatched rows are salting-safe.
     require(
-      Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support '$joinType': the replicated small side would " +
         "duplicate unmatched right-side rows; use inner/left/left_semi/left_anti")

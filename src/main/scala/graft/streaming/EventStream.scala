@@ -130,14 +130,22 @@ object EventStream {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch
-          .withColumn("_batch_id", lit(batchId))
-          .write
-          .partitionBy("_batch_id")
-          .mode("overwrite")
-          .parquet(tablePath)
+        // scoped conf change: leaking dynamic overwrite mode would silently
+        // change semantics for every other writer on the shared session
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val previous = batch.sparkSession.conf.getOption(key)
+        batch.sparkSession.conf.set(key, "dynamic")
+        try
+          batch
+            .withColumn("_batch_id", lit(batchId))
+            .write
+            .partitionBy("_batch_id")
+            .mode("overwrite")
+            .parquet(tablePath)
+        finally previous match {
+          case Some(v) => batch.sparkSession.conf.set(key, v)
+          case None    => batch.sparkSession.conf.unset(key)
+        }
       }
       .start()
 }

@@ -57,8 +57,8 @@ def rowset(cur):
     return sorted(cols), sorted(rows)
 
 
-def decimal_columns(cur_desc, rows):
-    """Output columns that are decimal-typed (by declared type or value)."""
+def decimal_columns(cur_desc):
+    """Output columns whose declared cursor type is DECIMAL."""
     cols = [d[0] for d in cur_desc]
     bad = {c for c, d in zip(cols, cur_desc) if "DECIMAL" in str(d[1]).upper()}
     return sorted(bad)
@@ -77,10 +77,10 @@ def main():
     for name in sorted(d.name for d in out_dir.iterdir() if d.is_dir()):
         if only and name not in only:
             continue
-        scon = duckdb.connect()
-        scur = scon.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        sdesc = scur.description
-        sc, sr = rowset(scur)
+        with duckdb.connect() as scon:
+            scur = scon.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            sdesc = scur.description
+            sc, sr = rowset(scur)
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(sr)} rows)")
             n_skip += 1
@@ -93,7 +93,7 @@ def main():
             continue
         ddesc = dcur.description
         dc, dr = rowset(dcur)
-        dec_cols = sorted(set(decimal_columns(sdesc, sr)) | set(decimal_columns(ddesc, dr)))
+        dec_cols = sorted(set(decimal_columns(sdesc)) | set(decimal_columns(ddesc)))
         if dec_cols:
             print(f"FAIL {name}: DECIMAL output columns {dec_cols} — driver hash is "
                   f"unreliable for fixed-scale decimals; cast to DOUBLE on both sides")
