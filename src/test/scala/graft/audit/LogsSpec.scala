@@ -40,6 +40,26 @@ class LogsSpec extends SparkSpec {
       "the post-restart update must win over the pre-restart RUNNING event")
   }
 
+  test("restart seeding is per table: updates win even when another table is appended first") {
+    // store1 leaves process_log at seq 1 and error_log at seq 3; a shared
+    // counter in store2 seeded from process_log's max (1) would hand the
+    // error resolution seq 3 — tying/below the persisted error events —
+    // and latest-wins would keep the unresolved row
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs-pertable").toString
+    val store1 = new LogStore(spark, dir)
+    val pl1 = new ProcessLogger(store1, FixedClock)
+    val el1 = new ErrorLogger(store1, FixedClock)
+    val pid = pl1.startProcess("load")
+    el1.logError("ERROR", "E1", "boom1")
+    el1.logError("ERROR", "E2", "boom2")
+    val eid = el1.logError("ERROR", "E3", "boom3")
+    val store2 = new LogStore(spark, dir)
+    new ProcessLogger(store2, FixedClock).endProcess(pid, "SUCCESS") // seeds process_log first
+    new ErrorLogger(store2, FixedClock).markResolved(eid, "ops")
+    assert(new ErrorLogger(store2, FixedClock).unresolvedErrors().count() == 2,
+      "the post-restart resolution must win over the pre-restart error event")
+  }
+
   test("ids are sequential across appends") {
     val store = freshStore
     val pl = new ProcessLogger(store, FixedClock)

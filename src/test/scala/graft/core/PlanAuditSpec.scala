@@ -1,0 +1,30 @@
+package graft.core
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Automated scale guard: no query in the driver contract may plan a
+  * cartesian product, and none but the deliberate pairwise-oracle variant
+  * may plan a nested-loop join. This is PLANS.md's core claim as a
+  * regression test — a new query (or a Spark upgrade) that silently
+  * introduces an O(n²) join shape fails here, not at 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("no query plans a cartesian product or an unintended nested-loop join") {
+    // q38 is the exact embedding-near-dup oracle twin: a deliberate
+    // pairwise pass over a 1/10 subset (the production path is the LSH
+    // variant). q25 cross-joins a BROADCAST SINGLE-ROW grand total into the
+    // fact (share-of-total) — O(n·1), the standard scalar-broadcast shape.
+    // Both nested loops are by design and size-bounded.
+    val allowedNestedLoop = Set("q38_embedding_neardup", "q25_share_of_total")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val nestedLoop = plan.contains("BroadcastNestedLoopJoin") && !allowedNestedLoop(name)
+      if (cartesian || nestedLoop)
+        Some(s"$name: ${if (cartesian) "CartesianProduct" else "BroadcastNestedLoopJoin"}")
+      else None
+    }
+    assert(offenders.isEmpty, s"quadratic join shapes found:\n${offenders.mkString("\n")}")
+  }
+}

@@ -135,4 +135,26 @@ class MutationsSpec extends SparkSpec {
     assert(out(1L) == (20.0, "batch_job"), "affected row: SET applied + updated_by refreshed")
     assert(out(2L) == (20.0, "loader"), "unaffected row keeps metadata")
   }
+
+  test("batchUpdate predicate referencing a SET column still refreshes metadata") {
+    // SET name WHERE name = 'alice': the predicate must be evaluated against
+    // the input row, not the rewritten one, or the refresh skips exactly the
+    // rows just updated
+    val out = Mutations
+      .batchUpdate(auditedTarget, Map("name" -> lit("archived")), col("name") === "alice",
+        updatedBy = Some("batch_job"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(4)))).toMap
+    assert(out(1L) == (("archived", "batch_job")),
+      "updated row gets both the SET value and the metadata refresh")
+    assert(out(2L) == (("bob", "loader")), "other rows untouched")
+  }
+
+  test("softDelete predicate referencing is_deleted targets the input state") {
+    val once = Mutations.softDelete(target, col("score") > 15.0, "t1")
+    // second pass deletes rows NOT yet deleted — the predicate reads the
+    // pre-rewrite is_deleted value
+    val twice = Mutations.softDelete(once, !col("is_deleted"), "t2")
+    val flags = twice.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(flags == Map(1L -> true, 2L -> true))
+  }
 }
