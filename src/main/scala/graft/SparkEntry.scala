@@ -82,6 +82,7 @@ object SparkEntry {
     "q62_asof_join" -> (Pipeline.purchaseAsofClick _),
     "q63_range_join" -> (Pipeline.eventValueBands _),
     "q64_incremental_dedup" -> (Pipeline.incrementalDedup _),
+    "q65_curation_pipeline" -> (Pipeline.curationPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -755,6 +756,75 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
         |  FROM cand p JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""".stripMargin,
+    "q65_curation_pipeline" ->
+      """WITH RECURSIVE scored AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
+        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |          ELSE 0.0 END) AS qs
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+        |  FROM scored
+        |  WHERE qs >= 0.5
+        |    AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.3),
+        |exact AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT gated.*, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM gated) WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
+        |  FROM exact),
+        |hashed AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM toks WHERE len(sh) > 0),
+        |sigs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 16), j ->
+        |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT s.doc_id, b.band,
+        |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
+        |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b),
+        |buckets AS (
+        |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
+        |  FROM banded GROUP BY band, bkey
+        |  HAVING count(*) BETWEEN 2 AND 50),
+        |cand AS (
+        |  SELECT DISTINCT pr.a AS id_a, pr.b AS id_b FROM (
+        |    SELECT UNNEST(flatten(list_transform(range(1, CAST(len(ids) AS INTEGER)), i ->
+        |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
+        |    FROM buckets)),
+        |dup AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT p.id_a, p.id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |    FROM cand p JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM dup UNION SELECT id_b, id_a FROM dup),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+        |FROM exact
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline

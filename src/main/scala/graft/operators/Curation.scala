@@ -194,6 +194,41 @@ object Curation {
         .cast("long").as("n_ips"),
       maskPii(col(textCol)).as("redacted_text"))
 
+  /** End-to-end corpus curation — the composed flagship pipeline a training
+    * corpus actually runs, in dependency order:
+    *  1. quality gate (heuristic score + distinct-token ratio),
+    *  2. PII masking,
+    *  3. exact dedup (normalized content hash, minimum id wins),
+    *  4. near-dup removal (MinHash+LSH pairs → connected components →
+    *     canonical survivor per cluster).
+    * Every stage is one of this module's / [[Dedup]]'s audited operators, so
+    * the composition inherits their shuffle shapes: per-row gates, one
+    * hash-shuffle dedup, band-bucket LSH, contracted label propagation —
+    * nothing quadratic end to end.
+    */
+  def curateCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.5,
+      minDistinctRatio: Double = 0.3,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      shingleN: Int = 1,
+      minJaccard: Double = 0.5): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val gated = docs.where(
+      qualityScore(t) >= minQuality &&
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+          >= minDistinctRatio)
+    val masked = gated.withColumn(textCol, maskPii(col(textCol)))
+    val exact = Dedup.exactDedup(masked, idCol, textCol)
+    val pairs = Dedup.minhashNearDuplicates(
+      exact, idCol, textCol, numHashes, numBands, shingleN, minJaccard)
+    Dedup.dedupCorpus(exact, idCol, pairs)
+  }
+
   /** Corpus-informedness score: per document, the mean document frequency of
     * its token instances — rare-gibberish documents score low, stopword soup
     * scores high. Two passes over the corpus: the [[docFrequency]] statistic,

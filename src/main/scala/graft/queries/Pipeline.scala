@@ -329,6 +329,21 @@ object Pipeline {
       .orderBy(col("delta_id"), col("corpus_id"))
   }
 
+  /** q65 — the full curation pipeline ([[Curation.curateCorpus]]: quality
+    * gate → PII mask → exact dedup → near-dup cluster dedup), reported as
+    * per-source surviving documents and token volume — the number that tells
+    * you what your training corpus actually is after cleaning.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.curateCorpus(d, "doc_id", "text")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** q36 — exact word-bigram Jaccard over candidate pairs (consecutive doc
     * ids as a deterministic pair set).
     */

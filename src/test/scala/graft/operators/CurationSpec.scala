@@ -93,6 +93,24 @@ class CurationSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("mean_token_df") == 2.25)
   }
 
+  test("curateCorpus survivors are gated, unique, and near-dup free") {
+    val corpus = Seq(
+      (1L, "a good long document about spark engines and data " * 3, "s1"),
+      (2L, "A good long document about spark engines and data " * 3, "s1"), // exact dup of 1
+      (3L, "a good long document about spark engines and files " * 3, "s1"), // near-dup of 1
+      (4L, "spam spam spam spam spam spam spam spam spam spam spam spam", "s2"), // repetitive
+      (5L, "an entirely different readable passage of reasonable length about query planning", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.curateCorpus(corpus, "doc_id", "text",
+      numHashes = 16, numBands = 8, shingleN = 1, minJaccard = 0.5)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(4L), "repetitive doc fails the quality gate")
+    assert(kept.contains(1L), "canonical (minimum-id) survivor kept")
+    assert(!kept.contains(2L), "exact duplicate collapses")
+    assert(!kept.contains(3L), "near duplicate collapses into the cluster")
+    assert(kept.contains(5L), "clean unique doc survives")
+  }
+
   test("docFrequency counts documents, not occurrences") {
     val df = Curation.docFrequency(docs, "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
