@@ -354,36 +354,8 @@ object SparkEntry {
         |SELECT lang, predicted_lang, COUNT(*) AS n_docs FROM pred
         |GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang""".stripMargin,
     "q34_dedup_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-        |  FROM toks WHERE len(sh) > 0),
-        |sigs AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(range(0, 16), j ->
-        |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
-        |  FROM hashed),
-        |banded AS (
-        |  SELECT s.doc_id, b.band,
-        |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
-        |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b),
-        |buckets AS (
-        |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
-        |  FROM banded GROUP BY band, bkey
-        |  HAVING count(*) BETWEEN 2 AND 50),
-        |pairs AS (
-        |  SELECT DISTINCT pr.a AS id_a, pr.b AS id_b FROM (
-        |    SELECT UNNEST(flatten(list_transform(range(1, CAST(len(ids) AS INTEGER)), i ->
-        |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
-        |    FROM buckets))
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT p.id_a, p.id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-        |  FROM pairs p JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      (dupClusterCtes +
+        "SELECT id_a, id_b, jaccard FROM dup ORDER BY id_a, id_b"),
     "q35_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
@@ -727,37 +699,22 @@ object SparkEntry {
         |  ON e.value >= CAST(b.lo AS DOUBLE) AND e.value < CAST(b.hi AS DOUBLE)
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q64_incremental_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
-        |  FROM documents),
-        |hashed AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-        |  FROM toks WHERE len(sh) > 0),
-        |sigs AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(range(0, 16), j ->
-        |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
-        |  FROM hashed),
-        |banded AS (
-        |  SELECT s.doc_id, b.band,
-        |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
-        |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b),
-        |cbuck AS (
-        |  SELECT band, bkey, list(doc_id) AS cids
-        |  FROM banded WHERE doc_id % 10 <> 0
-        |  GROUP BY band, bkey HAVING count(*) <= 50),
-        |cand AS (
-        |  SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
-        |  FROM banded d JOIN cbuck cb ON d.band = cb.band AND d.bkey = cb.bkey
-        |  WHERE d.doc_id % 10 = 0)
-        |SELECT delta_id, corpus_id, jaccard FROM (
-        |  SELECT p.delta_id, p.corpus_id,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-        |  FROM cand p JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""".stripMargin,
+      ("WITH " + lshPrefixCtes("documents") + ",\n" +
+        """cbuck AS (
+          |  SELECT band, bkey, list(doc_id) AS cids
+          |  FROM banded WHERE doc_id % 10 <> 0
+          |  GROUP BY band, bkey HAVING count(*) <= 50),
+          |cand AS (
+          |  SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
+          |  FROM banded d JOIN cbuck cb ON d.band = cb.band AND d.bkey = cb.bkey
+          |  WHERE d.doc_id % 10 = 0)
+          |SELECT delta_id, corpus_id, jaccard FROM (
+          |  SELECT p.delta_id, p.corpus_id,
+          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+          |  FROM cand p JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
+          |WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""".stripMargin),
     "q65_curation_pipeline" ->
-      """WITH RECURSIVE scored AS (
+      ("""WITH RECURSIVE scored AS (
         |  SELECT doc_id, source, text,
         |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
         |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
@@ -783,48 +740,13 @@ object SparkEntry {
         |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
         |      ORDER BY doc_id) AS rn
         |    FROM gated) WHERE rn = 1),
-        |toks AS (
-        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
-        |  FROM exact),
-        |hashed AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-        |  FROM toks WHERE len(sh) > 0),
-        |sigs AS (
-        |  SELECT doc_id, sh,
-        |    list_transform(range(0, 16), j ->
-        |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
-        |  FROM hashed),
-        |banded AS (
-        |  SELECT s.doc_id, b.band,
-        |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
-        |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b),
-        |buckets AS (
-        |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
-        |  FROM banded GROUP BY band, bkey
-        |  HAVING count(*) BETWEEN 2 AND 50),
-        |cand AS (
-        |  SELECT DISTINCT pr.a AS id_a, pr.b AS id_b FROM (
-        |    SELECT UNNEST(flatten(list_transform(range(1, CAST(len(ids) AS INTEGER)), i ->
-        |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
-        |    FROM buckets)),
-        |dup AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT p.id_a, p.id_b,
-        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-        |    FROM cand p JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id)
-        |  WHERE jaccard >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM dup UNION SELECT id_b, id_a FROM dup),
-        |reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-        |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
-        |FROM exact
-        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
-        |GROUP BY source ORDER BY source""".stripMargin,
+        |""".stripMargin +
+        lshPrefixCtes("exact") + ",\n" + lshClusterCtes + "\n" +
+        """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+          |FROM exact
+          |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+          |GROUP BY source ORDER BY source""".stripMargin),
   )
 
   /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline
@@ -833,24 +755,37 @@ object SparkEntry {
     * [[graft.operators.Dedup.duplicateClusters]] (cluster_id = component
     * minimum).
     */
-  private val dupClusterCtes: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
-      |  FROM documents),
-      |hashed AS (
-      |  SELECT doc_id, sh,
-      |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-      |  FROM toks WHERE len(sh) > 0),
-      |sigs AS (
-      |  SELECT doc_id, sh,
-      |    list_transform(range(0, 16), j ->
-      |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
-      |  FROM hashed),
-      |banded AS (
-      |  SELECT s.doc_id, b.band,
-      |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
-      |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b),
-      |buckets AS (
+  /** Shared oracle CTE prefix for every MinHash oracle: tokenize `src` and
+    * derive sha256-prefix base hashes, 16-hash MinHash signatures, and
+    * 4-band keys. Parameterized by the source relation so the hash family /
+    * band layout lives in ONE place — q34, q52/q53, q64, and q65 all compose
+    * from it.
+    */
+  private def lshPrefixCtes(src: String): String =
+    raw"""toks AS (
+         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
+         |  FROM $src),
+         |hashed AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+         |  FROM toks WHERE len(sh) > 0),
+         |sigs AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(range(0, 16), j ->
+         |      list_min(list_transform(hs, h -> ((2*j + 1) * h + 104729 * (j + 1)) % 2147483647))) AS sig
+         |  FROM hashed),
+         |banded AS (
+         |  SELECT s.doc_id, b.band,
+         |    array_to_string(list_slice(s.sig, b.band * 4 + 1, b.band * 4 + 4), '_') AS bkey
+         |  FROM sigs s, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+
+  /** Self-join continuation of [[lshPrefixCtes]]: capped buckets, in-bucket
+    * candidate pairs, jaccard-verified duplicate pairs, and the recursive
+    * connected-components closure (`comp(doc_id, cluster_id)`), mirroring
+    * [[graft.operators.Dedup.duplicateClusters]].
+    */
+  private val lshClusterCtes: String =
+    """buckets AS (
       |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
       |  FROM banded GROUP BY band, bkey
       |  HAVING count(*) BETWEEN 2 AND 50),
@@ -860,7 +795,7 @@ object SparkEntry {
       |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
       |    FROM buckets)),
       |dup AS (
-      |  SELECT id_a, id_b FROM (
+      |  SELECT id_a, id_b, jaccard FROM (
       |    SELECT p.id_a, p.id_b,
       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
       |    FROM cand p JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id)
@@ -870,6 +805,8 @@ object SparkEntry {
       |  SELECT src AS id, src AS r FROM edges
       |  UNION
       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-      |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-      |""".stripMargin
+      |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private val dupClusterCtes: String =
+    "WITH RECURSIVE " + lshPrefixCtes("documents") + ",\n" + lshClusterCtes + "\n"
 }

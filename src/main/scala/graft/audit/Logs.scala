@@ -104,16 +104,22 @@ final class LogStore(val spark: SparkSession, dir: String) {
   private val seqs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
-  private def seqFor(table: String): java.util.concurrent.atomic.AtomicLong =
-    seqs.computeIfAbsent(table, t => {
+  private def seqFor(table: String): java.util.concurrent.atomic.AtomicLong = {
+    // the seed read is a Spark job — run it OUTSIDE computeIfAbsent so the
+    // map's bin lock is never held across a distributed action (a concurrent
+    // duplicate seed read is harmless: both compute the same max, one wins)
+    val existing = seqs.get(table)
+    if (existing != null) existing
+    else {
       val start =
-        if (!exists(t)) 0L
+        if (!exists(table)) 0L
         else {
-          val r = events(t).agg(max(col("_event_seq"))).head()
+          val r = events(table).agg(max(col("_event_seq"))).head()
           if (r.isNullAt(0)) 0L else r.getLong(0)
         }
-      new java.util.concurrent.atomic.AtomicLong(start)
-    })
+      seqs.computeIfAbsent(table, _ => new java.util.concurrent.atomic.AtomicLong(start))
+    }
+  }
 
   def appendEvents(table: String, df: DataFrame): Unit = {
     df.withColumn("_event_seq", lit(seqFor(table).incrementAndGet()))

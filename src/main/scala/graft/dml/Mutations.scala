@@ -145,6 +145,7 @@ object Mutations {
     // is_deleted), and re-evaluating it post-rewrite would target the wrong
     // rows
     val condCol = "_graft_cond"
+    require(!df.columns.contains(condCol), s"softDelete reserves column name $condCol")
     val base0 =
       if (df.columns.contains("is_deleted")) df
       else df.withColumn("is_deleted", lit(false))
@@ -175,6 +176,7 @@ object Mutations {
     // status = 'active'), re-evaluating it after the rewrite would skip the
     // audit refresh on exactly the rows just updated
     val condCol = "_graft_cond"
+    require(!df.columns.contains(condCol), s"batchUpdate reserves column name $condCol")
     val base = df.withColumn(condCol, cond)
     val hit = col(condCol)
     val withSet = set.foldLeft(base) { case (acc, (c, e)) =>

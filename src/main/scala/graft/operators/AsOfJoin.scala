@@ -51,7 +51,9 @@ object AsOfJoin {
     // equal) — without this filter, nulls-first ordering would make a
     // null-ts right row match every left row in its key group
     val rSide = right
-      .where(col(rightTsCol).isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .where(
+        keys.map(col(_).isNotNull)
+          .foldLeft(col(rightTsCol).isNotNull)(_ && _)) // keyless (global) as-of stays legal
       .select(
         keys.map(col) ++ Seq(
           col(rightTsCol).as("_ts"),

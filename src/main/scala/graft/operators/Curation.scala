@@ -205,6 +205,12 @@ object Curation {
     * the composition inherits their shuffle shapes: per-row gates, one
     * hash-shuffle dedup, band-bucket LSH, contracted label propagation —
     * nothing quadratic end to end.
+    *
+    * Caching contract: the exact-deduped intermediate (and the LSH shingle
+    * pass inside [[Dedup.minhashNearDuplicates]]) stays persisted after the
+    * returned frame is consumed — the result is lazy, so the operator cannot
+    * unpersist it itself. One pipeline per session is the expected use; a
+    * session running many should `spark.catalog.clearCache()` between them.
     */
   def curateCorpus(
       docs: DataFrame,

@@ -199,7 +199,10 @@ object Dedup {
     *
     * Returns (delta_id, corpus_id, jaccard) with jaccard ≥ `minJaccard`.
     * Degenerate corpus buckets larger than `maxBucketSize` are skipped —
-    * same cap rationale as [[minhashNearDuplicates]].
+    * same cap rationale as [[minhashNearDuplicates]]. Both sides' signature
+    * frames stay persisted after consumption (the result is lazy — same
+    * caching contract as the batch LSH pipeline; `spark.catalog.clearCache()`
+    * between repeated runs in one session).
     */
   def minhashIncrementalDuplicates(
       corpus: DataFrame,
@@ -448,12 +451,12 @@ object Dedup {
       if (ks(i) == k) vs(i) else dflt
     }
     def put(k: Long, v: Long): Unit = {
-      val i = slot(k)
+      var i = slot(k)
       if (ks(i) != k) {
         ks(i) = k; n += 1
-        if (n * 4 > cap * 3) grow()
+        if (n * 4 > cap * 3) { grow(); i = slot(k) } // only re-probe after a resize
       }
-      vs(slot(k)) = v
+      vs(i) = v
     }
     private def grow(): Unit = {
       val (oks, ovs) = (ks, vs)
@@ -481,11 +484,11 @@ object Dedup {
     val parent = new LongLongMap()
     def find(x: Long): Long = {
       var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var p = parent.getOrElse(r, r)
+      while (p != r) { r = p; p = parent.getOrElse(r, r) } // one probe per hop
       var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val nxt = parent.getOrElse(c, c); parent.put(c, r); c = nxt
-      }
+      var pc = parent.getOrElse(c, c)
+      while (pc != c) { parent.put(c, r); c = pc; pc = parent.getOrElse(c, c) }
       r
     }
     it.foreach { case (a, b) =>

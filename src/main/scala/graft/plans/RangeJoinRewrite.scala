@@ -80,7 +80,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(ChunkWidthConf, "0").toDouble
+    val raw = conf.getConfString(ChunkWidthConf, "0")
+    val width = try raw.toDouble catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$ChunkWidthConf must be a number (chunk width in value units), got '$raw'")
+    }
     if (width <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
