@@ -32,6 +32,16 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(3L).isEmpty, "no right row -> null match")
   }
 
+  test("asofJoin with no keys treats both sides as one global series") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "ts")
+    val right = Seq((100L, ts("2024-01-01 11:00:00"))).toDF("event_id", "ts")
+    val out = AsOfJoin.asofJoin(left, right, Seq.empty, "ts", "ts", Seq("event_id"))
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isEmpty && out(2L).contains(100L))
+  }
+
   test("asofJoin never matches right rows with null timestamps or keys") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
       .toDF("event_id", "user_id", "ts")
