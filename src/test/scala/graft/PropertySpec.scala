@@ -121,6 +121,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val asofGen: Gen[(List[(Long, Long, Int)], List[(Long, Long, Int)])] = {
+    val side = Gen.listOfN(
+      12,
+      for {
+        id <- Gen.chooseNum(1L, 1000L)
+        k <- Gen.chooseNum(0L, 3L)
+        t <- Gen.chooseNum(0, 50)
+      } yield (id, k, t))
+    Gen.zip(side, side)
+  }
+
+  test("asofJoin equals naive theta-join + dedup on random data (property, 10 cases)") {
+    import org.apache.spark.sql.expressions.Window
+    samples(asofGen, 10).foreach { case (l, r) =>
+      val left = l.distinctBy(_._1)
+        .map { case (id, k, t) => (id, k, new java.sql.Timestamp(t * 60000L)) }
+        .toDF("l_id", "k", "l_ts")
+      val right = r.distinctBy(_._1)
+        .map { case (id, k, t) => (1000 + id, k, new java.sql.Timestamp(t * 60000L)) }
+        .toDF("r_id", "k", "r_ts")
+        // contract: right side deduped per (key, ts)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k"), col("r_ts")).orderBy(col("r_id").desc)))
+        .where(col("rn") === 1).drop("rn")
+      val fast = graft.operators.AsOfJoin
+        .asofJoin(left, right, Seq("k"), "l_ts", "r_ts", Seq("r_id"))
+        .select(col("l_id"), col("asof.r_id"))
+        .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      val naive = left.join(right, Seq("k"), "left")
+        .where(col("r_ts").isNull || col("r_ts") <= col("l_ts"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_id")).orderBy(col("r_ts").desc_nulls_last)))
+        .where(col("rn") === 1)
+        .select(col("l_id"), when(col("r_ts") <= col("l_ts"), col("r_id")).as("r_id"))
+        .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      left.select("l_id").as[Long].collect().foreach { id =>
+        assert(fast.get(id).flatten == naive.get(id).flatten,
+          s"as-of mismatch for left $id: fast=${fast.get(id)} naive=${naive.get(id)} l=$l r=$r")
+      }
+    }
+  }
+
+  test("intervalJoin equals the naive range join on random data (property, 10 cases)") {
+    val gen = Gen.zip(
+      Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 500L), Gen.chooseNum(0, 400))),
+      Gen.listOfN(5, Gen.zip(Gen.chooseNum(0, 300), Gen.chooseNum(1, 150))))
+    samples(gen, 10).foreach { case (ps, is) =>
+      val points = ps.distinctBy(_._1).map { case (id, v) => (id, v.toDouble) }.toDF("id", "v")
+      val intervals = is.zipWithIndex
+        .map { case ((lo, w), i) => (i.toLong, lo.toDouble, (lo + w).toDouble) }
+        .toDF("band", "lo", "hi")
+      val fast = graft.operators.RangeJoin
+        .intervalJoin(points, "v", intervals, "lo", "hi", chunkWidth = 37.0)
+        .select("id", "band").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = points.join(intervals, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("id", "band").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == naive, s"range-join mismatch: ps=$ps is=$is")
+    }
+  }
+
   private val ccPairsGen: Gen[List[(Long, Long)]] =
     Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
       .map(_.filter { case (a, b) => a != b })
