@@ -48,7 +48,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // each query pays for its own caching inside its timing; dropping the
+      // caches BETWEEN queries (untimed) keeps queries independent — the LSH
+      // pipelines persist corpus-scale frames that otherwise accumulate and
+      // tax late queries with storage/GC pressure
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
