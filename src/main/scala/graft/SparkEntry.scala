@@ -83,6 +83,7 @@ object SparkEntry {
     "q63_range_join" -> (Pipeline.eventValueBands _),
     "q64_incremental_dedup" -> (Pipeline.incrementalDedup _),
     "q65_curation_pipeline" -> (Pipeline.curationPipeline _),
+    "q66_curation_funnel" -> (Pipeline.curationFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -714,40 +715,56 @@ object SparkEntry {
           |  FROM cand p JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
           |WHERE jaccard >= 0.5 ORDER BY delta_id, corpus_id""".stripMargin),
     "q65_curation_pipeline" ->
-      ("""WITH RECURSIVE scored AS (
-        |  SELECT doc_id, source, text,
-        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
-        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-        |          ELSE 0.0 END)
-        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |          ELSE 0.0 END) AS qs
-        |  FROM documents),
-        |gated AS (
-        |  SELECT doc_id, source,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
-        |  FROM scored
-        |  WHERE qs >= 0.5
-        |    AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.3),
-        |exact AS (
-        |  SELECT doc_id, source, text FROM (
-        |    SELECT gated.*, row_number() OVER (
-        |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-        |      ORDER BY doc_id) AS rn
-        |    FROM gated) WHERE rn = 1),
-        |""".stripMargin +
-        lshPrefixCtes("exact") + ",\n" + lshClusterCtes + "\n" +
+      (curationChainCtes +
         """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
           |FROM exact
           |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
           |GROUP BY source ORDER BY source""".stripMargin),
+    "q66_curation_funnel" ->
+      (curationChainCtes +
+        """SELECT
+          |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+          |  CAST((SELECT COUNT(*) FROM gated) AS BIGINT) AS n_after_gate,
+          |  CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_after_exact,
+          |  CAST((SELECT COUNT(*) FROM exact
+          |        WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)) AS BIGINT) AS n_after_neardup""".stripMargin),
   )
+
+  /** Shared oracle CTE chain for q65/q66: the curation gate (quality score +
+    * distinct-token ratio), PII masking, exact dedup, then the MinHash
+    * cluster chain over the surviving set — mirrors
+    * [[graft.operators.Curation.curateCorpus]] stage for stage.
+    */
+  private lazy val curationChainCtes: String =
+    """WITH RECURSIVE scored AS (
+      |  SELECT doc_id, source, text,
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
+      |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
+      |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+      |          ELSE 0.0 END)
+      |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+      |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+      |          ELSE 0.0 END) AS qs
+      |  FROM documents),
+      |gated AS (
+      |  SELECT doc_id, source,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+      |  FROM scored
+      |  WHERE qs >= 0.5
+      |    AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.3),
+      |exact AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT gated.*, row_number() OVER (
+      |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      |      ORDER BY doc_id) AS rn
+      |    FROM gated) WHERE rn = 1),
+      |""".stripMargin +
+      lshPrefixCtes("exact") + ",\n" + lshClusterCtes + "\n"
 
   /** Shared oracle CTE chain for q52/q53: the q34 MinHash+LSH pair pipeline
     * closed under transitivity with a recursive reachability CTE —

@@ -221,7 +221,42 @@ object Curation {
       numHashes: Int = 16,
       numBands: Int = 4,
       shingleN: Int = 1,
+      minJaccard: Double = 0.5): DataFrame =
+    curationStages(docs, idCol, textCol, minQuality, minDistinctRatio,
+      numHashes, numBands, shingleN, minJaccard)._3
+
+  /** The curation funnel: input / post-gate / post-exact-dedup /
+    * post-near-dup document counts — the per-stage attrition a production
+    * pipeline monitors (a sudden gate-stage drop means upstream drift, a
+    * near-dup spike means a crawler loop). One row.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.5,
+      minDistinctRatio: Double = 0.3,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      shingleN: Int = 1,
       minJaccard: Double = 0.5): DataFrame = {
+    val (gated, exact, fin) = curationStages(docs, idCol, textCol, minQuality,
+      minDistinctRatio, numHashes, numBands, shingleN, minJaccard)
+    import docs.sparkSession.implicits._
+    Seq((docs.count(), gated.count(), exact.count(), fin.count()))
+      .toDF("n_input", "n_after_gate", "n_after_exact", "n_after_neardup")
+  }
+
+  private def curationStages(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double,
+      minDistinctRatio: Double,
+      numHashes: Int,
+      numBands: Int,
+      shingleN: Int,
+      minJaccard: Double): (DataFrame, DataFrame, DataFrame) = {
     val t = col(textCol)
     val toks = tokens(t)
     val gated = docs.where(
@@ -237,7 +272,7 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.minhashNearDuplicates(
       exact, idCol, textCol, numHashes, numBands, shingleN, minJaccard)
-    Dedup.dedupCorpus(exact, idCol, pairs)
+    (gated, exact, Dedup.dedupCorpus(exact, idCol, pairs))
   }
 
   /** Corpus-informedness score: per document, the mean document frequency of

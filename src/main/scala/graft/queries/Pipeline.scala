@@ -344,6 +344,14 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** q66 — the curation funnel: per-stage document attrition through the
+    * q65 pipeline (input → quality gate → exact dedup → near-dup removal).
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.curationFunnel(d, "doc_id", "text")
+  }
+
   /** q36 — exact word-bigram Jaccard over candidate pairs (consecutive doc
     * ids as a deterministic pair set).
     */
