@@ -242,6 +242,32 @@ object Dedup {
       .select(col("delta_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Probability that a pair with Jaccard similarity `s` becomes an LSH
+    * candidate under (bands, rowsPerBand) banding: 1 − (1 − s^r)^b — the
+    * S-curve that makes banded MinHash a similarity filter.
+    */
+  def lshCandidateProbability(s: Double, numBands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), numBands.toDouble)
+
+  /** The banding threshold — the similarity at the S-curve's inflection,
+    * ≈ (1/b)^(1/r): pairs above it are probably candidates, below probably
+    * not.
+    */
+  def lshThreshold(numBands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / numBands, 1.0 / rowsPerBand)
+
+  /** Choose (numBands, rowsPerBand) for a signature length: the divisor
+    * split whose threshold lands closest to `targetJaccard`. Use before
+    * [[minhashNearDuplicates]] instead of guessing band counts.
+    */
+  def tuneBands(numHashes: Int, targetJaccard: Double): (Int, Int) = {
+    require(numHashes > 0 && targetJaccard > 0 && targetJaccard < 1)
+    (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) => math.abs(lshThreshold(b, r) - targetJaccard) }
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 votes from
     * each token's [[graft.functions.Sha60]] hash bit b; the fingerprint sets
     * bit b when the vote is positive (the base hash is 60-bit, so bits 60–63

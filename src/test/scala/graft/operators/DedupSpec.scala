@@ -113,6 +113,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(none).isEmpty)
   }
 
+  test("LSH banding math: S-curve is monotone and tuning picks the closest threshold") {
+    // threshold of the default 4x4 banding
+    assert(math.abs(Dedup.lshThreshold(4, 4) - math.pow(0.25, 0.25)) < 1e-12)
+    // candidate probability increases with similarity
+    val ps = (1 to 9).map(i => Dedup.lshCandidateProbability(i / 10.0, 4, 4))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a < b })
+    // above-threshold pairs are likely candidates; far-below ones are not
+    assert(Dedup.lshCandidateProbability(0.9, 4, 4) > 0.9)
+    assert(Dedup.lshCandidateProbability(0.2, 4, 4) < 0.01)
+    // tuning picks the divisor split nearest the target
+    val (b, r) = Dedup.tuneBands(16, 0.7)
+    assert(b * r == 16)
+    assert((b, r) == ((4, 4)), s"threshold(4,4)=0.707 is nearest 0.7, got ($b,$r)")
+  }
+
   test("exactIncrement drops delta docs whose content exists in the corpus") {
     val corpus = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
     val delta = Seq(
