@@ -22,6 +22,33 @@ class DedupProfileSpec extends SparkSpec {
     run("cold"); run("warm")
   }
 
+  test("connected components scale smoke: 1M synthetic edges, mixed topology") {
+    import spark.implicits._
+    // 100k chains of 5 (diameter stress) + 500k random pairs over a 1M-node
+    // id space (bulk) — far beyond any LSH output at test SF; proves the
+    // union-find contraction + propagation path at volume
+    val chains = spark.range(0, 500000)
+      .selectExpr("(id div 5) * 10 + (id % 5) as id_a", "(id div 5) * 10 + (id % 5) + 1 as id_b")
+    val random = spark.range(0, 500000)
+      .selectExpr(
+        "abs(xxhash64(id)) % 1000000 + 10000000 as id_a",
+        "abs(xxhash64(id + 7)) % 1000000 + 10000000 as id_b")
+      .where(col("id_a") =!= col("id_b"))
+    val t0 = System.nanoTime()
+    val clusters = Dedup.duplicateClusters(chains.union(random))
+    val n = clusters.count()
+    info(f"1M-edge CC: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n clustered nodes")
+    // every 5-chain must fully collapse to its minimum node
+    val chainCheck = clusters
+      .where(col("doc_id") < 10000000L && col("doc_id") % 10 < 6)
+      .withColumn("expected", (col("doc_id") - (col("doc_id") % 10)))
+      .where(col("cluster_id") =!= col("expected"))
+    assert(chainCheck.isEmpty, "all chain components collapse to their minimum")
+    // 600k chain nodes exactly; the random family's id space collides, so
+    // its distinct node count is below 1M — require the bulk arrived
+    assert(n > 900000L, s"both edge families clustered, got $n")
+  }
+
   test("minhash phases at sf0.01 complete with sane sizes") {
     val d = Tables(spark, "/root/testdata/sf0.01").documents
     def timed[T](name: String)(f: => T): T = {
