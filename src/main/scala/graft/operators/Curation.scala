@@ -259,10 +259,13 @@ object Curation {
       minJaccard: Double): (DataFrame, DataFrame, DataFrame) = {
     val t = col(textCol)
     val toks = tokens(t)
+    // persisted: the gate is ~6 regex passes per row and feeds both the
+    // funnel count and the dedup chain — it must not re-run per consumer
     val gated = docs.where(
       qualityScore(t) >= minQuality &&
         (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
           >= minDistinctRatio)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val masked = gated.withColumn(textCol, maskPii(col(textCol)))
     // the exact-deduped set feeds two consumers (the LSH signature build and
     // the final keep-set join) — persist it so the regex-heavy gate + mask +
