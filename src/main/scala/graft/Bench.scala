@@ -52,8 +52,11 @@ object Bench {
       // each query pays for its own caching inside its timing; dropping the
       // caches BETWEEN queries (untimed) keeps queries independent — the LSH
       // pipelines persist corpus-scale frames that otherwise accumulate and
-      // tax late queries with storage/GC pressure
+      // tax late queries with storage/GC pressure. localCheckpoint RDD
+      // blocks (the CC loop's) are outside the SQL cache manager; the GC
+      // hint lets the ContextCleaner release the now-unreferenced ones too
       spark.catalog.clearCache()
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -223,7 +223,7 @@ object Curation {
       shingleN: Int = 1,
       minJaccard: Double = 0.5): DataFrame =
     curationStages(docs, idCol, textCol, minQuality, minDistinctRatio,
-      numHashes, numBands, shingleN, minJaccard)._3
+      numHashes, numBands, shingleN, minJaccard, persistGate = false)._3
 
   /** The curation funnel: input / post-gate / post-exact-dedup /
     * post-near-dup document counts — the per-stage attrition a production
@@ -241,10 +241,16 @@ object Curation {
       shingleN: Int = 1,
       minJaccard: Double = 0.5): DataFrame = {
     val (gated, exact, fin) = curationStages(docs, idCol, textCol, minQuality,
-      minDistinctRatio, numHashes, numBands, shingleN, minJaccard)
-    import docs.sparkSession.implicits._
-    Seq((docs.count(), gated.count(), exact.count(), fin.count()))
-      .toDF("n_input", "n_after_gate", "n_after_exact", "n_after_neardup")
+      minDistinctRatio, numHashes, numBands, shingleN, minJaccard,
+      persistGate = true)
+    // lazy scalar-aggregate joins, not driver-side counts: the funnel stays
+    // a single distributed plan (inspectable by Explain / the plan audit),
+    // and its four counts execute when the caller acts — three single-row
+    // cross joins, the same O(n·1) scalar-broadcast shape as q25
+    docs.select(count(lit(1)).as("n_input"))
+      .crossJoin(gated.select(count(lit(1)).as("n_after_gate")))
+      .crossJoin(exact.select(count(lit(1)).as("n_after_exact")))
+      .crossJoin(fin.select(count(lit(1)).as("n_after_neardup")))
   }
 
   private def curationStages(
@@ -256,16 +262,21 @@ object Curation {
       numHashes: Int,
       numBands: Int,
       shingleN: Int,
-      minJaccard: Double): (DataFrame, DataFrame, DataFrame) = {
+      minJaccard: Double,
+      persistGate: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val t = col(textCol)
     val toks = tokens(t)
-    // persisted: the gate is ~6 regex passes per row and feeds both the
-    // funnel count and the dedup chain — it must not re-run per consumer
-    val gated = docs.where(
+    val gated0 = docs.where(
       qualityScore(t) >= minQuality &&
         (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
           >= minDistinctRatio)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the gate is ~6 regex passes per row; persist it ONLY when a second
+    // consumer exists (the funnel's gate count) — on the plain curateCorpus
+    // path gated has one consumer and caching it would be pure cost
+    val gated =
+      if (persistGate)
+        gated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gated0
     val masked = gated.withColumn(textCol, maskPii(col(textCol)))
     // the exact-deduped set feeds two consumers (the LSH signature build and
     // the final keep-set join) — persist it so the regex-heavy gate + mask +

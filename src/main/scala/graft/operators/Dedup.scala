@@ -257,15 +257,25 @@ object Dedup {
     math.pow(1.0 / numBands, 1.0 / rowsPerBand)
 
   /** Choose (numBands, rowsPerBand) for a signature length: the divisor
-    * split whose threshold lands closest to `targetJaccard`. Use before
-    * [[minhashNearDuplicates]] instead of guessing band counts.
+    * split whose threshold lands closest to `targetJaccard`. Fails fast when
+    * no split comes within `maxGap` of the target (e.g. a prime `numHashes`
+    * only offers thresholds 1.0 and 1/n — silently returning one would turn
+    * the LSH filter degenerate) — pick a more composite signature length
+    * instead.
     */
-  def tuneBands(numHashes: Int, targetJaccard: Double): (Int, Int) = {
+  def tuneBands(numHashes: Int, targetJaccard: Double, maxGap: Double = 0.2): (Int, Int) = {
     require(numHashes > 0 && targetJaccard > 0 && targetJaccard < 1)
-    (1 to numHashes)
+    val best = (1 to numHashes)
       .filter(numHashes % _ == 0)
       .map(b => (b, numHashes / b))
       .minBy { case (b, r) => math.abs(lshThreshold(b, r) - targetJaccard) }
+    val achieved = lshThreshold(best._1, best._2)
+    require(
+      math.abs(achieved - targetJaccard) <= maxGap,
+      f"no banding of $numHashes hashes lands near $targetJaccard%.2f " +
+        f"(closest: ${best._1} bands x ${best._2} rows, threshold $achieved%.2f) — " +
+        "use a more composite numHashes")
+    best
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 votes from

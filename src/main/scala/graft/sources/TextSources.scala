@@ -23,25 +23,39 @@ object TextSources {
 
   /** JSON-lines read with explicit schema; malformed lines land in
     * [[CorruptCol]] (added to the schema here — callers pass only the data
-    * schema).
+    * schema, which therefore must not already contain it).
     */
-  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(
+      !schema.fieldNames.contains(CorruptCol),
+      s"readJsonl reserves column name $CorruptCol; pass the data schema only")
     spark.read
       .schema(schema.add(CorruptCol, "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
+  }
 
-  /** Split a JSONL read into (valid rows without the corrupt column,
-    * quarantined raw lines). Spark requires caching the frame before
-    * filtering on the corrupt column alone — done here so callers can't
-    * trip the AnalysisException.
+  /** A corrupt-split with its cached source: `valid` (corrupt column
+    * dropped), `quarantined` (raw malformed lines), and the cached parent —
+    * call [[release]] once both outputs are consumed, or the source frame
+    * stays pinned in executor storage.
     */
-  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+  final case class CorruptSplit(valid: DataFrame, quarantined: DataFrame, source: DataFrame) {
+    def release(): Unit = { source.unpersist(); () }
+  }
+
+  /** Split a JSONL read into valid rows and quarantined raw lines. Spark
+    * requires caching the frame before filtering on the corrupt column alone
+    * — done here so callers can't trip the AnalysisException; the cache
+    * handle is returned so the caller can release it.
+    */
+  def splitCorrupt(df: DataFrame): CorruptSplit = {
     val cached = df.cache()
-    val good = cached.where(col(CorruptCol).isNull).drop(CorruptCol)
-    val bad = cached.where(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
-    (good, bad)
+    CorruptSplit(
+      valid = cached.where(col(CorruptCol).isNull).drop(CorruptCol),
+      quarantined = cached.where(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line")),
+      source = cached)
   }
 
   /** Raw line-oriented text corpus: one row per line with its source file —

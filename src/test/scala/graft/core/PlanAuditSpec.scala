@@ -14,9 +14,11 @@ class PlanAuditSpec extends SparkSpec {
     // q38 is the exact embedding-near-dup oracle twin: a deliberate
     // pairwise pass over a 1/10 subset (the production path is the LSH
     // variant). q25 cross-joins a BROADCAST SINGLE-ROW grand total into the
-    // fact (share-of-total) — O(n·1), the standard scalar-broadcast shape.
-    // Both nested loops are by design and size-bounded.
-    val allowedNestedLoop = Set("q38_embedding_neardup", "q25_share_of_total")
+    // fact (share-of-total), and q66 joins four SINGLE-ROW scalar counts —
+    // O(n·1)/O(1·1), the standard scalar-broadcast shapes. All are by
+    // design and size-bounded.
+    val allowedNestedLoop =
+      Set("q38_embedding_neardup", "q25_share_of_total", "q66_curation_funnel")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")

@@ -12,12 +12,13 @@ class TextSourcesSpec extends SparkSpec {
     val docs = graft.core.Tables(spark, Sf0001).documents
     docs.write.mode("overwrite").json(s"$dir/docs")
     val back = TextSources.readJsonl(spark, s"$dir/docs", docs.schema)
-    val (good, bad) = TextSources.splitCorrupt(back)
-    assert(bad.isEmpty, "clean corpus has no quarantined lines")
-    assert(good.count() == docs.count())
-    assert(good.select(docs.columns.map(col): _*).except(docs).count() == 0 &&
-      docs.except(good.select(docs.columns.map(col): _*)).count() == 0,
+    val split = TextSources.splitCorrupt(back)
+    assert(split.quarantined.isEmpty, "clean corpus has no quarantined lines")
+    assert(split.valid.count() == docs.count())
+    assert(split.valid.select(docs.columns.map(col): _*).except(docs).count() == 0 &&
+      docs.except(split.valid.select(docs.columns.map(col): _*)).count() == 0,
       "JSONL round-trip must preserve every row")
+    split.release()
   }
 
   test("malformed JSONL lines are quarantined, not dropped or fatal") {
@@ -32,11 +33,12 @@ class TextSourcesSpec extends SparkSpec {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-    val (good, bad) = TextSources.splitCorrupt(
+    val split = TextSources.splitCorrupt(
       TextSources.readJsonl(spark, s"$dir/mixed.jsonl", schema))
-    assert(good.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
-    assert(bad.count() == 2, "both malformed lines quarantined with their raw text")
-    assert(bad.as[String].collect().exists(_.contains("not json at all")))
+    assert(split.valid.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(split.quarantined.count() == 2, "both malformed lines quarantined with their raw text")
+    assert(split.quarantined.as[String].collect().exists(_.contains("not json at all")))
+    split.release()
   }
 
   test("text-line source keeps per-file provenance") {
