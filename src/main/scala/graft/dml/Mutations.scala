@@ -42,11 +42,18 @@ object Mutations {
       keys: Seq[String],
       updatedBy: Option[String] = None,
       updateWhere: Option[Column] = None): DataFrame = {
-    val t = target.alias("t")
-    val s = source.alias("s")
+    // side-existence is decided by a non-null tag column, NOT key nullability:
+    // a source row with a NULL first key is still a real (unmatched) row and
+    // must insert with its own values, not degrade into an all-target-null row
+    Seq("_t_exists", "_s_exists").foreach { r =>
+      require(!target.columns.contains(r) && !source.columns.contains(r),
+        s"upsert reserves column name $r")
+    }
+    val t = target.withColumn("_t_exists", lit(true)).alias("t")
+    val s = source.withColumn("_s_exists", lit(true)).alias("s")
     val dataCols = target.columns.filterNot(keys.contains)
-    val srcExists = col(s"s.${keys.head}").isNotNull
-    val tgtExists = col(s"t.${keys.head}").isNotNull
+    val srcExists = col("s._s_exists").isNotNull
+    val tgtExists = col("t._t_exists").isNotNull
     val guard = updateWhere.getOrElse(lit(true))
     // unmatched source rows always insert; matched rows update only per guard
     val takeSource = (srcExists && !tgtExists) || (srcExists && tgtExists && guard)
@@ -64,7 +71,7 @@ object Mutations {
       refreshed.as(c)
     }
     t.join(s, keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
-      .select(keyCols ++ valCols: _*)
+      .select(keyCols ++ valCols: _*) // tag columns are not selected — they vanish here
   }
 
   /** Merge action classification (reference `sql/dml.py:283-293`): tag each
@@ -100,11 +107,19 @@ object Mutations {
       keys: Seq[String],
       deleteWhere: Option[Column] = None,
       updatedBy: Option[String] = None): MergeResult = {
-    val t = target.alias("t")
-    val s = source.alias("s")
+    // same reserved-name discipline as softDelete/batchUpdate: a real
+    // _merge_action (or tag) column would be silently overwritten and corrupt
+    // both the classification and the output
+    Seq("_merge_action", "_t_exists", "_s_exists").foreach { r =>
+      require(!target.columns.contains(r) && !source.columns.contains(r),
+        s"merge reserves column name $r")
+    }
+    // existence via non-null tags, not key nullability — see upsert
+    val t = target.withColumn("_t_exists", lit(true)).alias("t")
+    val s = source.withColumn("_s_exists", lit(true)).alias("s")
     val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-    val srcExists = col(s"s.${keys.head}").isNotNull
-    val tgtExists = col(s"t.${keys.head}").isNotNull
+    val srcExists = col("s._s_exists").isNotNull
+    val tgtExists = col("t._t_exists").isNotNull
     val del = deleteWhere.getOrElse(lit(false))
     val action = when(srcExists && tgtExists && del, "DELETE")
       .when(srcExists && tgtExists, "UPDATE")

@@ -75,14 +75,22 @@ object PartitionedFact {
       g: Granularity): Unit = {
     val parts = partitionColumns(prefix, g)
     val keyed = withPartitionColumns(delta, dateCol, prefix, g)
-    if (!new java.io.File(path).exists()) {
+    // resolve through the Hadoop FileSystem (like Mutations.overwriteTable) so
+    // the existence check holds on HDFS/S3, not just the local filesystem
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) {
       keyed.write.mode(SaveMode.ErrorIfExists).partitionBy(parts: _*).parquet(path)
       return
     }
     val affected = keyed.select(parts.map(col): _*).distinct().collect()
     if (affected.isEmpty) return // routine no-data increment — nothing to merge
+    // null-safe equality: a NULL dateCol lands in the null
+    // (__HIVE_DEFAULT_PARTITION__) partition, which dynamic overwrite WILL
+    // rewrite — a `===` filter would read no survivors from it and silently
+    // drop previously stored null-dated rows
     val partitionFilter = affected.map { r =>
-      parts.zipWithIndex.map { case (p, i) => col(p) === lit(r.get(i)) }.reduce(_ && _)
+      parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(r.get(i)) }.reduce(_ && _)
     }.reduce(_ || _)
     val existing = spark.read.parquet(path).where(partitionFilter)
     val survivors = existing.join(
