@@ -45,10 +45,20 @@ object Bench {
       .selectExpr("max(cast(mh as array<string>))", "max(sh)")
       .collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+      // a failed query must never masquerade as a fast success: it is
+      // recorded as -1 in `queries` AND carries its exception in `errors`
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\s]+", " ")).take(160)
+            false
+        }
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // each query pays for its own caching inside its timing; dropping the
       // caches BETWEEN queries (untimed) keeps queries independent — the LSH
       // pipelines persist corpus-scale frames that otherwise accumulate and
@@ -59,10 +69,23 @@ object Bench {
       System.gc()
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the one-line JSON short enough that a
+    // tail-capped log capture does not truncate the head of the line
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+    // stdout for the driver, plus a file copy that survives any log truncation
+    println(line)
+    Console.out.flush()
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException => Console.err.println(s"bench: could not write $out: $e") }
     spark.stop()
   }
 }

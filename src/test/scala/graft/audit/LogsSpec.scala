@@ -68,6 +68,63 @@ class LogsSpec extends SparkSpec {
     assert(pl.startProcess("c") == 3L)
   }
 
+  test("updateProcessMetrics records mid-run progress without ending the process") {
+    val store = freshStore
+    val pl = new ProcessLogger(store, FixedClock)
+    val id = pl.startProcess("big_load")
+    pl.updateProcessMetrics(id, rowsProcessed = Some(5000), rowsInserted = Some(4000))
+    val cur = store.current("process_log", "log_id").collect().head
+    assert(cur.getAs[String]("status") == "RUNNING", "mid-run update must not end the process")
+    assert(cur.getAs[Long]("rows_processed") == 5000)
+    assert(cur.getAs[Long]("rows_inserted") == 4000)
+    assert(cur.isNullAt(cur.fieldIndex("end_time")))
+    // a later partial update merges, not replaces: rows_processed advances,
+    // rows_inserted keeps its previous value
+    pl.updateProcessMetrics(id, rowsProcessed = Some(9000))
+    val cur2 = store.current("process_log", "log_id").collect().head
+    assert(cur2.getAs[Long]("rows_processed") == 9000)
+    assert(cur2.getAs[Long]("rows_inserted") == 4000)
+    // a crash after the update still shows progress; a clean end overrides
+    pl.endProcess(id, "SUCCESS", rowsProcessed = Some(10000), rowsDeleted = Some(7))
+    val done = store.current("process_log", "log_id").collect().head
+    assert(done.getAs[String]("status") == "SUCCESS")
+    assert(done.getAs[Long]("rows_processed") == 10000)
+    assert(done.getAs[Long]("rows_deleted") == 7)
+  }
+
+  test("updateProcessMetrics on an unknown id throws, like the reference") {
+    val store = freshStore
+    val pl = new ProcessLogger(store, FixedClock)
+    pl.startProcess("known")
+    intercept[IllegalArgumentException] { pl.updateProcessMetrics(999L) }
+  }
+
+  test("processHistory filters by status (audit_logger.py:348)") {
+    val store = freshStore
+    val pl = new ProcessLogger(store, FixedClock)
+    val a = pl.startProcess("load_a")
+    val b = pl.startProcess("load_b")
+    pl.startProcess("load_c")
+    pl.endProcess(a, "SUCCESS")
+    pl.endProcess(b, "FAILED", errorMessage = Some("boom"))
+    // FixedClock start_time is in the past relative to current_timestamp —
+    // use a large window so all three land inside it
+    val failed = pl.processHistory(days = 100000, statusFilter = Some("FAILED")).collect()
+    assert(failed.map(_.getAs[String]("process_name")).toSeq == Seq("load_b"))
+    val running = pl.processHistory(days = 100000, statusFilter = Some("RUNNING")).collect()
+    assert(running.map(_.getAs[String]("process_name")).toSeq == Seq("load_c"))
+    assert(pl.processHistory(days = 100000).count() == 3, "no filter → all rows")
+  }
+
+  test("id seeding survives a restart: new store continues past the persisted max") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs-idseed").toString
+    val pl1 = new ProcessLogger(new LogStore(spark, dir), FixedClock)
+    assert(pl1.startProcess("a") == 1L)
+    assert(pl1.startProcess("b") == 2L)
+    val pl2 = new ProcessLogger(new LogStore(spark, dir), FixedClock)
+    assert(pl2.startProcess("c") == 3L, "restarted store must seed ids from the persisted max")
+  }
+
   test("error logging and resolution") {
     val store = freshStore
     val el = new ErrorLogger(store, FixedClock)

@@ -149,6 +149,65 @@ class MutationsSpec extends SparkSpec {
     assert(out(2L) == (("bob", "loader")), "other rows untouched")
   }
 
+  test("upsert: NULL-keyed source row inserts with its own values, not a null husk") {
+    // regression: existence was once classified by keys.head nullability, so a
+    // NULL-keyed source row degraded into an all-target-null garbage row
+    val tgt = Seq((Some(1L), "alice", 10.0)).toDF("id", "name", "score")
+    val src = Seq((Option.empty[Long], "ghost", 99.0), (Some(1L), "ALICE", 11.0))
+      .toDF("id", "name", "score")
+    val out = Mutations.upsert(tgt, src, Seq("id"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set((-1L, "ghost", 99.0), (1L, "ALICE", 11.0)),
+      s"NULL-keyed source row must carry source values, got $out")
+  }
+
+  test("upsert: NULL-keyed target row passes through unchanged") {
+    val tgt = Seq((Option.empty[Long], "orphan", 5.0), (Some(1L), "alice", 10.0))
+      .toDF("id", "name", "score")
+    val src = Seq((Some(2L), "carol", 30.0)).toDF("id", "name", "score")
+    val out = Mutations.upsert(tgt, src, Seq("id"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set((-1L, "orphan", 5.0), (1L, "alice", 10.0), (2L, "carol", 30.0)))
+  }
+
+  test("merge: NULL-keyed source row is an INSERT with source values and is counted") {
+    val tgt = Seq((Some(1L), "alice", 10.0)).toDF("id", "name", "score")
+    val src = Seq((Option.empty[Long], "ghost", 99.0)).toDF("id", "name", "score")
+    val res = Mutations.merge(tgt, src, Seq("id"))
+    val rows = res.merged
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(rows == Set((-1L, "ghost", 99.0), (1L, "alice", 10.0)),
+      s"NULL-keyed source row must insert with source values, got $rows")
+    val counts = res.counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("INSERT" -> 1L), s"NULL-keyed insert must be counted, got $counts")
+  }
+
+  test("merge: NULL-keyed target row is KEEP — surviving, uncounted, undeleted") {
+    val tgt = Seq((Option.empty[Long], "orphan", 5.0), (Some(1L), "alice", 10.0))
+      .toDF("id", "name", "score")
+    val src = Seq((Some(1L), "ALICE", 11.0)).toDF("id", "name", "score")
+    val res = Mutations.merge(tgt, src, Seq("id"), deleteWhere = Some(col("t.score") < 100.0))
+    val rows = res.merged
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      .toSet
+    // id=1 matches and deletes; the NULL-keyed target row never matches, so the
+    // delete guard cannot touch it
+    assert(rows == Set((-1L, "orphan")))
+    val counts = res.counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("DELETE" -> 1L))
+  }
+
+  test("upsert and merge reject reserved tag/action column names") {
+    val bad = target.withColumn("_t_exists", lit(true))
+    intercept[IllegalArgumentException] { Mutations.upsert(bad, source, Seq("id")) }
+    intercept[IllegalArgumentException] { Mutations.merge(target, bad, Seq("id")) }
+    val badAction = target.withColumn("_merge_action", lit("UPDATE"))
+    intercept[IllegalArgumentException] { Mutations.merge(badAction, source, Seq("id")) }
+  }
+
   test("softDelete predicate referencing is_deleted targets the input state") {
     val once = Mutations.softDelete(target, col("score") > 15.0, "t1")
     // second pass deletes rows NOT yet deleted — the predicate reads the

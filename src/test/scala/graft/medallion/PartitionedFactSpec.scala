@@ -76,6 +76,27 @@ class PartitionedFactSpec extends SparkSpec {
     assert(again.orderBy("id").collect().toSeq == mergedRows)
   }
 
+  test("mergeDelta preserves previously stored null-dated rows (null partition survivors)") {
+    // regression: the affected-partition filter once used === instead of <=>,
+    // so a delta touching the null (__HIVE_DEFAULT_PARTITION__) partition read
+    // zero survivors from it while dynamic overwrite still rewrote it —
+    // silently dropping every previously stored null-dated row
+    val path = Files.createTempDirectory("pf-nullpart").toString
+    val base = Seq((1, Some("2013-01-05"), 10.0), (2, None, 20.0), (3, None, 30.0))
+      .toDF("id", "d", "amount").withColumn("d", to_date($"d"))
+    PartitionedFact.overwrite(base, "d", "order", PartitionedFact.Month, path)
+
+    // delta lands entirely in the null partition: update id=3, insert id=4
+    val delta = Seq((3, Option.empty[String], 99.0), (4, Option.empty[String], 40.0))
+      .toDF("id", "d", "amount").withColumn("d", to_date($"d"))
+    PartitionedFact.mergeDelta(spark, path, delta, Seq("id"), "d", "order", PartitionedFact.Month)
+
+    val merged = spark.read.parquet(path)
+    assert(merged.count() == 4, "null-partition survivor id=2 must not be dropped")
+    val amounts = merged.select($"id", $"amount").as[(Int, Double)].collect().toMap
+    assert(amounts == Map(1 -> 10.0, 2 -> 20.0, 3 -> 99.0, 4 -> 40.0))
+  }
+
   test("mergeDelta bootstraps an empty table from the delta") {
     val path = Files.createTempDirectory("pf-boot").toString + "/fact"
     val delta = fact()
