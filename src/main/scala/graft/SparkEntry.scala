@@ -84,6 +84,7 @@ object SparkEntry {
     "q64_incremental_dedup" -> (Pipeline.incrementalDedup _),
     "q65_curation_pipeline" -> (Pipeline.curationPipeline _),
     "q66_curation_funnel" -> (Pipeline.curationFunnel _),
+    "q67_embedding_neardup_lsh" -> (Pipeline.embeddingNearDupLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -729,6 +730,35 @@ object SparkEntry {
           |  CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_after_exact,
           |  CAST((SELECT COUNT(*) FROM exact
           |        WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)) AS BIGINT) AS n_after_neardup""".stripMargin),
+    // replicates the FULL LSH pipeline of Dedup.embeddingNearDuplicates: the
+    // Sha60-derived ±1 sign matrix (same "p:i" convention as q41), per-vector
+    // signature packing, bucket-size cap, same-bucket pair join, cosine gate
+    "q67_embedding_neardup_lsh" ->
+      """WITH dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
+        |    SELECT t.p, list_transform(range(0, dims.d), i ->
+        |      CASE WHEN CAST(('0x' || substring(sha256(CAST(t.p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+        |           THEN 1.0 ELSE -1.0 END) AS sgn
+        |    FROM range(0, 8) t(p), dims)),
+        |sigs AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
+        |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
+        |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM embeddings, planes),
+        |capped AS (
+        |  SELECT vec_id, embedding, sig FROM (
+        |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM sigs)
+        |  WHERE bs <= 200)
+        |SELECT id_a, id_b, cosine_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
+        |  FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        |WHERE cosine_sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** Shared oracle CTE chain for q65/q66: the curation gate (quality score +

@@ -365,9 +365,9 @@ object Pipeline {
 
   /** q38 — embedding-cosine near-duplicate detection, exact variant on a
     * deterministic subset (every 10th vector): pairwise cosine ≥ 0.25.
-    * The scale path is [[Dedup.embeddingNearDuplicates]] (LSH-bucketed,
-    * recall-tested in ScalaTest); this exact form is the oracle-checkable
-    * ground truth of the same semantics.
+    * This exact form is the oracle-checkable ground truth of the semantics;
+    * the scale path [[Dedup.embeddingNearDuplicates]] carries its OWN oracle
+    * row (q67) replicating the full hyperplane→bucket→pair pipeline.
     */
   def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CosineSimilarity.cosineFast
@@ -381,6 +381,24 @@ object Pipeline {
       .where(col("cosine_sim") >= 0.25)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** q67 — the SCALE path for embedding near-dup: the full LSH-bucketed
+    * pipeline [[Dedup.embeddingNearDuplicates]] (hyperplane signature →
+    * capped bucket → same-bucket pairs → cosine threshold), certified against
+    * a DuckDB oracle that replicates every stage from the same Sha60-derived
+    * sign matrix. Unlike q38's exact crossJoin this never compares across
+    * buckets — candidate work is Σ bucket² (capped), not N².
+    *
+    * 8 planes on the 500-vector test corpus keeps buckets non-trivial
+    * (multi-occupancy) while still pruning >99% of the N² pair space; at
+    * corpus scale nPlanes grows with log₂(N/targetBucket).
+    */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .embeddingNearDuplicates(
+        Tables(spark, dir).embeddings, "vec_id", "embedding",
+        minCosine = 0.25, nPlanes = 8, maxBucketSize = 200)
+      .orderBy(col("id_a"), col("id_b"))
 
   // ------------------------------------------------------------------ text
 
