@@ -85,6 +85,7 @@ object SparkEntry {
     "q65_curation_pipeline" -> (Pipeline.curationPipeline _),
     "q66_curation_funnel" -> (Pipeline.curationFunnel _),
     "q67_embedding_neardup_lsh" -> (Pipeline.embeddingNearDupLsh _),
+    "q68_semantic_dedup" -> (Pipeline.semanticDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -734,32 +735,58 @@ object SparkEntry {
     // Sha60-derived ±1 sign matrix (same "p:i" convention as q41), per-vector
     // signature packing, bucket-size cap, same-bucket pair join, cosine gate
     "q67_embedding_neardup_lsh" ->
-      """WITH dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
-        |planes AS (
-        |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
-        |    SELECT t.p, list_transform(range(0, dims.d), i ->
-        |      CASE WHEN CAST(('0x' || substring(sha256(CAST(t.p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
-        |           THEN 1.0 ELSE -1.0 END) AS sgn
-        |    FROM range(0, 8) t(p), dims)),
-        |sigs AS (
-        |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(0, 8), p ->
-        |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
-        |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
-        |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-        |  FROM embeddings, planes),
-        |capped AS (
-        |  SELECT vec_id, embedding, sig FROM (
-        |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM sigs)
-        |  WHERE bs <= 200)
-        |SELECT id_a, id_b, cosine_sim FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_reduce(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-        |    / (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
-        |       * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
-        |  FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
-        |WHERE cosine_sim >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+      ("WITH " + embLshCtes + "\n" +
+        """SELECT id_a, id_b, cosine_sim FROM epairs
+          |ORDER BY id_a, id_b""".stripMargin),
+    // q67's pair pipeline closed under transitivity (recursive reachability,
+    // cluster_id = component minimum — mirrors Dedup.duplicateClusters), one
+    // canonical vector per cluster, surviving vectors per label
+    "q68_semantic_dedup" ->
+      ("WITH RECURSIVE " + embLshCtes + ",\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM epairs UNION SELECT id_b, id_a FROM epairs),
+          |reach AS (
+          |  SELECT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+          |comp AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+          |FROM embeddings
+          |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)
+          |GROUP BY label ORDER BY label""".stripMargin),
   )
+
+  /** Shared oracle CTE chain for q67/q68: Dedup.embeddingNearDuplicates'
+    * hyperplane-LSH pipeline — Sha60 ±1 sign matrix (8 planes), packed
+    * per-vector signature, bucket cap 200, same-bucket pairs at cosine ≥
+    * 0.25 — ending in `epairs(id_a, id_b, cosine_sim)`.
+    */
+  private val embLshCtes: String =
+    """dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+      |planes AS (
+      |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
+      |    SELECT t.p, list_transform(range(0, dims.d), i ->
+      |      CASE WHEN CAST(('0x' || substring(sha256(CAST(t.p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |           THEN 1.0 ELSE -1.0 END) AS sgn
+      |    FROM range(0, 8) t(p), dims)),
+      |esigs AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
+      |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
+      |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+      |  FROM embeddings, planes),
+      |capped AS (
+      |  SELECT vec_id, embedding, sig FROM (
+      |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
+      |  WHERE bs <= 200),
+      |epairs AS (
+      |  SELECT id_a, id_b, cosine_sim FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      list_reduce(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+      |         * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
+      |    FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+      |  WHERE cosine_sim >= 0.25)""".stripMargin
 
   /** Shared oracle CTE chain for q65/q66: the curation gate (quality score +
     * distinct-token ratio), PII masking, exact dedup, then the MinHash

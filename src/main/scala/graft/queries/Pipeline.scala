@@ -400,6 +400,25 @@ object Pipeline {
         minCosine = 0.25, nPlanes = 8, maxBucketSize = 200)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q68 — SemDeDup-style semantic corpus dedup (Abbas et al. 2023's shape,
+    * LSH-bucketed rather than k-means-bucketed): embedding near-dup pairs
+    * (q67's certified pipeline) closed under transitivity into clusters, one
+    * canonical vector kept per cluster (minimum id), reported as surviving
+    * vectors per class label. Every stage is an already-audited operator —
+    * hyperplane bucket pairs → contracted label propagation → ids-only
+    * keep-set join; nothing quadratic, embeddings never self-join across
+    * buckets.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val pairs = Dedup.embeddingNearDuplicates(
+      e, "vec_id", "embedding", minCosine = 0.25, nPlanes = 8, maxBucketSize = 200)
+    Dedup.dedupCorpus(e, "vec_id", pairs)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"))
+  }
+
   // ------------------------------------------------------------------ text
 
   /** q31 — token statistics per language: whitespace tokens and BPE-ish

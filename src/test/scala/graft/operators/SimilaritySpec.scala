@@ -42,6 +42,22 @@ class SimilaritySpec extends SparkSpec {
       s"planted duplicate must be found, got $pairs")
   }
 
+  test("semantic dedup keeps one canonical vector per near-dup cluster") {
+    import spark.implicits._
+    val base = emb.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // plant two exact copies of vector 0: {v0, 9998, 9999} form one cluster
+    val planted =
+      (base ++ Seq((9998L, base.head._2), (9999L, base.head._2)))
+        .toSeq.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(
+      planted, "vec_id", "embedding", minCosine = 0.999, nPlanes = 12)
+    val kept = Dedup.dedupCorpus(planted, "vec_id", pairs)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(base.head._1), "cluster minimum survives as canonical")
+    assert(!kept.contains(9998L) && !kept.contains(9999L), "copies are dropped")
+  }
+
   test("k-means centroids assign all vectors and improve over raw seeds") {
     val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)
     assert(centroids.length == 8)
