@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -20,22 +19,7 @@ import org.apache.spark.sql.types._
   * once per (nPlanes, dim) rather than re-hashed per row.
   */
 case class HyperplaneSignatureExpr(child: Expression, nPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  // Sign matrix cache keyed by vector dimensionality: planes are constants,
-  // so hash work is O(nPlanes·d) once, not per row.
-  @transient private lazy val signCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
-
-  private def signsFor(d: Int): Array[Array[Double]] =
-    signCache.computeIfAbsent(
-      d,
-      _ =>
-        Array.tabulate(nPlanes) { p =>
-          Array.tabulate(d) { i =>
-            if (Sha60.hashString(s"$p:$i") % 2 == 0) 1.0 else -1.0
-          }
-        })
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -54,29 +38,15 @@ case class HyperplaneSignatureExpr(child: Expression, nPlanes: Int)
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val signs = signsFor(n)
-    val projections = new Array[Double](nPlanes)
-    var i = 0
-    while (i < n) {
-      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      var p = 0
-      while (p < nPlanes) {
-        projections(p) += x * signs(p)(i)
-        p += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var p = 0
-    while (p < nPlanes) {
-      if (projections(p) >= 0.0) sig |= (1L << p)
-      p += 1
-    }
-    sig
-  }
+  override def nullSafeEval(input: Any): Any =
+    SigKernels.hyperplane(input.asInstanceOf[ArrayData], nPlanes, isFloat)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SigKernels.hyperplane($c, $nPlanes, $isFloat);")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatureExpr =
     copy(child = newChild)

@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native MinHash signature over a shingle array: `numHashes` permutation
@@ -20,9 +19,7 @@ import org.apache.spark.sql.types._
   * distinct) shingles.
   */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  private val P = 2147483647L // 2^31 − 1
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -36,26 +33,15 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
           s"minhash_signature expects array<string>, got ${t.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val minima = Array.fill(numHashes)(P)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val raw = Sha60.hashBytes(arr.getUTF8String(i).getBytes)
-        val h = raw % P // raw is non-negative (60-bit)
-        var j = 0
-        while (j < numHashes) {
-          val v = ((2L * j + 1) * h + 104729L * (j + 1)) % P
-          if (v < minima(j)) minima(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(minima)
-  }
+  override def nullSafeEval(input: Any): Any =
+    SigKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SigKernels.minhash($c, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
     copy(child = newChild)

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -15,11 +14,11 @@ import org.apache.spark.sql.types._
   * 60-bit so bits 60–63 are always 0) — but computed in
   * one fused pass with a primitive `long[64]` vote array. The HOF version
   * evaluates a 64-wide `zip_with` lambda per token (interpreted, allocating);
-  * this is a tight loop per row. `CodegenFallback` is acceptable: the row
-  * cost is dominated by hashing tokens, not expression dispatch.
+  * this is a tight loop per row, and `doGenCode` keeps the enclosing
+  * projection inside WholeStageCodegen (kernel in [[SigKernels]]).
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -33,30 +32,15 @@ case class SimHash64Expr(child: Expression)
           s"simhash64 expects array<string>, got ${t.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Long](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = Sha60.hashBytes(arr.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) != 0L) votes(b) += 1L else votes(b) -= 1L
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var fp = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0L) fp |= (1L << b)
-      b += 1
-    }
-    fp
-  }
+  override def nullSafeEval(input: Any): Any =
+    SigKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SigKernels.simhash64($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)

@@ -207,10 +207,13 @@ object Curation {
     * nothing quadratic end to end.
     *
     * Caching contract: the exact-deduped intermediate (and the LSH shingle
-    * pass inside [[Dedup.minhashNearDuplicates]]) stays persisted after the
-    * returned frame is consumed — the result is lazy, so the operator cannot
-    * unpersist it itself. One pipeline per session is the expected use; a
-    * session running many should `spark.catalog.clearCache()` between them.
+    * pass inside [[Dedup.minhashNearDuplicates]]) is persisted EAGERLY at
+    * construction ([[graft.core.Caching.eager]] — a lazily persisted
+    * intermediate with multiple consumers gets its subtree recomputed per
+    * AQE stage, measured 3–6× duplicated CPU) and stays persisted after the
+    * returned frame is consumed. One pipeline per session is the expected
+    * use; a session running many should `spark.catalog.clearCache()`
+    * between them.
     */
   def curateCorpus(
       docs: DataFrame,
@@ -274,16 +277,14 @@ object Curation {
     // consumer exists (the funnel's gate count) — on the plain curateCorpus
     // path gated has one consumer and caching it would be pure cost
     val gated =
-      if (persistGate)
-        gated0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (persistGate) graft.core.Caching.eager(gated0)
       else gated0
     val masked = gated.withColumn(textCol, maskPii(col(textCol)))
     // the exact-deduped set feeds two consumers (the LSH signature build and
     // the final keep-set join) — persist it so the regex-heavy gate + mask +
     // hash-dedup upstream runs once, not once per consumer (measured 7 s →
     // ~4 s at sf0.1). Same persistence policy as the LSH shingle pass.
-    val exact = Dedup.exactDedup(masked, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = graft.core.Caching.eager(Dedup.exactDedup(masked, idCol, textCol))
     val pairs = Dedup.minhashNearDuplicates(
       exact, idCol, textCol, numHashes, numBands, shingleN, minJaccard)
     (gated, exact, Dedup.dedupCorpus(exact, idCol, pairs))

@@ -93,8 +93,11 @@ object Dedup {
     // No array_distinct anywhere: MinHash minima are duplicate-insensitive,
     // and array_intersect/array_union deduplicate internally — the explicit
     // distinct pass was pure overhead.
-    val docs = sigDocs(df, idCol, textCol, shingleN, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: three consumers (band explode + two set-attach joins) would
+    // otherwise each inline and recompute the cold cache's subtree under
+    // AQE's independent stage planning (see graft.core.Caching)
+    val docs = graft.core.Caching.eager(
+      sigDocs(df, idCol, textCol, shingleN, numHashes))
 
     // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
     // attached per-key after candidate pairs are deduped, so the band
@@ -215,10 +218,10 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 50): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val cDocs = sigDocs(corpus, idCol, textCol, shingleN, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dDocs = sigDocs(delta, idCol, textCol, shingleN, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cDocs = graft.core.Caching.eager(
+      sigDocs(corpus, idCol, textCol, shingleN, numHashes))
+    val dDocs = graft.core.Caching.eager(
+      sigDocs(delta, idCol, textCol, shingleN, numHashes))
     val cBuckets = bandFrame(cDocs, numBands, rowsPerBand)
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("cids"))
@@ -431,10 +434,10 @@ object Dedup {
     // hash-partition the symmetric edge set on src once: every round's
     // neighbour-min join keys on src, so the (persisted) edge side never
     // re-shuffles
-    val edges = base.union(base.select(col("dst"), col("src")).toDF("src", "dst"))
-      .distinct()
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.core.Caching.eager(
+      base.union(base.select(col("dst"), col("src")).toDF("src", "dst"))
+        .distinct()
+        .repartition(col("src")))
     // seed each node with min(self, neighbours) — the same result as running
     // one propagation round on identity labels, for the price of the groupBy
     // that enumerates the nodes anyway
