@@ -141,7 +141,12 @@ final class SetupOrchestrator(
     */
   def runSilver(granularity: PartitionedFact.Granularity = PartitionedFact.Year): Unit = {
     def bronzeTable(t: String) = spark.read.parquet(s"$warehouseDir/bronze/$t")
-    def exists(t: String) = new java.io.File(s"$warehouseDir/bronze/$t").exists()
+    def exists(t: String) = {
+      // Hadoop FileSystem so the check holds on HDFS/S3 (same policy as
+      // LogStore.exists / Mutations.overwriteTable)
+      val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/bronze/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     def write(bronzeName: String, name: String,
         clean: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
       if (exists(bronzeName)) {
