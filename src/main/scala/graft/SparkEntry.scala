@@ -86,6 +86,7 @@ object SparkEntry {
     "q66_curation_funnel" -> (Pipeline.curationFunnel _),
     "q67_embedding_neardup_lsh" -> (Pipeline.embeddingNearDupLsh _),
     "q68_semantic_dedup" -> (Pipeline.semanticDedup _),
+    "q69_vector_quantization" -> (Pipeline.vectorQuantization _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -753,6 +754,20 @@ object SparkEntry {
           |FROM embeddings
           |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)
           |GROUP BY label ORDER BY label""".stripMargin),
+    // floor(v·127 + 0.5), not round(): floor is defined identically in both
+    // engines while round's half-way ties differ — see VectorFunctions
+    "q69_vector_quantization" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127.0 + 0.5) AS INTEGER)) AS qvec
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(qvec, ',') AS qcsv,
+        |  CAST(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT))) AS BIGINT) AS q_sum,
+        |  list_max(list_transform(list_zip(embedding, qvec),
+        |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 127.0))) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 
   /** Shared oracle CTE chain for q67/q68: Dedup.embeddingNearDuplicates'

@@ -26,6 +26,31 @@ object VectorFunctions {
   /** Cosine similarity in a fixed op order: dot / (norm(a) * norm(b)). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric int8 quantization of a [-1, 1]-clamped vector:
+    * q_i = floor(clamp(x_i)·127 + 0.5) ∈ [-127, 127]. `floor(v + 0.5)` not
+    * `round(v)`: both engines define floor identically, while round's
+    * half-way tie-breaking differs across engines/types — the quantized
+    * array must be bit-identical for the DuckDB oracle. Map-only, per-row;
+    * 4× storage reduction for an embedding corpus at scale.
+    */
+  def quantizeInt8(vec: Column): Column =
+    transform(
+      vec,
+      x =>
+        floor(greatest(lit(-1.0), least(lit(1.0), x.cast("double"))) * 127.0 + 0.5)
+          .cast("int"))
+
+  /** Elementwise reconstruction error |x_i − q_i/127| of an int8-quantized
+    * vector's worst dimension — per-row max (order-independent, so
+    * deterministic across engines).
+    */
+  def maxQuantError(vec: Column, quantized: Column): Column =
+    array_max(
+      zip_with(
+        vec,
+        quantized,
+        (x, q) => abs(x.cast("double") - q.cast("double") / 127.0)))
+
   /** Deterministic ±1 pseudo-random hyperplane component for LSH: derived
     * from [[Sha60]] of the string "plane:dim" — no RNG state, so every
     * executor (and a DuckDB SQL oracle) derives the same planes.

@@ -419,6 +419,27 @@ object Pipeline {
       .orderBy(col("label"))
   }
 
+  /** q69 — symmetric int8 embedding quantization (the 4× storage-compression
+    * pass a vector corpus gets before serving/ANN indexing): per vector the
+    * quantized values (as a canonical csv string — engines differ in array
+    * hashing, not content), their integer checksum, and the worst-dimension
+    * reconstruction error. Map-only — no shuffle at any scale.
+    */
+  def vectorQuantization(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    Tables(spark, dir).embeddings
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("qvec"))
+      .select(
+        col("vec_id"),
+        array_join(col("qvec"), ",").as("qcsv"),
+        aggregate(col("qvec"), lit(0L), (a, v) => a + v.cast("long")).as("q_sum"),
+        VectorFunctions.maxQuantError(col("embedding"), col("qvec")).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------------------ text
 
   /** q31 — token statistics per language: whitespace tokens and BPE-ish
