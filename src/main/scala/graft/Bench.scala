@@ -44,6 +44,15 @@ object Bench {
         graft.functions.SimHash64Expr.simhash64Fast(org.apache.spark.sql.functions.col("toks")).as("sh"))
       .selectExpr("max(cast(mh as array<string>))", "max(sh)")
       .collect()
+    // and the vector-expression paths (q39-q41, q67-q69): hyperplane
+    // signature + cosine codegen — synthetic vectors, no benchmark data
+    spark.range(0, 20000)
+      .selectExpr("array(cast(id % 7 as float) / 7.0f, cast(id % 11 as float) / 11.0f, cast(id % 13 as float) / 13.0f) as v")
+      .select(
+        graft.functions.HyperplaneSignatureExpr.hyperplaneFast(org.apache.spark.sql.functions.col("v"), 8).as("hs"),
+        graft.functions.CosineSimilarity.cosineFast(org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("v")).as("cs"))
+      .selectExpr("max(hs)", "max(cs)")
+      .collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
