@@ -63,8 +63,11 @@ object Bench {
         try { fn(spark, sfDir).count(); true }
         catch {
           case e: Throwable =>
+            // keep the message printable ASCII: quotes/backslashes break the
+            // JSON string, raw control bytes break strict JSON parsers
             errors(name) = (e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\s]+", " ")).take(160)
+              Option(e.getMessage).getOrElse("").replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ")
+                .replaceAll("\\s+", " ")).take(160)
             false
         }
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

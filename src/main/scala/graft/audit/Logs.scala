@@ -205,7 +205,11 @@ final class ProcessLogger(store: LogStore, clock: Clock = SystemClock) {
       rowsUpdated: Option[Long] = None,
       rowsDeleted: Option[Long] = None,
       errorMessage: Option[String] = None): Unit = {
-    val cur = store.current(table, "log_id").where(col("log_id") === id).as[ProcessLog].head()
+    // same error contract as updateProcessMetrics: a stale/wrong id gets a
+    // message naming it, not an opaque NoSuchElementException from head()
+    val hits = store.current(table, "log_id").where(col("log_id") === id).as[ProcessLog].collect()
+    require(hits.nonEmpty, s"Process log with ID $id not found")
+    val cur = hits.head
     val done = cur.copy(
       end_time = Some(clock.now()),
       status = status,
@@ -291,7 +295,9 @@ final class ErrorLogger(store: LogStore, clock: Clock = SystemClock) {
       detail = Some(e.getStackTrace.take(5).mkString("\n")))
 
   def markResolved(id: Long, by: String, notes: Option[String] = None): Unit = {
-    val cur = store.current(table, "error_id").where(col("error_id") === id).as[ErrorLog].head()
+    val hits = store.current(table, "error_id").where(col("error_id") === id).as[ErrorLog].collect()
+    require(hits.nonEmpty, s"Error log with ID $id not found")
+    val cur = hits.head
     val resolved = cur.copy(
       is_resolved = true,
       resolved_by = Some(by),

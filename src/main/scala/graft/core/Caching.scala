@@ -35,9 +35,25 @@ object Caching {
   private val targetPartitionBytes = 64L << 20
 
   /** Persist at MEMORY_AND_DISK, materialize immediately, and right-size
-    * oversplit cached partitions (see object doc).
+    * oversplit cached partitions (see object doc). `coalesce` discards any
+    * existing hash partitioning — for a frame whose partitioning downstream
+    * joins rely on, use [[eagerHashPartitioned]] instead.
     */
-  def eager(df: DataFrame): DataFrame = {
+  def eager(df: DataFrame): DataFrame =
+    rightSized(df, n => _.coalesce(n))
+
+  /** [[eager]] for a frame that must STAY hash-partitioned on `keys` (e.g.
+    * an iterative join's build side): right-sizing re-persists via
+    * `repartition(n, keys)` so the cached partitioning survives and
+    * downstream key-equi joins still plan no Exchange.
+    */
+  def eagerHashPartitioned(
+      df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    rightSized(df, n => _.repartition(n, keys: _*))
+
+  private def rightSized(
+      df: DataFrame, reshape: Int => DataFrame => DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
     // InMemoryRelation stats are exact once materialized
@@ -45,7 +61,7 @@ object Caching {
     val parts = p.rdd.getNumPartitions
     val target = math.max(1L, (bytes.toLong + targetPartitionBytes - 1) / targetPartitionBytes)
     if (parts > 2 * target && parts > 4) {
-      val c = p.coalesce(math.min(target, Int.MaxValue.toLong).toInt)
+      val c = reshape(math.min(target, Int.MaxValue.toLong).toInt)(p)
         .persist(StorageLevel.MEMORY_AND_DISK)
       c.count()
       p.unpersist()

@@ -215,16 +215,46 @@ object Curation {
     * use; a session running many should `spark.catalog.clearCache()`
     * between them.
     */
+  // The pipeline defaults, shared with the stage benchmarks
+  // (perf.CurationStageBench / perf.LshProfile) so a measured stage can
+  // never silently drift from what q65/q66 actually run.
+  private[graft] val DefaultMinQuality = 0.5
+  private[graft] val DefaultMinDistinctRatio = 0.3
+  private[graft] val DefaultNumHashes = 16
+  private[graft] val DefaultNumBands = 4
+  private[graft] val DefaultShingleN = 1
+  private[graft] val DefaultMinJaccard = 0.5
+
+  /** The quality + distinct-ratio gate as a standalone frame — the exact
+    * first stage of [[curateCorpus]], exposed for the stage benchmarks.
+    */
+  private[graft] def qualityGate(
+      docs: DataFrame,
+      textCol: String,
+      minQuality: Double = DefaultMinQuality,
+      minDistinctRatio: Double = DefaultMinDistinctRatio): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    docs.where(
+      qualityScore(t) >= minQuality &&
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+          >= minDistinctRatio)
+  }
+
+  /** The PII-mask stage of [[curateCorpus]], exposed for the stage benchmarks. */
+  private[graft] def maskStage(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, maskPii(col(textCol)))
+
   def curateCorpus(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minQuality: Double = 0.5,
-      minDistinctRatio: Double = 0.3,
-      numHashes: Int = 16,
-      numBands: Int = 4,
-      shingleN: Int = 1,
-      minJaccard: Double = 0.5): DataFrame =
+      minQuality: Double = DefaultMinQuality,
+      minDistinctRatio: Double = DefaultMinDistinctRatio,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      shingleN: Int = DefaultShingleN,
+      minJaccard: Double = DefaultMinJaccard): DataFrame =
     curationStages(docs, idCol, textCol, minQuality, minDistinctRatio,
       numHashes, numBands, shingleN, minJaccard, persistGate = false)._3
 
@@ -237,12 +267,12 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minQuality: Double = 0.5,
-      minDistinctRatio: Double = 0.3,
-      numHashes: Int = 16,
-      numBands: Int = 4,
-      shingleN: Int = 1,
-      minJaccard: Double = 0.5): DataFrame = {
+      minQuality: Double = DefaultMinQuality,
+      minDistinctRatio: Double = DefaultMinDistinctRatio,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      shingleN: Int = DefaultShingleN,
+      minJaccard: Double = DefaultMinJaccard): DataFrame = {
     val (gated, exact, fin) = curationStages(docs, idCol, textCol, minQuality,
       minDistinctRatio, numHashes, numBands, shingleN, minJaccard,
       persistGate = true)
@@ -267,19 +297,14 @@ object Curation {
       shingleN: Int,
       minJaccard: Double,
       persistGate: Boolean): (DataFrame, DataFrame, DataFrame) = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val gated0 = docs.where(
-      qualityScore(t) >= minQuality &&
-        (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
-          >= minDistinctRatio)
+    val gated0 = qualityGate(docs, textCol, minQuality, minDistinctRatio)
     // the gate is ~6 regex passes per row; persist it ONLY when a second
     // consumer exists (the funnel's gate count) — on the plain curateCorpus
     // path gated has one consumer and caching it would be pure cost
     val gated =
       if (persistGate) graft.core.Caching.eager(gated0)
       else gated0
-    val masked = gated.withColumn(textCol, maskPii(col(textCol)))
+    val masked = maskStage(gated, textCol)
     // the exact-deduped set feeds two consumers (the LSH signature build and
     // the final keep-set join) — persist it so the regex-heavy gate + mask +
     // hash-dedup upstream runs once, not once per consumer (measured 7 s →

@@ -434,10 +434,14 @@ object Dedup {
     // hash-partition the symmetric edge set on src once: every round's
     // neighbour-min join keys on src, so the (persisted) edge side never
     // re-shuffles
-    val edges = graft.core.Caching.eager(
+    // eagerHashPartitioned, not eager: right-sizing must preserve the src
+    // hash partitioning every propagation round's join relies on — a plain
+    // coalesce would silently re-introduce a per-round edge shuffle
+    val edges = graft.core.Caching.eagerHashPartitioned(
       base.union(base.select(col("dst"), col("src")).toDF("src", "dst"))
         .distinct()
-        .repartition(col("src")))
+        .repartition(col("src")),
+      Seq(col("src")))
     // seed each node with min(self, neighbours) — the same result as running
     // one propagation round on identity labels, for the price of the groupBy
     // that enumerates the nodes anyway

@@ -43,9 +43,26 @@ object CurationStageBench {
         "size(regexp_extract_all(s, '\\\\S+', 0)) as n")
       .agg(Map("a" -> "max", "b" -> "max", "n" -> "sum")).collect()
 
+    // SparkListener events are delivered asynchronously — wait for the task
+    // counters to go quiet before reading a delta, or the last wave of a
+    // stage's task-end events lands in the NEXT stage's numbers
+    def settle(): Unit = {
+      var prev = -1L
+      var same = 0
+      var spins = 0
+      while (same < 2 && spins < 40) {
+        val cur = listener.tasksCompleted.get + listener.executorRunTimeMs.get
+        if (cur == prev) same += 1 else same = 0
+        prev = cur
+        spins += 1
+        Thread.sleep(50)
+      }
+    }
+
     def cold[T](label: String)(body: => T): Unit = {
       spark.catalog.clearCache()
       System.gc()
+      settle()
       val run0 = listener.executorRunTimeMs.get
       val gc0 = listener.jvmGcTimeMs.get
       val sh0 = listener.shuffleReadBytes.get
@@ -53,6 +70,7 @@ object CurationStageBench {
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
+      settle()
       println(f"""{"stage":"$label","wall_sec":$wall%.3f,""" +
         f""""executor_run_sec":${(listener.executorRunTimeMs.get - run0) / 1000.0}%.3f,""" +
         f""""gc_sec":${(listener.jvmGcTimeMs.get - gc0) / 1000.0}%.3f,""" +
@@ -63,25 +81,25 @@ object CurationStageBench {
     val docs = Tables(spark, sfDir).documents
 
     // --- stages, each cold and standalone (persists inside operators still
-    // apply within a stage, as they do inside the composed run) ---
-    import graft.functions.TextFunctions.{qualityScore, tokens}
-    def gated: DataFrame = docs.where(
-      qualityScore(col("text")) >= 0.5 &&
-        (size(array_distinct(tokens(col("text")))).cast("double") /
-          size(tokens(col("text"))).cast("double")) >= 0.3)
-    def masked: DataFrame = gated.withColumn("text", Curation.maskPii(col("text")))
+    // apply within a stage, as they do inside the composed run); stage
+    // definitions come from Curation itself so they cannot drift from what
+    // q65/q66 run ---
+    def gated: DataFrame = Curation.qualityGate(docs, "text")
+    def masked: DataFrame = Curation.maskStage(gated, "text")
     def exact: DataFrame = Dedup.exactDedup(masked, "doc_id", "text")
+    val (nh, nb, sn, mj) = (Curation.DefaultNumHashes, Curation.DefaultNumBands,
+      Curation.DefaultShingleN, Curation.DefaultMinJaccard)
 
     cold("1_gate")(gated.count())
     cold("2_gate+mask")(masked.count())
     cold("3_gate+mask+exact_dedup")(exact.count())
     cold("4_lsh_pairs_from_exact") {
-      val e = exact.persist()
-      Dedup.minhashNearDuplicates(e, "doc_id", "text", 16, 4, 1, 0.5).count()
+      val e = graft.core.Caching.eager(exact)
+      Dedup.minhashNearDuplicates(e, "doc_id", "text", nh, nb, sn, mj).count()
     }
     cold("5_full_dedup_corpus") {
-      val e = exact.persist()
-      val pairs = Dedup.minhashNearDuplicates(e, "doc_id", "text", 16, 4, 1, 0.5)
+      val e = graft.core.Caching.eager(exact)
+      val pairs = Dedup.minhashNearDuplicates(e, "doc_id", "text", nh, nb, sn, mj)
       Dedup.dedupCorpus(e, "doc_id", pairs).count()
     }
 

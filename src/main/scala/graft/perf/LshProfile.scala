@@ -29,13 +29,26 @@ object LshProfile {
     spark.range(0, 100000).selectExpr("sha2(cast(id as string), 256) as h")
       .agg(max("h")).collect()
 
+    // drain the async listener bus before reading counter deltas (see
+    // CurationStageBench.settle)
+    def settle(): Unit = {
+      var prev = -1L; var same = 0; var spins = 0
+      while (same < 2 && spins < 40) {
+        val cur = listener.tasksCompleted.get + listener.executorRunTimeMs.get
+        if (cur == prev) same += 1 else same = 0
+        prev = cur; spins += 1; Thread.sleep(50)
+      }
+    }
+
     def cold[T](label: String)(body: => T): Unit = {
       spark.catalog.clearCache()
       System.gc()
+      settle()
       val run0 = listener.executorRunTimeMs.get
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
+      settle()
       println(f"""{"stage":"$label","wall_sec":$wall%.3f,""" +
         f""""executor_run_sec":${(listener.executorRunTimeMs.get - run0) / 1000.0}%.3f}""")
     }
@@ -64,36 +77,34 @@ object LshProfile {
 
     // --- isolate which upstream stage multiplies the LSH cost in the
     // curation chain (gate → mask → exact dedup → pairs) ---
-    import graft.functions.TextFunctions.{qualityScore, tokens}
     import graft.operators.Curation
-    def gated: DataFrame = docs.where(
-      qualityScore(col("text")) >= 0.5 &&
-        (size(array_distinct(tokens(col("text")))).cast("double") /
-          size(tokens(col("text"))).cast("double")) >= 0.3)
+    def gated: DataFrame = Curation.qualityGate(docs, "text")
     cold("f_pairs_from_gated") {
       val g = gated.persist(); g.count()
       Dedup.minhashNearDuplicates(g, "doc_id", "text", 16, 4, 1, 0.5).count()
     }
     cold("g_pairs_from_gated_masked") {
-      val m = gated.withColumn("text", Curation.maskPii(col("text"))).persist(); m.count()
+      val m = Curation.maskStage(gated, "text").persist(); m.count()
       Dedup.minhashNearDuplicates(m, "doc_id", "text", 16, 4, 1, 0.5).count()
     }
     cold("h_pairs_from_exact_chain") {
-      val m = gated.withColumn("text", Curation.maskPii(col("text")))
+      val m = Curation.maskStage(gated, "text")
       val e = Dedup.exactDedup(m, "doc_id", "text").persist(); e.count()
       Dedup.minhashNearDuplicates(e, "doc_id", "text", 16, 4, 1, 0.5).count()
     }
     def warm[T](label: String)(body: => T): Unit = {
+      settle()
       val run0 = listener.executorRunTimeMs.get
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
+      settle()
       println(f"""{"stage":"$label","wall_sec":$wall%.3f,""" +
         f""""executor_run_sec":${(listener.executorRunTimeMs.get - run0) / 1000.0}%.3f}""")
     }
     {
       spark.catalog.clearCache(); System.gc()
-      val m = gated.withColumn("text", Curation.maskPii(col("text")))
+      val m = Curation.maskStage(gated, "text")
       val e = Dedup.exactDedup(m, "doc_id", "text").persist()
       warm("h1_exact_persist_materialize")(e.count())
       warm("h0_e_count_again")(e.count())
