@@ -87,6 +87,7 @@ object SparkEntry {
     "q67_embedding_neardup_lsh" -> (Pipeline.embeddingNearDupLsh _),
     "q68_semantic_dedup" -> (Pipeline.semanticDedup _),
     "q69_vector_quantization" -> (Pipeline.vectorQuantization _),
+    "q70_incremental_embedding_dedup" -> (Pipeline.incrementalEmbeddingDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -754,6 +755,25 @@ object SparkEntry {
           |FROM embeddings
           |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)
           |GROUP BY label ORDER BY label""".stripMargin),
+    // corpus bucket index (capped ids per signature) probed by the delta
+    // split — replicates Dedup.embeddingIncrementalDuplicates stage by stage
+    "q70_incremental_embedding_dedup" ->
+      ("WITH " + embSigCtes + ",\n" +
+        """cbuck AS (
+          |  SELECT sig, list(vec_id) AS cids
+          |  FROM esigs WHERE vec_id % 10 <> 0
+          |  GROUP BY sig HAVING count(*) <= 200),
+          |cand AS (
+          |  SELECT d.vec_id AS delta_id, d.embedding AS dvec, unnest(cb.cids) AS corpus_id
+          |  FROM esigs d JOIN cbuck cb ON d.sig = cb.sig
+          |  WHERE d.vec_id % 10 = 0)
+          |SELECT delta_id, corpus_id, cosine_sim FROM (
+          |  SELECT p.delta_id, p.corpus_id,
+          |    list_reduce(list_transform(list_zip(p.dvec, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+          |    / (sqrt(list_reduce(list_transform(p.dvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+          |       * sqrt(list_reduce(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
+          |  FROM cand p JOIN embeddings c ON p.corpus_id = c.vec_id)
+          |WHERE cosine_sim >= 0.25 ORDER BY delta_id, corpus_id""".stripMargin),
     // floor(v·127 + 0.5), not round(): floor is defined identically in both
     // engines while round's half-way ties differ — see VectorFunctions
     "q69_vector_quantization" ->
@@ -770,12 +790,11 @@ object SparkEntry {
         |FROM q ORDER BY vec_id""".stripMargin,
   )
 
-  /** Shared oracle CTE chain for q67/q68: Dedup.embeddingNearDuplicates'
-    * hyperplane-LSH pipeline — Sha60 ±1 sign matrix (8 planes), packed
-    * per-vector signature, bucket cap 200, same-bucket pairs at cosine ≥
-    * 0.25 — ending in `epairs(id_a, id_b, cosine_sim)`.
+  /** Shared oracle CTE prefix for every hyperplane-LSH oracle: Sha60 ±1
+    * sign matrix (8 planes) and packed per-vector signatures —
+    * `esigs(vec_id, embedding, sig)`. q67/q68/q70 compose from it.
     */
-  private val embLshCtes: String =
+  private val embSigCtes: String =
     """dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
       |planes AS (
       |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
@@ -789,19 +808,25 @@ object SparkEntry {
       |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
       |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
       |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-      |  FROM embeddings, planes),
-      |capped AS (
-      |  SELECT vec_id, embedding, sig FROM (
-      |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
-      |  WHERE bs <= 200),
-      |epairs AS (
-      |  SELECT id_a, id_b, cosine_sim FROM (
-      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |      list_reduce(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-      |      / (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
-      |         * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
-      |    FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
-      |  WHERE cosine_sim >= 0.25)""".stripMargin
+      |  FROM embeddings, planes)""".stripMargin
+
+  /** Continuation of [[embSigCtes]] for q67/q68: bucket cap 200 and
+    * same-bucket pairs at cosine ≥ 0.25 — `epairs(id_a, id_b, cosine_sim)`.
+    */
+  private val embLshCtes: String =
+    embSigCtes + ",\n" +
+      """capped AS (
+        |  SELECT vec_id, embedding, sig FROM (
+        |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
+        |  WHERE bs <= 200),
+        |epairs AS (
+        |  SELECT id_a, id_b, cosine_sim FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      list_reduce(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+        |         * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
+        |    FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        |  WHERE cosine_sim >= 0.25)""".stripMargin
 
   /** Shared oracle CTE chain for q65/q66: the curation gate (quality score +
     * distinct-token ratio), PII masking, exact dedup, then the MinHash

@@ -384,6 +384,53 @@ object Dedup {
       .where(col("cosine_sim") >= minCosine)
   }
 
+  /** Incremental embedding near-dup: delta vectors whose cosine against some
+    * CORPUS vector in the same hyperplane bucket clears `minCosine` — the
+    * daily-ingest shape for an embedding corpus (the [[embeddingNearDuplicates]]
+    * twin of [[minhashIncrementalDuplicates]]).
+    *
+    * Scale shape: the corpus side becomes an ids-only bucket index
+    * (sig → capped id list, one groupBy — at steady state a precomputed
+    * table); the delta probes it by signature equality and corpus VECTORS are
+    * attached per candidate id afterwards — the corpus never self-joins and
+    * corpus vectors shuffle only for ids that actually collide with the
+    * delta. Returns (delta_id, corpus_id, cosine_sim).
+    */
+  def embeddingIncrementalDuplicates(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      nPlanes: Int = 12,
+      maxBucketSize: Int = 200): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineFast
+    import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
+    def sigged(df: DataFrame) = df.select(
+      col(idCol).as("vid"),
+      col(vecCol).as("vec"),
+      hyperplaneFast(col(vecCol), nPlanes).as("sig"))
+    val cBuckets = sigged(corpus)
+      .groupBy(col("sig"))
+      .agg(collect_list(col("vid")).as("cids"))
+      .where(size(col("cids")) <= maxBucketSize)
+    val cand = sigged(delta)
+      .join(cBuckets, Seq("sig"))
+      .select(
+        col("vid").as("delta_id"),
+        col("vec").as("delta_vec"),
+        explode(col("cids")).as("corpus_id"))
+    cand
+      .join(
+        corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec")),
+        Seq("corpus_id"))
+      .select(
+        col("delta_id"),
+        col("corpus_id"),
+        cosineFast(col("delta_vec"), col("corpus_vec")).as("cosine_sim"))
+      .where(col("cosine_sim") >= minCosine)
+  }
+
   /** Connected components over duplicate pairs — the stage after candidate
     * generation in a corpus dedup pipeline: near-dup pairs are transitive in
     * practice (A~B, B~C ⇒ keep one of {A,B,C}), so the keep-set is one

@@ -419,6 +419,22 @@ object Pipeline {
       .orderBy(col("label"))
   }
 
+  /** q70 — incremental embedding dedup: the daily-delta split (every 10th
+    * vector, q64's convention) probed against the remaining corpus' LSH
+    * bucket index. The corpus is never self-joined; its vectors move only
+    * for colliding candidate ids ([[Dedup.embeddingIncrementalDuplicates]]).
+    */
+  def incrementalEmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Dedup
+      .embeddingIncrementalDuplicates(
+        corpus = e.where(col("vec_id") % 10 =!= 0),
+        delta = e.where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding",
+        minCosine = 0.25, nPlanes = 8, maxBucketSize = 200)
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
   /** q69 — symmetric int8 embedding quantization (the 4× storage-compression
     * pass a vector corpus gets before serving/ANN indexing): per vector the
     * quantized values (as a canonical csv string — engines differ in array

@@ -58,6 +58,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!kept.contains(9998L) && !kept.contains(9999L), "copies are dropped")
   }
 
+  test("incremental embedding dedup pairs delta vectors with corpus near-dups only") {
+    import spark.implicits._
+    val base = emb.limit(30).collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val corpus = base.toSeq.toDF("vec_id", "embedding")
+    // delta: one exact copy of a corpus vector + one corpus vector reused
+    // under a new id (both must hit), nothing else
+    val delta = Seq((9998L, base.head._2), (9999L, base(5)._2))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingIncrementalDuplicates(
+      corpus, delta, "vec_id", "embedding", minCosine = 0.999, nPlanes = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((9998L, base.head._1)), s"planted copy must match, got $out")
+    assert(out.contains((9999L, base(5)._1)))
+    assert(out.forall { case (d, c) => d >= 9998L && c < 9998L },
+      "only delta-vs-corpus pairs, never corpus-vs-corpus")
+  }
+
   test("k-means centroids assign all vectors and improve over raw seeds") {
     val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)
     assert(centroids.length == 8)
