@@ -29,6 +29,24 @@ class CachingSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("eagerHashPartitioned right-sizes while keeping the hash partitioning") {
+    val df = (1 to 200).map(i => (i.toLong % 10, i.toLong)).toDF("k", "v")
+      .repartition(32, col("k"))
+    val p = Caching.eagerHashPartitioned(df, Seq(col("k")))
+    assert(p.rdd.getNumPartitions <= 4, "tiny frame is right-sized")
+    // ground truth: an aggregation keyed on k over the cached frame must not
+    // re-shuffle it — the partitioning survives into the IMR scan
+    val agg = p.groupBy("k").count()
+    assert(agg.count() == 10)
+    // only the plan ABOVE the cache boundary matters — the InMemoryRelation
+    // dump echoes its own historical build-side Exchanges
+    val plan = agg.queryExecution.executedPlan.toString
+    val aboveCache = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!aboveCache.contains("Exchange"),
+      s"aggregation on the preserved key must not re-shuffle the cached frame:\n$plan")
+    p.unpersist()
+  }
+
   test("eager preserves row content and schema through the re-persist") {
     val df = (1 to 50).map(i => (i.toLong, s"s$i")).toDF("id", "s")
       .repartition(32, col("id"))
