@@ -53,6 +53,60 @@ object DocStream {
       .join(index, Seq("content_hash"), "left_anti")
       .drop("content_hash")
 
+  /** Signature → capped corpus-id bucket index over an embedding corpus —
+    * the static side of [[dedupEmbeddingsAgainstCorpus]] and the streaming
+    * twin of the index [[graft.operators.Dedup.embeddingIncrementalDuplicates]]
+    * builds. Ids + vectors keyed by hyperplane signature; at scale this is a
+    * precomputed table refreshed by the batch compaction job.
+    */
+  def embeddingCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 12,
+      maxBucketSize: Int = 200): DataFrame = {
+    import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
+    val sigged = corpus.select(
+      col(idCol).as("_c_id"),
+      col(vecCol).as("_c_vec"),
+      hyperplaneFast(col(vecCol), nPlanes).as("_sig"))
+    val keep = sigged
+      .groupBy(col("_sig"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("_sig"))
+    sigged.join(keep, Seq("_sig"))
+  }
+
+  /** Drop stream vectors that are near-duplicates (cosine ≥ `minCosine`) of
+    * some corpus vector in the same hyperplane bucket: stream–static join on
+    * the signature, per-candidate cosine, then `left_anti` against the
+    * matched ids. Stateless per micro-batch — the stream never holds corpus
+    * state; the static index is re-planned (and broadcast while it fits)
+    * each batch.
+    */
+  def dedupEmbeddingsAgainstCorpus(
+      stream: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      nPlanes: Int = 12): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineFast
+    import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
+    // ONE stream-static left_anti with the cosine folded into the join
+    // condition — a second join against a stream-derived dup-id frame would
+    // be an unsupported stream-stream anti join
+    val sigged = stream.withColumn("_sig", hyperplaneFast(col(vecCol), nPlanes))
+    sigged
+      .join(
+        index,
+        sigged("_sig") === index("_sig") &&
+          cosineFast(col(vecCol), index("_c_vec")) >= minCosine,
+        "left_anti")
+      .drop("_sig")
+  }
+
   /** The curation gate: keep documents scoring at least `minQuality` that
     * are not repetition-flagged, emit them PII-masked with their scores.
     * Works identically on a streaming or batch DataFrame — the stream==batch

@@ -123,6 +123,39 @@ class StreamingSpec extends SparkSpec {
       "the corpus index should drop some stream documents")
   }
 
+  test("streaming embedding dedup equals the batch incremental near-dup complement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-embdedup").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$dir/emb-0.parquet"))
+    val all = graft.core.Tables(spark, Sf0001).embeddings
+    val corpus = all.where(col("vec_id") % 2 === 0)
+    val embSchema = all.schema
+    val index = DocStream.embeddingCorpusIndex(corpus, "vec_id", "embedding",
+      nPlanes = 8, maxBucketSize = 200)
+    val q = DocStream
+      .dedupEmbeddingsAgainstCorpus(
+        spark.readStream.schema(embSchema).parquet(dir),
+        index, "vec_id", "embedding", minCosine = 0.25, nPlanes = 8)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("embdedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("embdedup").select("vec_id").as[Long].collect().toSet
+    // batch ground truth: survivors = all minus vectors with a corpus
+    // near-dup in the same bucket (corpus vectors match themselves)
+    val dupIds = graft.operators.Dedup.embeddingIncrementalDuplicates(
+      corpus, all, "vec_id", "embedding", minCosine = 0.25, nPlanes = 8)
+      .select(col("delta_id")).as[Long].collect().toSet
+    val batch = all.select("vec_id").as[Long].collect().toSet -- dupIds
+    assert(streamed == batch, "stream and batch embedding dedup must agree")
+    assert(streamed.nonEmpty && streamed.size < all.count(),
+      "corpus self-matches must be dropped by the stream gate")
+  }
+
   test("multimodal feature extraction preserves ids and drops blobs") {
     val docs = graft.core.Tables(spark, Sf0001).documents
     val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
