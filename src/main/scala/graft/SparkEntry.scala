@@ -759,7 +759,7 @@ object SparkEntry {
     // split — replicates Dedup.embeddingIncrementalDuplicates stage by stage
     "q70_incremental_embedding_dedup" ->
       ("WITH " + embSigCtes + ",\n" +
-        """cbuck AS (
+        s"""cbuck AS (
           |  SELECT sig, list(vec_id) AS cids
           |  FROM esigs WHERE vec_id % 10 <> 0
           |  GROUP BY sig HAVING count(*) <= 200),
@@ -769,9 +769,7 @@ object SparkEntry {
           |  WHERE d.vec_id % 10 = 0)
           |SELECT delta_id, corpus_id, cosine_sim FROM (
           |  SELECT p.delta_id, p.corpus_id,
-          |    list_reduce(list_transform(list_zip(p.dvec, c.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
-          |    / (sqrt(list_reduce(list_transform(p.dvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
-          |       * sqrt(list_reduce(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
+          |    ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
           |  FROM cand p JOIN embeddings c ON p.corpus_id = c.vec_id)
           |WHERE cosine_sim >= 0.25 ORDER BY delta_id, corpus_id""".stripMargin),
     // floor(v·127 + 0.5), not round(): floor is defined identically in both
@@ -789,6 +787,15 @@ object SparkEntry {
         |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 127.0))) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
   )
+
+  /** DuckDB cosine-similarity SQL over two list expressions — the ONE copy
+    * of the determinism-critical fold (CAST placement, sequential
+    * list_reduce) every embedding oracle composes.
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+       |         * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
 
   /** Shared oracle CTE prefix for every hyperplane-LSH oracle: Sha60 ±1
     * sign matrix (8 planes) and packed per-vector signatures —
@@ -815,16 +822,14 @@ object SparkEntry {
     */
   private val embLshCtes: String =
     embSigCtes + ",\n" +
-      """capped AS (
+      s"""capped AS (
         |  SELECT vec_id, embedding, sig FROM (
         |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
         |  WHERE bs <= 200),
         |epairs AS (
         |  SELECT id_a, id_b, cosine_sim FROM (
         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |      list_reduce(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-        |      / (sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
-        |         * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))) AS cosine_sim
+        |      ${cosineSql("a.embedding", "b.embedding")} AS cosine_sim
         |    FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
         |  WHERE cosine_sim >= 0.25)""".stripMargin
 

@@ -410,16 +410,23 @@ object Dedup {
       col(idCol).as("vid"),
       col(vecCol).as("vec"),
       hyperplaneFast(col(vecCol), nPlanes).as("sig"))
-    val cBuckets = sigged(corpus)
+    // cap via count + semi-join, NEVER collect_list-then-filter: a degenerate
+    // mega-bucket would otherwise materialize its whole id array in one
+    // aggregation row before being discarded
+    val corpusIds = sigged(corpus).select(col("vid"), col("sig"))
+    val keep = corpusIds
       .groupBy(col("sig"))
-      .agg(collect_list(col("vid")).as("cids"))
-      .where(size(col("cids")) <= maxBucketSize)
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("sig"))
     val cand = sigged(delta)
-      .join(cBuckets, Seq("sig"))
+      .join(
+        corpusIds.join(keep, Seq("sig")).withColumnRenamed("vid", "corpus_id"),
+        Seq("sig"))
       .select(
         col("vid").as("delta_id"),
         col("vec").as("delta_vec"),
-        explode(col("cids")).as("corpus_id"))
+        col("corpus_id"))
     cand
       .join(
         corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec")),

@@ -43,26 +43,10 @@ object CurationStageBench {
         "size(regexp_extract_all(s, '\\\\S+', 0)) as n")
       .agg(Map("a" -> "max", "b" -> "max", "n" -> "sum")).collect()
 
-    // SparkListener events are delivered asynchronously — wait for the task
-    // counters to go quiet before reading a delta, or the last wave of a
-    // stage's task-end events lands in the NEXT stage's numbers
-    def settle(): Unit = {
-      var prev = -1L
-      var same = 0
-      var spins = 0
-      while (same < 2 && spins < 40) {
-        val cur = listener.tasksCompleted.get + listener.executorRunTimeMs.get
-        if (cur == prev) same += 1 else same = 0
-        prev = cur
-        spins += 1
-        Thread.sleep(50)
-      }
-    }
-
     def cold[T](label: String)(body: => T): Unit = {
       spark.catalog.clearCache()
       System.gc()
-      settle()
+      listener.settle()
       val run0 = listener.executorRunTimeMs.get
       val gc0 = listener.jvmGcTimeMs.get
       val sh0 = listener.shuffleReadBytes.get
@@ -70,7 +54,7 @@ object CurationStageBench {
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
-      settle()
+      listener.settle()
       println(f"""{"stage":"$label","wall_sec":$wall%.3f,""" +
         f""""executor_run_sec":${(listener.executorRunTimeMs.get - run0) / 1000.0}%.3f,""" +
         f""""gc_sec":${(listener.jvmGcTimeMs.get - gc0) / 1000.0}%.3f,""" +

@@ -29,31 +29,23 @@ object LshProfile {
     spark.range(0, 100000).selectExpr("sha2(cast(id as string), 256) as h")
       .agg(max("h")).collect()
 
-    // drain the async listener bus before reading counter deltas (see
-    // CurationStageBench.settle)
-    def settle(): Unit = {
-      var prev = -1L; var same = 0; var spins = 0
-      while (same < 2 && spins < 40) {
-        val cur = listener.tasksCompleted.get + listener.executorRunTimeMs.get
-        if (cur == prev) same += 1 else same = 0
-        prev = cur; spins += 1; Thread.sleep(50)
-      }
-    }
-
     def cold[T](label: String)(body: => T): Unit = {
       spark.catalog.clearCache()
       System.gc()
-      settle()
+      listener.settle()
       val run0 = listener.executorRunTimeMs.get
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
-      settle()
+      listener.settle()
       println(f"""{"stage":"$label","wall_sec":$wall%.3f,""" +
         f""""executor_run_sec":${(listener.executorRunTimeMs.get - run0) / 1000.0}%.3f}""")
     }
 
     val docs = Tables(spark, sfDir).documents
+    // q65/q66's own LSH parameters — shared constants so this profile can
+    // never measure a different pipeline than the one the queries run
+    import graft.operators.Curation.{DefaultNumHashes => NH, DefaultNumBands => NB, DefaultShingleN => SN, DefaultMinJaccard => MJ}
     import graft.functions.TextFunctions.normalizeText
     val shingled = docs.select(
       col("doc_id"),
@@ -68,11 +60,11 @@ object LshProfile {
         .agg(max(expr("cast(sig as array<string>)"))).collect()
     }
     cold("d_full_pairs_run")(
-      Dedup.minhashNearDuplicates(docs, "doc_id", "text", 16, 4, 1, 0.5).count())
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text", NH, NB, SN, MJ).count())
     cold("e_jaccard_only") {
       // candidate pairs recomputed via the public operator with an impossible
       // jaccard floor (verify still evaluates every pair's intersect/union)
-      Dedup.minhashNearDuplicates(docs, "doc_id", "text", 16, 4, 1, 2.0).count()
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text", NH, NB, SN, 2.0).count()
     }
 
     // --- isolate which upstream stage multiplies the LSH cost in the
@@ -81,24 +73,24 @@ object LshProfile {
     def gated: DataFrame = Curation.qualityGate(docs, "text")
     cold("f_pairs_from_gated") {
       val g = gated.persist(); g.count()
-      Dedup.minhashNearDuplicates(g, "doc_id", "text", 16, 4, 1, 0.5).count()
+      Dedup.minhashNearDuplicates(g, "doc_id", "text", NH, NB, SN, MJ).count()
     }
     cold("g_pairs_from_gated_masked") {
       val m = Curation.maskStage(gated, "text").persist(); m.count()
-      Dedup.minhashNearDuplicates(m, "doc_id", "text", 16, 4, 1, 0.5).count()
+      Dedup.minhashNearDuplicates(m, "doc_id", "text", NH, NB, SN, MJ).count()
     }
     cold("h_pairs_from_exact_chain") {
       val m = Curation.maskStage(gated, "text")
       val e = Dedup.exactDedup(m, "doc_id", "text").persist(); e.count()
-      Dedup.minhashNearDuplicates(e, "doc_id", "text", 16, 4, 1, 0.5).count()
+      Dedup.minhashNearDuplicates(e, "doc_id", "text", NH, NB, SN, MJ).count()
     }
     def warm[T](label: String)(body: => T): Unit = {
-      settle()
+      listener.settle()
       val run0 = listener.executorRunTimeMs.get
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
-      settle()
+      listener.settle()
       println(f"""{"stage":"$label","wall_sec":$wall%.3f,""" +
         f""""executor_run_sec":${(listener.executorRunTimeMs.get - run0) / 1000.0}%.3f}""")
     }
@@ -108,7 +100,7 @@ object LshProfile {
       val e = Dedup.exactDedup(m, "doc_id", "text").persist()
       warm("h1_exact_persist_materialize")(e.count())
       warm("h0_e_count_again")(e.count())
-      val lsh = Dedup.minhashNearDuplicates(e, "doc_id", "text", 16, 4, 1, 0.5)
+      val lsh = Dedup.minhashNearDuplicates(e, "doc_id", "text", NH, NB, SN, MJ)
       val plan = lsh.queryExecution.executedPlan.toString
       println(s"h_plan_imr_scans=${plan.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan")}")
       println(s"h_plan_has_window=${plan.contains("Window")}")
@@ -116,7 +108,7 @@ object LshProfile {
       val e4 = e.coalesce(4).persist()
       warm("h3a_coalesce4_materialize")(e4.count())
       warm("h3_lsh_on_coalesced_exact")(
-        Dedup.minhashNearDuplicates(e4, "doc_id", "text", 16, 4, 1, 0.5).count())
+        Dedup.minhashNearDuplicates(e4, "doc_id", "text", NH, NB, SN, MJ).count())
       e4.unpersist()
       e.unpersist()
     }

@@ -45,6 +45,23 @@ final class MetricsListener extends SparkListener {
     jobsCompleted.incrementAndGet()
   }
 
+  /** Wait for the async listener bus to go quiet before reading counters:
+    * poll until two consecutive reads (100 ms apart) are identical, capped
+    * at 5 s. The proper bus-drain API is `private[spark]`; without this, the
+    * last wave of task-end events lands in the NEXT measurement's delta.
+    * The ONE settle implementation — every measurement site must use it.
+    */
+  def settle(): Unit = {
+    var prev = -1L
+    var settled = 0
+    var waited = 0
+    while (settled < 2 && waited < 5000) {
+      Thread.sleep(100); waited += 100
+      val cur = tasksCompleted.get + jobsCompleted.get + executorRunTimeMs.get
+      if (cur == prev) settled += 1 else { settled = 0; prev = cur }
+    }
+  }
+
   /** Metric name → (value, unit), ready for PerformanceMonitor.record. */
   def snapshot(): Map[String, (Double, String)] = Map(
     "tasks_completed" -> (tasksCompleted.get.toDouble, "count"),
@@ -70,16 +87,7 @@ object MetricsListener {
     spark.sparkContext.addSparkListener(listener)
     try f
     finally {
-      // listener events are async and the bus-drain API is internal: poll
-      // until counters settle (two identical reads 100 ms apart), capped 5 s
-      var prev = -1L
-      var settled = 0
-      var waited = 0
-      while (settled < 2 && waited < 5000) {
-        Thread.sleep(100); waited += 100
-        val cur = listener.tasksCompleted.get + listener.jobsCompleted.get
-        if (cur == prev) settled += 1 else { settled = 0; prev = cur }
-      }
+      listener.settle()
       spark.sparkContext.removeSparkListener(listener)
       listener.snapshot().foreach { case (name, (value, unit)) =>
         monitor.record(name, value, unit, processLogId)

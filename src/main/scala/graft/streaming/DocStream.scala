@@ -75,7 +75,10 @@ object DocStream {
       .agg(count(lit(1)).as("_bs"))
       .where(col("_bs") <= maxBucketSize)
       .select(col("_sig"))
-    sigged.join(keep, Seq("_sig"))
+    // the index carries its plane count so the probe side can never
+    // recompute signatures with a mismatched nPlanes (which would silently
+    // match nothing and disable dedup)
+    sigged.join(keep, Seq("_sig")).withColumn("_n_planes", lit(nPlanes))
   }
 
   /** Drop stream vectors that are near-duplicates (cosine ≥ `minCosine`) of
@@ -90,10 +93,15 @@ object DocStream {
       index: DataFrame,
       idCol: String,
       vecCol: String,
-      minCosine: Double = 0.95,
-      nPlanes: Int = 12): DataFrame = {
+      minCosine: Double = 0.95): DataFrame = {
     import graft.functions.CosineSimilarity.cosineFast
     import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
+    // the plane count comes FROM the index (static side, one driver read) —
+    // a caller-supplied value could mismatch the index's signatures and
+    // silently match nothing
+    val nPlanesRows = index.select(col("_n_planes")).limit(1).collect()
+    if (nPlanesRows.isEmpty) return stream // empty corpus — nothing to drop
+    val nPlanes = nPlanesRows.head.getInt(0)
     // ONE stream-static left_anti with the cosine folded into the join
     // condition — a second join against a stream-derived dup-id frame would
     // be an unsupported stream-stream anti join

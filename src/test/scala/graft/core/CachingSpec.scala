@@ -41,7 +41,9 @@ class CachingSpec extends SparkSpec {
     // only the plan ABOVE the cache boundary matters — the InMemoryRelation
     // dump echoes its own historical build-side Exchanges
     val plan = agg.queryExecution.executedPlan.toString
-    val aboveCache = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    val cacheAt = plan.indexOf("InMemoryRelation")
+    assert(cacheAt >= 0, s"expected a cached relation in the plan:\n$plan")
+    val aboveCache = plan.substring(0, cacheAt)
     assert(!aboveCache.contains("Exchange"),
       s"aggregation on the preserved key must not re-shuffle the cached frame:\n$plan")
     p.unpersist()

@@ -136,7 +136,7 @@ class StreamingSpec extends SparkSpec {
     val q = DocStream
       .dedupEmbeddingsAgainstCorpus(
         spark.readStream.schema(embSchema).parquet(dir),
-        index, "vec_id", "embedding", minCosine = 0.25, nPlanes = 8)
+        index, "vec_id", "embedding", minCosine = 0.25)
       .writeStream
       .outputMode("append")
       .format("memory")
