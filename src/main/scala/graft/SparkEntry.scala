@@ -88,6 +88,7 @@ object SparkEntry {
     "q68_semantic_dedup" -> (Pipeline.semanticDedup _),
     "q69_vector_quantization" -> (Pipeline.vectorQuantization _),
     "q70_incremental_embedding_dedup" -> (Pipeline.incrementalEmbeddingDedup _),
+    "q71_corpus_mixture" -> (Pipeline.corpusMixture _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -772,6 +773,24 @@ object SparkEntry {
           |    ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
           |  FROM cand p JOIN embeddings c ON p.corpus_id = c.vec_id)
           |WHERE cosine_sim >= 0.25 ORDER BY delta_id, corpus_id""".stripMargin),
+    // per-source weight join + two Sha60 hash predicates (keep-threshold,
+    // split bucket) — replicates Curation.weightedSourceSample + hashSplit
+    "q71_corpus_mixture" ->
+      """WITH w(src, keep) AS (VALUES
+        |  ('src0', 1000), ('src1', 1000), ('src2', 1000), ('src3', 1000), ('src4', 1000), ('src5', 1000),
+        |  ('src6', 500), ('src7', 500), ('src8', 500), ('src9', 500), ('src10', 500), ('src11', 500),
+        |  ('src12', 100), ('src13', 100), ('src14', 100), ('src15', 100), ('src16', 100), ('src17', 100)),
+        |sampled AS (
+        |  SELECT d.*,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents d JOIN w ON d.source = w.src
+        |  WHERE CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < w.keep)
+        |SELECT source,
+        |  CASE WHEN h % 100 < 90 THEN 'train' WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+        |FROM sampled
+        |GROUP BY source, split ORDER BY source, split""".stripMargin,
     // floor(v·127 + 0.5), not round(): floor is defined identically in both
     // engines while round's half-way ties differ — see VectorFunctions
     "q69_vector_quantization" ->

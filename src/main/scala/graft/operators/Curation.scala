@@ -108,6 +108,53 @@ object Curation {
     * skew follows stratum size — use a composite stratum (e.g. source×date)
     * when a single source dominates.
     */
+  /** Deterministic train/val/test split assignment: bucket = Sha60(id) mod
+    * 100, train < `trainPct` ≤ val < `trainPct + valPct` ≤ test. Hash-based,
+    * so a document's split never changes as the corpus grows and any engine
+    * reproduces it — the reproducibility contract a training pipeline needs
+    * from its split step. Map-only.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = pmod(Sha60.sha60(col(idCol)), lit(100L))
+    df.withColumn(
+      "split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic per-source mixture sampling: keep a document iff
+    * Sha60(id) mod `denom` falls under its source's weight share — the
+    * data-mixing step that reweights corpus sources for training (e.g. keep
+    * 100% of curated sources, 10% of crawl). Weights are per-mille by
+    * default (`denom` = 1000); a missing source keeps nothing. Map-only
+    * after a broadcast-sized weight join; reproducible across runs, engines,
+    * and corpus growth.
+    */
+  def weightedSourceSample(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Int],
+      denom: Int = 1000): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= denom),
+      s"weights must be within [0, $denom]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.sortBy(_._1).toDF("_w_source", "_w_keep")
+    df.join(
+        org.apache.spark.sql.functions.broadcast(wdf),
+        col(sourceCol) === col("_w_source"))
+      .where(pmod(Sha60.sha60(col(idCol)), lit(denom.toLong)) < col("_w_keep"))
+      .drop("_w_source", "_w_keep")
+  }
+
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,

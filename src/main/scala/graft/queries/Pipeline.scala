@@ -435,6 +435,33 @@ object Pipeline {
       .orderBy(col("delta_id"), col("corpus_id"))
   }
 
+  /** q71 — deterministic corpus mixture: per-source weighted subsample
+    * ([[Curation.weightedSourceSample]]) then hash-based train/val/test
+    * split assignment ([[Curation.hashSplit]]), reported as per-source ×
+    * split document and token counts — the data-mixing + split report a
+    * training run starts from. Both steps are pure hash predicates: the
+    * same document lands in the same split on any engine at any corpus
+    * size.
+    */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    // full weight for src0-5, half for src6-11, 10% for src12-17; src18/19
+    // unlisted — a source with no weight contributes nothing
+    val weights =
+      (0 to 5).map(i => s"src$i" -> 1000).toMap ++
+        (6 to 11).map(i => s"src$i" -> 500).toMap ++
+        (12 to 17).map(i => s"src$i" -> 100).toMap
+    Curation
+      .hashSplit(
+        Curation.weightedSourceSample(d, "source", "doc_id", weights),
+        "doc_id")
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** q69 — symmetric int8 embedding quantization (the 4× storage-compression
     * pass a vector corpus gets before serving/ANN indexing): per vector the
     * quantized values (as a canonical csv string — engines differ in array

@@ -118,4 +118,38 @@ class CurationSpec extends SparkSpec {
     assert(df("spam") == 1L)  // repeated within doc 4 but one document
     assert(df("beta") == 3L)
   }
+
+  test("hashSplit partitions every row into exactly one stable split") {
+    val corpus = (1L to 500L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val split = Curation.hashSplit(corpus, "id", trainPct = 90, valPct = 5)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500, "every row gets a split")
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // growing the corpus never reassigns an existing document's split
+    val grown = Curation.hashSplit((1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text"), "id")
+    val before = split.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = grown.where($"id" <= 500).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(before == after, "split assignment is corpus-size independent")
+    intercept[IllegalArgumentException] { Curation.hashSplit(corpus, "id", 96, 5) }
+  }
+
+  test("weightedSourceSample keeps by per-source hash share; unlisted sources drop") {
+    val corpus = (1L to 300L).map(i => (i, s"doc $i", s"s${i % 3}")).toDF("id", "text", "source")
+    val out = Curation.weightedSourceSample(
+      corpus, "source", "id", Map("s0" -> 1000, "s1" -> 0))
+    val by = out.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.getOrElse("s0", 0L) == 100L, "weight 1000/1000 keeps every document")
+    assert(!by.contains("s1"), "weight 0 keeps nothing")
+    assert(!by.contains("s2"), "an unlisted source keeps nothing")
+    // half weight keeps roughly half, deterministically
+    val half = Curation.weightedSourceSample(corpus, "source", "id", Map("s0" -> 500))
+    val n1 = half.count(); val n2 = half.count()
+    assert(n1 == n2 && n1 > 20 && n1 < 80, s"~half of 100 expected, got $n1")
+    intercept[IllegalArgumentException] {
+      Curation.weightedSourceSample(corpus, "source", "id", Map("s0" -> 1001))
+    }
+  }
 }
