@@ -782,9 +782,9 @@ object SparkEntry {
         |  ('src12', 100), ('src13', 100), ('src14', 100), ('src15', 100), ('src16', 100), ('src17', 100)),
         |sampled AS (
         |  SELECT d.*,
-        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |    CAST(('0x' || substring(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |  FROM documents d JOIN w ON d.source = w.src
-        |  WHERE CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < w.keep)
+        |  WHERE CAST(('0x' || substring(sha256('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < w.keep)
         |SELECT source,
         |  CASE WHEN h % 100 < 90 THEN 'train' WHEN h % 100 < 95 THEN 'val' ELSE 'test' END AS split,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -121,7 +121,12 @@ object Curation {
       valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val bucket = pmod(Sha60.sha60(col(idCol)), lit(100L))
+    // domain-separated hash ("split:" prefix): the split decision must be
+    // INDEPENDENT of weightedSourceSample's keep decision — with a shared
+    // hash, h%100 = (h%1000)%100 and a weight of 50 would label every kept
+    // document 'train', silently emptying val/test
+    val bucket = pmod(
+      Sha60.sha60(concat(lit("split:"), col(idCol).cast("string"))), lit(100L))
     df.withColumn(
       "split",
       when(bucket < trainPct, "train")
@@ -143,15 +148,19 @@ object Curation {
       idCol: String,
       weights: Map[String, Int],
       denom: Int = 1000): DataFrame = {
+    require(denom > 0, s"denom must be positive, got $denom")
     require(weights.values.forall(w => w >= 0 && w <= denom),
       s"weights must be within [0, $denom]")
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.sortBy(_._1).toDF("_w_source", "_w_keep")
+    // "mix:" domain prefix — see hashSplit: keep and split decisions must
+    // come from independent hashes
+    val keepHash = Sha60.sha60(concat(lit("mix:"), col(idCol).cast("string")))
     df.join(
         org.apache.spark.sql.functions.broadcast(wdf),
         col(sourceCol) === col("_w_source"))
-      .where(pmod(Sha60.sha60(col(idCol)), lit(denom.toLong)) < col("_w_keep"))
+      .where(pmod(keepHash, lit(denom.toLong)) < col("_w_keep"))
       .drop("_w_source", "_w_keep")
   }
 

@@ -75,11 +75,17 @@ object DocStream {
       .agg(count(lit(1)).as("_bs"))
       .where(col("_bs") <= maxBucketSize)
       .select(col("_sig"))
-    // the index carries its plane count so the probe side can never
-    // recompute signatures with a mismatched nPlanes (which would silently
-    // match nothing and disable dedup)
-    sigged.join(keep, Seq("_sig")).withColumn("_n_planes", lit(nPlanes))
+    // the plane count rides in the _sig column's schema METADATA: the probe
+    // side reads it driver-side with no job, it survives a parquet
+    // round-trip, and a mismatched caller value (which would silently match
+    // nothing and disable dedup) becomes impossible
+    val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(NPlanesMetaKey, nPlanes.toLong).build()
+    sigged.join(keep, Seq("_sig"))
+      .select(col("_sig").as("_sig", sigMeta), col("_c_id"), col("_c_vec"))
   }
+
+  private[graft] val NPlanesMetaKey = "graft.lsh.nPlanes"
 
   /** Drop stream vectors that are near-duplicates (cosine ≥ `minCosine`) of
     * some corpus vector in the same hyperplane bucket: stream–static join on
@@ -96,12 +102,14 @@ object DocStream {
       minCosine: Double = 0.95): DataFrame = {
     import graft.functions.CosineSimilarity.cosineFast
     import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
-    // the plane count comes FROM the index (static side, one driver read) —
-    // a caller-supplied value could mismatch the index's signatures and
-    // silently match nothing
-    val nPlanesRows = index.select(col("_n_planes")).limit(1).collect()
-    if (nPlanesRows.isEmpty) return stream // empty corpus — nothing to drop
-    val nPlanes = nPlanesRows.head.getInt(0)
+    // the plane count comes FROM the index's schema metadata — zero jobs at
+    // construction, and a not-yet-populated index still works: the static
+    // side is re-planned every micro-batch, so dedup engages the moment the
+    // batch compaction job first fills it
+    val sigMeta = index.schema("_sig").metadata
+    require(sigMeta.contains(NPlanesMetaKey),
+      "index must come from DocStream.embeddingCorpusIndex (missing nPlanes metadata)")
+    val nPlanes = sigMeta.getLong(NPlanesMetaKey).toInt
     // ONE stream-static left_anti with the cosine folded into the join
     // condition — a second join against a stream-derived dup-id frame would
     // be an unsupported stream-stream anti join

@@ -151,5 +151,19 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.weightedSourceSample(corpus, "source", "id", Map("s0" -> 1001))
     }
+    intercept[IllegalArgumentException] {
+      Curation.weightedSourceSample(corpus, "source", "id", Map("s0" -> 0), denom = 0)
+    }
+  }
+
+  test("sampling keep-hash and split-hash are independent (domain separation)") {
+    // regression: with a shared hash, keep-threshold w < 90 implied
+    // h%100 < 90 for every kept row — i.e. 100% 'train', val/test empty
+    val corpus = (1L to 2000L).map(i => (i, s"doc $i", "s0")).toDF("id", "text", "source")
+    val sampled = Curation.weightedSourceSample(corpus, "source", "id", Map("s0" -> 50))
+    val splits = Curation.hashSplit(sampled, "id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.contains("val") || splits.contains("test"),
+      s"a tight keep threshold must not force every survivor into 'train', got $splits")
   }
 }
