@@ -89,6 +89,7 @@ object SparkEntry {
     "q69_vector_quantization" -> (Pipeline.vectorQuantization _),
     "q70_incremental_embedding_dedup" -> (Pipeline.incrementalEmbeddingDedup _),
     "q71_corpus_mixture" -> (Pipeline.corpusMixture _),
+    "q72_corpus_diff" -> (Pipeline.corpusDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -756,6 +757,21 @@ object SparkEntry {
           |FROM embeddings
           |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)
           |GROUP BY label ORDER BY label""".stripMargin),
+    // synthetic v2 (drop %11, amend %5 text, re-add %13 under new ids)
+    // diffed against v1 on normalized content hashes
+    "q72_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        |h1 AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h FROM documents),
+        |h2 AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h FROM v2)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+        |  SELECT CASE WHEN h1.h IS NULL THEN 'added' WHEN h2.h IS NULL THEN 'removed'
+        |              WHEN h1.h = h2.h THEN 'unchanged' ELSE 'changed' END AS status
+        |  FROM h1 FULL JOIN h2 ON h1.doc_id = h2.doc_id)
+        |GROUP BY status ORDER BY status""".stripMargin,
     // corpus bucket index (capped ids per signature) probed by the delta
     // split — replicates Dedup.embeddingIncrementalDuplicates stage by stage
     "q70_incremental_embedding_dedup" ->

@@ -164,6 +164,32 @@ object Curation {
       .drop("_w_source", "_w_keep")
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as `added` (id only in `newer`), `removed` (id only in
+    * `older`), `changed` (both, normalized content hash differs), or
+    * `unchanged` — the crawl-to-crawl delta report that decides what
+    * reprocessing a refresh actually needs. One full-outer join of two
+    * hash projections; text never moves, only (id, 128-bit hash).
+    */
+  def corpusDiff(
+      older: DataFrame,
+      newer: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(
+      col(idCol).as("doc_id"),
+      md5(normalizeText(col(textCol))).as(h))
+    hashed(older, "_h_old")
+      .join(hashed(newer, "_h_new"), Seq("doc_id"), "full_outer")
+      .withColumn(
+        "status",
+        when(col("_h_old").isNull, "added")
+          .when(col("_h_new").isNull, "removed")
+          .when(col("_h_old") === col("_h_new"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"))
+  }
+
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,

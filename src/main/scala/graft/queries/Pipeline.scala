@@ -462,6 +462,29 @@ object Pipeline {
       .orderBy(col("source"), col("split"))
   }
 
+  /** q72 — corpus snapshot diff: a deterministic synthetic "v2" of the
+    * documents table (every 11th id dropped, every 5th text amended, every
+    * 13th id re-added under a new id) diffed against v1 with
+    * [[Curation.corpusDiff]]; per-status document counts. Exercises all
+    * four statuses; only (id, hash) ever joins.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables(spark, dir).documents
+    val v2 = v1
+      .where(col("doc_id") % 11 =!= 0)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(
+        v1.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Curation.corpusDiff(v1, v2, "doc_id", "text")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
+  }
+
   /** q69 — symmetric int8 embedding quantization (the 4× storage-compression
     * pass a vector corpus gets before serving/ANN indexing): per vector the
     * quantized values (as a canonical csv string — engines differ in array

@@ -156,6 +156,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged by content hash") {
+    val v1 = Seq(
+      (1L, "stays the same"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (4L, "Whitespace   Normalized")
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "stays the same"),
+      (2L, "has changed"),
+      (4L, "whitespace normalized"), // normalization-equal -> unchanged
+      (5L, "brand new")
+    ).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("sampling keep-hash and split-hash are independent (domain separation)") {
     // regression: with a shared hash, keep-threshold w < 90 implied
     // h%100 < 90 for every kept row — i.e. 100% 'train', val/test empty
