@@ -764,12 +764,12 @@ object SparkEntry {
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 11 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
-        |h1 AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h FROM documents),
-        |h2 AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h FROM v2)
+        |  SELECT -(doc_id + 1), text FROM documents WHERE doc_id % 13 = 0),
+        |h1 AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h, TRUE AS present FROM documents),
+        |h2 AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h, TRUE AS present FROM v2)
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
-        |  SELECT CASE WHEN h1.h IS NULL THEN 'added' WHEN h2.h IS NULL THEN 'removed'
-        |              WHEN h1.h = h2.h THEN 'unchanged' ELSE 'changed' END AS status
+        |  SELECT CASE WHEN h1.present IS NULL THEN 'added' WHEN h2.present IS NULL THEN 'removed'
+        |              WHEN h1.h IS NOT DISTINCT FROM h2.h THEN 'unchanged' ELSE 'changed' END AS status
         |  FROM h1 FULL JOIN h2 ON h1.doc_id = h2.doc_id)
         |GROUP BY status ORDER BY status""".stripMargin,
     // corpus bucket index (capped ids per signature) probed by the delta

@@ -176,16 +176,21 @@ object Curation {
       newer: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    def hashed(df: DataFrame, h: String) = df.select(
+    // presence via non-null tag columns, NOT hash nullability (the same
+    // discipline as Mutations.upsert): a NULL-text row hashes to NULL and
+    // would otherwise always classify as 'added'; <=> treats two NULL-text
+    // versions of an id as unchanged
+    def hashed(df: DataFrame, h: String, tag: String) = df.select(
       col(idCol).as("doc_id"),
-      md5(normalizeText(col(textCol))).as(h))
-    hashed(older, "_h_old")
-      .join(hashed(newer, "_h_new"), Seq("doc_id"), "full_outer")
+      md5(normalizeText(col(textCol))).as(h),
+      lit(true).as(tag))
+    hashed(older, "_h_old", "_in_old")
+      .join(hashed(newer, "_h_new", "_in_new"), Seq("doc_id"), "full_outer")
       .withColumn(
         "status",
-        when(col("_h_old").isNull, "added")
-          .when(col("_h_new").isNull, "removed")
-          .when(col("_h_old") === col("_h_new"), "unchanged")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(col("_h_old") <=> col("_h_new"), "unchanged")
           .otherwise("changed"))
       .select(col("doc_id"), col("status"))
   }

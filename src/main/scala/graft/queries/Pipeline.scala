@@ -477,8 +477,11 @@ object Pipeline {
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text"))
       .unionByName(
+        // negative keyspace for re-added ids: doc_ids are non-negative at
+        // every scale factor, so -(id+1) can never collide with a real id
+        // (a fixed +offset would collide once the corpus outgrows it)
         v1.where(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
     Curation.corpusDiff(v1, v2, "doc_id", "text")
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"))

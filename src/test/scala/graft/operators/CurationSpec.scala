@@ -176,6 +176,28 @@ class CurationSpec extends SparkSpec {
       4L -> "unchanged", 5L -> "added"))
   }
 
+  test("corpusDiff classifies NULL-text rows by id presence, not hash nullness") {
+    // regression: presence was once derived from hash IS NULL, so any
+    // NULL-text row always classified as 'added'
+    val v1 = Seq(
+      (1L, Option.empty[String]),        // removed (null text)
+      (2L, Option.empty[String]),        // unchanged (null -> null)
+      (3L, Option.empty[String]),        // changed (null -> text)
+      (4L, Some("was text"))             // changed (text -> null)
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (2L, Option.empty[String]),
+      (3L, Some("now text")),
+      (4L, Option.empty[String]),
+      (5L, Option.empty[String])         // added (null text)
+    ).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "changed", 5L -> "added"))
+  }
+
   test("sampling keep-hash and split-hash are independent (domain separation)") {
     // regression: with a shared hash, keep-threshold w < 90 implied
     // h%100 < 90 for every kept row — i.e. 100% 'train', val/test empty

@@ -156,6 +156,40 @@ class StreamingSpec extends SparkSpec {
       "corpus self-matches must be dropped by the stream gate")
   }
 
+  test("embedding corpus index: nPlanes metadata survives a parquet round-trip") {
+    val corpus = graft.core.Tables(spark, Sf0001).embeddings.limit(50)
+    val built = DocStream.embeddingCorpusIndex(corpus, "vec_id", "embedding", nPlanes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-embidx").toString + "/idx"
+    built.write.parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val meta = reread.schema("_sig").metadata
+    assert(meta.contains(DocStream.NPlanesMetaKey),
+      "the production contract stores the index as a table; metadata must survive")
+    assert(meta.getLong(DocStream.NPlanesMetaKey) == 8L)
+    // the re-read index drives dedup identically to the in-memory one
+    val viaStored = DocStream
+      .dedupEmbeddingsAgainstCorpus(corpus, reread, "vec_id", "embedding", minCosine = 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    val viaBuilt = DocStream
+      .dedupEmbeddingsAgainstCorpus(corpus, built, "vec_id", "embedding", minCosine = 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaStored == viaBuilt)
+  }
+
+  test("embedding dedup against an EMPTY index keeps every row (late-filled index)") {
+    val corpus = graft.core.Tables(spark, Sf0001).embeddings.limit(20)
+    val emptyIndex = DocStream.embeddingCorpusIndex(
+      corpus.where(col("vec_id") < 0), "vec_id", "embedding", nPlanes = 8)
+    val out = DocStream
+      .dedupEmbeddingsAgainstCorpus(corpus, emptyIndex, "vec_id", "embedding")
+    assert(out.count() == 20, "an unpopulated index must pass everything through")
+    intercept[IllegalArgumentException] {
+      // a frame that did not come from embeddingCorpusIndex fails fast
+      DocStream.dedupEmbeddingsAgainstCorpus(
+        corpus, corpus.withColumnRenamed("vec_id", "_sig"), "vec_id", "embedding")
+    }
+  }
+
   test("multimodal feature extraction preserves ids and drops blobs") {
     val docs = graft.core.Tables(spark, Sf0001).documents
     val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
