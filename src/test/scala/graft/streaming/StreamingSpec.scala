@@ -157,7 +157,13 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("embedding corpus index: nPlanes metadata survives a parquet round-trip") {
-    val corpus = graft.core.Tables(spark, Sf0001).embeddings.limit(50)
+    val emb = graft.core.Tables(spark, Sf0001).embeddings
+    // deterministic split: an unordered limit() re-evaluates differently per
+    // action; and the probe set must be DISJOINT from the corpus — a
+    // self-probe matches itself at cosine 1.0 and always yields an empty
+    // survivor set, making the stored==built assertion vacuous
+    val corpus = emb.where(col("vec_id") < 250)
+    val probe = emb.where(col("vec_id") >= 250)
     val built = DocStream.embeddingCorpusIndex(corpus, "vec_id", "embedding", nPlanes = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft-embidx").toString + "/idx"
     built.write.parquet(dir)
@@ -166,14 +172,18 @@ class StreamingSpec extends SparkSpec {
     assert(meta.contains(DocStream.NPlanesMetaKey),
       "the production contract stores the index as a table; metadata must survive")
     assert(meta.getLong(DocStream.NPlanesMetaKey) == 8L)
-    // the re-read index drives dedup identically to the in-memory one
+    // the re-read index drives dedup identically to the in-memory one, on a
+    // probe where some rows survive and some are dropped
     val viaStored = DocStream
-      .dedupEmbeddingsAgainstCorpus(corpus, reread, "vec_id", "embedding", minCosine = 0.25)
+      .dedupEmbeddingsAgainstCorpus(probe, reread, "vec_id", "embedding", minCosine = 0.25)
       .select("vec_id").as[Long].collect().toSet
     val viaBuilt = DocStream
-      .dedupEmbeddingsAgainstCorpus(corpus, built, "vec_id", "embedding", minCosine = 0.25)
+      .dedupEmbeddingsAgainstCorpus(probe, built, "vec_id", "embedding", minCosine = 0.25)
       .select("vec_id").as[Long].collect().toSet
     assert(viaStored == viaBuilt)
+    val probeCount = probe.count()
+    assert(viaStored.size < probeCount, "some probe rows must be dropped as near-dups")
+    assert(viaStored.nonEmpty, "some probe rows must survive")
   }
 
   test("embedding dedup against an EMPTY index keeps every row (late-filled index)") {
