@@ -128,20 +128,45 @@ object DocStream {
     * Works identically on a streaming or batch DataFrame — the stream==batch
     * equality is the spec's gate.
     */
-  def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+  def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    gateFlags(docs, minQuality)
+      .where(col("_q_ok") && col("_r_ok"))
+      .withColumn("predicted_lang", TextFunctions.langId(col("text")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("predicted_lang"),
+        col("quality_score"),
+        Curation.maskPii(col("text")).as("text"))
+
+  /** Per-stage attrition counts for the streaming gate — the streaming twin
+    * of [[graft.operators.Curation.curationFunnel]]'s first stages. One
+    * global flag-sum aggregation (complete/update output mode), so the
+    * stream never needs more than three longs of state; gates are evaluated
+    * once per row and shared with [[curate]] via [[gateFlags]], which is
+    * what makes the stream==batch equality a real invariant rather than a
+    * copy of the predicate.
+    */
+  def curateFunnel(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    gateFlags(docs, minQuality)
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("_q_ok"), 1L).otherwise(0L)).as("n_after_quality"),
+        sum(when(col("_q_ok") && col("_r_ok"), 1L).otherwise(0L))
+          .as("n_curated"))
+
+  /** Shared gate predicates: `_q_ok` (quality score ≥ threshold) and `_r_ok`
+    * (distinct-token ratio ≥ 0.3, the repetition gate). Both [[curate]] and
+    * [[curateFunnel]] read these columns, so their semantics cannot drift.
+    */
+  private def gateFlags(docs: DataFrame, minQuality: Double): DataFrame = {
     val t = col("text")
     val toks = TextFunctions.tokens(t)
     val distinctRatio =
       size(array_distinct(toks)).cast("double") / size(toks).cast("double")
     docs
       .withColumn("quality_score", TextFunctions.qualityScore(t))
-      .withColumn("predicted_lang", TextFunctions.langId(t))
-      .where(col("quality_score") >= minQuality && distinctRatio >= 0.3)
-      .select(
-        col("doc_id"),
-        col("source"),
-        col("predicted_lang"),
-        col("quality_score"),
-        Curation.maskPii(t).as("text"))
+      .withColumn("_q_ok", col("quality_score") >= minQuality)
+      .withColumn("_r_ok", distinctRatio >= 0.3)
   }
 }

@@ -52,6 +52,32 @@ class CurationSpec extends SparkSpec {
     assert(perSource == Map("s1" -> 2L, "s2" -> 2L))
   }
 
+  test("stratifiedSample survives a 90%-single-stratum skew with a partial top-k plan") {
+    // 90% of the corpus in one stratum: the sampler must still return exactly
+    // k per stratum, and the physical plan must carry a Partial
+    // WindowGroupLimit — rows beyond rank k are cut on the map side BEFORE
+    // the stratum shuffle, so the dominant stratum never materializes (or
+    // fully sorts) on a single task. That plan shape is the 100 TB contract.
+    val skewed = spark.range(0, 20000)
+      .selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 = 0 THEN concat('minor_', (id DIV 10) % 30) ELSE 'dominant' END AS source")
+    val sampled = Curation.stratifiedSample(skewed, "source", "doc_id", k = 5)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a map-side Partial WindowGroupLimit before the shuffle in:\n$plan")
+    val perStratum = sampled.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.size == 31, "30 minor strata + the dominant one")
+    assert(perStratum.values.forall(_ == 5L), "exactly k rows per stratum, skew or not")
+    // deterministic under skew too
+    val a = sampled.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Curation.stratifiedSample(skewed, "source", "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("packSequences bins by running token offset within the stratum") {
     val out = Curation
       .packSequences(docs, "source", "doc_id", "text", tokenBudget = 8)

@@ -99,6 +99,36 @@ class StreamingSpec extends SparkSpec {
       "stream and batch curation must produce identical rows")
   }
 
+  test("streaming curation funnel counts match the batch funnel and the gate output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docfunnel").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
+    val q = DocStream.curateFunnel(DocStream.readDocs(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("docfunnel")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("docfunnel").collect()
+    assert(streamed.length == 1, "complete mode emits one funnel row")
+    val docs = graft.core.Tables(spark, Sf0001).documents
+    val batch = DocStream.curateFunnel(docs).collect().head
+    val s = streamed.head
+    assert(s.getLong(0) == batch.getLong(0) && s.getLong(1) == batch.getLong(1) &&
+      s.getLong(2) == batch.getLong(2), "stream and batch funnels must agree")
+    // the funnel's terminal count IS the gate's cardinality, and each stage
+    // strictly attrites on this corpus
+    assert(s.getLong(0) == docs.count())
+    assert(s.getLong(2) == DocStream.curate(docs).count())
+    // on this corpus all attrition happens in the repetition gate, so assert
+    // monotone stage counts plus strict end-to-end attrition
+    assert(s.getLong(0) >= s.getLong(1) && s.getLong(1) >= s.getLong(2))
+    assert(s.getLong(2) > 0 && s.getLong(2) < s.getLong(0))
+  }
+
   test("streaming corpus dedup equals the batch incremental dedup") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docdedup").toString
     java.nio.file.Files.copy(
