@@ -90,6 +90,9 @@ object SparkEntry {
     "q70_incremental_embedding_dedup" -> (Pipeline.incrementalEmbeddingDedup _),
     "q71_corpus_mixture" -> (Pipeline.corpusMixture _),
     "q72_corpus_diff" -> (Pipeline.corpusDiff _),
+    "q73_top_ngrams" -> (Pipeline.topNgrams _),
+    "q74_chunk_dedup" -> (Pipeline.chunkDedup _),
+    "q75_keyword_extract" -> (Pipeline.keywords _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -772,6 +775,62 @@ object SparkEntry {
         |              WHEN h1.h IS NOT DISTINCT FROM h2.h THEN 'unchanged' ELSE 'changed' END AS status
         |  FROM h1 FULL JOIN h2 ON h1.doc_id = h2.doc_id)
         |GROUP BY status ORDER BY status""".stripMargin,
+    // trigrams: sliding 3-token windows over the normalized token list;
+    // docs with <3 tokens contribute none (empty generate_series)
+    "q73_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
+        |grams AS (
+        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram FROM idx)
+        |SELECT gram, COUNT(*) AS gram_count FROM grams
+        |GROUP BY gram ORDER BY gram_count DESC, gram LIMIT 20""".stripMargin,
+    // consecutive 20-token chunks per doc (last partial); a chunk is
+    // duplicated when its content occurs in >1 DISTINCT document, so
+    // within-doc repetition does not count
+    "q74_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 20)) AS k FROM toks),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(t, k * 20 + 1, k * 20 + 20), ' ')) AS chunk_hash
+        |  FROM idx),
+        |freq AS (
+        |  SELECT chunk_hash, COUNT(*) AS nd
+        |  FROM (SELECT DISTINCT doc_id, chunk_hash FROM chunks) GROUP BY chunk_hash)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_frac
+        |FROM chunks c JOIN freq f USING (chunk_hash)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // tf/df keyword score: integer-exact IEEE division (no log), ties by
+    // token — (score, token) is unique per doc, so ROW_NUMBER is stable
+    "q75_keyword_extract" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |inst AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM inst GROUP BY doc_id, token),
+        |dfreq AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count
+        |  FROM (SELECT DISTINCT doc_id, token FROM inst) GROUP BY token),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_count,
+        |    CAST(tf.tf AS DOUBLE) / CAST(dfreq.df_count AS DOUBLE) AS score,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df_count AS DOUBLE) DESC, tf.token
+        |    ) AS BIGINT) AS keyword_rank
+        |  FROM tf JOIN dfreq USING (token))
+        |SELECT doc_id, keyword_rank, token, tf, df_count, score FROM ranked
+        |WHERE keyword_rank <= 3 ORDER BY doc_id, keyword_rank""".stripMargin,
     // corpus bucket index (capped ids per signature) probed by the delta
     // split — replicates Dedup.embeddingIncrementalDuplicates stage by stage
     "q70_incremental_embedding_dedup" ->

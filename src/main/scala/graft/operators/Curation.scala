@@ -423,4 +423,97 @@ object Curation {
         "mean_token_df",
         col("sum_df").cast("double") / col("n_token_instances").cast("double"))
   }
+
+  /** Corpus-wide word n-gram frequency (instance counts, not per-document
+    * presence) — the statistic behind boilerplate detection and top-n-gram
+    * corpus profiling.
+    *
+    * Shape: per-row shingle build → explode → ONE hash aggregation with
+    * map-side partial combine; only (gram, partial count) rows shuffle. A
+    * top-k consumer should `orderBy(count).limit(k)`, which Spark plans as
+    * `TakeOrderedAndProject` — no global sort at any scale.
+    */
+  def ngramFrequency(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_count"))
+
+  /** Chunk-level duplication profile (the RefinedWeb-style signal for
+    * "mostly boilerplate copied elsewhere"): each document is cut into
+    * consecutive `chunkSize`-token chunks (last one partial), a chunk counts
+    * as DUPLICATED when its exact content occurs in more than one distinct
+    * document, and each document reports its duplicated-chunk count and
+    * fraction.
+    *
+    * Chunks are assembled per-row with `sequence`/`slice` (codegen; the
+    * exploded row count is ~tokens/chunkSize, not one row per token), then
+    * reduced to md5 hashes BEFORE any shuffle — the cross-document frequency
+    * and the join back to documents move ids and 32-char hashes only, never
+    * chunk text. Within-document repetition does not count as duplication:
+    * the frequency side is distinct (doc, chunk) pairs.
+    */
+  def chunkDedupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 20): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val toks = tokens(col(textCol))
+    // (size-1) div chunkSize: Column./ is double division, so truncate the
+    // non-negative quotient back to the integral chunk-index bound
+    val lastChunk = ((size(toks) - lit(1)) / lit(chunkSize)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), lastChunk),
+      k => concat_ws(" ", slice(toks, k * chunkSize + lit(1), lit(chunkSize))))
+    val perChunk = df
+      .select(col(idCol).as("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
+    val freq = perChunk.distinct()
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_docs_with_chunk"))
+    perChunk
+      .join(freq, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_with_chunk") > 1, 1L).otherwise(0L))
+          .as("n_dup_chunks"))
+      .withColumn(
+        "dup_chunk_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Per-document keyword extraction by tf/df score: a token's score is its
+    * in-document term frequency divided by its corpus document frequency —
+    * the same ordering tf·idf induces, but from two integers whose IEEE
+    * division any engine reproduces bit-exactly (no logarithm, whose libm
+    * rounding differs across engines). Top `k` tokens per document, ties
+    * broken by token.
+    *
+    * Shape: one explode, a (doc, token) partial-combined count, a
+    * vocabulary-sized df join (the small side at corpus scale), and a
+    * per-document window whose `row_number <= k` filter plans as a map-side
+    * partial WindowGroupLimit — the dominant document never fully sorts its
+    * token list on one task.
+    */
+  def keywordExtract(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val inst = df.select(
+      col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = inst.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(docFrequency(df, textCol), Seq("token"))
+      .withColumn("score", col("tf").cast("double") / col("df_count").cast("double"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("keyword_rank", row_number().over(w).cast("long"))
+      .where(col("keyword_rank") <= k)
+      .select(col("doc_id"), col("keyword_rank"), col("token"),
+        col("tf"), col("df_count"), col("score"))
+  }
 }

@@ -488,6 +488,32 @@ object Pipeline {
       .orderBy(col("status"))
   }
 
+  /** q73 — top 20 corpus trigrams by instance count (ties by gram): the
+    * boilerplate-detection profile. Plans as partial-agg → one shuffle →
+    * TakeOrderedAndProject.
+    */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    Curation.ngramFrequency(Tables(spark, dir).documents, "text", n = 3)
+      .orderBy(col("gram_count").desc, col("gram"))
+      .limit(20)
+
+  /** q74 — chunk-level duplication profile: per document, how many of its
+    * 20-token chunks occur verbatim in some other document
+    * ([[Curation.chunkDedupStats]]).
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkDedupStats(Tables(spark, dir).documents, "doc_id", "text",
+      chunkSize = 20)
+      .orderBy(col("doc_id"))
+
+  /** q75 — per-document keyword extraction: top 3 tokens by tf/df score
+    * ([[Curation.keywordExtract]] — tf·idf ordering from integer-exact
+    * division, no engine-dependent logarithm).
+    */
+  def keywords(spark: SparkSession, dir: String): DataFrame =
+    Curation.keywordExtract(Tables(spark, dir).documents, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("keyword_rank"))
+
   /** q69 — symmetric int8 embedding quantization (the 4× storage-compression
     * pass a vector corpus gets before serving/ANN indexing): per vector the
     * quantized values (as a canonical csv string — engines differ in array

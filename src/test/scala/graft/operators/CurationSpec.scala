@@ -78,6 +78,49 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ngramFrequency counts instances, not per-doc presence") {
+    val out = Curation.ngramFrequency(docs, "text", n = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc 4 repeats "spam spam" five times; "alpha beta" opens docs 1, 2, 6
+    assert(out("spam spam") == 5L)
+    assert(out("alpha beta") == 3L)
+    assert(out("beta gamma") == 2L)
+    assert(out("gamma delta") == 1L)
+    // every doc with t tokens contributes t-1 bigrams: 3+3+5+5+4+3
+    assert(out.values.sum == 23L)
+  }
+
+  test("chunkDedupStats: cross-doc chunks flagged, within-doc repetition is not") {
+    val out = Curation.chunkDedupStats(docs, "doc_id", "text", chunkSize = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"),
+          r.getAs[Double]("dup_chunk_frac")))
+      .toMap
+    // docs 1 and 6 share the chunk "alpha beta gamma" -> 1 of 2 chunks dup
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(6L) == ((2L, 1L, 0.5)))
+    // doc 4 is "spam spam spam" twice WITHIN itself: one distinct doc -> no dup
+    assert(out(4L) == ((2L, 0L, 0.0)))
+    assert(out(2L)._2 == 0L && out(3L)._2 == 0L && out(5L)._2 == 0L)
+  }
+
+  test("keywordExtract ranks by tf/df with token tie-break and caps at k") {
+    val out = Curation.keywordExtract(docs, "doc_id", "text", k = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Long]("keyword_rank"))
+          .map(r => (r.getAs[String]("token"), r.getAs[Double]("score"))).toSeq
+      }
+    // doc 1: delta df=1 (score 1.0) beats gamma df=2 (0.5) beats alpha/beta df=3
+    assert(out(1L) == Seq(("delta", 1.0), ("gamma", 0.5)))
+    // doc 4 has a single distinct token -> fewer than k rows, tf=6/df=1
+    assert(out(4L) == Seq(("spam", 6.0)))
+    // doc 3: all tokens df=1, tf=1 -> ties broken alphabetically
+    assert(out(3L) == Seq(("five", 1.0), ("four", 1.0)))
+  }
+
   test("packSequences bins by running token offset within the stratum") {
     val out = Curation
       .packSequences(docs, "source", "doc_id", "text", tokenBudget = 8)
