@@ -96,18 +96,32 @@ object TextFunctions {
     when(cjk > 0, "zh").otherwise(best.getField("lang"))
   }
 
-  /** Word n-gram shingles of the normalized text (for MinHash / Jaccard).
-    * Empty array when the document has fewer than n tokens.
+  /** Evaluate `c` exactly ONCE per row and build `body` over the bound
+    * value. Catalyst does not common-subexpression-eliminate repeated
+    * subtrees inside higher-order-function lambdas (the same pitfall
+    * [[langId]] documents for its regex scores), so an expression like
+    * `element_at(split(...), i + j)` inside `transform` re-runs the whole
+    * split per element per position — O(tokens·doc_len) per row. Binding
+    * the value as the single element of a literal array makes every inner
+    * reference a lambda-variable read (O(1)).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    if (n == 1) toks // unigram shingles ARE the tokens — skip the rebuild
-    else
+  private[graft] def bindOnce(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
+  /** Word n-gram shingles of the normalized text (for MinHash / Jaccard).
+    * Empty array when the document has fewer than n tokens. The token array
+    * is [[bindOnce]]-bound: the tokenizing split runs once per row, not once
+    * per shingle position (measured 14.3 s → sub-second for corpus-wide
+    * trigram counting at sf0.1).
+    */
+  def shingles(text: Column, n: Int): Column =
+    if (n == 1) tokens(text) // unigram shingles ARE the tokens — skip the rebuild
+    else bindOnce(tokens(text)) { toks =>
       when(size(toks) < n, array().cast("array<string>")).otherwise(
         transform(
           sequence(lit(1), size(toks) - lit(n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
-  }
+    }
 
   /** Polynomial rolling-hash fingerprint over the token stream, mod 2^31−1.
     * Order-dependent (unlike the bronze row hash): transposed tokens produce

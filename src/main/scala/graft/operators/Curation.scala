@@ -366,11 +366,13 @@ object Curation {
     // lazy scalar-aggregate joins, not driver-side counts: the funnel stays
     // a single distributed plan (inspectable by Explain / the plan audit),
     // and its four counts execute when the caller acts — three single-row
-    // cross joins, the same O(n·1) scalar-broadcast shape as q25
-    docs.select(count(lit(1)).as("n_input"))
-      .crossJoin(gated.select(count(lit(1)).as("n_after_gate")))
-      .crossJoin(exact.select(count(lit(1)).as("n_after_exact")))
-      .crossJoin(fin.select(count(lit(1)).as("n_after_neardup")))
+    // constant-key broadcast hash joins (ScalarJoin), the same O(n·1)
+    // scalar-broadcast shape as q25, with no nested-loop operator
+    graft.core.ScalarJoin.withScalars(
+      docs.select(count(lit(1)).as("n_input")),
+      gated.select(count(lit(1)).as("n_after_gate")),
+      exact.select(count(lit(1)).as("n_after_exact")),
+      fin.select(count(lit(1)).as("n_after_neardup")))
   }
 
   private def curationStages(
@@ -458,13 +460,16 @@ object Curation {
       textCol: String,
       chunkSize: Int = 20): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
-    val toks = tokens(col(textCol))
-    // (size-1) div chunkSize: Column./ is double division, so truncate the
-    // non-negative quotient back to the integral chunk-index bound
-    val lastChunk = ((size(toks) - lit(1)) / lit(chunkSize)).cast("int")
-    val chunks = transform(
-      sequence(lit(0), lastChunk),
-      k => concat_ws(" ", slice(toks, k * chunkSize + lit(1), lit(chunkSize))))
+    // bindOnce: the tokenizing split must not re-run per chunk (no CSE
+    // inside HOF lambdas — see TextFunctions.bindOnce)
+    val chunks = graft.functions.TextFunctions.bindOnce(tokens(col(textCol))) { toks =>
+      // (size-1) div chunkSize: Column./ is double division, so truncate the
+      // non-negative quotient back to the integral chunk-index bound
+      val lastChunk = ((size(toks) - lit(1)) / lit(chunkSize)).cast("int")
+      transform(
+        sequence(lit(0), lastChunk),
+        k => concat_ws(" ", slice(toks, k * chunkSize + lit(1), lit(chunkSize))))
+    }
     val perChunk = df
       .select(col(idCol).as("doc_id"), explode(chunks).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))

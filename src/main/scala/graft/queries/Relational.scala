@@ -459,8 +459,10 @@ object Relational {
   }
 
   /** q25 — scalar broadcast share-of-total (reference CROSS JOIN percentiles,
-    * `logs/performance_monitor.py:607`): segment revenue share, computed with
-    * a single-row cross join (broadcast, no shuffle of the aggregate side).
+    * `logs/performance_monitor.py:607`): segment revenue share, computed by
+    * attaching the single-row grand total to every segment row via a
+    * constant-key broadcast hash join ([[graft.core.ScalarJoin]] — no
+    * shuffle of the aggregate side, no nested-loop operator).
     */
   def segmentRevenueShare(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -469,8 +471,7 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(sum(money(col("o_totalprice"))).cast("decimal(38,2)").as("segment_revenue"))
     val total = seg.agg(sum(col("segment_revenue")).cast("decimal(38,2)").as("total_revenue"))
-    seg
-      .crossJoin(broadcast(total))
+    graft.core.ScalarJoin.withScalars(seg, total)
       .withColumn(
         "revenue_share",
         col("segment_revenue").cast("double") / col("total_revenue").cast("double"))

@@ -11,14 +11,13 @@ import graft.{SparkEntry, SparkSpec}
 class PlanAuditSpec extends SparkSpec {
 
   test("no query plans a cartesian product or an unintended nested-loop join") {
-    // q38 is the exact embedding-near-dup oracle twin: a deliberate
-    // pairwise pass over a 1/10 subset (the production path is the LSH
-    // variant). q25 cross-joins a BROADCAST SINGLE-ROW grand total into the
-    // fact (share-of-total), and q66 joins four SINGLE-ROW scalar counts —
-    // O(n·1)/O(1·1), the standard scalar-broadcast shapes. All are by
-    // design and size-bounded.
-    val allowedNestedLoop =
-      Set("q38_embedding_neardup", "q25_share_of_total", "q66_curation_funnel")
+    // q38 is the ONLY allowed nested-loop join in the contract: the exact
+    // embedding-near-dup oracle twin, a deliberate pairwise pass over a
+    // 1/10 subset kept as ground truth for the certified LSH path (q67).
+    // The single-row scalar-broadcast shapes (q25 share-of-total, q66
+    // funnel counts) attach via core.ScalarJoin's non-foldable constant
+    // key, so they plan as BroadcastHashJoin and need no whitelist entry.
+    val allowedNestedLoop = Set("q38_embedding_neardup")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
