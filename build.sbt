@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark whole-stage codegen emits hundreds of JIT-compiled classes across
+  // a 75-query run; the JDK default ReservedCodeCacheSize (240 MB) fills,
+  // the JIT throttles/deopts, and hot generated loops fall back to the
+  // interpreter — observed as intermittent 30x executor-CPU blowups on
+  // byte-identical reps (PLANS.md round-4 variance notes).
+  "-XX:ReservedCodeCacheSize=1g",
 )
+// ad-hoc diagnostics for the forked JVM, e.g.
+// SPARK_EXTRA_JVM_OPTS="-Xlog:gc*,safepoint:file=/tmp/jvm.log"
+javaOptions ++= sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -51,6 +51,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen class cache evicts under a
+      // many-query workload; every eviction recompiles the generated class
+      // and restarts its JIT profile from the interpreter — profiled as
+      // intermittent 13x task-CPU blowups on byte-identical reps
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -114,14 +114,20 @@ object Dedup {
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucketSize))
-    val sortedIds = array_sort(col("ids"))
-    val pairCombos = flatten(
-      transform(
-        sortedIds,
-        (a, i) =>
+    // bindOnce: the inner slice references the sorted array per outer
+    // element, and Catalyst does not CSE subtrees inside HOF lambdas — an
+    // unbound array_sort would re-sort the bucket once per pair-row anchor
+    // (O(b² log b) per bucket instead of one sort + O(b²) pair emission)
+    val pairCombos = graft.functions.TextFunctions.bindOnce(array_sort(col("ids"))) {
+      sortedIds =>
+        flatten(
           transform(
-            slice(sortedIds, i + lit(2), size(sortedIds) - i - lit(1)),
-            b => struct(a.as("id_a"), b.as("id_b")))))
+            sortedIds,
+            (a, i) =>
+              transform(
+                slice(sortedIds, i + lit(2), size(sortedIds) - i - lit(1)),
+                b => struct(a.as("id_a"), b.as("id_b")))))
+    }
     val pairs = buckets
       .select(explode(pairCombos).as("p"))
       .select(col("p.id_a"), col("p.id_b"))

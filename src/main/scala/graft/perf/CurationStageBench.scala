@@ -31,6 +31,7 @@ object CurationStageBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener
@@ -48,6 +49,7 @@ object CurationStageBench {
       System.gc()
       listener.settle()
       val run0 = listener.executorRunTimeMs.get
+      val cpu0 = listener.executorCpuTimeMs.get
       val gc0 = listener.jvmGcTimeMs.get
       val sh0 = listener.shuffleReadBytes.get
       val sp0 = listener.memoryBytesSpilled.get
@@ -57,6 +59,7 @@ object CurationStageBench {
       listener.settle()
       println(f"""{"stage":"$label","wall_sec":$wall%.3f,""" +
         f""""executor_run_sec":${(listener.executorRunTimeMs.get - run0) / 1000.0}%.3f,""" +
+        f""""executor_cpu_sec":${(listener.executorCpuTimeMs.get - cpu0) / 1000.0}%.3f,""" +
         f""""gc_sec":${(listener.jvmGcTimeMs.get - gc0) / 1000.0}%.3f,""" +
         s""""shuffle_read_bytes":${listener.shuffleReadBytes.get - sh0},""" +
         s""""spilled_bytes":${listener.memoryBytesSpilled.get - sp0}}""")

@@ -18,6 +18,10 @@ final class MetricsListener extends SparkListener {
   val stagesCompleted = new AtomicLong(0)
   val jobsCompleted = new AtomicLong(0)
   val executorRunTimeMs = new AtomicLong(0)
+  // run time is task-thread WALL time (inflated by OS descheduling under
+  // host contention); CPU time is actual cycles — the pair discriminates
+  // "slow because busy" from "slow because starved"
+  val executorCpuTimeMs = new AtomicLong(0)
   val jvmGcTimeMs = new AtomicLong(0)
   val shuffleReadBytes = new AtomicLong(0)
   val shuffleWriteBytes = new AtomicLong(0)
@@ -29,6 +33,7 @@ final class MetricsListener extends SparkListener {
     if (m != null) {
       tasksCompleted.incrementAndGet()
       executorRunTimeMs.addAndGet(m.executorRunTime)
+      executorCpuTimeMs.addAndGet(m.executorCpuTime / 1000000L)
       jvmGcTimeMs.addAndGet(m.jvmGCTime)
       shuffleReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -68,6 +73,7 @@ final class MetricsListener extends SparkListener {
     "stages_completed" -> (stagesCompleted.get.toDouble, "count"),
     "jobs_completed" -> (jobsCompleted.get.toDouble, "count"),
     "executor_run_time" -> (executorRunTimeMs.get / 1000.0, "sec"),
+    "executor_cpu_time" -> (executorCpuTimeMs.get / 1000.0, "sec"),
     "jvm_gc_time" -> (jvmGcTimeMs.get / 1000.0, "sec"),
     "shuffle_read" -> (shuffleReadBytes.get.toDouble, "bytes"),
     "shuffle_write" -> (shuffleWriteBytes.get.toDouble, "bytes"),
