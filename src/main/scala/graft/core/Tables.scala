@@ -56,6 +56,12 @@ object GraftSession {
       // and restarts its JIT profile from the interpreter — profiled as
       // intermittent 13x task-CPU blowups on byte-identical reps
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // the bypass shuffle writer concatenates its per-reduce-partition
+      // files with NIO transferTo, which mmaps the sources — 32 concurrent
+      // tasks x 32 files serialize on the single local-JVM address-space
+      // lock (jstack-profiled: 26/32 workers in FileChannelImpl.map0
+      // during multi-minute stalls). Stream copy avoids mmap entirely.
+      .config("spark.file.transferTo", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -13,6 +13,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.file.transferTo", "false")
     .getOrCreate()
 
   val Sf0001 = "/root/testdata/sf0.001"
