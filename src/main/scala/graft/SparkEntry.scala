@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Pipeline, Relational}
+import graft.queries.{Medallion, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -93,6 +93,10 @@ object SparkEntry {
     "q73_top_ngrams" -> (Pipeline.topNgrams _),
     "q74_chunk_dedup" -> (Pipeline.chunkDedup _),
     "q75_keyword_extract" -> (Pipeline.keywords _),
+    "q76_silver_sales" -> (Medallion.silverSales _),
+    "q77_gold_customer_analytics" -> (Medallion.goldCustomerAnalytics _),
+    "q78_silver_products" -> (Medallion.silverProducts _),
+    "q79_silver_erp_customers" -> (Medallion.silverErpCustomers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -441,7 +445,7 @@ object SparkEntry {
         |  FROM pairs p JOIN sets a ON p.id_a = a.doc_id JOIN sets b ON p.id_b = b.doc_id)
         |ORDER BY id_a""".stripMargin,
     "q38_embedding_neardup" ->
-      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50)
         |SELECT id_a, id_b, cosine_sim FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_reduce(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
@@ -880,7 +884,125 @@ object SparkEntry {
         |  list_max(list_transform(list_zip(embedding, qvec),
         |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / 127.0))) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    // q76-q79 certify the silver cleaning rules + gold KPI build against the
+    // reference's OWN dirty CSVs (FIXTURES.md §1) — read_csv(all_varchar)
+    // mirrors the Spark side's explicit all-string schema exactly
+    "q76_silver_sales" ->
+      ("WITH " + silverSalesCtes + "\n" +
+        """SELECT sls_ord_num, sls_prd_key, sls_cust_id, sls_order_dt, sls_ship_dt,
+          |  sls_due_dt, sls_sales, sls_quantity, sls_price
+          |FROM ssilver""".stripMargin),
+    "q77_gold_customer_analytics" ->
+      ("WITH " + silverSalesCtes + ",\n" +
+        """craw AS (
+          |  SELECT * FROM read_csv('/root/reference/datasets/source_crm/cust_info.csv', header=true, all_varchar=true)),
+          |ctyped AS (
+          |  SELECT CAST(cst_id AS BIGINT) AS cst_id,
+          |    trim(cst_firstname) AS cst_firstname, trim(cst_lastname) AS cst_lastname,
+          |    CASE WHEN upper(trim(cst_gndr)) IN ('M', 'MALE') THEN 'Male'
+          |         WHEN upper(trim(cst_gndr)) IN ('F', 'FEMALE') THEN 'Female'
+          |         ELSE 'n/a' END AS cst_gndr,
+          |    CAST(cst_create_date AS DATE) AS cst_create_date
+          |  FROM craw WHERE cst_id IS NOT NULL),
+          |cdedup AS (
+          |  SELECT cst_id, cst_firstname, cst_lastname, cst_gndr FROM (
+          |    SELECT ctyped.*, row_number() OVER (
+          |      PARTITION BY cst_id ORDER BY cst_create_date DESC NULLS LAST) AS rn
+          |    FROM ctyped) WHERE rn = 1),
+          |percust AS (
+          |  SELECT sls_cust_id, SUM(sls_sales) AS lv,
+          |    CAST(COUNT(DISTINCT sls_ord_num) AS BIGINT) AS tor,
+          |    MAX(sls_order_dt) AS lod
+          |  FROM ssilver WHERE sls_order_dt IS NOT NULL GROUP BY sls_cust_id)
+          |SELECT c.cst_id AS customer_key,
+          |  concat_ws(' ', c.cst_firstname, c.cst_lastname) AS customer_name,
+          |  c.cst_gndr AS gender,
+          |  CAST(COALESCE(p.lv, 0) AS BIGINT) AS lifetime_value,
+          |  CAST(COALESCE(p.tor, 0) AS BIGINT) AS total_orders,
+          |  COALESCE(CAST(p.lv AS DOUBLE) / CAST(p.tor AS DOUBLE), 0.0) AS avg_order_value,
+          |  p.lod AS last_order_date,
+          |  CASE WHEN COALESCE(p.lv, 0) >= 10000 THEN 'VIP'
+          |       WHEN COALESCE(p.lv, 0) >= 1000 THEN 'Regular'
+          |       WHEN COALESCE(p.lv, 0) > 0 THEN 'Occasional'
+          |       ELSE 'Prospect' END AS customer_segment
+          |FROM cdedup c LEFT JOIN percust p ON c.cst_id = p.sls_cust_id""".stripMargin),
+    "q78_silver_products" ->
+      """WITH praw AS (
+        |  SELECT * FROM read_csv('/root/reference/datasets/source_crm/prd_info.csv', header=true, all_varchar=true))
+        |SELECT CAST(prd_id AS BIGINT) AS prd_id,
+        |  replace(substr(prd_key, 1, 5), '-', '_') AS cat_id,
+        |  substr(prd_key, 7) AS prd_key,
+        |  trim(prd_nm) AS prd_nm,
+        |  COALESCE(CAST(prd_cost AS DOUBLE), 0.0) AS prd_cost,
+        |  CASE WHEN upper(trim(prd_line)) = 'M' THEN 'Mountain'
+        |       WHEN upper(trim(prd_line)) = 'R' THEN 'Road'
+        |       WHEN upper(trim(prd_line)) = 'S' THEN 'Other Sales'
+        |       WHEN upper(trim(prd_line)) = 'T' THEN 'Touring'
+        |       ELSE 'n/a' END AS prd_line,
+        |  CAST(prd_start_dt AS DATE) AS prd_start_dt,
+        |  CAST(prd_end_dt AS DATE) AS prd_end_dt
+        |FROM praw""".stripMargin,
+    "q79_silver_erp_customers" ->
+      """WITH eraw AS (
+        |  SELECT * FROM read_csv('/root/reference/datasets/source_erp/CUST_AZ12.csv', header=true, all_varchar=true)),
+        |ecust AS (
+        |  SELECT CASE WHEN trim(CID) LIKE 'NAS%' THEN substr(trim(CID), 4) ELSE trim(CID) END AS cid,
+        |    CASE WHEN CAST(BDATE AS DATE) > DATE '2026-01-01' THEN NULL ELSE CAST(BDATE AS DATE) END AS bdate,
+        |    CASE WHEN upper(trim(GEN)) IN ('M', 'MALE') THEN 'Male'
+        |         WHEN upper(trim(GEN)) IN ('F', 'FEMALE') THEN 'Female'
+        |         ELSE 'n/a' END AS gen
+        |  FROM eraw),
+        |lraw AS (
+        |  SELECT * FROM read_csv('/root/reference/datasets/source_erp/LOC_A101.csv', header=true, all_varchar=true)),
+        |eloc AS (
+        |  SELECT replace(trim(CID), '-', '') AS cid,
+        |    CASE WHEN upper(trim(CNTRY)) IN ('DE', 'GERMANY') THEN 'Germany'
+        |         WHEN upper(trim(CNTRY)) IN ('US', 'USA', 'UNITED STATES') THEN 'United States'
+        |         WHEN CNTRY IS NULL OR trim(CNTRY) = '' THEN 'n/a'
+        |         ELSE array_to_string(list_transform(string_split(trim(CNTRY), ' '),
+        |           s -> CASE WHEN length(s) = 0 THEN s ELSE upper(s[1]) || lower(s[2:]) END), ' ')
+        |    END AS cntry
+        |  FROM lraw)
+        |SELECT c.cid, c.bdate, c.gen, l.cntry
+        |FROM ecust c LEFT JOIN eloc l ON c.cid = l.cid""".stripMargin,
   )
+
+  /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules
+    * (Silver.cleanCrmSales) replicated stage by stage over the raw CSV —
+    * trim keys, cast numerics, 0-sentinel yyyymmdd dates, sales repair to
+    * qty × |price| on null/non-positive/mismatch, price back-derivation.
+    * Ends with CTE `ssilver(sls_ord_num … sls_price)`.
+    */
+  private val silverSalesCtes: String =
+    """sraw AS (
+      |  SELECT * FROM read_csv('/root/reference/datasets/source_crm/sales_details.csv', header=true, all_varchar=true)),
+      |styped AS (
+      |  SELECT trim(sls_ord_num) AS sls_ord_num, trim(sls_prd_key) AS sls_prd_key,
+      |    CAST(sls_cust_id AS BIGINT) AS sls_cust_id,
+      |    sls_order_dt AS od, sls_ship_dt AS sd, sls_due_dt AS dd,
+      |    CAST(sls_sales AS BIGINT) AS raw_sales,
+      |    CAST(sls_quantity AS BIGINT) AS qty,
+      |    CAST(sls_price AS BIGINT) AS raw_price
+      |  FROM sraw),
+      |sfixed AS (
+      |  SELECT sls_ord_num, sls_prd_key, sls_cust_id,
+      |    CASE WHEN od IS NULL OR CAST(od AS BIGINT) <= 0 OR length(od) != 8
+      |         THEN NULL ELSE CAST(try_strptime(od, '%Y%m%d') AS DATE) END AS sls_order_dt,
+      |    CASE WHEN sd IS NULL OR CAST(sd AS BIGINT) <= 0 OR length(sd) != 8
+      |         THEN NULL ELSE CAST(try_strptime(sd, '%Y%m%d') AS DATE) END AS sls_ship_dt,
+      |    CASE WHEN dd IS NULL OR CAST(dd AS BIGINT) <= 0 OR length(dd) != 8
+      |         THEN NULL ELSE CAST(try_strptime(dd, '%Y%m%d') AS DATE) END AS sls_due_dt,
+      |    CASE WHEN raw_sales IS NULL OR raw_sales <= 0 OR raw_sales != qty * abs(raw_price)
+      |         THEN qty * abs(raw_price) ELSE raw_sales END AS sls_sales,
+      |    qty AS sls_quantity, raw_price
+      |  FROM styped),
+      |ssilver AS (
+      |  SELECT sls_ord_num, sls_prd_key, sls_cust_id, sls_order_dt, sls_ship_dt, sls_due_dt,
+      |    sls_sales, sls_quantity,
+      |    CAST(CASE WHEN raw_price IS NULL OR raw_price <= 0
+      |         THEN CAST(sls_sales AS DOUBLE) / CAST((CASE WHEN sls_quantity != 0 THEN sls_quantity END) AS DOUBLE)
+      |         ELSE CAST(raw_price AS DOUBLE) END AS DOUBLE) AS sls_price
+      |  FROM sfixed)""".stripMargin
 
   /** DuckDB cosine-similarity SQL over two list expressions — the ONE copy
     * of the determinism-critical fold (CAST placement, sequential

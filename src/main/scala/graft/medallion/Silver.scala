@@ -130,10 +130,16 @@ object Silver {
 
   /** silver.erp_customers: strip NAS prefix, null future birthdates. */
   def cleanErpCustomers(bronze: DataFrame): DataFrame =
+    cleanErpCustomers(bronze, current_date())
+
+  /** As above with an explicit "future" cutoff, so certification runs are
+    * deterministic across days (the oracle replays the same fixed date).
+    */
+  def cleanErpCustomers(bronze: DataFrame, asOf: Column): DataFrame =
     bronze.select(
       when(trim(col("CID")).startsWith("NAS"), expr("substring(trim(CID), 4)"))
         .otherwise(trim(col("CID"))).as("cid"),
-      when(to_date(col("BDATE")) > current_date(), lit(null).cast("date"))
+      when(to_date(col("BDATE")) > asOf, lit(null).cast("date"))
         .otherwise(to_date(col("BDATE"))).as("bdate"),
       normalizeGender(col("GEN")).as("gen"))
 

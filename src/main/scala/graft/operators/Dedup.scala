@@ -375,11 +375,18 @@ object Dedup {
       col(idCol).as("vid"),
       col(vecCol).as("vec"),
       graft.functions.HyperplaneSignatureExpr.hyperplaneFast(col(vecCol), nPlanes).as("sig"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
-    val capped = docs
-      .withColumn("_bucket_size", count(lit(1)).over(w))
-      .where(col("_bucket_size") <= maxBucketSize)
-      .drop("_bucket_size")
+    // cap ids-first (groupBy(sig).count + semi-join), same shape as the
+    // incremental variant below: a degenerate mega-bucket (near-dup-heavy
+    // corpora collapse hyperplane buckets) must be discarded from an ids-only
+    // aggregate — a window over sig would shuffle the mega-bucket's full
+    // VECTORS into one task's buffer before the cap filter could drop them
+    val keepSigs = docs
+      .select(col("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("sig"))
+    val capped = docs.join(keepSigs, Seq("sig"), "left_semi")
     val a = capped.alias("a")
     val b = capped.alias("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.vid") < col("b.vid"))

@@ -364,15 +364,18 @@ object Pipeline {
   }
 
   /** q38 — embedding-cosine near-duplicate detection, exact variant on a
-    * deterministic subset (every 10th vector): pairwise cosine ≥ 0.25.
-    * This exact form is the oracle-checkable ground truth of the semantics;
-    * the scale path [[Dedup.embeddingNearDuplicates]] carries its OWN oracle
-    * row (q67) replicating the full hyperplane→bucket→pair pipeline.
+    * deterministic FIXED-BUDGET subset (the first 50 vector ids): pairwise
+    * cosine ≥ 0.25. This exact form is the oracle-checkable ground truth of
+    * the semantics; the scale path [[Dedup.embeddingNearDuplicates]] carries
+    * its OWN oracle row (q67) replicating the full hyperplane→bucket→pair
+    * pipeline. The budget is a constant row COUNT, not a fraction, so the
+    * one whitelisted nested-loop join stays O(K²) at any scale factor —
+    * a `% 10` fraction would make the twin's cost grow with the corpus.
     */
   def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.CosineSimilarity.cosineFast
     val e = Tables(spark, dir).embeddings
-      .where(col("vec_id") % 10 === 0)
+      .where(col("vec_id") < 50)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.crossJoin(b)

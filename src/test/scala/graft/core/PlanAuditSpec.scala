@@ -13,7 +13,8 @@ class PlanAuditSpec extends SparkSpec {
   test("no query plans a cartesian product or an unintended nested-loop join") {
     // q38 is the ONLY allowed nested-loop join in the contract: the exact
     // embedding-near-dup oracle twin, a deliberate pairwise pass over a
-    // 1/10 subset kept as ground truth for the certified LSH path (q67).
+    // FIXED-BUDGET subset (first 50 ids — constant cost at any scale
+    // factor) kept as ground truth for the certified LSH path (q67).
     // The single-row scalar-broadcast shapes (q25 share-of-total, q66
     // funnel counts) attach via core.ScalarJoin's non-foldable constant
     // key, so they plan as BroadcastHashJoin and need no whitelist entry.
@@ -27,5 +28,15 @@ class PlanAuditSpec extends SparkSpec {
       else None
     }
     assert(offenders.isEmpty, s"quadratic join shapes found:\n${offenders.mkString("\n")}")
+  }
+
+  test("q67's bucket cap is ids-first: no window over the LSH signature") {
+    // A window over `sig` would shuffle a degenerate mega-bucket's full
+    // VECTORS into a single task's window buffer before the cap filter
+    // drops them; the cap must come from an ids-only groupBy + semi-join.
+    val plan =
+      SparkEntry.queries("q67_embedding_neardup_lsh")(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q67 plans a Window over sig:\n$plan")
   }
 }

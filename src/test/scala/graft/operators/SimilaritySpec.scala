@@ -58,6 +58,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!kept.contains(9998L) && !kept.contains(9999L), "copies are dropped")
   }
 
+  test("embedding LSH mega-bucket skew: 50k identical vectors are capped ids-first") {
+    import spark.implicits._
+    // Adversarial corpus for hyperplane LSH: every vector identical → ALL
+    // rows land in one signature bucket. The cap must discard the bucket
+    // from an ids-only aggregate (bounded per-task input); pre-fix, a
+    // window over sig would buffer all 50k full vectors in one task first.
+    // Two distinct small-bucket vectors ride along to prove capping a
+    // mega-bucket doesn't suppress legitimate pairs elsewhere.
+    val dim = 8
+    val mega = spark.range(0, 50000)
+      .select($"id".as("vec_id"),
+        org.apache.spark.sql.functions.array(
+          (0 until dim).map(i => org.apache.spark.sql.functions.lit(1.0f + i)): _*
+        ).as("embedding"))
+    val small = Seq(
+      (100001L, Array.tabulate(dim)(i => -(1.0f + i))),
+      (100002L, Array.tabulate(dim)(i => -(1.0f + i) * 2.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(
+      mega.union(small), "vec_id", "embedding",
+      minCosine = 0.999, nPlanes = 12, maxBucketSize = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100001L, 100002L)),
+      s"mega-bucket must be capped away, small bucket must pair; got ${pairs.take(5)}")
+  }
+
   test("incremental embedding dedup pairs delta vectors with corpus near-dups only") {
     import spark.implicits._
     val base = emb.limit(30).collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
