@@ -55,44 +55,79 @@ object Bench {
         graft.functions.CosineSimilarity.cosineFast(org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("v")).as("cs"))
       .selectExpr("max(hs)", "max(cs)")
       .collect()
+    // the parquet-reader warm doubles as the machine-load SENTINEL: a fixed
+    // scan whose wall-time a reader compares across rounds to separate
+    // uniform host drift ("everything 1.3x slower, sentinel too") from plan
+    // regressions ("one query 3x slower, sentinel flat") without re-running
+    val sentinel0 = System.nanoTime()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val warmupSec = (System.nanoTime() - sentinel0) / 1e9
+    // executor task telemetry per query (run/cpu/gc): cpu-time is immune to
+    // OS descheduling, so run≫cpu flags host contention, gc flags memory
+    // pressure — the per-query split BENCH_r04 lacked and round 4 had to
+    // reconstruct with an idle-machine debugging session
+    val listener = new graft.perf.MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a failed query must never masquerade as a fast success: it is
       // recorded as -1 in `queries` AND carries its exception in `errors`
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            // keep the message printable ASCII: quotes/backslashes break the
-            // JSON string, raw control bytes break strict JSON parsers
-            errors(name) = (e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ")
-                .replaceAll("\\s+", " ")).take(160)
-            false
-        }
-      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // each query pays for its own caching inside its timing; dropping the
-      // caches BETWEEN queries (untimed) keeps queries independent — the LSH
-      // pipelines persist corpus-scale frames that otherwise accumulate and
-      // tax late queries with storage/GC pressure. localCheckpoint RDD
-      // blocks (the CC loop's) are outside the SQL cache manager; the GC
-      // hint lets the ContextCleaner release the now-unreferenced ones too
-      spark.catalog.clearCache()
-      System.gc()
-      name -> elapsed
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              // keep the message printable ASCII: quotes/backslashes break
+              // the JSON string, raw control bytes break strict JSON parsers
+              errors.getOrElseUpdate(name, (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ")
+                  .replaceAll("\\s+", " ")).take(160))
+              false
+          }
+        val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // each query pays for its own caching inside its timing; dropping
+        // the caches BETWEEN reps (untimed) keeps reps independent — the LSH
+        // pipelines persist corpus-scale frames that otherwise accumulate
+        // and tax late queries with storage/GC pressure. localCheckpoint RDD
+        // blocks (the CC loop's) are outside the SQL cache manager; the GC
+        // hint lets the ContextCleaner release the now-unreferenced ones too
+        spark.catalog.clearCache()
+        System.gc()
+        elapsed
+      }
+      val r1 = rep()
+      // second rep with telemetry deltas; reporting min-of-2 makes the
+      // per-query number robust to one-off host-load spikes (the r2->r3->r4
+      // "outlier panic" cannot recur: a real regression shows in BOTH reps)
+      listener.settle()
+      val (run0, cpu0, gc0) =
+        (listener.executorRunTimeMs.get, listener.executorCpuTimeMs.get, listener.jvmGcTimeMs.get)
+      val r2 = if (r1 >= 0) rep() else -1.0
+      listener.settle()
+      val tele = (listener.executorRunTimeMs.get - run0,
+        listener.executorCpuTimeMs.get - cpu0,
+        listener.jvmGcTimeMs.get - gc0)
+      val wall = if (r1 >= 0 && r2 >= 0) math.min(r1, r2) else math.max(r1, r2)
+      (name, wall, r1, r2, tele)
     }
+    spark.sparkContext.removeSparkListener(listener)
     // 3-decimal rounding keeps the one-line JSON short enough that a
     // tail-capped log capture does not truncate the head of the line
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // reps = both raw walls (variance is quantifiable from the artifact
+    // alone); run/cpu/gc are the SECOND rep's executor-task deltas
+    val teleJson = results.map { case (k, _, r1, r2, (run, cpu, gc)) =>
+      s"\"" + k + "\":{\"reps\":[" + fmt(r1) + "," + fmt(r2) +
+        s"],\"run_ms\":$run,\"cpu_ms\":$cpu,\"gc_ms\":$gc}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"warmup_sec":${fmt(warmupSec)},"telemetry":$teleJson,"sf":"$sfDir"}"""
     // stdout for the driver, plus a file copy that survives any log truncation
     println(line)
     Console.out.flush()
