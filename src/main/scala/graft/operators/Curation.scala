@@ -509,10 +509,21 @@ object Curation {
     val inst = df.select(
       col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("token"))
-    val tf = inst.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // df is derivable from tf (each tf row IS one distinct (doc, token)
+    // pair), so the corpus is read and tokenized ONCE. The eager persist is
+    // what actually enforces that: without it the optimizer column-prunes
+    // the df branch differently (it drops the tf count), the two aggregate
+    // subtrees stop being canonically equal, ReuseExchange never fires, and
+    // the full text is scanned+tokenized twice (plan-verified via
+    // perf.PlanProbe). tf carries ids+tokens only — far smaller than the
+    // text column — and has exactly the two-consumers-one-action shape
+    // core.Caching is for.
+    val tf = graft.core.Caching.eager(
+      inst.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val dfCounts = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
     val scored = tf
-      .join(docFrequency(df, textCol), Seq("token"))
+      .join(dfCounts, Seq("token"))
       .withColumn("score", col("tf").cast("double") / col("df_count").cast("double"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
     scored

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class CurationSpec extends SparkSpec {
@@ -276,5 +278,93 @@ class CurationSpec extends SparkSpec {
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(splits.contains("val") || splits.contains("test"),
       s"a tight keep threshold must not force every survivor into 'train', got $splits")
+  }
+
+  test("chunkDedupStats boundaries: short, exact, boundary+1, and empty docs") {
+    val edge = Seq(
+      (1L, "a b c"),                     // 3 tokens < chunkSize 4 -> 1 partial chunk
+      (2L, "d e f g"),                   // exactly chunkSize -> 1 chunk
+      (3L, "h i j k l"),                 // chunkSize+1 -> 2 chunks (1-token tail)
+      (4L, ""),                          // empty text -> 1 empty chunk
+      (5L, "")                           // second empty doc -> "" chunk IS cross-doc dup
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDedupStats(edge, "doc_id", "text", chunkSize = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))).toMap
+    assert(out(1L) == ((1L, 0L)))
+    assert(out(2L) == ((1L, 0L)))
+    assert(out(3L) == ((2L, 0L)), "a 1-token tail must form its own chunk")
+    // two empty docs share the normalized empty chunk — documented behavior:
+    // dedup semantics treat identical empties as duplicates, like exactDedup
+    assert(out(4L) == ((1L, 1L)) && out(5L) == ((1L, 1L)))
+  }
+
+  test("keywordExtract tie-breaking is deterministic across partition counts") {
+    // every token in every doc has tf=1; cross-doc tokens share df -> dense
+    // score ties that ONLY the token tie-break resolves
+    val tied = Seq(
+      (1L, "tie1 tie2 tie3 tie4 tie5 tie6"),
+      (2L, "tie1 tie2 tie3 tie4 tie5 tie6"),
+      (3L, "tie4 tie5 tie6 tie7 tie8 tie9")
+    ).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Curation.keywordExtract(tied.repartition(parts), "doc_id", "text", k = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keyword_rank"),
+          r.getAs[String]("token"))).toSet
+    val one = run(1)
+    assert(run(5) == one && run(13) == one,
+      "rank assignment must not depend on physical partitioning")
+    // ties at equal score resolve alphabetically
+    assert(one.contains((1L, 1L, "tie1")) && one.contains((1L, 2L, "tie2")))
+  }
+
+  test("ngramFrequency emits nothing for docs shorter than n") {
+    val short = Seq(
+      (1L, "one two"),                   // 2 tokens, n=3 -> no grams
+      (2L, "a b c"),                     // exactly n -> 1 gram
+      (3L, "")                           // empty -> no grams
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramFrequency(short, "text", n = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a b c" -> 1L),
+      s"sub-n and empty docs must contribute zero grams, got $out")
+  }
+
+  test("weightedSourceSample under 95% single-source skew: exact hash counts, map-only plan") {
+    val skew = (1L to 4000L).map { i =>
+      (i, s"doc $i", if (i <= 3800) "big" else "small")
+    }.toDF("id", "text", "source")
+    val out = Curation.weightedSourceSample(
+      skew, "source", "id", Map("big" -> 250, "small" -> 1000))
+    // expected counts recomputed from the SAME hash definition row by row —
+    // the sample must be exactly the hash-rule subset, skew or not
+    val expected = skew
+      .where(org.apache.spark.sql.functions.pmod(
+        graft.functions.Sha60.sha60(concat(lit("mix:"), col("id").cast("string"))),
+        lit(1000L)) < when(col("source") === "big", 250).otherwise(1000))
+      .count()
+    assert(out.count() == expected)
+    assert(out.where(col("source") === "small").count() == 200,
+      "weight 1000/1000 must keep every row of the minority source")
+    // map-only after the broadcast weight join: no shuffle Exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Exchange rangepartitioning"),
+      s"weightedSourceSample must stay map-only under skew:\n$plan")
+  }
+
+  test("hashSplit is per-row stable across partitionings and covers every row once") {
+    val ids = (1L to 3000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    def splits(parts: Int) =
+      Curation.hashSplit(ids.repartition(parts), "id")
+        .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val one = splits(1)
+    assert(splits(7) == one, "split assignment must be a pure function of id")
+    assert(one.size == 3000)
+    val byLabel = one.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // 90/5/5 within generous hash-noise bounds
+    assert(byLabel("train") > 2550 && byLabel("val") > 75 && byLabel("test") > 75)
   }
 }

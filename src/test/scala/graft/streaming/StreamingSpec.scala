@@ -101,9 +101,21 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming curation funnel counts match the batch funnel and the gate output") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docfunnel").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
+    // seed the corpus with a doc KNOWN to fail the repetition gate, so the
+    // strict-attrition assertion below is a property of the constructed
+    // input, not of whatever dirt the generated sf0.001 corpus happens to
+    // carry — regenerated clean testdata cannot fail this test spuriously
+    val planted = Seq(
+      (900001L, ("spam " * 400).trim, "en", "seeded", 2000L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = graft.core.Tables(spark, Sf0001).documents.unionByName(planted)
+    // stage as ONE flat parquet file (the stream source lists plain files,
+    // not nested write directories)
+    val staging = java.nio.file.Files.createTempDirectory("graft-docfunnel-stage").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
     val q = DocStream.curateFunnel(DocStream.readDocs(spark, dir))
       .writeStream
       .outputMode("complete")
@@ -114,17 +126,15 @@ class StreamingSpec extends SparkSpec {
     assert(q.awaitTermination(120000), "stream did not finish within the timeout")
     val streamed = spark.table("docfunnel").collect()
     assert(streamed.length == 1, "complete mode emits one funnel row")
-    val docs = graft.core.Tables(spark, Sf0001).documents
     val batch = DocStream.curateFunnel(docs).collect().head
     val s = streamed.head
     assert(s.getLong(0) == batch.getLong(0) && s.getLong(1) == batch.getLong(1) &&
       s.getLong(2) == batch.getLong(2), "stream and batch funnels must agree")
-    // the funnel's terminal count IS the gate's cardinality, and each stage
-    // strictly attrites on this corpus
+    // the funnel's terminal count IS the gate's cardinality
     assert(s.getLong(0) == docs.count())
     assert(s.getLong(2) == DocStream.curate(docs).count())
-    // on this corpus all attrition happens in the repetition gate, so assert
-    // monotone stage counts plus strict end-to-end attrition
+    // monotone stage counts, plus strict end-to-end attrition guaranteed by
+    // the planted repetition-gate failure
     assert(s.getLong(0) >= s.getLong(1) && s.getLong(1) >= s.getLong(2))
     assert(s.getLong(2) > 0 && s.getLong(2) < s.getLong(0))
   }
