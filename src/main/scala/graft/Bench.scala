@@ -69,7 +69,13 @@ object Bench {
     val listener = new graft.perf.MetricsListener
     spark.sparkContext.addSparkListener(listener)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q53_dedup_corpus,q65_... isolates queries for
+    // regression debugging in a fresh JVM; unset = full contract (driver use)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // a failed query must never masquerade as a fast success: it is
       // recorded as -1 in `queries` AND carries its exception in `errors`
       def rep(): Double = {
@@ -90,9 +96,14 @@ object Bench {
         // the caches BETWEEN reps (untimed) keeps reps independent — the LSH
         // pipelines persist corpus-scale frames that otherwise accumulate
         // and tax late queries with storage/GC pressure. localCheckpoint RDD
-        // blocks (the CC loop's) are outside the SQL cache manager; the GC
-        // hint lets the ContextCleaner release the now-unreferenced ones too
+        // blocks (the CC loops' final generations, lineage frontiers) are
+        // outside the SQL cache manager — sweep ALL persistent RDDs
+        // explicitly: GC-driven cleanup is too lazy over a 79-query × 2-rep
+        // session, and the leaked blocks evict later queries' live caches
+        // into recompute storms (q53 measured 3.1 s fresh vs 13.9 s
+        // mid-suite before this sweep)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         System.gc()
         elapsed
       }

@@ -24,8 +24,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // LSH/curation queries persist corpus-scale frames; release between
-      // queries so the dump never accumulates session-wide storage
+      // queries so the dump never accumulates session-wide storage — incl.
+      // localCheckpoint blocks, which live outside the SQL cache manager
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -509,12 +509,30 @@ object Dedup {
         .distinct()
         .repartition(col("src")),
       Seq(col("src")))
+    // localCheckpoint generations must be released DETERMINISTICALLY: each
+    // round's (eager) checkpoint pins its blocks until GC + ContextCleaner
+    // get around to them, so a convergence loop otherwise holds O(rounds)
+    // superseded label generations in storage memory — and in a
+    // many-query session those leaked blocks evict OTHER queries' live
+    // caches, turning cache hits into recompute storms (measured: q53 ran
+    // 3.1 s in a fresh JVM vs 13.9 s mid-suite with 4.5x the executor CPU
+    // before this fix). The checkpointed RDD is not publicly reachable
+    // from the Dataset, so track it by persistent-RDD-id delta around the
+    // checkpoint call (single-threaded here; no concurrent persists).
+    val sc = fwd.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager: materialized on return
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // seed each node with min(self, neighbours) — the same result as running
     // one propagation round on identity labels, for the price of the groupBy
     // that enumerates the nodes anyway
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      edges.groupBy(col("src").as("id"))
+        .agg(least(col("src"), min(col("dst"))).as("label")))
     var converged = labels.isEmpty
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -529,8 +547,10 @@ object Dedup {
           col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: follow the current label one hop (label(label(n)))
-      val step = jump(relabeled).localCheckpoint()
+      val (step, stepIds) = checkpointTracked(jump(relabeled))
       converged = step.where(col("label") < col("old_label")).isEmpty
+      release(labelIds) // superseded generation — step is already materialized
+      labelIds = stepIds
       labels = step.select("id", "label")
       iters += 1
     }
