@@ -97,6 +97,9 @@ object SparkEntry {
     "q77_gold_customer_analytics" -> (Medallion.goldCustomerAnalytics _),
     "q78_silver_products" -> (Medallion.silverProducts _),
     "q79_silver_erp_customers" -> (Medallion.silverErpCustomers _),
+    "q80_knn_join" -> (Pipeline.knnJoinAll _),
+    "q81_target_affinity" -> (Pipeline.targetAffinityScores _),
+    "q82_corpus_report" -> (Pipeline.corpusHealthReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -965,6 +968,70 @@ object SparkEntry {
         |  FROM lraw)
         |SELECT c.cid, c.bdate, c.gen, l.cntry
         |FROM ecust c LEFT JOIN eloc l ON c.cid = l.cid""".stripMargin,
+    // kNN self-join: q67's signature/bucket CTEs at threshold -1 (every
+    // in-bucket pair), symmetrized, per-vector top-5 by cosine desc / id
+    "q80_knn_join" ->
+      ("WITH " + embSigCtes + ",\n" +
+        s"""capped AS (
+          |  SELECT vec_id, embedding, sig FROM (
+          |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
+          |  WHERE bs <= 200),
+          |apairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    ${cosineSql("a.embedding", "b.embedding")} AS cosine_sim
+          |  FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+          |sym AS (
+          |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine_sim FROM apairs
+          |  UNION ALL
+          |  SELECT id_b, id_a, cosine_sim FROM apairs)
+          |SELECT vec_id, knn_rank, neighbor_id, cosine_sim FROM (
+          |  SELECT sym.*, CAST(row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS knn_rank
+          |  FROM sym)
+          |WHERE knn_rank <= 5 ORDER BY vec_id, knn_rank""".stripMargin),
+    // integral df-sum affinity: distinct tokens per doc, vocabulary df split
+    // by target membership, BIGINT sums, one final division
+    "q81_target_affinity" ->
+      """WITH inst AS (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |    unnest(list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))) AS token
+        |  FROM documents),
+        |dfc AS (
+        |  SELECT token,
+        |    CAST(count(*) AS BIGINT) AS df_all,
+        |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS df_target
+        |  FROM inst GROUP BY token)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(df_target) AS BIGINT) AS sum_df_target,
+        |  CAST(SUM(df_all) AS BIGINT) AS sum_df_all,
+        |  CAST(SUM(df_target) AS DOUBLE) / CAST(SUM(df_all) AS DOUBLE) AS affinity
+        |FROM inst JOIN dfc USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // all-count aggregation (no float accumulation); rates are single final
+    // divisions; quality formula mirrors the q65 'qs' expression exactly
+    "q82_corpus_report" ->
+      """WITH scored AS (
+        |  SELECT source, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS chash,
+        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |          ELSE 0.0 END) AS qs
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT chash) AS BIGINT) AS n_distinct_contents,
+        |  CAST(count(CASE WHEN qs >= 0.5 THEN 1 END) AS BIGINT) AS n_quality_pass,
+        |  CAST(count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) AS BIGINT) AS n_empty,
+        |  1.0 - CAST(count(DISTINCT chash) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate,
+        |  CAST(count(CASE WHEN qs >= 0.5 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS quality_pass_rate
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

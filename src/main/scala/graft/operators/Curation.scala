@@ -532,4 +532,82 @@ object Curation {
       .select(col("doc_id"), col("keyword_rank"), col("token"),
         col("tf"), col("df_count"), col("score"))
   }
+
+  /** DSIR-flavored target-affinity scoring for data selection: rank every
+    * document by how much its vocabulary looks like a TARGET subset of the
+    * corpus (Xie et al. 2023's importance-resampling idea, with the hashed
+    * n-gram log-likelihood ratio replaced by an integral df-sum ratio —
+    * BIGINT sums and ONE final division, so the score is bit-identical
+    * across engines, where a per-token float log-sum would not be).
+    *
+    * A document's affinity is Σ df_target(token) / Σ df_all(token) over its
+    * DISTINCT tokens: 1.0 means every token occurrence in the corpus came
+    * from target documents; the corpus-wide base rate is |target|/|corpus|.
+    * Sampling the top quantile (or hash-thresholding proportional to
+    * affinity) reweights the corpus toward the target domain.
+    *
+    * Shape: one tokenize pass, eagerly persisted (ids+tokens only — the df
+    * aggregate AND the per-doc rollup both consume it, the exact
+    * two-consumers-one-action contract of [[graft.core.Caching]]); the df
+    * side is vocabulary-sized; the rollup re-shuffles by doc id. No text
+    * moves after the first projection.
+    */
+  def targetAffinity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column): DataFrame = {
+    val inst = graft.core.Caching.eager(
+      df.select(
+        col(idCol).as("doc_id"),
+        isTarget.as("is_target"),
+        explode(array_distinct(tokens(col(textCol)))).as("token")))
+    val dfc = inst
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df_all"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("df_target"))
+    inst
+      .join(dfc, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("df_target")).as("sum_df_target"),
+        sum(col("df_all")).as("sum_df_all"))
+      .withColumn(
+        "affinity",
+        col("sum_df_target").cast("double") / col("sum_df_all").cast("double"))
+  }
+
+  /** Per-source corpus health report: the dashboard aggregation a curation
+    * pipeline runs after every ingest — document and token volume, exact
+    * duplicate rate (1 − distinct normalized-content hashes / docs), quality
+    * and emptiness counts. Every statistic is a count/integral sum (no
+    * float accumulation across rows, whose summation order would break
+    * cross-engine determinism); the two rates are single final divisions.
+    *
+    * Shape: ONE hash-shuffle on the source key; the duplicate rate rides
+    * the same aggregation as a `countDistinct` over md5 hashes computed
+    * map-side. At 100 TB this is a single pass over the corpus with
+    * partial aggregation — the report never materializes per-document rows.
+    */
+  def corpusReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      minQuality: Double = 0.5): DataFrame =
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(tokenCount(col(textCol))), lit(0L)).as("total_tokens"),
+        countDistinct(md5(normalizeText(col(textCol)))).as("n_distinct_contents"),
+        count(when(qualityScore(col(textCol)) >= minQuality, 1)).as("n_quality_pass"),
+        count(when(col(textCol).isNull || length(col(textCol)) === 0, 1)).as("n_empty"))
+      .withColumn(
+        "dup_rate",
+        lit(1.0) - col("n_distinct_contents").cast("double") / col("n_docs").cast("double"))
+      .withColumn(
+        "quality_pass_rate",
+        col("n_quality_pass").cast("double") / col("n_docs").cast("double"))
 }

@@ -163,4 +163,41 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** All-vectors kNN self-join: for EVERY vector, its top-`k` most similar
+    * neighbors among same-LSH-bucket candidates — the batch similarity-join
+    * primitive behind SemDeDup-style clustering diagnostics, hard-negative
+    * mining, and near-neighbor graph construction (vs [[bruteForceTopK]],
+    * which answers ONE query vector).
+    *
+    * Shape: [[Dedup.embeddingNearDuplicates]]'s certified bucket pipeline at
+    * threshold −1 (every in-bucket pair survives; ids-first cap, Σ bucket²
+    * candidate work, never N²), symmetrized, then a per-vector
+    * `row_number ≤ k` that plans as a partial WindowGroupLimit — a vector's
+    * candidate list is bounded by its bucket cap, so no task ever sorts more
+    * than `maxBucketSize` rows per vector. Ties at equal cosine break by
+    * neighbor id (deterministic, engine-portable).
+    */
+  def knnJoin(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      maxBucketSize: Int = 200): DataFrame = {
+    val pairs = Dedup.embeddingNearDuplicates(
+      emb, idCol, vecCol, minCosine = -1.0, nPlanes = nPlanes,
+      maxBucketSize = maxBucketSize)
+    val sym = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cosine_sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("neighbor_id"), col("cosine_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sym
+      .withColumn("knn_rank", row_number().over(w).cast("long"))
+      .where(col("knn_rank") <= k)
+      .select(col("vec_id"), col("knn_rank"), col("neighbor_id"), col("cosine_sim"))
+  }
 }

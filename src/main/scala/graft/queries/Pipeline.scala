@@ -701,4 +701,33 @@ object Pipeline {
         col("total_norm") / col("n_vectors").cast("double"))
       .orderBy(col("label"))
   }
+
+  /** q80 — all-vectors kNN self-join: top-5 in-bucket neighbors per vector
+    * (8 hyperplane planes, cap 200 — the same certified bucket pipeline as
+    * q67, symmetrized, with a per-vector partial-top-k window).
+    */
+  def knnJoinAll(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .knnJoin(Tables(spark, dir).embeddings, "vec_id", "embedding",
+        k = 5, nPlanes = 8, maxBucketSize = 200)
+      .orderBy(col("vec_id"), col("knn_rank"))
+
+  /** q81 — DSIR-flavored target-affinity data selection: every document
+    * scored by Σ df_target / Σ df_all over its distinct tokens, with the
+    * 'src0' slice as the target domain.
+    */
+  def targetAffinityScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation
+      .targetAffinity(d, "doc_id", "text", col("source") === "src0")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q82 — per-source corpus health report: volumes, exact-duplicate rate,
+    * quality-gate pass rate, empties — one aggregation pass.
+    */
+  def corpusHealthReport(spark: SparkSession, dir: String): DataFrame =
+    Curation
+      .corpusReport(Tables(spark, dir).documents, "doc_id", "text", "source")
+      .orderBy(col("source"))
 }

@@ -354,6 +354,46 @@ class CurationSpec extends SparkSpec {
       s"weightedSourceSample must stay map-only under skew:\n$plan")
   }
 
+  test("targetAffinity: target-vocab docs outscore disjoint-vocab docs; base rate bounds hold") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "target"),
+      (2L, "alpha beta delta", "target"),
+      (3L, "alpha beta gamma", "other"),   // shares the target vocabulary
+      (4L, "zeta eta theta", "other"),     // fully disjoint vocabulary
+      (5L, "zeta eta alpha", "other")      // mixed
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.targetAffinity(corpus, "doc_id", "text", col("source") === "target")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("affinity")).toMap
+    assert(out.size == 5)
+    assert(out.values.forall(a => a >= 0.0 && a <= 1.0))
+    // doc 3 speaks pure target vocabulary, doc 4 pure non-target: strict order
+    assert(out(3L) > out(5L) && out(5L) > out(4L),
+      s"affinity must order target-like > mixed > disjoint, got $out")
+    // every token of doc 4 occurs only in non-target docs -> affinity 0
+    assert(out(4L) == 0.0)
+  }
+
+  test("corpusReport: exact counts per source, dup and quality rates") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today", "a"), // exact dup of 1
+      (3L, "completely different content with several informative words here", "a"),
+      (4L, "", "b"),
+      (5L, "the of and to in is are of and the", "b") // pure stopwords -> qs < 0.5
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.corpusReport(corpus, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_distinct_contents") == 2)
+    assert(math.abs(a.getAs[Double]("dup_rate") - (1.0 - 2.0 / 3.0)) < 1e-12)
+    assert(a.getAs[Long]("total_tokens") == 14 + 14 + 8)
+    val b = out("b")
+    assert(b.getAs[Long]("n_empty") == 1 && b.getAs[Long]("n_docs") == 2)
+    // the empty doc PASSES the length/stopword/punct formula (0.4+0.2=0.6 —
+    // no stopword or punct penalty applies); the all-stopword doc fails
+    assert(b.getAs[Long]("n_quality_pass") == 1)
+  }
+
   test("hashSplit is per-row stable across partitionings and covers every row once") {
     val ids = (1L to 3000L).map(i => (i, s"doc $i")).toDF("id", "text")
     def splits(parts: Int) =

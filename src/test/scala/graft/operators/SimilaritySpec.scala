@@ -101,6 +101,28 @@ class SimilaritySpec extends SparkSpec {
       "only delta-vs-corpus pairs, never corpus-vs-corpus")
   }
 
+  test("knnJoin: planted duplicate is every copy's nearest neighbor; k caps candidates") {
+    import spark.implicits._
+    val base = emb.limit(30).collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // two exact copies of vector 0: each copy's rank-1 neighbor is a copy
+    val planted = (base ++ Seq((9998L, base.head._2), (9999L, base.head._2)))
+      .toSeq.toDF("vec_id", "embedding")
+    val out = Similarity.knnJoin(planted, "vec_id", "embedding", k = 3, nPlanes = 8)
+      .collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Long]("knn_rank"))
+          .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine_sim"))).toSeq
+      }
+    assert(out.values.forall(_.size <= 3), "per-vector neighbor list capped at k")
+    // cosine(copy, copy) = 1.0; ties break by neighbor id ascending
+    assert(out(9999L).take(2).map(_._1) == Seq(base.head._1, 9998L),
+      s"copies must rank first for 9999, got ${out(9999L)}")
+    assert(out(9999L).head._2 > 0.999)
+    // symmetry of membership: 9999 appears in 9998's list and vice versa
+    assert(out(9998L).exists(_._1 == 9999L))
+  }
+
   test("k-means centroids assign all vectors and improve over raw seeds") {
     val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)
     assert(centroids.length == 8)
