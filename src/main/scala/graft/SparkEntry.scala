@@ -100,6 +100,7 @@ object SparkEntry {
     "q80_knn_join" -> (Pipeline.knnJoinAll _),
     "q81_target_affinity" -> (Pipeline.targetAffinityScores _),
     "q82_corpus_report" -> (Pipeline.corpusHealthReport _),
+    "q83_cluster_sample" -> (Pipeline.clusterBalancedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1032,6 +1033,28 @@ object SparkEntry {
         |  1.0 - CAST(count(DISTINCT chash) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate,
         |  CAST(count(CASE WHEN qs >= 0.5 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS quality_pass_rate
         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+    // q39's argmax centroid assignment (ties -> lowest cid) over ALL vectors,
+    // then the q56 hash-rank stratified cut per cluster
+    "q83_cluster_sample" ->
+      (s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+        |sims AS (
+        |  SELECT e.vec_id, c.cid,
+        |    ${cosineSql("e.embedding", "c.cv")} AS s
+        |  FROM embeddings e, c),
+        |assign AS (
+        |  SELECT vec_id, cid AS centroid_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1)
+        |SELECT centroid_id, sample_rank, vec_id FROM (
+        |  SELECT CAST(centroid_id AS INTEGER) AS centroid_id, vec_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY centroid_id
+        |      ORDER BY CAST(('0x' || substring(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+        |    ) AS BIGINT) AS sample_rank
+        |  FROM assign)
+        |WHERE sample_rank <= 25 ORDER BY centroid_id, sample_rank""".stripMargin),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

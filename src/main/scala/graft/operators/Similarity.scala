@@ -178,6 +178,25 @@ object Similarity {
     * than `maxBucketSize` rows per vector. Ties at equal cosine break by
     * neighbor id (deterministic, engine-portable).
     */
+  /** Cluster-balanced corpus subsample: assign every vector to its nearest
+    * coarse centroid ([[ivfAssign]]), then keep a deterministic hash-rank
+    * top-`perCluster` per cluster — the diversity-preserving subsampling
+    * step (each semantic region contributes equally, instead of a uniform
+    * sample over-representing dense regions). Composes two already-audited
+    * shapes: the argmax assignment is one codegen expression per row, the
+    * per-cluster cut is a partial WindowGroupLimit (no cluster ever fully
+    * sorts on one task).
+    */
+  def clusterSample(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      perCluster: Int): DataFrame =
+    Curation.stratifiedSample(
+      ivfAssign(emb, idCol, vecCol, centroids), "centroid_id", idCol, perCluster)
+      .select(col("centroid_id"), col("sample_rank"), col(idCol))
+
   def knnJoin(
       emb: DataFrame,
       idCol: String,

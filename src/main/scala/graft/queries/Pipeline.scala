@@ -730,4 +730,21 @@ object Pipeline {
     Curation
       .corpusReport(Tables(spark, dir).documents, "doc_id", "text", "source")
       .orderBy(col("source"))
+
+  /** q83 — cluster-balanced subsample: nearest-of-4-centroids assignment
+    * (q39's deterministic seed centroids, vectors 1–4) then hash-rank top-25
+    * per cluster — equal representation per semantic region.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroids = emb
+      .where(col("vec_id").between(1, 4))
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+    Similarity.clusterSample(emb, "vec_id", "embedding", centroids, perCluster = 25)
+      .orderBy(col("centroid_id"), col("sample_rank"))
+  }
 }

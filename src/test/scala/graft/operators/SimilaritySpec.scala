@@ -123,6 +123,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out(9998L).exists(_._1 == 9999L))
   }
 
+  test("knnJoin inherits the ids-first mega-bucket cap (all-identical corpus yields nothing)") {
+    import spark.implicits._
+    val dim = 8
+    val mega = spark.range(0, 30000)
+      .select($"id".as("vec_id"),
+        org.apache.spark.sql.functions.array(
+          (0 until dim).map(i => org.apache.spark.sql.functions.lit(0.5f + i)): _*
+        ).as("embedding"))
+    val out = Similarity.knnJoin(mega, "vec_id", "embedding", k = 3,
+      nPlanes = 12, maxBucketSize = 200)
+    assert(out.count() == 0, "a single over-cap bucket must be dropped, not paired")
+  }
+
+  test("clusterSample caps every cluster at perCluster and is partition-stable") {
+    val centroids = emb.orderBy("vec_id").limit(4).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toSeq }
+      .toSeq
+    def run(parts: Int) =
+      Similarity.clusterSample(emb.repartition(parts), "vec_id", "embedding", centroids, 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val one = run(1)
+    assert(run(6) == one, "hash-rank cut must not depend on physical partitioning")
+    val perCluster = one.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perCluster.values.forall(_ <= 10))
+    assert(perCluster.values.sum == one.size && one.nonEmpty)
+  }
+
   test("k-means centroids assign all vectors and improve over raw seeds") {
     val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iterations = 3)
     assert(centroids.length == 8)
