@@ -155,6 +155,23 @@ object DocStream {
         sum(when(col("_q_ok") && col("_r_ok"), 1L).otherwise(0L))
           .as("n_curated"))
 
+  /** Streaming twin of [[graft.operators.Curation.corpusReport]]'s count
+    * statistics: per-source doc/token/quality/empty counts over the live
+    * ingest (complete-mode aggregation, bounded state = one row per source).
+    * The exact-duplicate rate is deliberately absent — `countDistinct` is
+    * not a streaming aggregate; duplicate tracking on a stream is
+    * [[dedupAgainstCorpus]]'s job (anti-join against the corpus index).
+    */
+  def corpusReportStream(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(TextFunctions.tokenCount(col("text"))), lit(0L)).as("total_tokens"),
+        count(when(TextFunctions.qualityScore(col("text")) >= minQuality, 1))
+          .as("n_quality_pass"),
+        count(when(col("text").isNull || length(col("text")) === 0, 1)).as("n_empty"))
+
   /** Shared gate predicates: `_q_ok` (quality score ≥ threshold) and `_r_ok`
     * (distinct-token ratio ≥ 0.3, the repetition gate). Both [[curate]] and
     * [[curateFunnel]] read these columns, so their semantics cannot drift.

@@ -139,6 +139,30 @@ class StreamingSpec extends SparkSpec {
     assert(s.getLong(2) > 0 && s.getLong(2) < s.getLong(0))
   }
 
+  test("streaming corpus report count statistics equal the batch report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docreport").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
+    val q = DocStream.corpusReportStream(DocStream.readDocs(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("docreport")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val streamed = keyed(spark.table("docreport")
+      .select("source", "n_docs", "total_tokens", "n_quality_pass", "n_empty").collect())
+    val batch = keyed(graft.operators.Curation
+      .corpusReport(graft.core.Tables(spark, Sf0001).documents, "doc_id", "text", "source")
+      .select("source", "n_docs", "total_tokens", "n_quality_pass", "n_empty").collect())
+    assert(streamed == batch, "stream and batch per-source count statistics must agree")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming corpus dedup equals the batch incremental dedup") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docdedup").toString
     java.nio.file.Files.copy(
