@@ -101,6 +101,9 @@ object SparkEntry {
     "q81_target_affinity" -> (Pipeline.targetAffinityScores _),
     "q82_corpus_report" -> (Pipeline.corpusHealthReport _),
     "q83_cluster_sample" -> (Pipeline.clusterBalancedSample _),
+    "q84_winnowing_neardup" -> (Pipeline.winnowingNearDup _),
+    "q85_ngram_novelty" -> (Pipeline.ngramNoveltyScores _),
+    "q86_token_budget_sample" -> (Pipeline.tokenBudgetBySource _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1055,6 +1058,77 @@ object SparkEntry {
         |    ) AS BIGINT) AS sample_rank
         |  FROM assign)
         |WHERE sample_rank <= 25 ORDER BY centroid_id, sample_rank""".stripMargin),
+    // winnowing (MOSS): trigram sha60 hashes mod 2^31-1, min of each
+    // 4-window (single min when fewer than 4 hashes), pair count via the
+    // capped fingerprint inverted index, containment vs the smaller set
+    "q84_winnowing_neardup" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+        |hseq AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
+        |      ELSE list_transform(generate_series(1, CAST(len(toks) AS INTEGER) - 2),
+        |        i -> CAST(('0x' || substring(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT) % 2147483647) END AS hs
+        |  FROM toksrc),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(hs) < 4 THEN [list_min(hs)]
+        |         ELSE list_distinct(list_transform(generate_series(1, CAST(len(hs) AS INTEGER) - 3), i -> list_min(hs[i:i+3]))) END AS fp
+        |  FROM hseq),
+        |ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+        |okf AS (SELECT f FROM ex GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 50),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  JOIN okf ON okf.f = a.f
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp FROM fps WHERE len(fp) > 0)
+        |SELECT id_a, id_b, n_shared, overlap FROM (
+        |  SELECT s.id_a, s.id_b, s.n_shared,
+        |    CAST(s.n_shared AS DOUBLE) / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) AS overlap
+        |  FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id)
+        |WHERE overlap >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // bigram-hash novelty of the doc_id % 5 <> 0 slice against the
+    // doc_id % 5 = 0 reference vocabulary
+    "q85_ngram_novelty" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+        |gh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS BIGINT[])
+        |      ELSE list_transform(generate_series(1, CAST(len(toks) AS INTEGER) - 1),
+        |        i -> CAST(('0x' || substring(sha256(toks[i] || ' ' || toks[i+1]), 1, 15)) AS BIGINT) % 2147483647) END) AS gs
+        |  FROM toksrc),
+        |ref AS (SELECT DISTINCT unnest(gs) AS g FROM gh WHERE doc_id % 5 = 0),
+        |ex AS (SELECT doc_id, unnest(gs) AS g FROM gh WHERE doc_id % 5 <> 0),
+        |seen AS (
+        |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+        |  FROM ex e JOIN ref r ON e.g = r.g GROUP BY e.doc_id),
+        |tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams FROM gh WHERE doc_id % 5 <> 0)
+        |SELECT t.doc_id, t.n_grams, CAST(COALESCE(s.n_seen, 0) AS BIGINT) AS n_seen,
+        |  CASE WHEN t.n_grams > 0
+        |       THEN CAST(1 AS DOUBLE) - CAST(COALESCE(s.n_seen, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS novelty
+        |FROM tot t LEFT JOIN seen s ON t.doc_id = s.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // hash-rank running token total per source, kept while the tokens
+    // BEFORE a document are under the 1000-token budget (window SUM is
+    // HUGEINT in DuckDB -> cast back to BIGINT)
+    "q86_token_budget_sample" ->
+      """WITH x AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM x)
+        |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM y WHERE cum_tokens - n_tokens < 1000
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -610,4 +610,113 @@ object Curation {
       .withColumn(
         "quality_pass_rate",
         col("n_quality_pass").cast("double") / col("n_docs").cast("double"))
+
+  /** N-gram novelty score vs a reference corpus: for each scored document,
+    * the fraction of its distinct word `n`-grams that do NOT occur anywhere
+    * in `ref` — the novelty-filtering statistic used to bias a training
+    * mixture toward unseen content (the complement of the contamination
+    * overlap). A document with no n-grams (fewer than `n` tokens) scores
+    * 0.0 — nothing new.
+    *
+    * Shape: the reference side collapses to a distinct n-gram-hash
+    * vocabulary (ids never text, same inverted-index build as
+    * [[contamination]]); the scored side explodes to (doc_id, gram_hash) and
+    * left-semi-probes the vocabulary, so the one join shuffles only
+    * id+hash rows. The per-doc gram arrays are eager-persisted because two
+    * consumers (the explode and the per-doc totals) would otherwise each
+    * rescan and re-tokenize the text (column pruning defeats ReuseExchange
+    * here — the q75 lesson).
+    */
+  def ngramNovelty(
+      df: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    val p = lit(Sha60.Mersenne31)
+    def gramHashes(text: Column): Column =
+      array_distinct(transform(shingles(text, n), g => pmod(Sha60.sha60(g), p)))
+
+    val docGrams = graft.core.Caching.eager(
+      df.select(col(idCol).as("doc_id"), gramHashes(col(textCol)).as("gs")))
+    val refVocab = ref
+      .select(explode(gramHashes(col(textCol))).as("g"))
+      .distinct()
+
+    val seen = docGrams
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(refVocab, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seen"))
+
+    docGrams
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(seen, Seq("doc_id"), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .withColumn(
+        "novelty",
+        when(
+          col("n_grams") > 0L,
+          lit(1.0) - col("n_seen").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Token-budget source capping: keep, per source, the hash-rank-first
+    * documents whose running token total starts inside `budget` — the
+    * "sample N tokens per domain" primitive of pretraining-mixture
+    * construction. A document is kept iff the tokens BEFORE it are under
+    * budget, so each source slightly overshoots (by part of one document)
+    * rather than undershooting. Ordering is `Sha60(id)` — a deterministic
+    * uniform shuffle, so the kept prefix is an unbiased sample at any
+    * budget. Returns (doc_id, source, n_tokens, cum_tokens).
+    *
+    * Scale shape: a naive per-source window cumsum would buffer an entire
+    * source's rows in one task. Instead the prefix sum is two-level: rows
+    * bucket by the high bits of the rank key (which preserves rank order),
+    * bucket totals aggregate in parallel, a tiny window over ≤4096
+    * bucket-total rows per source computes each bucket's starting offset,
+    * and the per-(source,bucket) window adds offsets to in-bucket cumsums —
+    * every window task sees at most one bucket, ~1/4096th of a source, of
+    * id+count rows (text is pruned before any shuffle).
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budget: Long): DataFrame = {
+    // rank key < 2^60 (Sha60), so >> 48 yields 4096 order-preserving buckets.
+    // Two consumers (bucket totals + the windowed join side) with different
+    // partitionings, so ReuseExchange cannot fire — eager-persist the slim
+    // id+count frame so the text is scanned and tokenized exactly once.
+    val slim = graft.core.Caching.eager(
+      df.select(
+        col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        Sha60.sha60(col(idCol)).as("_rank"))
+        .withColumn("_bucket", shiftright(col("_rank"), 48)))
+
+    val offsets = slim
+      .groupBy(col("source"), col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_bucket_tokens"))
+      .withColumn(
+        "_offset",
+        coalesce(
+          sum(col("_bucket_tokens")).over(
+            Window.partitionBy(col("source")).orderBy(col("_bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("source"), col("_bucket"), col("_offset"))
+
+    val inBucket = Window
+      .partitionBy(col("source"), col("_bucket"))
+      .orderBy(col("_rank"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slim
+      .join(offsets, Seq("source", "_bucket"))
+      .withColumn("cum_tokens", col("_offset") + sum(col("n_tokens")).over(inBucket))
+      .where(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -690,4 +690,94 @@ object Dedup {
         col("n_intersect").cast("double") / col("n_union").cast("double"))
       .select(col("id_a"), col("id_b"), col("n_intersect"), col("n_union"), col("jaccard"))
   }
+
+  /** Winnowed fingerprint set (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * document-fingerprinting scheme): hash every token `k`-gram, then keep
+    * the minimum hash of each sliding window of `w` consecutive k-gram
+    * hashes. Matching on winnowed minima is position-robust — an insertion
+    * only perturbs fingerprints near the edit, unlike MinHash (whole-set)
+    * or SimHash (whole-vector) — which is why MOSS uses it for local
+    * overlap detection. Guarantee: any shared substring of
+    * `w + k − 1` tokens contributes at least one common fingerprint.
+    *
+    * A document with fewer than `w` k-gram hashes keeps its single minimum
+    * (so every document with ≥ k tokens has ≥ 1 fingerprint); fewer than
+    * `k` tokens → empty. Base hash is [[graft.functions.Sha60]] mod 2³¹−1,
+    * the same DuckDB-replicable family as MinHash, so the whole operator is
+    * oracle-certifiable. The O(L·w) window-min cost uses [[bindOnce]] so the
+    * shingle+hash pass runs once per row, not once per window position.
+    */
+  def winnowedFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val p = lit(graft.functions.Sha60.Mersenne31)
+    bindOnce(transform(shingles(text, k), s => pmod(graft.functions.Sha60.sha60(s), p))) { hs =>
+      when(size(hs) === 0, array().cast("array<bigint>"))
+        .when(size(hs) < w, array(array_min(hs)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(hs) - lit(w - 1)),
+          i => array_min(slice(hs, i, lit(w))))))
+    }
+  }
+
+  /** Winnowing near-duplicate pairs: documents sharing winnowed fingerprints,
+    * scored by containment (shared fingerprints / smaller fingerprint set).
+    * Returns (id_a, id_b, n_shared, overlap) with id_a < id_b and
+    * overlap ≥ `minOverlap`.
+    *
+    * Scale shape is the same inverted-index discipline as MinHash LSH: the
+    * fingerprint explode carries ONLY (doc_id, fp) — never text — and each
+    * fingerprint bucket is capped at `maxBucketSize` (a boilerplate k-gram
+    * shared by everything would otherwise emit a quadratic pair set), so at
+    * 100 TB the one shuffle moves id+hash rows and the pair enumeration is
+    * bounded per bucket. n_shared is exact (fingerprint sets are distinct
+    * arrays, buckets are keyed by fingerprint value, so a pair appears once
+    * per shared fingerprint and the groupBy count is the intersection size).
+    */
+  def winnowingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minOverlap: Double = 0.5,
+      maxBucketSize: Int = 50): DataFrame = {
+    // Two consumers (bucket explode + size attach): eager-persist the tiny
+    // (doc_id, fingerprint-array) frame so tokenize+hash+winnow runs once
+    // (see graft.core.Caching for the AQE lazy-persist re-inlining hazard).
+    val fps = graft.core.Caching.eager(
+      df.select(
+          col(idCol).as("doc_id"),
+          winnowedFingerprints(col(textCol), k, w).as("fps"))
+        .where(size(col("fps")) > 0))
+
+    val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val buckets = exploded
+      .groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+    // Same bindOnce-sorted pair emission as minhashNearDuplicates: one sort
+    // per bucket, O(b²) struct emission, no per-anchor re-sort.
+    val pairCombos = bindOnce(array_sort(col("ids"))) { sortedIds =>
+      flatten(
+        transform(
+          sortedIds,
+          (a, i) =>
+            transform(
+              slice(sortedIds, i + lit(2), size(sortedIds) - i - lit(1)),
+              b => struct(a.as("id_a"), b.as("id_b")))))
+    }
+    val shared = buckets
+      .select(explode(pairCombos).as("pr"))
+      .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
+    val sizes = fps.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_fp", "n_fp_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_fp", "n_fp_b"), Seq("id_b"))
+      .withColumn(
+        "overlap",
+        col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")).cast("double"))
+      .where(col("overlap") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("overlap"))
+  }
 }

@@ -747,4 +747,39 @@ object Pipeline {
     Similarity.clusterSample(emb, "vec_id", "embedding", centroids, perCluster = 25)
       .orderBy(col("centroid_id"), col("sample_rank"))
   }
+
+  /** q84 — winnowing (MOSS) fingerprint near-duplicate pairs: token-trigram
+    * hashes winnowed with window 4, pairs by shared fingerprints, kept at
+    * containment ≥ 0.5. The position-robust member of the dedup family
+    * (MinHash q34 = whole-set, SimHash q35 = whole-vector).
+    */
+  def winnowingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup.winnowingNearDuplicates(d, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q85 — n-gram novelty: bigram novelty of the doc_id % 5 ≠ 0 slice vs
+    * the doc_id % 5 = 0 slice as reference corpus (deterministic split so
+    * the oracle can replicate it).
+    */
+  def ngramNoveltyScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation
+      .ngramNovelty(
+        d.where(col("doc_id") % 5 =!= 0),
+        d.where(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q86 — token-budget source capping: hash-rank-first documents per source
+    * until a 1,000-token budget, the "N tokens per domain" mixture
+    * primitive.
+    */
+  def tokenBudgetBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.tokenBudgetSample(d, "doc_id", "text", "source", budget = 1000L)
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
 }

@@ -407,4 +407,63 @@ class CurationSpec extends SparkSpec {
     // 90/5/5 within generous hash-noise bounds
     assert(byLabel("train") > 2550 && byLabel("val") > 75 && byLabel("test") > 75)
   }
+
+  test("ngramNovelty: seen text scores 0, novel text 1, short docs 0, mixed in between") {
+    val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "the cat sat on the mat"), // every bigram in ref
+      (2L, "quantum flux harmonics resonate"), // fully novel
+      (3L, "word"), // no bigrams
+      (4L, "the cat sat banana wizard") // 2 of 4 distinct bigrams seen
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramNovelty(scored, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 == 0.0, s"all bigrams seen => novelty 0: $out")
+    assert(out(2L)._3 == 1.0, s"no bigrams seen => novelty 1: $out")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"no bigrams => defined 0.0 novelty: $out")
+    assert(out(4L) == ((4L, 2L, 0.5)), s"2 of 4 bigrams seen: $out")
+  }
+
+  test("tokenBudgetSample: budget gates on tokens BEFORE the doc, per source independently") {
+    // token counts: 3 each; hash-rank order is deterministic but opaque, so
+    // assert the invariants, not a specific order
+    val d = (1L to 10L).map(i => (i, "x y z", if (i <= 5) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.tokenBudgetSample(d, "doc_id", "text", "source", budget = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = out.groupBy(_._2)
+    assert(bySource.keySet == Set("a", "b"))
+    for ((_, rows) <- bySource) {
+      // 3-token docs against budget 7: docs starting at 0, 3, 6 are kept
+      assert(rows.map(_._4).sorted.sameElements(Array(3L, 6L, 9L)),
+        s"cumulative totals must be 3,6,9: ${rows.toSeq}")
+      assert(rows.forall(r => r._4 - r._3 < 7L), "every kept doc starts inside the budget")
+    }
+  }
+
+  test("tokenBudgetSample: first doc always kept; two-level prefix sum equals the naive window") {
+    val big = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" "), "s")).toDF("doc_id", "text", "source")
+    val kept = Curation.tokenBudgetSample(big, "doc_id", "text", "source", budget = 10L).collect()
+    assert(kept.length == 1 && kept.head.getLong(3) == 50L,
+      "a first doc larger than the budget is still kept (starts at 0)")
+
+    // equivalence with the naive single-window cumsum on a 500-doc frame
+    val d = (1L to 500L).map(i => (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" "),
+      s"s${i % 3}")).toDF("doc_id", "text", "source")
+    val twoLevel = Curation.tokenBudgetSample(d, "doc_id", "text", "source", budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val naiveW = Window
+      .partitionBy(col("source"))
+      .orderBy(graft.functions.Sha60.sha60(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.select(
+        col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("source"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(naiveW))
+      .where(col("cum_tokens") - col("n_tokens") < 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(twoLevel == naive, "bucketed prefix sum must equal the global window cumsum")
+  }
 }

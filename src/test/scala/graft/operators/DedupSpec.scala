@@ -159,4 +159,55 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 5L)) // 2,3 fold into 1; 4,5 untouched
   }
+
+  test("winnowing: exact duplicate scores containment 1.0; insertion survives; disjoint doesn't pair") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val inserted = ((1 to 15).map(i => s"tok$i") ++ Seq("INSERTED") ++
+      (16 to 30).map(i => s"tok$i")).mkString(" ")
+    val d = Seq(
+      (1L, base),
+      (2L, base), // exact duplicate
+      (3L, inserted), // one-token insertion: winnowing is position-robust
+      (4L, (1 to 30).map(i => s"other$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingNearDuplicates(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0), s"exact dup must score 1.0: $pairs")
+    assert(pairs.get((1L, 3L)).exists(_ >= 0.5),
+      s"a mid-document insertion must keep most fingerprints shared: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"disjoint doc must not pair: $pairs")
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens yields a common fingerprint") {
+    // k=3, w=4: any shared 6-token run must contribute >= 1 shared fingerprint
+    val shared = (1 to 6).map(i => s"common$i").mkString(" ")
+    val d = Seq(
+      (1L, s"${(1 to 12).map(i => s"left$i").mkString(" ")} $shared"),
+      (2L, s"$shared ${(1 to 12).map(i => s"right$i").mkString(" ")}")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .winnowingNearDuplicates(d, "doc_id", "text", minOverlap = 0.0)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) >= 1L),
+      s"shared 6-token run must produce a shared fingerprint: ${pairs.toSeq}")
+  }
+
+  test("winnowing: short docs fingerprint too, and the bucket cap holds under all-identical skew") {
+    // 4 tokens => 2 trigram hashes < w=4: the single-min branch still yields a fingerprint
+    val short = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sp = Dedup.winnowingNearDuplicates(short, "doc_id", "text").collect()
+    assert(sp.length == 1 && sp.head.getDouble(3) == 1.0,
+      s"short exact dups must pair via the single-min fingerprint: ${sp.toSeq}")
+
+    // 200 identical docs with cap 50: every fingerprint bucket overflows -> no pairs
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val skewed = (1L to 200L).map(i => (i, body)).toDF("doc_id", "text")
+    val capped = Dedup
+      .winnowingNearDuplicates(skewed, "doc_id", "text", maxBucketSize = 50)
+    assert(capped.count() == 0L, "overflowing buckets must be dropped, not enumerated")
+    // and the plan caps ids-first: no window over the fingerprint key
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"cap must be groupBy-shaped, not a window:\n$plan")
+  }
 }
