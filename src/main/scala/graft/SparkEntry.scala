@@ -104,6 +104,8 @@ object SparkEntry {
     "q84_winnowing_neardup" -> (Pipeline.winnowingNearDup _),
     "q85_ngram_novelty" -> (Pipeline.ngramNoveltyScores _),
     "q86_token_budget_sample" -> (Pipeline.tokenBudgetBySource _),
+    "q87_length_percentiles" -> (Pipeline.lengthProfileBySource _),
+    "q88_embedding_contamination" -> (Pipeline.embeddingContaminationReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1129,6 +1131,41 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM y WHERE cum_tokens - n_tokens < 1000
         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    // dyadic fractions only (1/4, 1/2, 3/4, 7/8): the interpolation on
+    // integer counts is exact in both engines (the q20 rule)
+    "q87_length_percentiles" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+        |  quantile_cont(n_tokens, 0.25) AS p25,
+        |  quantile_cont(n_tokens, 0.5) AS p50,
+        |  quantile_cont(n_tokens, 0.75) AS p75,
+        |  quantile_cont(n_tokens, 0.875) AS p875,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        |FROM (SELECT source, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // q70's candidate pipeline (eval = vec_id % 10 = 0 probing the corpus
+    // bucket index), reduced to the best match per eval item
+    // (cosine desc, corpus id asc — bit-identical cosines across engines)
+    "q88_embedding_contamination" ->
+      ("WITH " + embSigCtes + ",\n" +
+        s"""cbuck AS (
+          |  SELECT sig, list(vec_id) AS cids
+          |  FROM esigs WHERE vec_id % 10 <> 0
+          |  GROUP BY sig HAVING count(*) <= 200),
+          |cand AS (
+          |  SELECT d.vec_id AS eval_id, d.embedding AS dvec, unnest(cb.cids) AS corpus_id
+          |  FROM esigs d JOIN cbuck cb ON d.sig = cb.sig
+          |  WHERE d.vec_id % 10 = 0),
+          |scored AS (
+          |  SELECT p.eval_id, p.corpus_id AS match_id,
+          |    ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
+          |  FROM cand p JOIN embeddings c ON p.corpus_id = c.vec_id),
+          |kept AS (SELECT * FROM scored WHERE cosine_sim >= 0.25)
+          |SELECT eval_id, match_id, max_cosine FROM (
+          |  SELECT eval_id, match_id, cosine_sim AS max_cosine,
+          |    row_number() OVER (PARTITION BY eval_id ORDER BY cosine_sim DESC, match_id) AS rn
+          |  FROM kept)
+          |WHERE rn = 1 ORDER BY eval_id""".stripMargin),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -661,6 +661,35 @@ object Curation {
           .otherwise(lit(0.0)))
   }
 
+  /** Per-source document-length profile: exact interpolated token-count
+    * percentiles (dyadic fractions only — 1/4, 1/2, 3/4, 7/8 — so the
+    * interpolation arithmetic on integer counts is exact in both engines,
+    * the q20 determinism rule) plus min/max/count. The length histogram a
+    * curation pipeline consults before choosing packing budgets and length
+    * filters.
+    *
+    * Shape: text collapses to one Long per document map-side, then ONE
+    * hash-shuffle on the source key. Spark's exact percentile aggregates a
+    * value→count map partially, so per-group state is bounded by DISTINCT
+    * token counts (≤ max doc length), not by row count — safe at 100 TB.
+    */
+  def lengthPercentiles(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String): DataFrame =
+    df.select(
+        col(sourceCol).as("source"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        expr("percentile(n_tokens, 0.25)").as("p25"),
+        expr("percentile(n_tokens, 0.5)").as("p50"),
+        expr("percentile(n_tokens, 0.75)").as("p75"),
+        expr("percentile(n_tokens, 0.875)").as("p875"),
+        max(col("n_tokens")).as("max_tokens"))
+
   /** Token-budget source capping: keep, per source, the hash-rank-first
     * documents whose running token total starts inside `budget` — the
     * "sample N tokens per domain" primitive of pretraining-mixture

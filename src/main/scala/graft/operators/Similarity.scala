@@ -219,4 +219,39 @@ object Similarity {
       .where(col("knn_rank") <= k)
       .select(col("vec_id"), col("knn_rank"), col("neighbor_id"), col("cosine_sim"))
   }
+
+  /** Eval-set contamination in embedding space: for each eval item, its
+    * best (highest-cosine) training-corpus match at or above `minCosine` —
+    * the embedding-space analog of the n-gram contamination check, used to
+    * decontaminate a corpus against benchmark/eval embeddings where
+    * paraphrases defeat exact n-gram overlap.
+    *
+    * Composes [[Dedup.embeddingIncrementalDuplicates]] (the corpus is never
+    * self-joined: eval signatures probe an ids-first capped bucket index,
+    * so corpus vectors move only for colliding candidates), then a
+    * deterministic per-eval argmax (cosine desc, id asc). Candidates per
+    * eval item are bounded by `maxBucketSize`, so the argmax window input
+    * is bounded. Returns (eval_id, match_id, max_cosine).
+    */
+  def embeddingContamination(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.25,
+      nPlanes: Int = 8,
+      maxBucketSize: Int = 200): DataFrame = {
+    val pairs = Dedup.embeddingIncrementalDuplicates(
+      corpus, eval, idCol, vecCol, minCosine, nPlanes, maxBucketSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("delta_id"))
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(
+        col("delta_id").as("eval_id"),
+        col("corpus_id").as("match_id"),
+        col("cosine_sim").as("max_cosine"))
+  }
 }

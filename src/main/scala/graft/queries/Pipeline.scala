@@ -782,4 +782,29 @@ object Pipeline {
     Curation.tokenBudgetSample(d, "doc_id", "text", "source", budget = 1000L)
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
   }
+
+  /** q87 — per-source token-length profile: exact dyadic percentiles +
+    * min/max/count, the packing/length-filter planning statistic.
+    */
+  def lengthProfileBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.lengthPercentiles(d, "text", "source")
+      .orderBy(col("source"))
+  }
+
+  /** q88 — embedding-space eval contamination: vectors vec_id % 10 = 0 act
+    * as the eval set (q70's split convention), probed against the remaining
+    * corpus' LSH bucket index; per eval item the single best corpus match
+    * at cosine ≥ 0.25.
+    */
+  def embeddingContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity
+      .embeddingContamination(
+        corpus = e.where(col("vec_id") % 10 =!= 0),
+        eval = e.where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding",
+        minCosine = 0.25, nPlanes = 8, maxBucketSize = 200)
+      .orderBy(col("eval_id"))
+  }
 }

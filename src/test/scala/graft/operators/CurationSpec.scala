@@ -441,6 +441,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lengthPercentiles: dyadic interpolation on known counts is exact") {
+    val d = Seq(
+      (1L, "a", "s"), // 1 token
+      (2L, "a b", "s"),
+      (3L, "a b c", "s"),
+      (4L, "a b c d", "s")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.lengthPercentiles(d, "text", "source").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 4L && row.getLong(2) == 1L && row.getLong(7) == 4L)
+    // ranks (n-1)*q over [1,2,3,4]: 0.75 -> 1.75, 1.5 -> 2.5, 2.25 -> 3.25, 2.625 -> 3.625
+    assert(row.getDouble(3) == 1.75 && row.getDouble(4) == 2.5 &&
+      row.getDouble(5) == 3.25 && row.getDouble(6) == 3.625,
+      s"exact dyadic interpolation expected: $row")
+  }
+
   test("tokenBudgetSample: first doc always kept; two-level prefix sum equals the naive window") {
     val big = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" "), "s")).toDF("doc_id", "text", "source")
     val kept = Curation.tokenBudgetSample(big, "doc_id", "text", "source", budget = 10L).collect()

@@ -184,4 +184,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ivf.nonEmpty && (exact & ivf).nonEmpty)
   }
+
+  test("embeddingContamination: one best match per eval item, id tie-break, threshold filters") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // duplicated twice in the corpus
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)) // orthogonal to everything in the corpus
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (12L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .embeddingContamination(corpus, evalSet, "vec_id", "embedding", minCosine = 0.9)
+      .collect()
+    assert(out.length == 1, s"only the duplicated eval item is contaminated: ${out.toSeq}")
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 10L,
+      s"equal-cosine tie must break to the lower corpus id: ${out.toSeq}")
+    assert(out.head.getDouble(2) == 1.0)
+  }
 }
