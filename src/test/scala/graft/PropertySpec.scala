@@ -185,6 +185,45 @@ class PropertySpec extends SparkSpec {
     Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
       .map(_.filter { case (a, b) => a != b })
 
+  test("winnowedFingerprints equals a driver-side reference winnow (property, 12 cases)") {
+    val p = graft.functions.Sha60.Mersenne31
+    val wordsGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")))
+    samples(wordsGen, 12).foreach { words =>
+      val text = words.mkString(" ")
+      val out = Seq(Tuple1(text)).toDF("text")
+        .select(graft.operators.Dedup.winnowedFingerprints(col("text"), 3, 4).as("f"))
+        .collect().head.getSeq[Long](0).toSeq
+      val hs = if (words.size < 3) Seq.empty[Long]
+        else words.sliding(3).map(g => graft.functions.Sha60.hashString(g.mkString(" ")) % p).toSeq
+      val expected =
+        if (hs.isEmpty) Seq.empty[Long]
+        else if (hs.size < 4) Seq(hs.min)
+        else hs.sliding(4).map(_.min).toSeq.distinct
+      assert(out == expected, s"winnow mismatch for words=$words: got $out expected $expected")
+    }
+  }
+
+  test("tokenBudgetSample equals the driver-side hash-rank prefix (property, 10 cases)") {
+    samples(docsGen, 10).foreach { rows =>
+      val docs = rows.distinctBy(_._1).toDF("doc_id", "text", "source")
+      val out = graft.operators.Curation
+        .tokenBudgetSample(docs, "doc_id", "text", "source", budget = 9L)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      val expected = rows.distinctBy(_._1).groupBy(_._3).flatMap { case (_, ds) =>
+        val ordered = ds.sortBy(d => (graft.functions.Sha60.hashString(d._1.toString), d._1))
+        var cum = 0L
+        ordered.flatMap { case (id, text, _) =>
+          val n = text.split("\\s+").count(_.nonEmpty).toLong
+          val start = cum
+          cum += n
+          if (start < 9L) Some(id -> cum) else None
+        }
+      }.toMap
+      assert(out == expected, s"budget prefix mismatch for rows=$rows: got $out expected $expected")
+    }
+  }
+
   test("duplicateClusters labels = component minimum, closed under edges (property, 10 cases)") {
     samples(ccPairsGen, 10).foreach { pairs =>
       val out = graft.operators.Dedup
