@@ -80,6 +80,56 @@ object SigKernels {
           }
         })
 
+  /** Winnowed fingerprints (MOSS): distinct minima of every `w`-window over
+    * the shingle-hash sequence, first-occurrence order; one global minimum
+    * when the document has fewer than `w` shingle hashes; empty for no
+    * shingles — exactly the semantics of
+    * [[graft.operators.Dedup.winnowedFingerprints]]'s HOF formulation, kept
+    * as this kernel's bit-parity oracle.
+    *
+    * O(L) via a monotonic index deque (each position enters and leaves the
+    * deque once) where the HOF slice/array_min shape is O(L·w) with a
+    * w-element array allocation per position.
+    */
+  def winnow(arr: ArrayData, w: Int): ArrayData = {
+    val n0 = arr.numElements()
+    val hs = new Array[Long](n0)
+    var n = 0
+    var i = 0
+    while (i < n0) {
+      if (!arr.isNullAt(i)) {
+        hs(n) = Sha60.hashBytes(arr.getUTF8String(i).getBytes) % P
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    if (n < w) {
+      var m = hs(0)
+      var j = 1
+      while (j < n) { if (hs(j) < m) m = hs(j); j += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val deque = new Array[Int](n) // monotonic indices, window [head, tail)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1) {
+        val m = hs(deque(head))
+        if (seen.add(m)) out += m
+      }
+      j += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
   /** Random-hyperplane LSH signature: sign bits of the projections onto the
     * Sha60-derived ±1 planes, packed into a Long. Per-plane accumulation is
     * in ascending index order — bit-identical to the sequential left fold of

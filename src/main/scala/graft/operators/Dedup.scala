@@ -743,10 +743,12 @@ object Dedup {
     // Two consumers (bucket explode + size attach): eager-persist the tiny
     // (doc_id, fingerprint-array) frame so tokenize+hash+winnow runs once
     // (see graft.core.Caching for the AQE lazy-persist re-inlining hazard).
+    // Native O(L) kernel; winnowedFingerprints is its bit-parity oracle.
     val fps = graft.core.Caching.eager(
       df.select(
           col(idCol).as("doc_id"),
-          winnowedFingerprints(col(textCol), k, w).as("fps"))
+          graft.functions.WinnowExpr
+            .winnowFast(shingles(col(textCol), k), w).as("fps"))
         .where(size(col("fps")) > 0))
 
     val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))

@@ -70,6 +70,15 @@ class DedupSpec extends SparkSpec {
     assert(both.where(col("fast") =!= col("hof")).count() == 0)
   }
 
+  test("native winnow kernel is bit-identical to the HOF formulation") {
+    val d = graft.core.Tables(spark, Sf0001).documents
+    import graft.functions.TextFunctions.shingles
+    val both = d.select(
+      graft.functions.WinnowExpr.winnowFast(shingles(col("text"), 3), 4).as("fast"),
+      Dedup.winnowedFingerprints(col("text"), 3, 4).as("hof"))
+    assert(both.where(col("fast") =!= col("hof")).count() == 0)
+  }
+
   test("native simhash expression is bit-identical to the HOF formulation") {
     val d = graft.core.Tables(spark, Sf0001).documents
     val both = d.select(
