@@ -106,6 +106,7 @@ object SparkEntry {
     "q86_token_budget_sample" -> (Pipeline.tokenBudgetBySource _),
     "q87_length_percentiles" -> (Pipeline.lengthProfileBySource _),
     "q88_embedding_contamination" -> (Pipeline.embeddingContaminationReport _),
+    "q89_temperature_mixture" -> (Pipeline.temperatureMixtureSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1166,6 +1167,30 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY eval_id ORDER BY cosine_sim DESC, match_id) AS rn
           |  FROM kept)
           |WHERE rn = 1 ORDER BY eval_id""".stripMargin),
+    // alpha=0.5 temperature quotas: integer sqrt-credits (ONE double op per
+    // source, floored), integer credit total, integer division — no float
+    // accumulation whose order could differ between engines
+    "q89_temperature_mixture" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+        |credits AS (
+        |  SELECT source, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT) AS credits
+        |  FROM counts),
+        |quotas AS (
+        |  SELECT source,
+        |    CAST((CAST(200 AS BIGINT) * credits) // (SELECT CAST(SUM(credits) AS BIGINT) FROM credits) AS BIGINT) AS quota
+        |  FROM credits),
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+        |    ) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.sample_rank, q.quota
+        |FROM ranked r JOIN quotas q ON r.source = q.source
+        |WHERE r.sample_rank <= q.quota
+        |ORDER BY r.source, r.sample_rank""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -690,6 +690,52 @@ object Curation {
         expr("percentile(n_tokens, 0.875)").as("p875"),
         max(col("n_tokens")).as("max_tokens"))
 
+  /** Temperature-based mixture quotas (α = 0.5): per-source keep quotas
+    * proportional to √(doc count), the sub-linear domain reweighting used to
+    * upsample small domains and downsample dominant ones (the α-sampling of
+    * multilingual/multi-domain pretraining), then the hash-rank-first
+    * `quota` documents of each source. Returns kept rows
+    * (doc_id, source, sample_rank, quota).
+    *
+    * Determinism across engines: √n is floored to integer "credits"
+    * (⌊√n·1000⌋ — ONE double op per source, no accumulation), the credit
+    * total is an integer sum (order-free), and quotas are integer division
+    * `totalDocs·credits div totalCredits` — no float sum whose order could
+    * differ between Spark and the SQL oracle.
+    *
+    * Shape: the per-source count aggregation produces a sources-sized frame
+    * (broadcast back); the rank-and-keep is the q56 WindowGroupLimit
+    * partial top-k on id rows. One corpus shuffle total at 100 TB.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      totalQuota: Long): DataFrame = {
+    val counts = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("credits", floor(sqrt(col("n_docs").cast("double")) * 1000.0).cast("long"))
+    val total = graft.core.ScalarJoin.withScalars(
+      counts,
+      counts.agg(sum(col("credits")).as("_total_credits")))
+    val quotas = total
+      .withColumn("quota", expr(s"CAST($totalQuota AS BIGINT) * credits DIV _total_credits"))
+      .select(col("source"), col("quota"))
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(Sha60.sha60(col("doc_id")), col("doc_id"))
+    df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      // literal bound first: quota ≤ totalQuota always, and a literal (unlike
+      // the per-source quota column) lets Spark plan a partial
+      // WindowGroupLimit, pruning each source to totalQuota id rows map-side
+      .where(col("sample_rank") <= lit(totalQuota))
+      .join(broadcast(quotas), Seq("source"))
+      .where(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("sample_rank"), col("quota"))
+  }
+
   /** Token-budget source capping: keep, per source, the hash-rank-first
     * documents whose running token total starts inside `budget` — the
     * "sample N tokens per domain" primitive of pretraining-mixture

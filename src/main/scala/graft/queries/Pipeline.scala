@@ -792,6 +792,16 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** q89 — temperature mixture (α = 0.5): √count-proportional per-source
+    * quotas over a 200-doc total, hash-rank-first keeps — the sub-linear
+    * domain reweighting of multi-domain pretraining.
+    */
+  def temperatureMixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.temperatureMixture(d, "doc_id", "source", totalQuota = 200L)
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
   /** q88 — embedding-space eval contamination: vectors vec_id % 10 = 0 act
     * as the eval set (q70's split convention), probed against the remaining
     * corpus' LSH bucket index; per eval item the single best corpus match

@@ -441,6 +441,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixture: sqrt-proportional quotas, keeps bounded by quota") {
+    // 100 vs 400 docs: credits 10000 vs 20000 -> quotas 30*1/3=10, 30*2/3=20
+    val d = ((1L to 100L).map(i => (i, "a")) ++ (101L to 500L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val out = Curation.temperatureMixture(d, "doc_id", "source", totalQuota = 30L)
+      .collect()
+    val bySrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 10, "b" -> 20),
+      s"sub-linear reweighting: 4x docs -> only 2x quota, got $bySrc")
+    assert(out.forall(r => r.getLong(2) <= r.getLong(3)), "rank never exceeds quota")
+  }
+
   test("lengthPercentiles: dyadic interpolation on known counts is exact") {
     val d = Seq(
       (1L, "a", "s"), // 1 token
