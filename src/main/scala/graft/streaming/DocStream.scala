@@ -172,6 +172,54 @@ object DocStream {
           .as("n_quality_pass"),
         count(when(col("text").isNull || length(col("text")) === 0, 1)).as("n_empty"))
 
+  /** One admitted document of the token-budget gate. */
+  case class AdmittedDoc(doc_id: Long, source: String, n_tokens: Long, cum_tokens: Long)
+
+  /** Pre-admission row shape of [[tokenBudgetAdmission]] (public: encoder
+    * codegen cannot access private classes).
+    */
+  case class BudgetRow(source: String, doc_id: Long, n_tokens: Long, rank: Long)
+
+  /** Streaming token-budget admission: per source, admit arriving documents
+    * while the tokens BEFORE each document are under `budget` — the
+    * ingest-time twin of [[graft.operators.Curation.tokenBudgetSample]].
+    * State per source is ONE Long (tokens seen so far), so the stream runs
+    * unbounded; rejected documents still advance the counter (exactly the
+    * batch semantics, where the cumsum runs over all rows).
+    *
+    * Within a micro-batch each source group is ordered by (Sha60 rank, id)
+    * before admission, so a single-batch run is bit-equal to the batch
+    * operator — asserted in StreamingSpec. Across batches the order is
+    * arrival order (ingest-time semantics: what arrived first was admitted
+    * first); the batch operator remains the authority for retrospective
+    * budget cuts.
+    */
+  def tokenBudgetAdmission(docs: DataFrame, budget: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(
+        col("source"),
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.functions.Sha60.sha60(col("doc_id")).as("rank"))
+      .as[BudgetRow]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, batch: Iterator[BudgetRow], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val admitted = batch.toSeq.sortBy(r => (r.rank, r.doc_id)).flatMap { r =>
+            val start = cum
+            cum += r.n_tokens
+            if (start < budget) Some(AdmittedDoc(r.doc_id, source, r.n_tokens, cum))
+            else None
+          }
+          state.update(cum)
+          admitted.iterator
+        })
+      .toDF()
+  }
+
   /** Shared gate predicates: `_q_ok` (quality score ≥ threshold) and `_r_ok`
     * (distinct-token ratio ≥ 0.3, the repetition gate). Both [[curate]] and
     * [[curateFunnel]] read these columns, so their semantics cannot drift.

@@ -163,6 +163,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming token-budget admission equals the batch operator in one micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docbudget").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
+    val q = DocStream.tokenBudgetAdmission(DocStream.readDocs(spark, dir), budget = 500L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("docbudget")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("docbudget")
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.Curation
+      .tokenBudgetSample(
+        graft.core.Tables(spark, Sf0001).documents, "doc_id", "text", "source", budget = 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, "single-batch admission must equal the batch budget sample")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming corpus dedup equals the batch incremental dedup") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docdedup").toString
     java.nio.file.Files.copy(
