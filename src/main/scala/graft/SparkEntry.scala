@@ -107,6 +107,7 @@ object SparkEntry {
     "q87_length_percentiles" -> (Pipeline.lengthProfileBySource _),
     "q88_embedding_contamination" -> (Pipeline.embeddingContaminationReport _),
     "q89_temperature_mixture" -> (Pipeline.temperatureMixtureSample _),
+    "q90_cross_source_dup" -> (Pipeline.crossSourceDupMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1191,6 +1192,16 @@ object SparkEntry {
         |FROM ranked r JOIN quotas q ON r.source = q.source
         |WHERE r.sample_rank <= q.quota
         |ORDER BY r.source, r.sample_rank""".stripMargin,
+    // distinct (normalized-content-hash, source) pairs self-joined on the
+    // hash with source_a < source_b — the same pair set the Spark side
+    // enumerates from each hash's sorted source set
+    "q90_cross_source_dup" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h, source
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared_contents
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

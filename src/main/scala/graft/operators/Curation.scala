@@ -611,6 +611,38 @@ object Curation {
         "quality_pass_rate",
         col("n_quality_pass").cast("double") / col("n_docs").cast("double"))
 
+  /** Cross-source duplication matrix: for every unordered source pair, the
+    * number of distinct normalized contents present in BOTH — the crawl
+    * provenance diagnostic (mirror detection, aggregator identification)
+    * behind per-source dedup priorities.
+    *
+    * Shape: one hash-shuffle groups (content-hash, source-set); the pair
+    * explode is bounded by the source count (tiny), so no content ever
+    * pairs with content — sources do. At 100 TB this is the exact-dedup
+    * aggregation with a set-valued payload bounded by |sources|.
+    */
+  def crossSourceDuplication(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val pairCombos = graft.functions.TextFunctions.bindOnce(
+      array_sort(col("_sources"))) { ss =>
+      flatten(
+        transform(
+          ss,
+          (a, i) =>
+            transform(
+              slice(ss, i + lit(2), size(ss) - i - lit(1)),
+              b => struct(a.as("source_a"), b.as("source_b")))))
+    }
+    df.groupBy(md5(normalizeText(col(textCol))).as("_h"))
+      .agg(collect_set(col(sourceCol)).as("_sources"))
+      .where(size(col("_sources")) >= 2)
+      .select(explode(pairCombos).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_contents"))
+  }
+
   /** N-gram novelty score vs a reference corpus: for each scored document,
     * the fraction of its distinct word `n`-grams that do NOT occur anywhere
     * in `ref` — the novelty-filtering statistic used to bias a training

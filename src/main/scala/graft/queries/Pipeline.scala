@@ -802,6 +802,15 @@ object Pipeline {
       .orderBy(col("source"), col("sample_rank"))
   }
 
+  /** q90 — cross-source duplication matrix: distinct shared normalized
+    * contents per source pair, the mirror/aggregator diagnostic.
+    */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.crossSourceDuplication(d, "text", "source")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q88 — embedding-space eval contamination: vectors vec_id % 10 = 0 act
     * as the eval set (q70's split convention), probed against the remaining
     * corpus' LSH bucket index; per eval item the single best corpus match

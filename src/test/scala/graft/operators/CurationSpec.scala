@@ -441,6 +441,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("crossSourceDuplication counts distinct shared normalized contents per source pair") {
+    val d = Seq(
+      (1L, "same text", "a"), (2L, "same text", "b"), (3L, "same  TEXT ", "c"),
+      (4L, "other", "a"), (5L, "other", "b"),
+      (6L, "solo", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.crossSourceDuplication(d, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L),
+      s"normalization-equal contents shared across sources: $out")
+  }
+
   test("temperatureMixture: sqrt-proportional quotas, keeps bounded by quota") {
     // 100 vs 400 docs: credits 10000 vs 20000 -> quotas 30*1/3=10, 30*2/3=20
     val d = ((1L to 100L).map(i => (i, "a")) ++ (101L to 500L).map(i => (i, "b")))
