@@ -108,6 +108,7 @@ object SparkEntry {
     "q88_embedding_contamination" -> (Pipeline.embeddingContaminationReport _),
     "q89_temperature_mixture" -> (Pipeline.temperatureMixtureSample _),
     "q90_cross_source_dup" -> (Pipeline.crossSourceDupMatrix _),
+    "q91_incremental_winnowing" -> (Pipeline.incrementalWinnowingDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1066,21 +1067,8 @@ object SparkEntry {
     // 4-window (single min when fewer than 4 hashes), pair count via the
     // capped fingerprint inverted index, containment vs the smaller set
     "q84_winnowing_neardup" ->
-      """WITH toksrc AS (
-        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
-        |hseq AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
-        |      ELSE list_transform(generate_series(1, CAST(len(toks) AS INTEGER) - 2),
-        |        i -> CAST(('0x' || substring(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT) % 2147483647) END AS hs
-        |  FROM toksrc),
-        |fps AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
-        |         WHEN len(hs) < 4 THEN [list_min(hs)]
-        |         ELSE list_distinct(list_transform(generate_series(1, CAST(len(hs) AS INTEGER) - 3), i -> list_min(hs[i:i+3]))) END AS fp
-        |  FROM hseq),
-        |ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+      ("WITH " + winnowCtes + ",\n" +
+        """ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
         |okf AS (SELECT f FROM ex GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 50),
         |shared AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -1092,7 +1080,25 @@ object SparkEntry {
         |  SELECT s.id_a, s.id_b, s.n_shared,
         |    CAST(s.n_shared AS DOUBLE) / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) AS overlap
         |  FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id JOIN sizes sb ON s.id_b = sb.doc_id)
-        |WHERE overlap >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+        |WHERE overlap >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+    // delta (doc_id % 10 = 0) probes the corpus fingerprint index (cap on
+    // the corpus side); containment over the DELTA side's fingerprints
+    "q91_incremental_winnowing" ->
+      ("WITH " + winnowCtes + ",\n" +
+        """exc AS (SELECT doc_id AS corpus_id, unnest(fp) AS f FROM fps WHERE doc_id % 10 <> 0),
+        |okf AS (SELECT f FROM exc GROUP BY f HAVING COUNT(*) <= 50),
+        |exd AS (SELECT doc_id AS delta_id, unnest(fp) AS f FROM fps WHERE doc_id % 10 = 0),
+        |shared AS (
+        |  SELECT d.delta_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM exd d JOIN exc c ON d.f = c.f
+        |  JOIN okf ON okf.f = d.f
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp FROM fps WHERE len(fp) > 0)
+        |SELECT delta_id, corpus_id, n_shared, overlap FROM (
+        |  SELECT s.delta_id, s.corpus_id, s.n_shared,
+        |    CAST(s.n_shared AS DOUBLE) / CAST(sz.n_fp AS DOUBLE) AS overlap
+        |  FROM shared s JOIN sizes sz ON s.delta_id = sz.doc_id)
+        |WHERE overlap >= 0.3 ORDER BY delta_id, corpus_id""".stripMargin),
     // bigram-hash novelty of the doc_id % 5 <> 0 slice against the
     // doc_id % 5 = 0 reference vocabulary
     "q85_ngram_novelty" ->
@@ -1254,6 +1260,26 @@ object SparkEntry {
     * sign matrix (8 planes) and packed per-vector signatures —
     * `esigs(vec_id, embedding, sig)`. q67/q68/q70 compose from it.
     */
+  /** Shared q84/q91 oracle prefix: normalized tokens → trigram Sha60 hashes
+    * mod 2³¹−1 → winnowed fingerprint set (4-window minima; single global
+    * min below 4 hashes). Ends with CTE `fps(doc_id, fp)`.
+    */
+  private val winnowCtes: String =
+    """toksrc AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+      |hseq AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN CAST([] AS BIGINT[])
+      |      ELSE list_transform(generate_series(1, CAST(len(toks) AS INTEGER) - 2),
+      |        i -> CAST(('0x' || substring(sha256(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT) % 2147483647) END AS hs
+      |  FROM toksrc),
+      |fps AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+      |         WHEN len(hs) < 4 THEN [list_min(hs)]
+      |         ELSE list_distinct(list_transform(generate_series(1, CAST(len(hs) AS INTEGER) - 3), i -> list_min(hs[i:i+3]))) END AS fp
+      |  FROM hseq)""".stripMargin
+
   private val embSigCtes: String =
     """dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
       |planes AS (

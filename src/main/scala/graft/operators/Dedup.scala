@@ -782,4 +782,59 @@ object Dedup {
       .where(col("overlap") >= minOverlap)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("overlap"))
   }
+
+  /** Incremental winnowing dedup: (delta, corpus) near-duplicate pairs by
+    * shared winnowed fingerprints — which newly arrived documents reuse
+    * substantial runs of existing corpus text. The containment denominator
+    * is the DELTA side's fingerprint count ("how much of the new document
+    * is already in the corpus"), the ingest-gating semantics.
+    *
+    * The corpus is never self-joined: delta fingerprints probe a capped
+    * (fingerprint → corpus-id) index — at 100 TB the index is precomputed
+    * and this is the daily-delta probe, the same discipline as
+    * [[minhashIncrementalDuplicates]]. Bucket cap is ids-first on the
+    * CORPUS side (a boilerplate fingerprint shared by millions of corpus
+    * docs is dropped before any join). Returns
+    * (delta_id, corpus_id, n_shared, overlap) at overlap ≥ `minOverlap`.
+    */
+  def winnowingIncrementalDuplicates(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minOverlap: Double = 0.3,
+      maxBucketSize: Int = 50): DataFrame = {
+    def fpsOf(df: DataFrame) =
+      df.select(
+          col(idCol).as("doc_id"),
+          graft.functions.WinnowExpr
+            .winnowFast(shingles(col(textCol), k), w).as("fps"))
+        .where(size(col("fps")) > 0)
+
+    val corpusIndex = fpsOf(corpus)
+      .select(col("doc_id").as("corpus_id"), explode(col("fps")).as("fp"))
+    val keep = corpusIndex
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("fp"))
+
+    // two consumers (probe explode + containment denominator): one text scan
+    val deltaFps = graft.core.Caching.eager(fpsOf(delta))
+    val shared = deltaFps
+      .select(col("doc_id").as("delta_id"), explode(col("fps")).as("fp"))
+      .join(corpusIndex.join(keep, Seq("fp")), Seq("fp"))
+      .groupBy(col("delta_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+
+    shared
+      .join(
+        deltaFps.select(col("doc_id").as("delta_id"), size(col("fps")).cast("long").as("n_fp")),
+        Seq("delta_id"))
+      .withColumn("overlap", col("n_shared").cast("double") / col("n_fp").cast("double"))
+      .where(col("overlap") >= minOverlap)
+      .select(col("delta_id"), col("corpus_id"), col("n_shared"), col("overlap"))
+  }
 }

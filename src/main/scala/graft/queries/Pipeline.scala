@@ -802,6 +802,20 @@ object Pipeline {
       .orderBy(col("source"), col("sample_rank"))
   }
 
+  /** q91 — incremental winnowing dedup: delta docs (doc_id % 10 = 0, q64's
+    * convention) probed against the remaining corpus' winnowed-fingerprint
+    * index; containment over the delta side's fingerprints.
+    */
+  def incrementalWinnowingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup
+      .winnowingIncrementalDuplicates(
+        corpus = d.where(col("doc_id") % 10 =!= 0),
+        delta = d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
   /** q90 — cross-source duplication matrix: distinct shared normalized
     * contents per source pair, the mirror/aggregator diagnostic.
     */

@@ -202,6 +202,18 @@ class DedupSpec extends SparkSpec {
       s"shared 6-token run must produce a shared fingerprint: ${pairs.toSeq}")
   }
 
+  test("winnowingIncrementalDuplicates pairs delta docs with corpus near-dups only") {
+    val corpus = docs.where(col("doc_id") =!= 2L)
+    val delta = docs.where(col("doc_id") === 2L)
+    val pairs = Dedup
+      .winnowingIncrementalDuplicates(corpus, delta, "doc_id", "text", minOverlap = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty && pairs.forall(_._1 == 2L), s"only delta ids on the left: ${pairs.toSeq}")
+    assert(pairs.map(_._2).toSet.subsetOf(Set(1L, 3L)),
+      s"doc 2 shares fingerprint runs only with its near-dups 1/3: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 >= 1L))
+  }
+
   test("winnowing: short docs fingerprint too, and the bucket cap holds under all-identical skew") {
     // 4 tokens => 2 trigram hashes < w=4: the single-min branch still yields a fingerprint
     val short = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
