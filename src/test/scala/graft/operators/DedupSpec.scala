@@ -214,6 +214,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 1L))
   }
 
+  test("winnowingIncrementalDuplicates: corpus-boilerplate buckets are capped, delta finds nothing") {
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = (1L to 200L).map(i => (i, body)).toDF("doc_id", "text")
+    val delta = Seq((1000L, body)).toDF("doc_id", "text")
+    val out = Dedup.winnowingIncrementalDuplicates(
+      corpus, delta, "doc_id", "text", minOverlap = 0.0, maxBucketSize = 50)
+    assert(out.count() == 0L,
+      "a fingerprint shared by 200 corpus docs must be dropped by the cap, not probed")
+  }
+
   test("winnowing: short docs fingerprint too, and the bucket cap holds under all-identical skew") {
     // 4 tokens => 2 trigram hashes < w=4: the single-min branch still yields a fingerprint
     val short = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")

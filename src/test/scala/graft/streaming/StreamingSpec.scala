@@ -187,6 +187,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming token-budget admission carries state across micro-batches") {
+    import spark.implicits._
+    // one 600-token doc against a 500-token budget: whoever is processed
+    // first is admitted (starts at 0), the second arrival must be rejected
+    // because the state already carries 600 tokens — regardless of whether
+    // the two files land in one micro-batch or two
+    val text = (1 to 600).map(i => s"t$i").mkString(" ")
+    val staging = java.nio.file.Files.createTempDirectory("graft-budget-stage").toString
+    Seq((1L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$staging/one")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$staging/one"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget-stream").toString
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$dir/docs-1.parquet"))
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.tokenBudgetAdmission(stream, budget = 500L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("docbudget2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val rows = spark.table("docbudget2").collect()
+    assert(rows.length == 1, s"second arrival must be rejected by carried state: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("cum_tokens") == 600L)
+  }
+
   test("streaming corpus dedup equals the batch incremental dedup") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docdedup").toString
     java.nio.file.Files.copy(
