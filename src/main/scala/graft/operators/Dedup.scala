@@ -813,8 +813,11 @@ object Dedup {
             .winnowFast(shingles(col(textCol), k), w).as("fps"))
         .where(size(col("fps")) > 0)
 
-    val corpusIndex = fpsOf(corpus)
-      .select(col("doc_id").as("corpus_id"), explode(col("fps")).as("fp"))
+    // two consumers (the cap groupBy + the probe join): eager-persist the
+    // exploded (corpus_id, fp) index so the corpus text is winnowed once
+    val corpusIndex = graft.core.Caching.eager(
+      fpsOf(corpus)
+        .select(col("doc_id").as("corpus_id"), explode(col("fps")).as("fp")))
     val keep = corpusIndex
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("_bs"))
