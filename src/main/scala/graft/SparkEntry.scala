@@ -109,6 +109,7 @@ object SparkEntry {
     "q89_temperature_mixture" -> (Pipeline.temperatureMixtureSample _),
     "q90_cross_source_dup" -> (Pipeline.crossSourceDupMatrix _),
     "q91_incremental_winnowing" -> (Pipeline.incrementalWinnowingDedup _),
+    "q92_cluster_diversity" -> (Pipeline.clusterDiversityReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1099,6 +1100,36 @@ object SparkEntry {
         |    CAST(s.n_shared AS DOUBLE) / CAST(sz.n_fp AS DOUBLE) AS overlap
         |  FROM shared s JOIN sizes sz ON s.delta_id = sz.doc_id)
         |WHERE overlap >= 0.3 ORDER BY delta_id, corpus_id""".stripMargin),
+    // q83's argmax assignment rolled up per label; Simpson index as a
+    // sequential fold over cid-ordered shares (only +,x,/ on doubles -> no
+    // libm log whose ulps differ between engines)
+    "q92_cluster_diversity" ->
+      (s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+        |sims AS (
+        |  SELECT e.vec_id, e.label, c.cid,
+        |    ${cosineSql("e.embedding", "c.cv")} AS s
+        |  FROM embeddings e, c),
+        |assign AS (
+        |  SELECT vec_id, label, cid FROM (
+        |    SELECT vec_id, label, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1),
+        |counts AS (SELECT label, cid, CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT label,
+        |    CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |    CAST(MAX(n) AS BIGINT) AS max_n,
+        |    list(n ORDER BY cid) AS dist
+        |  FROM counts GROUP BY label)
+        |SELECT label, n_vecs, n_clusters,
+        |  CAST(max_n AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS top_share,
+        |  CAST(1 AS DOUBLE) - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(dist, x ->
+        |      (CAST(x AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * (CAST(x AS DOUBLE) / CAST(n_vecs AS DOUBLE)))),
+        |    (a, b) -> a + b) AS simpson
+        |FROM roll ORDER BY label""".stripMargin),
     // bigram-hash novelty of the doc_id % 5 <> 0 slice against the
     // doc_id % 5 = 0 reference vocabulary
     "q85_ngram_novelty" ->

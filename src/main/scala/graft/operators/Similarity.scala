@@ -220,6 +220,51 @@ object Similarity {
       .select(col("vec_id"), col("knn_rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** Per-label cluster-diversity report: assign every vector to its nearest
+    * centroid ([[ivfAssign]]), then per label report how spread the class is
+    * across semantic regions — vector count, clusters hit, dominant-cluster
+    * share, and the Simpson diversity index 1 − Σ pᵢ² (probability two
+    * random members share a cluster, inverted). A collapsed label (all
+    * vectors in one cluster) scores 0; a uniform spread over k clusters
+    * scores 1 − 1/k.
+    *
+    * Simpson (not Shannon entropy) deliberately: it needs only +,×,/ on
+    * doubles, which are IEEE-deterministic across engines, where `log`
+    * differs by ulps between libm implementations and would break the
+    * exact-hash oracle. The Σ runs as a sequential fold over the
+    * centroid-id-sorted share list, so the addition order is pinned.
+    *
+    * Shape: the assignment is one broadcast-free map pass (centroids are
+    * literals); then ONE groupBy(label, cid) count and a label-sized rollup.
+    */
+  def clusterDiversity(
+      emb: DataFrame,
+      vecCol: String,
+      labelCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val counts = ivfAssign(emb, idCol = labelCol, vecCol = vecCol, centroids)
+      .groupBy(col(labelCol).as("label"), col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("label"))
+      .agg(
+        sum(col("n")).as("n_vecs"),
+        count(lit(1)).as("n_clusters"),
+        max(col("n")).as("_max_n"),
+        sort_array(collect_list(struct(col("centroid_id"), col("n")))).as("_dist"))
+      .withColumn("top_share", col("_max_n").cast("double") / col("n_vecs").cast("double"))
+      .withColumn(
+        "simpson",
+        lit(1.0) - aggregate(
+          col("_dist"),
+          lit(0.0),
+          (acc, e) => {
+            val p = e.getField("n").cast("double") / col("n_vecs").cast("double")
+            acc + p * p
+          }))
+      .select(col("label"), col("n_vecs"), col("n_clusters"), col("top_share"), col("simpson"))
+  }
+
   /** Eval-set contamination in embedding space: for each eval item, its
     * best (highest-cosine) training-corpus match at or above `minCosine` —
     * the embedding-space analog of the n-gram contamination check, used to

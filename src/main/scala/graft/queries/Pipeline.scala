@@ -802,6 +802,22 @@ object Pipeline {
       .orderBy(col("source"), col("sample_rank"))
   }
 
+  /** q92 — per-label cluster diversity: q83's centroid assignment rolled up
+    * to Simpson diversity per label (deterministic arithmetic only — no log).
+    */
+  def clusterDiversityReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroids = emb
+      .where(col("vec_id").between(1, 4))
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+    Similarity.clusterDiversity(emb, "embedding", "label", centroids)
+      .orderBy(col("label"))
+  }
+
   /** q91 — incremental winnowing dedup: delta docs (doc_id % 10 = 0, q64's
     * convention) probed against the remaining corpus' winnowed-fingerprint
     * index; containment over the delta side's fingerprints.

@@ -185,6 +185,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && (exact & ivf).nonEmpty)
   }
 
+  test("clusterDiversity: collapsed label scores 0, even two-cluster split scores 0.5") {
+    import spark.implicits._
+    val centroids = Seq(
+      1 -> Seq(1.0, 0.0, 0.0, 0.0),
+      2 -> Seq(0.0, 1.0, 0.0, 0.0))
+    val e = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (11L, Seq(1.0f, 0.1f, 0.0f, 0.0f), 0), // label 0: both on centroid 1
+      (20L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (21L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1) // label 1: split 1/1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterDiversity(e, "embedding", "label", centroids)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0) == ((2L, 1L, 1.0, 0.0)), s"collapsed label: $out")
+    assert(out(1) == ((2L, 2L, 0.5, 0.5)), s"even split: $out")
+  }
+
   test("embeddingContamination: one best match per eval item, id tie-break, threshold filters") {
     import spark.implicits._
     val evalSet = Seq(
