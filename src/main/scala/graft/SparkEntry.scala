@@ -110,6 +110,7 @@ object SparkEntry {
     "q90_cross_source_dup" -> (Pipeline.crossSourceDupMatrix _),
     "q91_incremental_winnowing" -> (Pipeline.incrementalWinnowingDedup _),
     "q92_cluster_diversity" -> (Pipeline.clusterDiversityReport _),
+    "q93_truncation_impact" -> (Pipeline.truncationImpactReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1130,6 +1131,21 @@ object SparkEntry {
         |      (CAST(x AS DOUBLE) / CAST(n_vecs AS DOUBLE)) * (CAST(x AS DOUBLE) / CAST(n_vecs AS DOUBLE)))),
         |    (a, b) -> a + b) AS simpson
         |FROM roll ORDER BY label""".stripMargin),
+    // integer token sums under each candidate cap — all-BIGINT arithmetic
+    "q93_truncation_impact" ->
+      """WITH x AS (
+        |  SELECT source, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(LEAST(n_tokens, 64)) AS BIGINT) AS kept_64,
+        |  CAST(COUNT(CASE WHEN n_tokens > 64 THEN 1 END) AS BIGINT) AS cut_docs_64,
+        |  CAST(SUM(LEAST(n_tokens, 128)) AS BIGINT) AS kept_128,
+        |  CAST(COUNT(CASE WHEN n_tokens > 128 THEN 1 END) AS BIGINT) AS cut_docs_128,
+        |  CAST(SUM(LEAST(n_tokens, 256)) AS BIGINT) AS kept_256,
+        |  CAST(COUNT(CASE WHEN n_tokens > 256 THEN 1 END) AS BIGINT) AS cut_docs_256
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
     // bigram-hash novelty of the doc_id % 5 <> 0 slice against the
     // doc_id % 5 = 0 reference vocabulary
     "q85_ngram_novelty" ->

@@ -722,6 +722,34 @@ object Curation {
         expr("percentile(n_tokens, 0.875)").as("p875"),
         max(col("n_tokens")).as("max_tokens"))
 
+  /** Truncation-impact report: per source and per candidate sequence-length
+    * cap, the tokens retained (Σ min(n_tokens, cap)) and documents that
+    * would be cut — the statistic behind choosing a training max_seq_len
+    * (complements [[lengthPercentiles]]: percentiles say where the mass is,
+    * this says what each cap costs). Integer sums only — deterministic in
+    * any engine.
+    *
+    * Shape: text collapses to one Long map-side; ONE hash-shuffle on the
+    * source key computes every cap's columns in the same aggregation pass.
+    */
+  def truncationImpact(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      caps: Seq[Int]): DataFrame = {
+    val base = df.select(
+      col(sourceCol).as("source"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens")) ++
+        caps.flatMap { cap =>
+          Seq(
+            sum(least(col("n_tokens"), lit(cap.toLong))).as(s"kept_$cap"),
+            count(when(col("n_tokens") > cap, 1)).as(s"cut_docs_$cap"))
+        }
+    base.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Temperature-based mixture quotas (α = 0.5): per-source keep quotas
     * proportional to √(doc count), the sub-linear domain reweighting used to
     * upsample small domains and downsample dominant ones (the α-sampling of

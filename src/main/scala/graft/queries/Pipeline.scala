@@ -802,6 +802,15 @@ object Pipeline {
       .orderBy(col("source"), col("sample_rank"))
   }
 
+  /** q93 — truncation impact: tokens retained and docs cut per source under
+    * 64/128/256-token sequence caps.
+    */
+  def truncationImpactReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.truncationImpact(d, "text", "source", caps = Seq(64, 128, 256))
+      .orderBy(col("source"))
+  }
+
   /** q92 — per-label cluster diversity: q83's centroid assignment rolled up
     * to Simpson diversity per label (deterministic arithmetic only — no log).
     */

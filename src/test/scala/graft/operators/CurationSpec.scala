@@ -441,6 +441,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("truncationImpact: kept tokens and cut docs per cap are exact") {
+    val d = Seq(
+      (1L, (1 to 10).map(_ => "w").mkString(" "), "s"), // 10 tokens
+      (2L, (1 to 100).map(_ => "w").mkString(" "), "s") // 100 tokens
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.truncationImpact(d, "text", "source", caps = Seq(64)).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 2L && row.getLong(2) == 110L)
+    assert(row.getAs[Long]("kept_64") == 10L + 64L, s"min(10,64)+min(100,64): $row")
+    assert(row.getAs[Long]("cut_docs_64") == 1L)
+  }
+
   test("crossSourceDuplication counts distinct shared normalized contents per source pair") {
     val d = Seq(
       (1L, "same text", "a"), (2L, "same text", "b"), (3L, "same  TEXT ", "c"),
