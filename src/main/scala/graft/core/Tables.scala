@@ -22,16 +22,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects. Read them as nanosecond Longs and
-    * truncate to microsecond TimestampType with integer division (`div`, not
-    * `/` — double division loses precision past 2^53 ns ≈ 1970+104 days).
+  /** The events table's `ts` encoding has varied across data generators:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read as
+    * nanosecond Longs via the legacy conf and truncate with integer `div`,
+    * not `/`: double division loses precision past 2^53 ns) or plain
+    * timestamp[us] (TIMESTAMP_NTZ to Spark — cast to session-TZ timestamp,
+    * matching the oracle's CAST(ts AS TIMESTAMP)). Branch on the loaded
+    * schema so either encoding reads correctly.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // harmless when the file carries real timestamps; required to even
+    // resolve the schema when it carries TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")

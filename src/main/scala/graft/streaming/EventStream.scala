@@ -16,24 +16,25 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema with ts as microsecond TimestampType (file streams
-    * cannot infer schemas; ns-parquet handled as in graft.core.Tables).
+  /** File-based event stream from a directory of parquet drops.
+    *
+    * File streams cannot infer schemas, and the events `ts` encoding has
+    * varied across data generators (TIMESTAMP(NANOS)-as-int64 vs plain
+    * timestamp[us] / TIMESTAMP_NTZ), so probe the existing files' footers
+    * with one batch-read schema resolution and branch — nanos-as-long gets
+    * the integer-`div` truncation (as in graft.core.Tables.events), real
+    * timestamps get a session-TZ cast.
     */
-  val eventSchemaNanos: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-based event stream from a directory of parquet drops. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // harmless for real-timestamp files; required to resolve TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchemaNanos)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val probed = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(probed).parquet(dir)
+    probed("ts").dataType match {
+      case LongType      => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => stream
+      case _             => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window counts+sums per event type with a late-data watermark.
