@@ -104,16 +104,26 @@ object Dedup {
     // shuffle moves ids, not documents.
     val banded = bandFrame(docs, numBands, rowsPerBand)
 
-    // One shuffle generates all candidate pairs: group each band bucket,
-    // drop degenerate buckets (a bucket of size s yields s(s−1)/2 pairs, so
+    // Candidate pairs are enumerated inside each band bucket's aggregated id
+    // array; degenerate buckets (a bucket of size s yields s(s−1)/2 pairs, so
     // one boilerplate-heavy bucket turns the step quadratic — at sf0.1 that
-    // was 94% of total bench time), and enumerate the pairs inside the
-    // aggregated array. This replaces the window-count + self-join shape
-    // (three shuffles of the banded rows) with a single groupBy.
+    // was 94% of total bench time) are dropped BEFORE any array forms: the
+    // cap is count-first + left-semi (the rule at
+    // [[embeddingIncrementalDuplicates]]), so a mega-bucket never
+    // materializes its full id array in one aggregation buffer — with a
+    // collect_list-then-size filter, one 10M-doc boilerplate bucket at 100 TB
+    // is a single-task OOM before the filter can drop it. Both groupBys and
+    // the semi-join hash-partition on the same (band, band_hash) key, so the
+    // extra pass re-shuffles only the slim id+hash frame once.
+    val keepBuckets = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs").between(2, maxBucketSize))
+      .select(col("band"), col("band_hash"))
     val buckets = banded
+      .join(keepBuckets, Seq("band", "band_hash"), "left_semi")
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
     // bindOnce: the inner slice references the sorted array per outer
     // element, and Catalyst does not CSE subtrees inside HOF lambdas — an
     // unbound array_sort would re-sort the bucket once per pair-row anchor
@@ -228,13 +238,23 @@ object Dedup {
       sigDocs(corpus, idCol, textCol, shingleN, numHashes))
     val dDocs = graft.core.Caching.eager(
       sigDocs(delta, idCol, textCol, shingleN, numHashes))
-    val cBuckets = bandFrame(cDocs, numBands, rowsPerBand)
+    // Cap the corpus bucket index count-first + left-semi (never
+    // collect_list-then-filter): a boilerplate band bucket shared by millions
+    // of corpus docs is discarded from an ids-only count aggregate, and the
+    // surviving index stays ROW-shaped (band, band_hash, corpus_id) — no id
+    // array ever materializes, the delta probe is a plain equi-join.
+    val cBands = bandFrame(cDocs, numBands, rowsPerBand)
+    val keepBuckets = cBands
       .groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("cids"))
-      .where(size(col("cids")) <= maxBucketSize)
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val cIndex = cBands
+      .join(keepBuckets, Seq("band", "band_hash"), "left_semi")
+      .withColumnRenamed("doc_id", "corpus_id")
     val cand = bandFrame(dDocs, numBands, rowsPerBand)
-      .join(cBuckets, Seq("band", "band_hash"))
-      .select(col("doc_id").as("delta_id"), explode(col("cids")).as("corpus_id"))
+      .join(cIndex, Seq("band", "band_hash"))
+      .select(col("doc_id").as("delta_id"), col("corpus_id"))
       .distinct()
     cand
       .join(
@@ -751,11 +771,20 @@ object Dedup {
             .winnowFast(shingles(col(textCol), k), w).as("fps"))
         .where(size(col("fps")) > 0))
 
+    // Count-first + left-semi cap (the [[embeddingIncrementalDuplicates]]
+    // rule): a boilerplate fingerprint's mega-bucket is dropped from an
+    // ids-only count before any collect_list buffer forms — both aggregates
+    // and the semi-join share the `fp` hash partitioning.
     val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val keepFps = exploded
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs").between(2, maxBucketSize))
+      .select(col("fp"))
     val buckets = exploded
+      .join(keepFps, Seq("fp"), "left_semi")
       .groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
     // Same bindOnce-sorted pair emission as minhashNearDuplicates: one sort
     // per bucket, O(b²) struct emission, no per-anchor re-sort.
     val pairCombos = bindOnce(array_sort(col("ids"))) { sortedIds =>

@@ -241,4 +241,38 @@ class DedupSpec extends SparkSpec {
     val plan = capped.queryExecution.executedPlan.toString
     assert(!plan.contains("WindowExec"), s"cap must be groupBy-shaped, not a window:\n$plan")
   }
+
+  test("minhash LSH: 10k-docs-one-bucket skew completes, mega-bucket capped, real pairs kept") {
+    // 10k identical docs collapse every band into one 10k-id bucket. The
+    // count-first cap drops it from an ids-only aggregate before any
+    // collect_list buffer forms (the 100 TB skew-OOM shape); two
+    // normalization-equal docs ride along and must still pair.
+    val boiler = (1L to 10000L).map(i => (i, "shared boilerplate legal header text"))
+    val pairDocs = Seq(
+      (20001L, "the quick brown fox jumps over the lazy dog"),
+      (20002L, "THE  quick brown fox jumps over the lazy dog")) // normalize-equal
+    val d = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashNearDuplicates(d, "doc_id", "text",
+        numHashes = 16, numBands = 8, shingleN = 1, minJaccard = 0.5, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20001L, 20002L)),
+      s"exactly the riding near-dup pair survives the cap: $pairs")
+
+    // incremental twin: the capped corpus bucket must not be probed, the
+    // real corpus near-dup must be found
+    val corpus = d
+    val delta = Seq(
+      (30001L, "shared boilerplate legal header text"), // hits only the capped bucket
+      (30002L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val inc = Dedup
+      .minhashIncrementalDuplicates(corpus, delta, "doc_id", "text",
+        numHashes = 16, numBands = 8, shingleN = 1, minJaccard = 0.5, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.forall(_._1 == 30002L),
+      s"the boilerplate delta doc must find nothing through the capped bucket: $inc")
+    assert(inc.contains((30002L, 20001L)) && inc.contains((30002L, 20002L)),
+      s"the real delta near-dup must pair with both corpus twins: $inc")
+  }
 }
