@@ -1247,11 +1247,22 @@ object SparkEntry {
         |ORDER BY r.source, r.sample_rank""".stripMargin,
     // distinct (normalized-content-hash, source) pairs self-joined on the
     // hash with source_a < source_b — the same pair set the Spark side
-    // enumerates from each hash's sorted source set
+    // enumerates from each hash's sorted source set. The fixture mirrors
+    // every doc_id % 5 == 0 document under <source>_mirror (real cross-source
+    // dupes) and NULLs out doc_id % 13 == 0 text (the equi-join drops NULL
+    // hashes; the Spark side filters NULL text before grouping).
     "q90_cross_source_dup" ->
-      """WITH hs AS (
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, source || '_mirror',
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |hs AS (
         |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h, source
-        |  FROM documents)
+        |  FROM docs)
         |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared_contents
         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -635,7 +635,12 @@ object Curation {
               slice(ss, i + lit(2), size(ss) - i - lit(1)),
               b => struct(a.as("source_a"), b.as("source_b")))))
     }
-    df.groupBy(md5(normalizeText(col(textCol))).as("_h"))
+    // NULL text is "no content", not shared content: Spark's groupBy keeps a
+    // NULL hash group (and would pair every source holding a null-text row),
+    // while any SQL equi-join on the hash drops NULLs — filter first so both
+    // semantics agree and null rows never fabricate a mirror signal.
+    df.where(col(textCol).isNotNull)
+      .groupBy(md5(normalizeText(col(textCol))).as("_h"))
       .agg(collect_set(col(sourceCol)).as("_sources"))
       .where(size(col("_sources")) >= 2)
       .select(explode(pairCombos).as("p"))

@@ -843,10 +843,24 @@ object Pipeline {
 
   /** q90 — cross-source duplication matrix: distinct shared normalized
     * contents per source pair, the mirror/aggregator diagnostic.
+    *
+    * The synthetic documents table has no cross-source exact duplicates, so
+    * the raw matrix would certify an empty result (a vacuous parity check).
+    * The fixture therefore simulates a mirror crawl: every doc_id % 5 == 0
+    * document reappears under `<source>_mirror`, and every doc_id % 13 == 0
+    * row carries NULL text — exercising both the pair enumeration and the
+    * NULL-content guard against a non-empty oracle.
     */
   def crossSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
-    Curation.crossSourceDuplication(d, "text", "source")
+    val base = Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 13 === 0, lit(null: String)).otherwise(col("text")).as("text"))
+    val mirror = base
+      .where(col("doc_id") % 5 === 0)
+      .withColumn("source", concat(col("source"), lit("_mirror")))
+    Curation.crossSourceDuplication(base.unionByName(mirror), "text", "source")
       .orderBy(col("source_a"), col("source_b"))
   }
 
