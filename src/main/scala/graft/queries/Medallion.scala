@@ -23,7 +23,16 @@ import graft.medallion.{Gold, Silver}
   */
 object Medallion {
 
-  val ReferenceRoot = "/root/reference/datasets"
+  /** Root of the reference CSV fixtures. Overridable via the
+    * `GRAFT_REFERENCE_DATASETS` environment variable (or the
+    * `graft.reference.datasets` JVM property, which wins) so the q76–q79
+    * certification runs on any host with a reference checkout — the default
+    * is this container's read-only mount.
+    */
+  def ReferenceRoot: String =
+    sys.props.get("graft.reference.datasets")
+      .orElse(sys.env.get("GRAFT_REFERENCE_DATASETS"))
+      .getOrElse("/root/reference/datasets")
 
   private def allString(names: String*): StructType =
     StructType(names.map(n => StructField(n, StringType, nullable = true)))

@@ -79,4 +79,26 @@ class MedallionSpec extends SparkSpec {
     val segs = gold.select("customer_segment").distinct().collect().map(_.getString(0)).toSet
     assert(segs.subsetOf(Set("VIP", "Regular", "Occasional", "Prospect")))
   }
+
+  test("Medallion.ReferenceRoot honors the override property, defaults otherwise") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ref").toFile
+    val crm = new java.io.File(tmp, "source_crm"); crm.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(crm, "cust_info.csv").toPath,
+      "cst_id,cst_key,cst_firstname,cst_lastname,cst_marital_status,cst_gndr,cst_create_date\n" +
+        "1,K1,Ann,Lee,S,F,2024-01-01\n")
+    val prev = sys.props.get("graft.reference.datasets")
+    sys.props("graft.reference.datasets") = tmp.getAbsolutePath
+    try {
+      assert(graft.queries.Medallion.ReferenceRoot == tmp.getAbsolutePath)
+      val rows = graft.queries.Medallion.crmCustomersRaw(spark).collect()
+      assert(rows.length == 1 && rows.head.getString(2) == "Ann",
+        "the raw reader must resolve against the overridden root")
+    } finally prev match {
+      case Some(v) => sys.props("graft.reference.datasets") = v
+      case None    => sys.props.remove("graft.reference.datasets")
+    }
+    assert(graft.queries.Medallion.ReferenceRoot == "/root/reference/datasets",
+      "clearing the override restores the container default")
+  }
 }
