@@ -139,13 +139,21 @@ object Bench {
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"warmup_sec":${fmt(warmupSec)},"telemetry":$teleJson,"sf":"$sfDir"}"""
-    // stdout for the driver, plus a file copy that survives any log truncation
-    println(line)
-    Console.out.flush()
+    // The full artifact (long names, reps, telemetry) runs ~10 KB — far past
+    // the driver's ~2000-char stdout tail capture, which truncated the head
+    // of the line and left every BENCH_rN unparseable. It goes to the file;
+    // stdout gets ONE compact line as the FINAL output, short-keyed (the qNN
+    // prefix is unique per query) so the whole line fits inside the tail.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException => Console.err.println(s"bench: could not write $out: $e") }
+    val shortQs = results.map { case (k, v, _, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":${errors.size},"warmup_sec":${fmt(warmupSec)},"sf":"$sfDir","detail":"$out"}""")
+    Console.out.flush()
     spark.stop()
   }
 }
