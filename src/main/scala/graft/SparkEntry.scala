@@ -111,6 +111,7 @@ object SparkEntry {
     "q91_incremental_winnowing" -> (Pipeline.incrementalWinnowingDedup _),
     "q92_cluster_diversity" -> (Pipeline.clusterDiversityReport _),
     "q93_truncation_impact" -> (Pipeline.truncationImpactReport _),
+    "q94_knn_ivf_trained" -> (Pipeline.knnIvfTrained _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1266,6 +1267,7 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared_contents
         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q94_knn_ivf_trained" -> kmeansIvfOracleSql(k = 4, iters = 2, nProbe = 2, topK = 10),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules
@@ -1304,6 +1306,59 @@ object SparkEntry {
       |         THEN CAST(sls_sales AS DOUBLE) / CAST((CASE WHEN sls_quantity != 0 THEN sls_quantity END) AS DOUBLE)
       |         ELSE CAST(raw_price AS DOUBLE) END AS DOUBLE) AS sls_price
       |  FROM sfixed)""".stripMargin
+
+  /** q94 oracle: the trained-k-means IVF probe, with each Lloyd iteration
+    * unrolled as an assign→means→centroid CTE triple. Replicates
+    * Similarity.kmeansCentroids term for term: every-step-th seeding by id,
+    * argmax assignment (ties → lowest cid), and the fixed-point centroid
+    * mean — round(x·2³⁰) summed as DECIMAL(38,0), divided back out — whose
+    * integer summation is order-independent, making the trained centroids
+    * (and the probe ranking over them) bit-identical across engines. Empty
+    * clusters COALESCE to their previous centroid, as in the Scala loop.
+    */
+  private def kmeansIvfOracleSql(k: Int, iters: Int, nProbe: Int, topK: Int): String = {
+    def iterCtes(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""assign$i AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e, $prev c)
+         |  WHERE rn = 1),
+         |means$i AS (
+         |  SELECT cid, dim,
+         |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS m
+         |  FROM (SELECT cid, unnest(generate_series(1, len(embedding))) AS dim, unnest(embedding) AS x FROM assign$i)
+         |  GROUP BY cid, dim),
+         |c$i AS (
+         |  SELECT s.cid, COALESCE(nc.cv, s.cv) AS cv
+         |  FROM $prev s LEFT JOIN (SELECT cid, list(m ORDER BY dim) AS cv FROM means$i GROUP BY cid) nc
+         |    ON s.cid = nc.cid)""".stripMargin
+    }
+    s"""WITH stepn AS (SELECT GREATEST(COUNT(*) // $k, 1) AS step FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(rn - 1 AS INTEGER) AS cid, list_transform(cv, v -> CAST(v AS DOUBLE)) AS cv FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, embedding AS cv
+       |    FROM embeddings, stepn WHERE vec_id % stepn.step = 0
+       |    ORDER BY vec_id LIMIT $k)),
+       |${(1 to iters).map(iterCtes).mkString(",\n")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, ${cosineSql("c.cv", "q.qv")} AS sq FROM c$iters c, q)
+       |  ORDER BY sq DESC, cid LIMIT $nProbe),
+       |fassign AS (
+       |  SELECT vec_id, embedding FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+       |    FROM embeddings e, c$iters c)
+       |  WHERE rn = 1 AND cid IN (SELECT cid FROM probe))
+       |SELECT vec_id, cosine_sim FROM (
+       |  SELECT a.vec_id, ${cosineSql("a.embedding", "q.qv")} AS cosine_sim
+       |  FROM fassign a, q WHERE a.vec_id <> 0)
+       |ORDER BY cosine_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
 
   /** DuckDB cosine-similarity SQL over two list expressions — the ONE copy
     * of the determinism-critical fold (CAST placement, sequential

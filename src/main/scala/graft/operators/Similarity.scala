@@ -86,12 +86,26 @@ object Similarity {
     emb.withColumn("centroid_id", pick.otherwise(-1))
   }
 
+  /** Fixed-point scale for the k-means centroid means: 2³⁰. Each component
+    * is scaled, rounded to an integer, and summed as DECIMAL(38,0) — integer
+    * addition is exact and order-independent, so the centroid values are
+    * bit-identical regardless of partitioning AND replicable by any SQL
+    * engine (a raw double `avg` varies with Spark's partition-dependent
+    * summation order, which is why the trained path used to be
+    * spec-gated-only). One deterministic rounding per component per
+    * iteration; the ~2⁻³⁰ quantization is far below any embedding's noise
+    * floor and k-means is insensitive to it.
+    */
+  val MeanScale: Double = 1073741824.0d
+
   /** Sampled distributed k-means for IVF centroids: deterministic seeding
     * (every step-th vector by id — no global sort/window), then Lloyd
     * iterations as pure DataFrame ops: assign → elementwise means via
     * posexplode + groupBy(centroid, dim). Each iteration is two shuffles
     * regardless of data size; only the k×d centroid matrix ever reaches the
-    * driver. Empty clusters keep their previous centroid.
+    * driver. Empty clusters keep their previous centroid. Means use the
+    * [[MeanScale]] fixed-point sum, so the trained centroids (and anything
+    * probed against them) are engine-portable and oracle-certifiable (q94).
     */
   def kmeansCentroids(
       emb: DataFrame,
@@ -119,7 +133,13 @@ object Similarity {
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(
+          sum(round(col("x").cast("double") * lit(MeanScale)).cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(
+          col("centroid_id"),
+          col("dim"),
+          (col("s").cast("double") / col("cnt").cast("double") / lit(MeanScale)).as("m"))
         .groupBy(col("centroid_id"))
         .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dims"))
         .collect()

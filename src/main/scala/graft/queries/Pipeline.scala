@@ -670,6 +670,21 @@ object Pipeline {
       query = queryVector(spark, dir), k = 10, nProbe = 2, excludeId = Some(0L))
   }
 
+  /** q94 — IVF ANN over TRAINED k-means centroids: 2 Lloyd iterations from
+    * the deterministic every-step-th seed, then the same assign → probe-2 →
+    * exact-rank pipeline as q39. Certifiable because the centroid means are
+    * fixed-point decimal sums ([[Similarity.MeanScale]]) — order-independent
+    * and replicated term-for-term by the SQL oracle's chained iteration CTEs.
+    */
+  def knnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroids =
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iterations = 2)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+      query = queryVector(spark, dir), k = 10, nProbe = 2, excludeId = Some(0L))
+  }
+
   /** q41 — LSH-bucketed ANN variant (Sha60-derived hyperplanes, oracle-
     * replicated in DuckDB; recall vs the exact baseline is asserted in
     * ScalaTest).
