@@ -247,4 +247,51 @@ class PropertySpec extends SparkSpec {
       assert(out == expected, s"cluster mismatch for pairs=$pairs")
     }
   }
+
+  /** Fuzz corpus for the native-kernel parity tests: ascii, BMP unicode
+    * (latin-1 supplement through CJK), astral emoji (surrogate pairs),
+    * empty/whitespace-only strings, and documents with fewer tokens than the
+    * shingle width — the codegen kernels must agree with their HOF oracles
+    * on every one of them, not just on well-formed English.
+    */
+  private val fuzzDocGen: Gen[String] = {
+    val codePoint = Gen.frequency(
+      5 -> Gen.choose(0x21, 0x7e),
+      2 -> Gen.choose(0xa0, 0x2fff),
+      1 -> Gen.choose(0x4e00, 0x9fff),
+      1 -> Gen.oneOf(0x1f600, 0x1f680, 0x10348)
+    ).map(cp => new String(Character.toChars(cp)))
+    val token = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, codePoint).map(_.mkString))
+    Gen.frequency(
+      1 -> Gen.const(""),
+      1 -> Gen.const(" \t\n  "),
+      2 -> Gen.chooseNum(0, 2).flatMap(n => Gen.listOfN(n, token).map(_.mkString(" "))),
+      6 -> Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, token).map(_.mkString(" "))))
+  }
+
+  test("native minhash/winnow/simhash kernels match their HOF oracles on fuzzed input (400 docs)") {
+    import graft.functions.TextFunctions.shingles
+    import graft.operators.Dedup
+    val texts = samples(fuzzDocGen, 400)
+    assert(texts.exists(_.isEmpty) && texts.exists(t => t.split("\\s+").count(_.nonEmpty) < 3),
+      "generator must cover empty and sub-shingle-width documents")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // null-safe comparison (<=>): empty input may legitimately produce
+    // null/empty on both sides — a plain =!= would silently skip those rows
+    val mismatches = docs
+      .select(
+        col("doc_id"),
+        graft.functions.MinHashSignatureExpr.minhashFast(shingles(col("text"), 1), 16).as("mh_fast"),
+        Dedup.minhashSignatureOfShingles(shingles(col("text"), 1), 16).as("mh_hof"),
+        graft.functions.WinnowExpr.winnowFast(shingles(col("text"), 3), 4).as("w_fast"),
+        Dedup.winnowedFingerprints(col("text"), 3, 4).as("w_hof"),
+        Dedup.simhash64(col("text")).as("sh_fast"),
+        Dedup.simhash64Hof(col("text")).as("sh_hof"))
+      .where(!(col("mh_fast") <=> col("mh_hof")) ||
+        !(col("w_fast") <=> col("w_hof")) ||
+        !(col("sh_fast") <=> col("sh_hof")))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"kernel/HOF divergence on ${mismatches.length} fuzzed docs, first: ${mismatches.headOption}")
+  }
 }
