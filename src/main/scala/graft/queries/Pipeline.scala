@@ -631,6 +631,19 @@ object Pipeline {
 
   // ---------------------------------------------------------------- vectors
 
+  /** The q39/q83/q92 deterministic centroid seed: vectors 1..4 collected as
+    * the coarse centroid set (one tiny driver-side collect, shared by every
+    * seeded-IVF certification query).
+    */
+  private def seedCentroids(emb: DataFrame): Seq[(Int, Seq[Double])] =
+    emb
+      .where(col("vec_id").between(1, 4))
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+
   private def queryVector(spark: SparkSession, dir: String): Seq[Double] = {
     val row = Tables(spark, dir).embeddings
       .where(col("vec_id") === 0)
@@ -658,13 +671,7 @@ object Pipeline {
     */
   def knnIvfSeeded(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val centroids = emb
-      .where(col("vec_id").between(1, 4))
-      .orderBy(col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .toIndexedSeq
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+    val centroids = seedCentroids(emb)
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
     Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
       query = queryVector(spark, dir), k = 10, nProbe = 2, excludeId = Some(0L))
@@ -752,13 +759,7 @@ object Pipeline {
     */
   def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val centroids = emb
-      .where(col("vec_id").between(1, 4))
-      .orderBy(col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .toIndexedSeq
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+    val centroids = seedCentroids(emb)
     Similarity.clusterSample(emb, "vec_id", "embedding", centroids, perCluster = 25)
       .orderBy(col("centroid_id"), col("sample_rank"))
   }
@@ -831,13 +832,7 @@ object Pipeline {
     */
   def clusterDiversityReport(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val centroids = emb
-      .where(col("vec_id").between(1, 4))
-      .orderBy(col("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .toIndexedSeq
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+    val centroids = seedCentroids(emb)
     Similarity.clusterDiversity(emb, "embedding", "label", centroids)
       .orderBy(col("label"))
   }
