@@ -104,26 +104,14 @@ object Dedup {
     // shuffle moves ids, not documents.
     val banded = bandFrame(docs, numBands, rowsPerBand)
 
-    // Candidate pairs are enumerated inside each band bucket's aggregated id
-    // array; degenerate buckets (a bucket of size s yields s(s−1)/2 pairs, so
-    // one boilerplate-heavy bucket turns the step quadratic — at sf0.1 that
-    // was 94% of total bench time) are dropped BEFORE any array forms: the
-    // cap is count-first + left-semi (the rule at
-    // [[embeddingIncrementalDuplicates]]), so a mega-bucket never
-    // materializes its full id array in one aggregation buffer — with a
-    // collect_list-then-size filter, one 10M-doc boilerplate bucket at 100 TB
-    // is a single-task OOM before the filter can drop it. Both groupBys and
-    // the semi-join hash-partition on the same (band, band_hash) key, so the
-    // extra pass re-shuffles only the slim id+hash frame once.
-    val keepBuckets = banded
-      .groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("_bs"))
-      .where(col("_bs").between(2, maxBucketSize))
-      .select(col("band"), col("band_hash"))
-    val buckets = banded
-      .join(keepBuckets, Seq("band", "band_hash"), "left_semi")
-      .groupBy(col("band"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+    // One shuffle generates all candidate pairs: group each band bucket into
+    // a skew-BOUNDED id array ([[cappedIdBuckets]]), drop degenerate buckets
+    // on the true count (a bucket of size s yields s(s−1)/2 pairs, so one
+    // boilerplate-heavy bucket turns the step quadratic — at sf0.1 that was
+    // 94% of total bench time), and enumerate the pairs inside the
+    // aggregated array.
+    val buckets = cappedIdBuckets(
+      banded, Seq("band", "band_hash"), "doc_id", minSize = 2, maxSize = maxBucketSize)
     // bindOnce: the inner slice references the sorted array per outer
     // element, and Catalyst does not CSE subtrees inside HOF lambdas — an
     // unbound array_sort would re-sort the bucket once per pair-row anchor
@@ -153,6 +141,48 @@ object Dedup {
           size(array_union(col("set_a"), col("set_b"))).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Size-capped LSH bucket aggregation: one row per `keys` group whose TRUE
+    * size is within [`minSize`, `maxSize`], carrying the group's complete id
+    * array as `ids` — the skew-safe form of
+    * `groupBy(keys).agg(collect_list(id)).where(size between ...)`.
+    *
+    * A plain collect_list materializes a degenerate mega-bucket's FULL id
+    * array in one aggregation buffer before the size filter can drop it — a
+    * single-task OOM at 100 TB (one boilerplate shingle shared by 10M docs
+    * is a multi-GB buffer). For Long ids this uses the native
+    * [[graft.functions.CollectLongCapped]] aggregate: the ORIGINAL
+    * single-shuffle plan shape with every buffer bounded at `maxSize` Longs
+    * (a count-first + semi-join reshape is equally safe but measured ~1.5×
+    * on the q65 curation pipeline — an extra aggregation and join pass).
+    * Groups passing the true-count filter are never truncated, so results
+    * are identical to the unbounded formulation. Non-Long ids take the
+    * count-first + left-semi route (same semantics, two passes).
+    */
+  private def cappedIdBuckets(
+      df: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      minSize: Int,
+      maxSize: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.groupBy(keyCols: _*)
+          .agg(graft.functions.CollectLongCapped
+            .collectCapped(col(idCol), maxSize).as("_bucket"))
+          .where(col("_bucket.total").between(minSize, maxSize))
+          .select(keyCols :+ col("_bucket.ids").as("ids"): _*)
+      case _ =>
+        val keep = df.groupBy(keyCols: _*)
+          .agg(count(lit(1)).as("_bs"))
+          .where(col("_bs").between(minSize, maxSize))
+          .select(keyCols: _*)
+        df.join(keep, keys, "left_semi")
+          .groupBy(keyCols: _*)
+          .agg(collect_list(col(idCol)).as("ids"))
+    }
   }
 
   /** Shingle sets + MinHash signatures for one side of an LSH pipeline:
@@ -238,20 +268,15 @@ object Dedup {
       sigDocs(corpus, idCol, textCol, shingleN, numHashes))
     val dDocs = graft.core.Caching.eager(
       sigDocs(delta, idCol, textCol, shingleN, numHashes))
-    // Cap the corpus bucket index count-first + left-semi (never
-    // collect_list-then-filter): a boilerplate band bucket shared by millions
-    // of corpus docs is discarded from an ids-only count aggregate, and the
-    // surviving index stays ROW-shaped (band, band_hash, corpus_id) — no id
-    // array ever materializes, the delta probe is a plain equi-join.
-    val cBands = bandFrame(cDocs, numBands, rowsPerBand)
-    val keepBuckets = cBands
-      .groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBucketSize)
-      .select(col("band"), col("band_hash"))
-    val cIndex = cBands
-      .join(keepBuckets, Seq("band", "band_hash"), "left_semi")
-      .withColumnRenamed("doc_id", "corpus_id")
+    // The corpus bucket index is skew-capped via [[cappedIdBuckets]]: a
+    // boilerplate band bucket shared by millions of corpus docs is dropped
+    // with every aggregation buffer bounded at `maxBucketSize` ids, then the
+    // surviving buckets re-flatten to a ROW-shaped (band, band_hash,
+    // corpus_id) index the delta probes by plain equi-join.
+    val cIndex = cappedIdBuckets(
+      bandFrame(cDocs, numBands, rowsPerBand),
+      Seq("band", "band_hash"), "doc_id", minSize = 1, maxSize = maxBucketSize)
+      .select(col("band"), col("band_hash"), explode(col("ids")).as("corpus_id"))
     val cand = bandFrame(dDocs, numBands, rowsPerBand)
       .join(cIndex, Seq("band", "band_hash"))
       .select(col("doc_id").as("delta_id"), col("corpus_id"))
@@ -771,20 +796,12 @@ object Dedup {
             .winnowFast(shingles(col(textCol), k), w).as("fps"))
         .where(size(col("fps")) > 0))
 
-    // Count-first + left-semi cap (the [[embeddingIncrementalDuplicates]]
-    // rule): a boilerplate fingerprint's mega-bucket is dropped from an
-    // ids-only count before any collect_list buffer forms — both aggregates
-    // and the semi-join share the `fp` hash partitioning.
+    // Skew-capped fingerprint buckets ([[cappedIdBuckets]]): a boilerplate
+    // fingerprint's mega-bucket is dropped with every aggregation buffer
+    // bounded, one shuffle.
     val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val keepFps = exploded
-      .groupBy(col("fp"))
-      .agg(count(lit(1)).as("_bs"))
-      .where(col("_bs").between(2, maxBucketSize))
-      .select(col("fp"))
-    val buckets = exploded
-      .join(keepFps, Seq("fp"), "left_semi")
-      .groupBy(col("fp"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+    val buckets = cappedIdBuckets(
+      exploded, Seq("fp"), "doc_id", minSize = 2, maxSize = maxBucketSize)
     // Same bindOnce-sorted pair emission as minhashNearDuplicates: one sort
     // per bucket, O(b²) struct emission, no per-anchor re-sort.
     val pairCombos = bindOnce(array_sort(col("ids"))) { sortedIds =>
