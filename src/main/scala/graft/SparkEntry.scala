@@ -112,6 +112,7 @@ object SparkEntry {
     "q92_cluster_diversity" -> (Pipeline.clusterDiversityReport _),
     "q93_truncation_impact" -> (Pipeline.truncationImpactReport _),
     "q94_knn_ivf_trained" -> (Pipeline.knnIvfTrained _),
+    "q95_incremental_simhash" -> (Pipeline.incrementalSimhashDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1268,6 +1269,36 @@ object SparkEntry {
         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q94_knn_ivf_trained" -> kmeansIvfOracleSql(k = 4, iters = 2, nProbe = 2, topK = 10),
+    // the q35 simhash CTEs with the q64 corpus/delta split: delta quarter-
+    // blocks probe the corpus block index, capped count-first on the corpus
+    // side (HAVING <= 200), full-Hamming verify at <= 16
+    "q95_incremental_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, list_transform(sh, s -> CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT)) AS hs
+        |  FROM toks),
+        |fps AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), b ->
+        |      CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+        |  FROM hashed),
+        |blockedc AS (
+        |  SELECT f.doc_id, f.fp, q.q, (f.fp >> CAST(q.q * 16 AS INTEGER)) & 65535 AS qh
+        |  FROM fps f, (SELECT unnest(range(0, 4)) AS q) q WHERE f.doc_id % 10 <> 0),
+        |okb AS (SELECT q, qh FROM blockedc GROUP BY q, qh HAVING COUNT(*) <= 200),
+        |blockedd AS (
+        |  SELECT f.doc_id, f.fp, q.q, (f.fp >> CAST(q.q * 16 AS INTEGER)) & 65535 AS qh
+        |  FROM fps f, (SELECT unnest(range(0, 4)) AS q) q WHERE f.doc_id % 10 = 0)
+        |SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+        |  bit_count(xor(d.fp, c.fp)) AS hamming
+        |FROM blockedd d
+        |JOIN blockedc c ON d.q = c.q AND d.qh = c.qh
+        |JOIN okb ON okb.q = c.q AND okb.qh = c.qh
+        |WHERE bit_count(xor(d.fp, c.fp)) <= 16
+        |ORDER BY delta_id, corpus_id""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

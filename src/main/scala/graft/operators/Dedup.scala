@@ -382,12 +382,18 @@ object Dedup {
         struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL)).as("qh"))
       }: _*)).as("blk"))
       .select(col("doc_id"), col("fp"), col("blk.q"), col("blk.qh"))
-    // Same degenerate-bucket guard as the MinHash path.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"), col("qh"))
-    val blocked = blockedRaw
-      .withColumn("_bucket_size", count(lit(1)).over(w))
-      .where(col("_bucket_size") <= maxBucketSize)
-      .drop("_bucket_size")
+    // Same degenerate-bucket guard as the MinHash path, count-first +
+    // left-semi: the previous window-count cap shuffled a degenerate block's
+    // FULL row set into one task's WindowExec buffer before the filter could
+    // drop it — the same single-task hazard the bucket caps eliminate. The
+    // count aggregate sees only (q, qh) keys; blocked rows join back
+    // key-equi.
+    val keepBlocks = blockedRaw
+      .groupBy(col("q"), col("qh"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("q"), col("qh"))
+    val blocked = blockedRaw.join(keepBlocks, Seq("q", "qh"), "left_semi")
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     a.join(
@@ -398,6 +404,57 @@ object Dedup {
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental SimHash dedup: (delta, corpus) near-duplicate pairs within
+    * `maxHamming` — which newly arrived documents are homoglyph-level
+    * near-copies of existing corpus text. Completes the incremental family
+    * ([[minhashIncrementalDuplicates]] for set overlap,
+    * [[winnowingIncrementalDuplicates]] for substring reuse,
+    * [[embeddingIncrementalDuplicates]] for semantic similarity; this tier
+    * for token-vote fingerprints, pigeonhole-blocked).
+    *
+    * The corpus is never self-joined: delta quarter-blocks probe a capped
+    * (quarter → corpus fingerprint) index — at 100 TB the index is a
+    * precomputed table and this is the daily-delta probe. Bucket cap is
+    * count-first on the CORPUS side. Returns (delta_id, corpus_id, hamming).
+    */
+  def simhashIncrementalDuplicates(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 200): DataFrame = {
+    def blocked(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp"))
+      .select(
+        col("doc_id"),
+        col("fp"),
+        explode(array((0 until 4).map { q =>
+          struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL)).as("qh"))
+        }: _*)).as("blk"))
+      .select(col("doc_id"), col("fp"), col("blk.q"), col("blk.qh"))
+    val cBlocked = blocked(corpus)
+    val keep = cBlocked
+      .groupBy(col("q"), col("qh"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("q"), col("qh"))
+    val cIndex = cBlocked
+      .join(keep, Seq("q", "qh"), "left_semi")
+      .withColumnRenamed("doc_id", "corpus_id")
+      .withColumnRenamed("fp", "fp_c")
+    blocked(delta)
+      .withColumnRenamed("doc_id", "delta_id")
+      .withColumnRenamed("fp", "fp_d")
+      .join(cIndex, Seq("q", "qh"))
+      .select(
+        col("delta_id"),
+        col("corpus_id"),
+        hamming64(col("fp_d"), col("fp_c")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

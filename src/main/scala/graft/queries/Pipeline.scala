@@ -329,6 +329,20 @@ object Pipeline {
       .orderBy(col("delta_id"), col("corpus_id"))
   }
 
+  /** q95 — incremental SimHash dedup: the q64/q91/q70 delta-vs-corpus split
+    * applied to the fingerprint tier (quarter-block probe of a capped corpus
+    * index, Hamming ≤ 16 as in q35).
+    */
+  def incrementalSimhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup
+      .simhashIncrementalDuplicates(
+        corpus = d.where(col("doc_id") % 10 =!= 0),
+        delta = d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", maxHamming = 16)
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
   /** q65 — the full curation pipeline ([[Curation.curateCorpus]]: quality
     * gate → PII mask → exact dedup → near-dup cluster dedup), reported as
     * per-source surviving documents and token volume — the number that tells

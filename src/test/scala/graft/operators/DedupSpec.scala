@@ -88,9 +88,31 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash near-duplicate blocking finds the exact dup pair") {
-    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 3L)))
+    // the block cap is groupBy-shaped, not a window (mega-block skew safety)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"cap must not plan a window:\n$plan")
+  }
+
+  test("simhashIncrementalDuplicates pairs delta docs with corpus near-dups; cap drops boilerplate") {
+    val corpus = docs.where($"doc_id" =!= 3L)
+    val delta = docs.where($"doc_id" === 3L) // normalize-equal to corpus doc 1
+    val inc = Dedup
+      .simhashIncrementalDuplicates(corpus, delta, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(inc.nonEmpty && inc.forall(_._1 == 3L), s"only delta ids on the left: ${inc.toSeq}")
+    assert(inc.exists(p => p._2 == 1L && p._3 == 0),
+      s"normalize-equal pair must surface at hamming 0: ${inc.toSeq}")
+
+    // 300 identical corpus docs overflow every quarter-block at cap 200:
+    // the identical delta doc must find nothing through the capped index
+    val body = "shared boilerplate header"
+    val boilCorpus = (1L to 300L).map(i => (i, body)).toDF("doc_id", "text")
+    val boilDelta = Seq((1000L, body)).toDF("doc_id", "text")
+    assert(Dedup.simhashIncrementalDuplicates(
+      boilCorpus, boilDelta, "doc_id", "text", maxHamming = 3).count() == 0L)
   }
 
   test("duplicateClusters closes pairs under transitivity (chain + triangle + isolated pair)") {
