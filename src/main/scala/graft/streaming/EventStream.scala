@@ -25,10 +25,25 @@ object EventStream {
     * the integer-`div` truncation (as in graft.core.Tables.events), real
     * timestamps get a session-TZ cast.
     */
+  /** The events schema assumed when the drop directory has no files yet to
+    * probe (a stream typically starts before its first drop arrives):
+    * microsecond timestamps, the current generator encoding.
+    */
+  val eventSchemaMicros: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // harmless for real-timestamp files; required to resolve TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probed = spark.read.parquet(dir).schema
+    // empty drop directory → nothing to probe → assume the current encoding
+    val probed =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventSchemaMicros }
     val stream = spark.readStream.schema(probed).parquet(dir)
     probed("ts").dataType match {
       case LongType      => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

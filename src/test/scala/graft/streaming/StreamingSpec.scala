@@ -8,6 +8,14 @@ import graft.SparkSpec
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readEvents starts on an EMPTY drop directory (nothing to probe yet)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-empty").toString
+    val stream = EventStream.readEvents(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      "the no-files fallback must assume the current microsecond encoding")
+  }
+
   test("windowed streaming counts match the batch equivalent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     // stage the sf0.001 events parquet as a file-stream drop
