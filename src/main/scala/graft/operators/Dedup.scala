@@ -188,7 +188,7 @@ object Dedup {
   /** Shingle sets + MinHash signatures for one side of an LSH pipeline:
     * (doc_id, shingle_set, sig). Documents with no shingle are dropped.
     */
-  private def sigDocs(
+  private[graft] def sigDocs(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -209,7 +209,7 @@ object Dedup {
     * equality matters, and the plain value (unlike a hash of it) is
     * reproducible by any SQL engine for the driver oracle.
     */
-  private def bandFrame(docs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
+  private[graft] def bandFrame(docs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
     docs.select(
         col("doc_id"),
         explode(

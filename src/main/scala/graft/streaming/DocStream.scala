@@ -123,6 +123,101 @@ object DocStream {
       .drop("_sig")
   }
 
+  private[graft] val NumHashesMetaKey = "graft.minhash.numHashes"
+  private[graft] val NumBandsMetaKey = "graft.minhash.numBands"
+  private[graft] val ShingleNMetaKey = "graft.minhash.shingleN"
+
+  /** Capped MinHash band index of a text corpus — the static side of
+    * [[nearDupAdmission]] and the streaming twin of the index
+    * [[graft.operators.Dedup.minhashIncrementalDuplicates]] derives
+    * internally: (band, band_hash, corpus_id, c_set), degenerate buckets
+    * dropped count-first. At scale this is a precomputed table refreshed by
+    * the batch compaction job — computing it is the expensive corpus pass,
+    * so it runs ONCE here rather than once per micro-batch.
+    *
+    * The LSH parameters ride in the `band` column's schema metadata (the
+    * [[embeddingCorpusIndex]] pattern): the probe side reads them with no
+    * job, and a mismatched caller parameter — which would silently match
+    * nothing and disable dedup — becomes impossible.
+    */
+  def minhashCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 50): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Dedup.sigDocs(corpus, idCol, textCol, shingleN, numHashes)
+    val banded = Dedup.bandFrame(docs, numBands, numHashes / numBands)
+    val keep = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(NumHashesMetaKey, numHashes.toLong)
+      .putLong(NumBandsMetaKey, numBands.toLong)
+      .putLong(ShingleNMetaKey, shingleN.toLong)
+      .build()
+    banded
+      .join(keep, Seq("band", "band_hash"), "left_semi")
+      .join(docs.select(col("doc_id"), col("shingle_set").as("c_set")), Seq("doc_id"))
+      .select(
+        col("band").as("band", meta),
+        col("band_hash"),
+        col("doc_id").as("corpus_id"),
+        col("c_set"))
+  }
+
+  /** Streaming near-duplicate admission: per micro-batch, drop arriving
+    * documents that are MinHash near-duplicates (Jaccard ≥ `minJaccard`) of
+    * some corpus document, then hand the survivors to `sink` with the batch
+    * id (idempotent-sink contract, as in [[EventStream.toBronze]]).
+    *
+    * Near-dup admission needs a per-document verdict over ALL its band
+    * probes — as a pure stream-static join that is either a stream-stream
+    * anti-join (unsupported) or a stateful aggregation; `foreachBatch` makes
+    * it a plain batch computation per micro-batch instead: batch docs are
+    * signed and banded (map-only native kernels), probe the capped static
+    * index by equi-join, verify exact Jaccard per candidate, and the
+    * matched ids anti-join the batch. Completes the dedup-tier symmetry of
+    * the streaming layer (exact [[dedupAgainstCorpus]], embedding
+    * [[dedupEmbeddingsAgainstCorpus]], near-dup here).
+    */
+  def nearDupAdmission(
+      stream: DataFrame,
+      index: DataFrame,
+      checkpoint: String,
+      minJaccard: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val meta = index.schema("band").metadata
+    require(
+      meta.contains(NumHashesMetaKey) && meta.contains(NumBandsMetaKey) &&
+        meta.contains(ShingleNMetaKey),
+      "index must come from DocStream.minhashCorpusIndex (missing LSH metadata)")
+    val numHashes = meta.getLong(NumHashesMetaKey).toInt
+    val numBands = meta.getLong(NumBandsMetaKey).toInt
+    val shingleN = meta.getLong(ShingleNMetaKey).toInt
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sigged = Dedup.sigDocs(batch, "doc_id", "text", shingleN, numHashes)
+        val dupIds = Dedup.bandFrame(sigged, numBands, numHashes / numBands)
+          .join(index, Seq("band", "band_hash"))
+          .join(sigged.select(col("doc_id"), col("shingle_set")), Seq("doc_id"))
+          .where(
+            size(array_intersect(col("shingle_set"), col("c_set"))).cast("double") /
+              size(array_union(col("shingle_set"), col("c_set"))).cast("double") >= minJaccard)
+          .select(col("doc_id"))
+          .distinct()
+        sink(batch.join(dupIds, Seq("doc_id"), "left_anti"), batchId)
+      }
+      .start()
+  }
+
   /** The curation gate: keep documents scoring at least `minQuality` that
     * are not repetition-flagged, emit them PII-masked with their scores.
     * Works identically on a streaming or batch DataFrame — the stream==batch

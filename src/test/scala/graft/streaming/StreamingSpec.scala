@@ -250,6 +250,45 @@ class StreamingSpec extends SparkSpec {
       "the corpus index should drop some stream documents")
   }
 
+  test("streaming near-dup admission equals the batch incremental minhash complement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-neardup-ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/docs-0.parquet"))
+    val all = graft.core.Tables(spark, Sf0001).documents
+    val corpus = all.where(col("doc_id") % 2 === 0)
+    val index = DocStream.minhashCorpusIndex(
+      corpus, "doc_id", "text", numHashes = 16, numBands = 8, shingleN = 1)
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = DocStream.nearDupAdmission(
+      DocStream.readDocs(spark, dir), index, ckpt, minJaccard = 0.5) { (kept, _) =>
+      admitted ++= kept.select("doc_id").as[Long].collect()
+    }
+    q.processAllAvailable(); q.stop()
+    val dupIds = graft.operators.Dedup
+      .minhashIncrementalDuplicates(corpus, all, "doc_id", "text",
+        numHashes = 16, numBands = 8, shingleN = 1, minJaccard = 0.5)
+      .select(col("delta_id")).as[Long].collect().toSet
+    val batchSurvivors = all.select("doc_id").as[Long].collect().toSet -- dupIds
+    assert(admitted.toSet == batchSurvivors,
+      "stream admission and the batch incremental complement must agree")
+    assert(admitted.nonEmpty && admitted.size < all.count(),
+      "the near-dup index should drop some stream documents")
+  }
+
+  test("nearDupAdmission rejects an index without LSH metadata") {
+    val bogus = graft.core.Tables(spark, Sf0001).documents
+      .select(lit(0).as("band"), lit("x").as("band_hash"),
+        col("doc_id").as("corpus_id"), array(col("text")).as("c_set"))
+    val err = intercept[IllegalArgumentException] {
+      DocStream.nearDupAdmission(
+        DocStream.readDocs(spark, java.nio.file.Files.createTempDirectory("graft-nd").toString),
+        bogus, java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString)((_, _) => ())
+    }
+    assert(err.getMessage.contains("minhashCorpusIndex"))
+  }
+
   test("streaming embedding dedup equals the batch incremental near-dup complement") {
     val dir = java.nio.file.Files.createTempDirectory("graft-embdedup").toString
     java.nio.file.Files.copy(
