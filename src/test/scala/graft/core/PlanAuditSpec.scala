@@ -39,4 +39,24 @@ class PlanAuditSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"q67 plans a Window over sig:\n$plan")
   }
+
+  test("LSH bucket pipelines aggregate with BOUNDED buffers, never plain collect_list") {
+    // A plain collect_list on a bucket key materializes a degenerate
+    // mega-bucket's full id array in one aggregation buffer before any size
+    // filter runs — the skew-OOM shape CollectLongCapped exists to prevent.
+    // Guard every query that builds LSH/fingerprint buckets: their physical
+    // plans must carry the capped aggregate (when they aggregate ids at all)
+    // and must NOT carry collect_list.
+    val bucketQueries = Seq(
+      "q34_dedup_minhash_lsh", "q52_dup_clusters", "q53_dedup_corpus",
+      "q64_incremental_dedup", "q65_curation_pipeline", "q66_curation_funnel",
+      "q84_winnowing_neardup", "q91_incremental_winnowing", "q95_incremental_simhash")
+    val offenders = bucketQueries.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("collect_list")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded collect_list in bucket pipelines: ${offenders.mkString(", ")}")
+  }
 }
