@@ -113,6 +113,7 @@ object SparkEntry {
     "q93_truncation_impact" -> (Pipeline.truncationImpactReport _),
     "q94_knn_ivf_trained" -> (Pipeline.knnIvfTrained _),
     "q95_incremental_simhash" -> (Pipeline.incrementalSimhashDedup _),
+    "q96_dedup_savings" -> (Pipeline.dedupSavingsReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1299,6 +1300,24 @@ object SparkEntry {
         |JOIN okb ON okb.q = c.q AND okb.qh = c.qh
         |WHERE bit_count(xor(d.fp, c.fp)) <= 16
         |ORDER BY delta_id, corpus_id""".stripMargin,
+    // the q52 recursive cluster CTEs rolled up twice: per cluster (size,
+    // dropped docs/tokens for non-canonical members), then per cluster size
+    "q96_dedup_savings" ->
+      (dupClusterCtes +
+        """SELECT cluster_size,
+          |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          |  CAST(SUM(docs_dropped) AS BIGINT) AS n_docs_dropped,
+          |  CAST(SUM(toks_dropped) AS BIGINT) AS tokens_dropped
+          |FROM (
+          |  SELECT c.cluster_id,
+          |    CAST(COUNT(*) AS BIGINT) AS cluster_size,
+          |    CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN t.n_toks ELSE 0 END) AS BIGINT) AS toks_dropped,
+          |    CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped
+          |  FROM comp c
+          |  JOIN (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks FROM documents) t
+          |    USING (doc_id)
+          |  GROUP BY c.cluster_id)
+          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -661,6 +661,41 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Dedup-savings report: per near-dup cluster size, how many clusters
+    * exist, how many documents canonical-per-cluster dedup drops, and how
+    * many tokens those dropped documents carry — the ROI diagnostic behind a
+    * dedup rollout (which cluster sizes dominate, what fraction of the
+    * token budget duplicates consume). `clusters` is the
+    * [[duplicateClusters]] output; canonical member = doc_id == cluster_id.
+    *
+    * Returns (cluster_size, n_clusters, n_docs_dropped, tokens_dropped),
+    * ordered by size. Shape: token counts attach id-keyed, then two id+long
+    * aggregations — text never shuffles, integer sums only (deterministic).
+    */
+  def dedupSavings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clusters: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_toks"))
+    clusters
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_toks")).otherwise(0L))
+          .as("toks_dropped"),
+        sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("docs_dropped"))
+      .groupBy(col("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("docs_dropped")).as("n_docs_dropped"),
+        sum(col("toks_dropped")).as("tokens_dropped"))
+  }
+
   /** Open-addressing long→long map (linear probing, power-of-two capacity)
     * for the union-find hot loop: zero boxing, zero per-op allocation —
     * a java.util.HashMap here would allocate a boxed Long per get/put across

@@ -222,6 +222,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q96 — dedup-savings report over the q52 clusters: per cluster size,
+    * clusters / documents dropped / tokens saved by canonical-per-cluster
+    * dedup — the ROI diagnostic behind a dedup rollout.
+    */
+  def dedupSavingsReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = Dedup.minhashNearDuplicates(d, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    Dedup.dedupSavings(d, "doc_id", "text", Dedup.duplicateClusters(pairs))
+      .orderBy(col("cluster_size"))
+  }
+
   /** q53 — the corpus after LSH dedup ([[Dedup.dedupCorpus]] over the q52
     * clusters): per-source surviving-document counts — the "what did dedup
     * do to my corpus" report.

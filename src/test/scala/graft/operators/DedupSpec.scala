@@ -184,6 +184,20 @@ class DedupSpec extends SparkSpec {
       s"doc 2 should pair with its near-dups 1/3, got ${pairs.toSeq}")
   }
 
+  test("dedupSavings reports per-size cluster counts and dropped tokens") {
+    // cluster {1,2,3} (canonical 1): drops docs 2 and 3, each 9 tokens
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup
+      .dedupSavings(docs, "doc_id", "text", Dedup.duplicateClusters(pairs))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 3L, "one cluster of size 3")
+    assert(r.getLong(1) == 1L, "n_clusters")
+    assert(r.getLong(2) == 2L, "two non-canonical docs dropped")
+    assert(r.getLong(3) == 18L, s"9 + 9 tokens dropped, got ${r.getLong(3)}")
+  }
+
   test("dedupCorpus keeps canonical member per component plus singletons") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dedupCorpus(docs, "doc_id", pairs)
