@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST stdout
+// line as JSON. Two sbt behaviors defeat that by default: the forked
+// process's output is re-logged with an "[info] " prefix (LoggedOutput),
+// and a "[success] Total time ..." line trails the program output. Route
+// the child's streams straight through and drop the success banner so the
+// bench's compact JSON line is the final, unprefixed stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -33,6 +41,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // interpreter — observed as intermittent 30x executor-CPU blowups on
   // byte-identical reps (PLANS.md round-4 variance notes).
   "-XX:ReservedCodeCacheSize=1g",
+  // Bound the JIT burst: the 32-core ergonomic default is 15 compiler
+  // threads, and the codegen-heavy queries (q52/q65: 11-15 s of JIT demand
+  // each, measured via CompilationMXBean) make those threads burst-compete
+  // with the 32 executor task threads — on a loaded host that contention,
+  // not any plan, inflated BENCH_r07's q52 to 12 s wall at 3.8 s CPU (4x
+  // its fresh-JVM 3.0 s). Four compiler threads drain the same queue with
+  // a bounded CPU footprint; warmup absorbs the slightly longer cold phase.
+  "-XX:CICompilerCount=4",
 )
 // ad-hoc diagnostics for the forked JVM, e.g.
 // SPARK_EXTRA_JVM_OPTS="-Xlog:gc*,safepoint:file=/tmp/jvm.log"

@@ -59,6 +59,35 @@ object Bench {
         graft.functions.CosineSimilarity.cosineFast(org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("v")).as("cs"))
       .selectExpr("max(hs)", "max(cs)")
       .collect()
+    // columnar cache + localCheckpoint + broadcast-join + window machinery:
+    // the iterative queries (q27 traversal, q52/q53 CC loops) are otherwise
+    // the FIRST users of the InMemoryRelation builder/accessor and local-
+    // checkpoint block paths, paying those classes' loading + JIT inside
+    // their timed reps (-verbose:class measured ~3k class loads and ~21 s
+    // of JIT demand during an isolated q27) — synthetic input only.
+    // SPARK_GRAFT_WARM_MINIMAL=1 skips this block: the A/B control for
+    // diagnosing warmup-coverage regressions, not for normal runs.
+    if (!sys.env.contains("SPARK_GRAFT_WARM_MINIMAL")) {
+      val base = spark.range(0, 50000)
+        .selectExpr("id", "id % 97 as k", "cast(id as double) as v")
+        .localCheckpoint()
+      val cached = base.cache()
+      cached.count()
+      cached
+        .join(
+          org.apache.spark.sql.functions.broadcast(
+            cached.groupBy("k").agg(org.apache.spark.sql.functions.max("v").as("mv"))),
+          "k")
+        .selectExpr("sum(v + mv)")
+        .collect()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")
+      cached
+        .select(org.apache.spark.sql.functions.sum("v").over(w).as("rs"))
+        .agg(org.apache.spark.sql.functions.max("rs"))
+        .collect()
+      cached.unpersist(blocking = false)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     // the parquet-reader warm doubles as the machine-load SENTINEL: a fixed
     // scan whose wall-time a reader compares across rounds to separate
     // uniform host drift ("everything 1.3x slower, sentinel too") from plan
@@ -72,9 +101,19 @@ object Bench {
     // reconstruct with an idle-machine debugging session
     val listener = new graft.perf.MetricsListener
     spark.sparkContext.addSparkListener(listener)
+    // diagnostics (stack sampling is env-gated: it is for local root-cause
+    // hunts, not driver runs; JVM counters are cheap and always recorded
+    // into the detail artifact — they separate driver-side costs the
+    // executor-task telemetry cannot see, e.g. JIT/codegen churn)
+    val sampler = if (sys.env.contains("SPARK_GRAFT_BENCH_SAMPLE")) Some(new graft.perf.StackSampler()) else None
+    val profileOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE_OUT", "/tmp/bench_profile.txt")
+    val profileSink = sampler.map(_ => new java.io.PrintWriter(new java.io.FileWriter(profileOut)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // SPARK_GRAFT_BENCH_ONLY=q53_dedup_corpus,q65_... isolates queries for
     // regression debugging in a fresh JVM; unset = full contract (driver use)
+    // 3-decimal rounding keeps the one-line JSON short enough that a
+    // tail-capped log capture does not truncate the head of the line
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -111,6 +150,8 @@ object Bench {
         System.gc()
         elapsed
       }
+      val jvm0 = graft.perf.JvmMetrics.snapshot()
+      sampler.foreach(_.start())
       val r1 = rep()
       // second rep with telemetry deltas; reporting min-of-2 makes the
       // per-query number robust to one-off host-load spikes (the r2->r3->r4
@@ -124,23 +165,41 @@ object Bench {
         listener.executorCpuTimeMs.get - cpu0,
         listener.jvmGcTimeMs.get - gc0)
       val wall = if (r1 >= 0 && r2 >= 0) math.min(r1, r2) else math.max(r1, r2)
-      (name, wall, r1, r2, tele)
+      sampler.foreach { s =>
+        s.stop()
+        // only slow queries earn a stack report — the interesting signal is
+        // "what were threads doing during the queries whose wall exceeds
+        // cpu+gc", and fast queries just add noise to the file
+        if (math.max(r1, r2) > 1.5) profileSink.foreach { w =>
+          w.println(s"==== $name r1=${fmt(r1)} r2=${fmt(r2)} ====")
+          s.top(30).foreach { case (k, n) => w.println(f"$n%6d  $k") }
+          w.flush()
+        }
+      }
+      val jvm1 = graft.perf.JvmMetrics.snapshot()
+      val jvmDelta = jvm1.map { case (k, v) => k -> (v - jvm0.getOrElse(k, 0L)) }
+      Console.err.println(f"bench: $name r1=${fmt(r1)} r2=${fmt(r2)} " +
+        f"heap=${jvm1("heap_mb")}M meta=${jvm1("metaspace_mb")}M cc=${jvm1("codecache_mb")}M " +
+        f"dJit=${jvmDelta("jit_ms")}ms dClasses=${jvmDelta("classes_total")}")
+      (name, wall, r1, r2, tele, jvmDelta, jvm1)
     }
+    profileSink.foreach(_.close())
     spark.sparkContext.removeSparkListener(listener)
-    // 3-decimal rounding keeps the one-line JSON short enough that a
-    // tail-capped log capture does not truncate the head of the line
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // reps = both raw walls (variance is quantifiable from the artifact
-    // alone); run/cpu/gc are the SECOND rep's executor-task deltas
-    val teleJson = results.map { case (k, _, r1, r2, (run, cpu, gc)) =>
+    // alone); run/cpu/gc are the SECOND rep's executor-task deltas; jvm_*
+    // are driver-JVM deltas across both reps (jit/class churn) + absolute
+    // occupancy after the query (heap/metaspace/codecache)
+    val teleJson = results.map { case (k, _, r1, r2, (run, cpu, gc), jd, j1) =>
       s"\"" + k + "\":{\"reps\":[" + fmt(r1) + "," + fmt(r2) +
-        s"],\"run_ms\":$run,\"cpu_ms\":$cpu,\"gc_ms\":$gc}"
+        s"],\"run_ms\":$run,\"cpu_ms\":$cpu,\"gc_ms\":$gc" +
+        s",\"jit_ms\":${jd("jit_ms")},\"classes\":${jd("classes_total")}" +
+        s",\"heap_mb\":${j1("heap_mb")},\"meta_mb\":${j1("metaspace_mb")},\"cc_mb\":${j1("codecache_mb")}}"
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errors.size},"warmup_sec":${fmt(warmupSec)},"telemetry":$teleJson,"sf":"$sfDir"}"""
     // The full artifact (long names, reps, telemetry) runs ~10 KB — far past
@@ -152,12 +211,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException => Console.err.println(s"bench: could not write $out: $e") }
-    val shortQs = results.map { case (k, v, _, _, _) =>
+    val shortQs = results.map { case (k, v, _, _, _, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
+    // stop Spark BEFORE printing: its shutdown logs (stderr) otherwise race
+    // past the JSON in a merged-stream capture, and the driver parses the
+    // FINAL line of the captured tail — the compact line must be the last
+    // thing this process emits on stdout
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"failed":${errors.size},"warmup_sec":${fmt(warmupSec)},"sf":"$sfDir","detail":"$out"}""")
     Console.out.flush()
-    spark.stop()
   }
 }

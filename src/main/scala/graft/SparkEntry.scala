@@ -114,6 +114,7 @@ object SparkEntry {
     "q94_knn_ivf_trained" -> (Pipeline.knnIvfTrained _),
     "q95_incremental_simhash" -> (Pipeline.incrementalSimhashDedup _),
     "q96_dedup_savings" -> (Pipeline.dedupSavingsReport _),
+    "q97_streaming_admission" -> (Pipeline.streamingNearDupAdmission _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -149,7 +150,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q06_not_exists_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '1998-01-01')
         |ORDER BY c_custkey""".stripMargin,
     "q07_having_supplier_volume" ->
       """SELECT * FROM (
@@ -1318,6 +1320,28 @@ object SparkEntry {
           |    USING (doc_id)
           |  GROUP BY c.cluster_id)
           |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+    // the stream path's admitted set == arriving docs minus q64's matched
+    // delta ids (same LSH family, same ≤50 bucket cap on the corpus index);
+    // docs with no shingles (null/empty text) can match nothing → admitted
+    "q97_streaming_admission" ->
+      ("WITH " + lshPrefixCtes("documents") + ",\n" +
+        """cbuck AS (
+          |  SELECT band, bkey, list(doc_id) AS cids
+          |  FROM banded WHERE doc_id % 10 <> 0
+          |  GROUP BY band, bkey HAVING count(*) <= 50),
+          |cand AS (
+          |  SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
+          |  FROM banded d JOIN cbuck cb ON d.band = cb.band AND d.bkey = cb.bkey
+          |  WHERE d.doc_id % 10 = 0),
+          |matched AS (
+          |  SELECT DISTINCT delta_id FROM (
+          |    SELECT p.delta_id,
+          |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+          |    FROM cand p JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
+          |  WHERE jaccard >= 0.5)
+          |SELECT doc_id, source FROM documents
+          |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT delta_id FROM matched)
+          |ORDER BY doc_id""".stripMargin),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

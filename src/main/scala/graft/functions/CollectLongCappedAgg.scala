@@ -6,6 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -45,6 +46,17 @@ case class CollectLongCapped(
   extends TypedImperativeAggregate[CappedLongBuffer] with UnaryLike[Expression] {
 
   require(maxKeep > 0, s"maxKeep must be positive, got $maxKeep")
+
+  // Analysis-time contract: the child must be BIGINT. Without this, a
+  // string-typed column reaches update()'s asInstanceOf[Long] and fails as
+  // a ClassCastException at executor time; with it, anything else is a
+  // clean analysis error at plan time. (ExpectsInputTypes would be the
+  // idiomatic spelling, but its Seq[AbstractDataType] signature is
+  // private[sql] in Spark 4.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"collect_long_capped requires a BIGINT column, got ${child.dataType.simpleString}; cast the id to long")
 
   override def createAggregationBuffer(): CappedLongBuffer =
     new CappedLongBuffer(0L, ArrayBuffer.empty[Long])
@@ -118,11 +130,17 @@ object CollectLongCapped {
       "built-in")
 
   /** `struct(total, ids)` of the group: true count + at most `maxKeep`
-    * collected values of Long-typed `c`.
+    * collected values of Long-typed `c`. Registers the function on the
+    * session that owns the calling DataFrame — pass it explicitly; the
+    * no-session overload falls back to `SparkSession.active`, which is only
+    * safe in single-session use.
     */
-  def collectCapped(c: Column, maxKeep: Int): Column = {
-    register(SparkSession.active)
+  def collectCapped(spark: SparkSession, c: Column, maxKeep: Int): Column = {
+    register(spark)
     org.apache.spark.sql.functions.call_function(
       "collect_long_capped", c, org.apache.spark.sql.functions.lit(maxKeep))
   }
+
+  def collectCapped(c: Column, maxKeep: Int): Column =
+    collectCapped(SparkSession.active, c, maxKeep)
 }

@@ -51,7 +51,13 @@ object Lineage {
         .select(
           col("seed"),
           col("_dst").as("node"),
-          lit(depth).as("depth"),
+          // depth + 1 from the carried column, NOT lit(depth): an inlined
+          // Int literal changes the generated codegen source every round,
+          // so each iteration Janino-compiles (and the JVM then JITs) a
+          // fresh class per stage — ~2k classes over one q27 run, pure
+          // suite tax. The column form generates identical source each
+          // round and hits the codegen cache from round 2 on.
+          (col("depth") + 1).as("depth"),
           concat(col("path"), array(col("_dst"))).as("path"))
       // localCheckpoint truncates the growing lineage chain so the plan does
       // not deepen linearly with iterations (classic iterative-Spark pitfall).

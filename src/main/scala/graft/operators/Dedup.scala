@@ -171,12 +171,15 @@ object Dedup {
       case org.apache.spark.sql.types.LongType =>
         df.groupBy(keyCols: _*)
           .agg(graft.functions.CollectLongCapped
-            .collectCapped(col(idCol), maxSize).as("_bucket"))
+            .collectCapped(df.sparkSession, col(idCol), maxSize).as("_bucket"))
           .where(col("_bucket.total").between(minSize, maxSize))
           .select(keyCols :+ col("_bucket.ids").as("ids"): _*)
       case _ =>
+        // count(idCol), not count(*): the Long branch's aggregate counts only
+        // non-null ids, and the two branches must agree on whether a group
+        // with null ids passes the size filter
         val keep = df.groupBy(keyCols: _*)
-          .agg(count(lit(1)).as("_bs"))
+          .agg(count(col(idCol)).as("_bs"))
           .where(col("_bs").between(minSize, maxSize))
           .select(keyCols: _*)
         df.join(keep, keys, "left_semi")

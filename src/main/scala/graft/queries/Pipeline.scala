@@ -915,4 +915,40 @@ object Pipeline {
         minCosine = 0.25, nPlanes = 8, maxBucketSize = 200)
       .orderBy(col("eval_id"))
   }
+
+  /** q97 — streaming near-dup admission, certified through the STREAM path
+    * itself (q64 certifies the batch twin of the same index probe): the
+    * arriving docs (doc_id % 10 = 0, q64's delta split) are written as a
+    * parquet drop directory, streamed through
+    * [[graft.streaming.DocStream.nearDupAdmission]] against the capped
+    * MinHash corpus index built from the rest, and the admitted survivors
+    * land in a parquet sink that is read back for the oracle compare. The
+    * admitted set is micro-batch-partitioning invariant (each document's
+    * verdict depends only on the static index), so the result is
+    * deterministic however the file source batches the drop.
+    */
+  def streamingNearDupAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val corpus = d.where(col("doc_id") % 10 =!= 0)
+    val arriving = d.where(col("doc_id") % 10 === 0)
+    val index = DocStream.minhashCorpusIndex(
+      corpus, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, maxBucketSize = 50)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q97_").toString
+    val dropDir = s"$tmp/drops"
+    val admittedDir = s"$tmp/admitted"
+    val checkpoint = s"$tmp/checkpoint"
+    arriving.write.parquet(dropDir)
+    val stream = spark.readStream.schema(arriving.schema).parquet(dropDir)
+    val query = DocStream.nearDupAdmission(stream, index, checkpoint, minJaccard = 0.5) {
+      (admitted, _) => admitted.write.mode("append").parquet(admittedDir)
+    }
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.read.parquet(admittedDir)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -115,11 +115,17 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** q06 — NOT EXISTS as a left-anti join (same reference site). */
+  /** q06 — NOT EXISTS as a left-anti join (same reference site). The
+    * correlated predicate is scoped to a date window ("no orders placed in
+    * 1998") so the result is non-empty at every test scale factor: the
+    * unscoped variant returns zero rows on TPC-H-shaped data (every
+    * customer in `orders` exists in `customer`), which certifies nothing —
+    * a 0=0 oracle match would pass even if the anti-join were broken. */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val recent = t.orders.where(col("o_orderdate") >= to_date(lit("1998-01-01")))
     t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
   }

@@ -190,7 +190,9 @@ object DocStream {
       stream: DataFrame,
       index: DataFrame,
       checkpoint: String,
-      minJaccard: Double = 0.5)(
+      minJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text")(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val meta = index.schema("band").metadata
@@ -204,16 +206,18 @@ object DocStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sigged = Dedup.sigDocs(batch, "doc_id", "text", shingleN, numHashes)
+        // sigDocs canonicalizes idCol to "doc_id" internally; the final
+        // anti-join maps it back so callers with renamed columns work
+        val sigged = Dedup.sigDocs(batch, idCol, textCol, shingleN, numHashes)
         val dupIds = Dedup.bandFrame(sigged, numBands, numHashes / numBands)
           .join(index, Seq("band", "band_hash"))
           .join(sigged.select(col("doc_id"), col("shingle_set")), Seq("doc_id"))
           .where(
             size(array_intersect(col("shingle_set"), col("c_set"))).cast("double") /
               size(array_union(col("shingle_set"), col("c_set"))).cast("double") >= minJaccard)
-          .select(col("doc_id"))
+          .select(col("doc_id").as("_dup_id"))
           .distinct()
-        sink(batch.join(dupIds, Seq("doc_id"), "left_anti"), batchId)
+        sink(batch.join(dupIds, batch(idCol) === col("_dup_id"), "left_anti"), batchId)
       }
       .start()
   }

@@ -16,15 +16,6 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** File-based event stream from a directory of parquet drops.
-    *
-    * File streams cannot infer schemas, and the events `ts` encoding has
-    * varied across data generators (TIMESTAMP(NANOS)-as-int64 vs plain
-    * timestamp[us] / TIMESTAMP_NTZ), so probe the existing files' footers
-    * with one batch-read schema resolution and branch — nanos-as-long gets
-    * the integer-`div` truncation (as in graft.core.Tables.events), real
-    * timestamps get a session-TZ cast.
-    */
   /** The events schema assumed when the drop directory has no files yet to
     * probe (a stream typically starts before its first drop arrives):
     * microsecond timestamps, the current generator encoding.
@@ -37,6 +28,22 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-based event stream from a directory of parquet drops.
+    *
+    * File streams cannot infer schemas, and the events `ts` encoding has
+    * varied across data generators (TIMESTAMP(NANOS)-as-int64 vs plain
+    * timestamp[us] / TIMESTAMP_NTZ), so probe the existing files' footers
+    * with one batch-read schema resolution and branch — nanos-as-long gets
+    * the integer-`div` truncation (as in graft.core.Tables.events), real
+    * timestamps get a session-TZ cast.
+    *
+    * Caveat (documented assumption): the probe runs ONCE at stream start.
+    * If the directory is empty then, [[eventSchemaMicros]] — the current
+    * generator encoding — is assumed for the stream's lifetime; files that
+    * later arrive with the legacy nanos-as-int64 encoding would be misread
+    * (no conversion branch was selected). Start such streams after the
+    * first drop lands, or pass a dir seeded with one representative file.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // harmless for real-timestamp files; required to resolve TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
