@@ -20,7 +20,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // sized ABOVE the whole suite's distinct codegen sources: an evicted
+      // entry means a Janino recompile whose load-lock gates every task of
+      // the stage needing it — cheap on an idle host, a stage-wide stall on
+      // a contended one (the class of tax behind BENCH_r07's q52)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.file.transferTo", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

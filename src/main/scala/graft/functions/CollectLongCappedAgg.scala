@@ -116,6 +116,123 @@ case class CollectLongCapped(
     copy(child = newChild)
 }
 
+/** Mutable buffer for [[CollectStringCapped]]: TRUE group count + at most
+  * `maxKeep` collected strings.
+  */
+final class CappedStringBuffer(
+    var total: Long,
+    val ids: ArrayBuffer[org.apache.spark.unsafe.types.UTF8String])
+
+/** [[CollectLongCapped]] for string keys — the same bounded-buffer,
+  * single-shuffle contract over STRING ids (document URLs, content hashes,
+  * composite keys), closing the cap-discipline asymmetry where non-Long ids
+  * previously fell back to a two-pass count-first + semi-join shape
+  * (measured ~1.5× on the q65 pipeline for the Long case).
+  */
+case class CollectStringCapped(
+    child: Expression,
+    maxKeep: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedStringBuffer] with UnaryLike[Expression] {
+
+  require(maxKeep > 0, s"maxKeep must be positive, got $maxKeep")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"collect_string_capped requires a STRING column, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): CappedStringBuffer =
+    new CappedStringBuffer(0L, ArrayBuffer.empty)
+
+  override def update(b: CappedStringBuffer, input: InternalRow): CappedStringBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      b.total += 1L
+      // clone: the UTF8String handed out by a columnar/unsafe row is a view
+      // into a buffer the reader reuses for the next row
+      if (b.ids.length < maxKeep)
+        b.ids += v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+    }
+    b
+  }
+
+  override def merge(b: CappedStringBuffer, o: CappedStringBuffer): CappedStringBuffer = {
+    b.total += o.total
+    var i = 0
+    while (b.ids.length < maxKeep && i < o.ids.length) {
+      b.ids += o.ids(i)
+      i += 1
+    }
+    b
+  }
+
+  override def eval(b: CappedStringBuffer): Any =
+    InternalRow(b.total, new GenericArrayData(b.ids.toArray[Any]))
+
+  override def serialize(b: CappedStringBuffer): Array[Byte] = {
+    val payload = b.ids.map(_.getBytes)
+    val bb = ByteBuffer.allocate(8 + 4 + payload.map(4 + _.length).sum)
+    bb.putLong(b.total)
+    bb.putInt(payload.length)
+    payload.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedStringBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val total = bb.getLong()
+    val n = bb.getInt()
+    val ids = new ArrayBuffer[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val p = new Array[Byte](bb.getInt())
+      bb.get(p)
+      ids += org.apache.spark.unsafe.types.UTF8String.fromBytes(p)
+      i += 1
+    }
+    new CappedStringBuffer(total, ids)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("ids", ArrayType(StringType, containsNull = false), nullable = false)))
+
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_string_capped"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectStringCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectStringCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CollectStringCapped =
+    copy(child = newChild)
+}
+
+object CollectStringCapped {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_string_capped",
+      exprs => CollectStringCapped(
+        exprs.head,
+        exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => other.toString.toInt
+        }),
+      "built-in")
+
+  /** `struct(total, ids)` of the group: true count + at most `maxKeep`
+    * collected values of String-typed `c`.
+    */
+  def collectCapped(spark: SparkSession, c: Column, maxKeep: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "collect_string_capped", c, org.apache.spark.sql.functions.lit(maxKeep))
+  }
+}
+
 object CollectLongCapped {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -157,8 +157,10 @@ object Dedup {
     * (a count-first + semi-join reshape is equally safe but measured ~1.5×
     * on the q65 curation pipeline — an extra aggregation and join pass).
     * Groups passing the true-count filter are never truncated, so results
-    * are identical to the unbounded formulation. Non-Long ids take the
-    * count-first + left-semi route (same semantics, two passes).
+    * are identical to the unbounded formulation. String ids use the same
+    * bounded single-pass shape via [[graft.functions.CollectStringCapped]];
+    * any other id type takes the count-first + left-semi route (same
+    * semantics, two passes).
     */
   private def cappedIdBuckets(
       df: DataFrame,
@@ -171,6 +173,12 @@ object Dedup {
       case org.apache.spark.sql.types.LongType =>
         df.groupBy(keyCols: _*)
           .agg(graft.functions.CollectLongCapped
+            .collectCapped(df.sparkSession, col(idCol), maxSize).as("_bucket"))
+          .where(col("_bucket.total").between(minSize, maxSize))
+          .select(keyCols :+ col("_bucket.ids").as("ids"): _*)
+      case org.apache.spark.sql.types.StringType =>
+        df.groupBy(keyCols: _*)
+          .agg(graft.functions.CollectStringCapped
             .collectCapped(df.sparkSession, col(idCol), maxSize).as("_bucket"))
           .where(col("_bucket.total").between(minSize, maxSize))
           .select(keyCols :+ col("_bucket.ids").as("ids"): _*)

@@ -52,4 +52,36 @@ class CollectLongCappedSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), array_sort(collect_list($"id")).as("ids"))
     assert(capped.except(plain).isEmpty && plain.except(capped).isEmpty)
   }
+
+  test("non-long input is a clean analysis-time error, not an executor crash") {
+    val df = Seq(("x", "a")).toDF("id", "k")
+    val e = intercept[Exception] {
+      df.groupBy($"k").agg(CollectLongCapped.collectCapped($"id", 3).as("b")).collect()
+    }
+    assert(e.getMessage.contains("BIGINT"), s"got: ${e.getMessage}")
+  }
+
+  test("string variant: true counts, bounded buffers, unbounded equivalence") {
+    val df = (1 to 500).map(i => (s"doc-$i", s"k${i % 37}")).toDF("id", "k") // within cap
+      .union(Seq.tabulate(100)(i => (s"hot-$i", "hot")).toDF("id", "k")) // overflows cap
+    val out = df.groupBy($"k")
+      .agg(CollectStringCapped.collectCapped(spark, $"id", 50).as("b"))
+      .select($"k", $"b.total".as("n"), array_sort($"b.ids").as("ids"))
+    val hot = out.where($"k" === "hot").head()
+    assert(hot.getLong(1) == 100L && hot.getSeq[String](2).length == 50)
+    val capped = out.where($"k" =!= "hot")
+    val plain = df.where($"k" =!= "hot").groupBy($"k")
+      .agg(count(lit(1)).as("n"), array_sort(collect_list($"id")).as("ids"))
+    assert(capped.except(plain).isEmpty && plain.except(capped).isEmpty)
+  }
+
+  test("string variant survives serialize/merge round-trips with many partitions") {
+    val df = (1 to 300).map(i => (s"v$i", "one")).toDF("id", "k").repartition(13)
+    val r = df.groupBy($"k")
+      .agg(CollectStringCapped.collectCapped(spark, $"id", 9).as("b"))
+      .select($"b.total", $"b.ids")
+      .head()
+    assert(r.getLong(0) == 300L && r.getSeq[String](1).length == 9)
+    assert(r.getSeq[String](1).forall(_.startsWith("v")), "buffer values must round-trip intact")
+  }
 }

@@ -42,6 +42,24 @@ class DedupSpec extends SparkSpec {
       "doc 4 shares almost nothing and must not pair")
   }
 
+  test("minhash LSH with STRING ids takes the single-pass capped path and matches Long-id results") {
+    val sdocs = docs.select(
+      concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    val spairs = Dedup
+      .minhashNearDuplicates(sdocs, "doc_id", "text",
+        numHashes = 16, numBands = 8, shingleN = 1, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val lpairs = Dedup
+      .minhashNearDuplicates(docs, "doc_id", "text",
+        numHashes = 16, numBands = 8, shingleN = 1, minJaccard = 0.5)
+      .collect()
+      .map(r => (s"doc-${r.getLong(0)}", s"doc-${r.getLong(1)}"))
+      .toSet
+    assert(spairs == lpairs, s"string-id pairs $spairs must mirror long-id pairs $lpairs")
+  }
+
   test("ngramJaccard computes exact unigram jaccard") {
     // docs 1 and 2: 8 distinct tokens each, 7 shared, union 9 → 7/9.
     val exact = Dedup
