@@ -118,12 +118,17 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Decimal→double finals of scale ≥ 4 go through a VARCHAR hop: DuckDB's
+    // direct DECIMAL(38,s)→DOUBLE cast is not correctly rounded once the
+    // scaled integer exceeds 2^53 (first bites at sf1: q01 sum_charge's
+    // 52,070,921,267.512730 came out ...512726), while both Spark's
+    // Decimal.toDouble and DuckDB's VARCHAR→DOUBLE parse round correctly.
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -134,7 +139,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q03_join_revenue_by_segment" ->
       """SELECT c_mktsegment,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(DISTINCT o_orderkey) AS n_orders,
         |  COUNT(*) AS n_lineitems
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
@@ -255,7 +260,7 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice < 50000.0 THEN 'low' WHEN o_totalprice < 200000.0 THEN 'mid' ELSE 'high' END AS price_band,
         |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
-        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(38,4)) AS DOUBLE) AS fee,
+        |  CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS fee,
         |  CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS priority_rank
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q19_date_rollup" ->
@@ -516,7 +521,7 @@ object SparkEntry {
         |  total_norm / CAST(n_vectors AS DOUBLE) AS avg_norm
         |FROM (
         |  SELECT label, COUNT(*) AS n_vectors, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
-        |    CAST(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_norm
+        |    CAST(CAST(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS total_norm
         |  FROM (
         |    SELECT label, sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
         |    FROM embeddings)

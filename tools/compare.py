@@ -71,7 +71,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
+        if Path(p).is_dir():  # Spark-written table (e.g. a ScaleData sf1 dir)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif Path(p).exists():  # driver-generated single file
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = n_skip = 0
     for name in sorted(d.name for d in out_dir.iterdir() if d.is_dir()):
