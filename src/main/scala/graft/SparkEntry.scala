@@ -115,6 +115,7 @@ object SparkEntry {
     "q95_incremental_simhash" -> (Pipeline.incrementalSimhashDedup _),
     "q96_dedup_savings" -> (Pipeline.dedupSavingsReport _),
     "q97_streaming_admission" -> (Pipeline.streamingNearDupAdmission _),
+    "q98_streaming_token_budget" -> (Pipeline.streamingTokenBudgetAdmission _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1347,6 +1348,22 @@ object SparkEntry {
           |SELECT doc_id, source FROM documents
           |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT delta_id FROM matched)
           |ORDER BY doc_id""".stripMargin),
+    // single-drop stream == the q86 batch rule verbatim (per-source
+    // (sha60 rank, id) order, admit while the budget is not yet exhausted)
+    "q98_streaming_token_budget" ->
+      """WITH x AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+        |  FROM documents),
+        |y AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM x)
+        |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM y WHERE cum_tokens - n_tokens < 1000
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -951,4 +951,38 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
+
+  /** q98 — streaming token-budget admission certified through the STREAM
+    * path (q86 certifies the batch twin): the documents table arrives as a
+    * parquet drop, flows through [[graft.streaming.DocStream
+    * .tokenBudgetAdmission]] (flatMapGroupsWithState: one Long of budget
+    * state per source), and the admitted parquet sink is read back. The
+    * drop is processed as one micro-batch, where the stream's per-source
+    * (Sha60 rank, id) admission order is bit-equal to the batch operator's
+    * — so q86's oracle SQL certifies the stream verbatim; cross-batch
+    * carryover (arrival-order semantics) stays spec-gated in
+    * StreamingSpec, as no batch SQL can express arrival order.
+    */
+  def streamingTokenBudgetAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q98_").toString
+    val dropDir = s"$tmp/drops"
+    val admittedDir = s"$tmp/admitted"
+    val checkpoint = s"$tmp/checkpoint"
+    d.write.parquet(dropDir)
+    val stream = spark.readStream.schema(d.schema).parquet(dropDir)
+    val query = DocStream.tokenBudgetAdmission(stream, budget = 1000L)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", admittedDir)
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.read.parquet(admittedDir)
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
 }
