@@ -41,6 +41,25 @@ object Lineage {
       .withColumn("depth", lit(0))
       .withColumn("path", array(col("seed")))
     var acc = frontier.where(lit(false)) // empty, same schema
+    // localCheckpoint generations are released DETERMINISTICALLY (the same
+    // discipline as the connected-components loop, Dedup.scala): each
+    // round's eager checkpoint pins its blocks until GC + ContextCleaner
+    // get to them, so the loop otherwise holds O(depth) frontier
+    // generations in storage memory for the rest of the query — pure GC /
+    // storage pressure in a many-query session. The checkpointed RDD is
+    // not publicly reachable from the Dataset, so track it by
+    // persistent-RDD-id delta (single-threaded here; no concurrent
+    // persists).
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager: materialized on return
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var frontierIds = Set.empty[Int]
+    var accIds = Set.empty[Int]
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
@@ -61,11 +80,22 @@ object Lineage {
           concat(col("path"), array(col("_dst"))).as("path"))
       // localCheckpoint truncates the growing lineage chain so the plan does
       // not deepen linearly with iterations (classic iterative-Spark pitfall).
-      frontier = next.localCheckpoint(eager = true)
-      if (frontier.isEmpty) done = true
-      else acc = acc.unionByName(frontier)
+      val (newFrontier, nfIds) = checkpointTracked(next)
+      if (newFrontier.isEmpty) { release(nfIds); done = true }
+      else {
+        // fold the frontier into a checkpointed accumulator, then release
+        // the superseded acc + frontier generations: both are fully copied
+        // into newAcc's materialized blocks, so live storage is bounded at
+        // ~2 generations instead of all `depth` of them
+        val (newAcc, naIds) = checkpointTracked(acc.unionByName(newFrontier))
+        release(accIds)
+        release(frontierIds)
+        acc = newAcc; accIds = naIds
+        frontier = newFrontier; frontierIds = nfIds
+      }
     }
-    // Every kept frontier is localCheckpointed (materialized), so the edge
+    release(frontierIds) // acc holds its rows; the last frontier is superseded
+    // Every kept row set is localCheckpointed (materialized), so the edge
     // cache is no longer referenced by the result — release it.
     e.unpersist()
     acc
