@@ -116,6 +116,7 @@ object SparkEntry {
     "q96_dedup_savings" -> (Pipeline.dedupSavingsReport _),
     "q97_streaming_admission" -> (Pipeline.streamingNearDupAdmission _),
     "q98_streaming_token_budget" -> (Pipeline.streamingTokenBudgetAdmission _),
+    "q99_boilerplate_removal" -> (Pipeline.boilerplateRemoval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1364,6 +1365,38 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM y WHERE cum_tokens - n_tokens < 1000
         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+    // boilerplate-chunk removal: q74's chunk convention (20 normalized
+    // tokens, md5-keyed df), chunks in >2 distinct docs dropped, text
+    // rebuilt from survivors in chunk order (string_agg ORDER BY k ≡
+    // Spark's index-filter HOF rebuild); a fully-boilerplate doc keeps its
+    // row with '' text
+    "q99_boilerplate_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, (len(t) - 1) // 20)) AS k FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, k, array_to_string(list_slice(t, k * 20 + 1, k * 20 + 20), ' ') AS chunk
+        |  FROM idx),
+        |hashes AS (SELECT doc_id, k, chunk, md5(chunk) AS chunk_hash FROM chunks),
+        |freq AS (
+        |  SELECT chunk_hash, COUNT(*) AS nd
+        |  FROM (SELECT DISTINCT doc_id, chunk_hash FROM hashes) GROUP BY chunk_hash),
+        |bp AS (SELECT chunk_hash FROM freq WHERE nd > 2),
+        |kept AS (
+        |  SELECT doc_id, k, chunk FROM hashes
+        |  WHERE chunk_hash NOT IN (SELECT chunk_hash FROM bp)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY k) AS clean_text,
+        |    CAST(COUNT(*) AS BIGINT) AS n_chunks_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM hashes GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |  COALESCE(a.n_chunks_kept, 0) AS n_chunks_kept,
+        |  t.n_chunks - COALESCE(a.n_chunks_kept, 0) AS n_chunks_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

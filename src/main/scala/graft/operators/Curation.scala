@@ -454,15 +454,15 @@ object Curation {
     * chunk text. Within-document repetition does not count as duplication:
     * the frequency side is distinct (doc, chunk) pairs.
     */
-  def chunkDedupStats(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      chunkSize: Int = 20): DataFrame = {
-    require(chunkSize > 0, "chunkSize must be positive")
-    // bindOnce: the tokenizing split must not re-run per chunk (no CSE
-    // inside HOF lambdas — see TextFunctions.bindOnce)
-    val chunks = graft.functions.TextFunctions.bindOnce(tokens(col(textCol))) { toks =>
+  /** Consecutive `chunkSize`-token chunks of the normalized text (last one
+    * partial) — the shared convention of [[chunkDedupStats]] and
+    * [[removeBoilerplateChunks]]. Assembled per-row with `sequence`/`slice`
+    * (codegen; ~tokens/chunkSize rows when exploded, not one per token);
+    * bindOnce: the tokenizing split must not re-run per chunk (no CSE
+    * inside HOF lambdas — see TextFunctions.bindOnce).
+    */
+  private def chunkArray(text: Column, chunkSize: Int): Column =
+    graft.functions.TextFunctions.bindOnce(tokens(text)) { toks =>
       // (size-1) div chunkSize: Column./ is double division, so truncate the
       // non-negative quotient back to the integral chunk-index bound
       val lastChunk = ((size(toks) - lit(1)) / lit(chunkSize)).cast("int")
@@ -470,6 +470,14 @@ object Curation {
         sequence(lit(0), lastChunk),
         k => concat_ws(" ", slice(toks, k * chunkSize + lit(1), lit(chunkSize))))
     }
+
+  def chunkDedupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 20): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val chunks = chunkArray(col(textCol), chunkSize)
     val perChunk = df
       .select(col(idCol).as("doc_id"), explode(chunks).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
@@ -486,6 +494,62 @@ object Curation {
       .withColumn(
         "dup_chunk_frac",
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Boilerplate-chunk REMOVAL — the curation action the [[chunkDedupStats]]
+    * profile motivates (C4 drops repeated three-sentence spans, RefinedWeb /
+    * Dolma drop duplicated lines; here the unit is the same `chunkSize`-token
+    * chunk as q74): a chunk is BOILERPLATE when its exact content occurs in
+    * more than `maxDocs` distinct documents, and each document's text is
+    * rebuilt from its surviving chunks in original order (normalized
+    * whitespace, the corpus-wide convention).
+    *
+    * Scale shape: discovery is ids+hashes only — the rows that shuffle carry
+    * (doc_id, chunk_idx, md5); the boilerplate vocabulary (high-df chunks, a
+    * small set by construction) semi-joins them to per-doc DROP positions,
+    * whose collect_list is bounded by chunks-per-document (a per-doc bound,
+    * not a bucket key — the skew class the LSH caps exist for cannot arise);
+    * and the text attaches LAST, rebuilt per-row by an index-filter HOF from
+    * a second scan of the source — chunk text itself never shuffles.
+    *
+    * Output: (doc_id, clean_text, n_chunks_kept, n_chunks_dropped); a fully
+    * boilerplate document keeps its row with empty text, so the caller
+    * decides whether to gate it out.
+    */
+  def removeBoilerplateChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 20,
+      maxDocs: Int = 2): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(maxDocs >= 1, "maxDocs must be at least 1")
+    val hashRows = df.select(
+      col(idCol).as("doc_id"),
+      posexplode(transform(chunkArray(col(textCol), chunkSize), c => md5(c))))
+      .toDF("doc_id", "chunk_idx", "chunk_hash")
+    val boilerplate = hashRows
+      .select(col("doc_id"), col("chunk_hash"))
+      .distinct()
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select(col("chunk_hash"))
+    val dropPositions = hashRows
+      .join(boilerplate, Seq("chunk_hash"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("drop_idx"))
+    df.select(col(idCol).as("doc_id"), chunkArray(col(textCol), chunkSize).as("chunks"))
+      .join(dropPositions, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        array_join(
+          filter(col("chunks"), (c, i) =>
+            !array_contains(coalesce(col("drop_idx"), array().cast("array<int>")), i)),
+          " ").as("clean_text"),
+        (size(col("chunks")) - coalesce(size(col("drop_idx")), lit(0)))
+          .cast("long").as("n_chunks_kept"),
+        coalesce(size(col("drop_idx")), lit(0)).cast("long").as("n_chunks_dropped"))
   }
 
   /** Per-document keyword extraction by tf/df score: a token's score is its

@@ -535,6 +535,16 @@ object Pipeline {
       chunkSize = 20)
       .orderBy(col("doc_id"))
 
+  /** q99 — boilerplate-chunk removal: chunks occurring in more than 2
+    * distinct documents are dropped and each document's text is rebuilt from
+    * the survivors ([[Curation.removeBoilerplateChunks]] — the C4/RefinedWeb
+    * duplicated-span removal, acting on the q74 profile's chunk unit).
+    */
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame =
+    Curation.removeBoilerplateChunks(Tables(spark, dir).documents, "doc_id", "text",
+      chunkSize = 20, maxDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** q75 — per-document keyword extraction: top 3 tokens by tf/df score
     * ([[Curation.keywordExtract]] — tf·idf ordering from integer-exact
     * division, no engine-dependent logarithm).

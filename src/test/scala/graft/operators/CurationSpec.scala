@@ -107,6 +107,43 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 == 0L && out(3L)._2 == 0L && out(5L)._2 == 0L)
   }
 
+  test("removeBoilerplateChunks drops cross-doc chunks, keeps within-doc repeats, rebuilds in order") {
+    val out = Curation
+      .removeBoilerplateChunks(docs, "doc_id", "text", chunkSize = 3, maxDocs = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_chunks_kept"),
+          r.getAs[Long]("n_chunks_dropped")))
+      .toMap
+    // "alpha beta gamma" opens docs 1 and 6 -> boilerplate at maxDocs = 1
+    assert(out(1L) == (("delta", 1L, 1L)))
+    assert(out(6L) == (("again", 1L, 1L)))
+    // within-doc repetition is NOT boilerplate: doc 4's chunk repeats in one doc
+    assert(out(4L) == (("spam spam spam spam spam spam", 2L, 0L)))
+    // untouched docs survive verbatim (normalized whitespace)
+    assert(out(2L) == (("alpha beta epsilon zeta", 2L, 0L)))
+    assert(out(3L) == (("one two three four five six", 2L, 0L)))
+    assert(out(5L) == (("unique words only here now", 2L, 0L)))
+  }
+
+  test("removeBoilerplateChunks: fully-boilerplate doc keeps its row with empty text") {
+    val three = Seq(
+      (1L, "ALPHA  beta GAMMA tail one"), // normalization folds into the same chunk
+      (2L, "alpha beta gamma tail two"),
+      (3L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = Curation
+      .removeBoilerplateChunks(three, "doc_id", "text", chunkSize = 3, maxDocs = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_chunks_kept"),
+          r.getAs[Long]("n_chunks_dropped")))
+      .toMap
+    assert(out(1L) == (("tail one", 1L, 1L)))
+    assert(out(2L) == (("tail two", 1L, 1L)))
+    assert(out(3L) == (("", 0L, 1L)))
+  }
+
   test("keywordExtract ranks by tf/df with token tie-break and caps at k") {
     val out = Curation.keywordExtract(docs, "doc_id", "text", k = 2)
       .collect()
