@@ -137,8 +137,7 @@ object Dedup {
       .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle_set", "set_b"), Seq("id_b"))
       .withColumn(
         "jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+        graft.functions.SortedSetOverlap.jaccardFast(col("set_a"), col("set_b")))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -207,7 +206,13 @@ object Dedup {
       numHashes: Int): DataFrame =
     df.select(
         col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleN).as("shingle_set"))
+        // sorted-distinct ONCE PER DOCUMENT: the pair verify then runs the
+        // native SortedSetOverlap merge instead of building a hash set per
+        // candidate PAIR (array_intersect/array_union interpreted eval —
+        // profiled as a top executor stack of the q65 pipeline). MinHash
+        // minima are duplicate- and order-insensitive, so the signature is
+        // unchanged; jaccard over sets is representation-independent.
+        array_sort(array_distinct(shingles(col(textCol), shingleN))).as("shingle_set"))
       .where(size(col("shingle_set")) > 0)
       .select(
         col("doc_id"),
@@ -301,8 +306,7 @@ object Dedup {
         Seq("corpus_id"))
       .withColumn(
         "jaccard",
-        size(array_intersect(col("set_d"), col("set_c"))).cast("double") /
-          size(array_union(col("set_d"), col("set_c"))).cast("double"))
+        graft.functions.SortedSetOverlap.jaccardFast(col("set_d"), col("set_c")))
       .where(col("jaccard") >= minJaccard)
       .select(col("delta_id"), col("corpus_id"), col("jaccard"))
   }
@@ -827,12 +831,15 @@ object Dedup {
       shingleN: Int = 2): DataFrame = {
     val sets = docs.select(
       col(idCol).as("jid"),
-      array_distinct(shingles(col(textCol), shingleN)).as("jset"))
+      array_sort(array_distinct(shingles(col(textCol), shingleN))).as("jset"))
     pairs
       .join(sets.withColumnRenamed("jid", "id_a").withColumnRenamed("jset", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("jid", "id_b").withColumnRenamed("jset", "set_b"), Seq("id_b"))
-      .withColumn("n_intersect", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("n_union", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn(
+        "_overlap",
+        graft.functions.SortedSetOverlap.overlapFast(col("set_a"), col("set_b")))
+      .withColumn("n_intersect", col("_overlap.n_intersect"))
+      .withColumn("n_union", col("_overlap.n_union"))
       .withColumn(
         "jaccard",
         col("n_intersect").cast("double") / col("n_union").cast("double"))

@@ -213,8 +213,8 @@ object DocStream {
           .join(index, Seq("band", "band_hash"))
           .join(sigged.select(col("doc_id"), col("shingle_set")), Seq("doc_id"))
           .where(
-            size(array_intersect(col("shingle_set"), col("c_set"))).cast("double") /
-              size(array_union(col("shingle_set"), col("c_set"))).cast("double") >= minJaccard)
+            graft.functions.SortedSetOverlap
+              .jaccardFast(col("shingle_set"), col("c_set")) >= minJaccard)
           .select(col("doc_id").as("_dup_id"))
           .distinct()
         sink(batch.join(dupIds, batch(idCol) === col("_dup_id"), "left_anti"), batchId)

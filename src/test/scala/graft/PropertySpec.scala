@@ -294,4 +294,29 @@ class PropertySpec extends SparkSpec {
     assert(mismatches.isEmpty,
       s"kernel/HOF divergence on ${mismatches.length} fuzzed docs, first: ${mismatches.headOption}")
   }
+
+  test("SortedSetOverlap matches array_intersect/array_union on fuzzed sorted-distinct pairs") {
+    import graft.functions.TextFunctions.shingles
+    val texts = samples(fuzzDocGen, 400)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // pair doc i with doc i+200: arbitrary disjoint/overlapping unicode sets,
+    // including empty ones (both-empty yields n_union = 0 on both sides)
+    val sets = docs.select(
+      col("doc_id"),
+      array_sort(array_distinct(shingles(col("text"), 1))).as("s"))
+    val pairs = sets
+      .join(
+        sets.select((col("doc_id") - 200L).as("doc_id"), col("s").as("s2")),
+        Seq("doc_id"))
+    val mismatches = pairs
+      .select(
+        col("doc_id"),
+        graft.functions.SortedSetOverlap.overlapFast(col("s"), col("s2")).as("ov"),
+        size(array_intersect(col("s"), col("s2"))).as("bi"),
+        size(array_union(col("s"), col("s2"))).as("bu"))
+      .where(col("ov.n_intersect") =!= col("bi") || col("ov.n_union") =!= col("bu"))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"overlap/built-in divergence on ${mismatches.length} pairs, first: ${mismatches.headOption}")
+  }
 }
