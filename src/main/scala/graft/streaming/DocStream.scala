@@ -139,6 +139,12 @@ object DocStream {
     * [[embeddingCorpusIndex]] pattern): the probe side reads them with no
     * job, and a mismatched caller parameter — which would silently match
     * nothing and disable dedup — becomes impossible.
+    *
+    * `c_set` carries sigDocs' SORTED-DISTINCT shingle representation (the
+    * [[graft.functions.SortedSetOverlap]] precondition). A PERSISTED index
+    * must therefore be rebuilt, not reused, across engine versions that
+    * change the set convention — the probe side assumes the index was
+    * written by the same sigDocs.
     */
   def minhashCorpusIndex(
       corpus: DataFrame,
