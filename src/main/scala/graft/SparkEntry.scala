@@ -117,6 +117,7 @@ object SparkEntry {
     "q97_streaming_admission" -> (Pipeline.streamingNearDupAdmission _),
     "q98_streaming_token_budget" -> (Pipeline.streamingTokenBudgetAdmission _),
     "q99_boilerplate_removal" -> (Pipeline.boilerplateRemoval _),
+    "q100_incremental_clusters" -> (Pipeline.incrementalClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1397,6 +1398,60 @@ object SparkEntry {
         |  t.n_chunks - COALESCE(a.n_chunks_kept, 0) AS n_chunks_dropped
         |FROM tot t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // incremental cluster maintenance: the oracle certifies the merge ≡
+    // full-recompute invariant by re-clustering the UNION pair set (corpus
+    // LSH pairs + delta LSH pairs + q64 cross probe — each side's bucket
+    // cap applies to ITS OWN doc population, the incremental pipeline's
+    // semantics) with the q52 recursive closure
+    "q100_incremental_clusters" ->
+      ("WITH RECURSIVE " + lshPrefixCtes("documents") + ",\n" +
+        """cbkts AS (
+          |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
+          |  FROM banded WHERE doc_id % 10 <> 0
+          |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 50),
+          |ccand AS (
+          |  SELECT DISTINCT pr.a AS id_a, pr.b AS id_b FROM (
+          |    SELECT UNNEST(flatten(list_transform(range(1, CAST(len(ids) AS INTEGER)), i ->
+          |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
+          |    FROM cbkts)),
+          |dbkts AS (
+          |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
+          |  FROM banded WHERE doc_id % 10 = 0
+          |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 50),
+          |dcand AS (
+          |  SELECT DISTINCT pr.a AS id_a, pr.b AS id_b FROM (
+          |    SELECT UNNEST(flatten(list_transform(range(1, CAST(len(ids) AS INTEGER)), i ->
+          |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
+          |    FROM dbkts)),
+          |xbuck AS (
+          |  SELECT band, bkey, list(doc_id) AS cids
+          |  FROM banded WHERE doc_id % 10 <> 0
+          |  GROUP BY band, bkey HAVING count(*) <= 50),
+          |xcand AS (
+          |  SELECT DISTINCT d.doc_id AS id_a, unnest(cb.cids) AS id_b
+          |  FROM banded d JOIN xbuck cb ON d.band = cb.band AND d.bkey = cb.bkey
+          |  WHERE d.doc_id % 10 = 0),
+          |allcand AS (
+          |  SELECT id_a, id_b FROM ccand
+          |  UNION SELECT id_a, id_b FROM dcand
+          |  UNION SELECT id_a, id_b FROM xcand),
+          |dup AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT p.id_a, p.id_b,
+          |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+          |    FROM allcand p JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id)
+          |  WHERE jaccard >= 0.5),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM dup UNION SELECT id_b, id_a FROM dup),
+          |reach AS (
+          |  SELECT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+          |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+          |SELECT c.doc_id, c.cluster_id, s.cluster_size
+          |FROM comp c
+          |JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |      FROM comp GROUP BY cluster_id) s USING (cluster_id)
+          |ORDER BY c.doc_id""".stripMargin),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

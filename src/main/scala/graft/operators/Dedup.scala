@@ -711,6 +711,71 @@ object Dedup {
         sum(col("toks_dropped")).as("tokens_dropped"))
   }
 
+  /** Incremental cluster maintenance: fold a delta's near-dup pairs into an
+    * existing `(doc_id, cluster_id)` labeling WITHOUT recomputing unaffected
+    * clusters — the daily path of a dedup rollout (yesterday's corpus is
+    * clustered; today's delta contributes delta–delta and delta–corpus pairs
+    * from the incremental probes, q64-style).
+    *
+    * Correctness: an existing labeling is equivalent to its star edge set
+    * (doc → cluster root), so components of (old pairs ∪ new pairs) equal
+    * components of (stars ∪ new pairs); and since every cluster_id is its
+    * component's minimum doc id, the min over a MERGED component's
+    * representatives (cluster roots and unlabeled delta ids) is the global
+    * minimum — canonical ids come out exactly as a full recompute would.
+    * The q100 oracle certifies precisely that equivalence.
+    *
+    * Scale shape: new-pair endpoints map through the labeling by two
+    * id-keyed equi-joins; [[duplicateClusters]] then runs on the CONTRACTED
+    * graph (cluster roots, not documents — delta-sized, not corpus-sized);
+    * and the corpus-sized labeling is updated by a BROADCAST join against
+    * the delta-sized remap, so the existing labels never shuffle. A full
+    * recompute is O(corpus pairs) per day; this is O(delta pairs).
+    *
+    * Output: the updated labeling over previously-labeled docs plus newly
+    * clustered delta docs (delta singletons, having no pair, stay absent —
+    * [[duplicateClusters]]' convention).
+    */
+  def mergeClusters(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val lab = labels.select(col("doc_id").as("__id"), col("cluster_id").as("__cl"))
+    // representative of each endpoint: its cluster root if labeled, itself
+    // otherwise (new delta doc or old singleton)
+    val contracted = newPairs
+      .join(lab.select(col("__id").as(idA), col("__cl").as("__cl_a")), Seq(idA), "left")
+      .join(lab.select(col("__id").as(idB), col("__cl").as("__cl_b")), Seq(idB), "left")
+      .select(
+        coalesce(col("__cl_a"), col(idA)).as("src"),
+        coalesce(col("__cl_b"), col(idB)).as("dst"))
+      .where(col("src") =!= col("dst"))
+    // CC over the contracted graph: maps every AFFECTED representative to
+    // the merged component's minimum representative (= global minimum doc id)
+    val remap = duplicateClusters(contracted, "src", "dst", maxIters)
+      .select(col("doc_id").as("__rep"), col("cluster_id").as("__new"))
+    // corpus-side update: broadcast the delta-sized remap — the labeling
+    // itself stays in place (no shuffle of the corpus-sized side)
+    val updatedOld = labels
+      .join(broadcast(remap), labels("cluster_id") === col("__rep"), "left")
+      .select(
+        labels("doc_id"),
+        coalesce(col("__new"), labels("cluster_id")).as("cluster_id"))
+    // newly clustered docs: new-pair endpoints absent from the labeling
+    val newIds = newPairs.select(col(idA).as("doc_id"))
+      .unionByName(newPairs.select(col(idB).as("doc_id")))
+      .distinct()
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newRows = newIds
+      .join(broadcast(remap), newIds("doc_id") === col("__rep"), "left")
+      .select(
+        newIds("doc_id"),
+        coalesce(col("__new"), newIds("doc_id")).as("cluster_id"))
+    updatedOld.unionByName(newRows)
+  }
+
   /** Open-addressing long→long map (linear probing, power-of-two capacity)
     * for the union-find hot loop: zero boxing, zero per-op allocation —
     * a java.util.HashMap here would allocate a boxed Long per get/put across

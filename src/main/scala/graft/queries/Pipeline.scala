@@ -341,6 +341,35 @@ object Pipeline {
       .orderBy(col("delta_id"), col("corpus_id"))
   }
 
+  /** q100 — incremental cluster maintenance: yesterday's corpus (doc_id % 10
+    * ≠ 0) is clustered in full; today's delta (% 10 = 0) contributes
+    * delta–delta pairs (LSH over the delta) and delta–corpus pairs (the q64
+    * incremental probe), and [[Dedup.mergeClusters]] folds them into the
+    * existing labeling on the contracted cluster graph — unaffected clusters
+    * never shuffle. The oracle recomputes clusters over the UNION pair set
+    * with the q52 recursive CTE, certifying the merge ≡ full-recompute
+    * invariant.
+    */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val delta = d.where(col("doc_id") % 10 === 0)
+    val corpus = d.where(col("doc_id") % 10 =!= 0)
+    val oldPairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    val labels = Dedup.duplicateClusters(oldPairs)
+    val deltaPairs = Dedup.minhashNearDuplicates(delta, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val crossPairs = Dedup.minhashIncrementalDuplicates(corpus, delta, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+      .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
+    val merged = Dedup.mergeClusters(labels, deltaPairs.unionByName(crossPairs))
+    val sizes = merged.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    merged.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q95 — incremental SimHash dedup: the q64/q91/q70 delta-vs-corpus split
     * applied to the fingerprint tier (quarter-block probe of a capped corpus
     * index, Hamming ≤ 16 as in q35).

@@ -329,4 +329,34 @@ class DedupSpec extends SparkSpec {
     assert(inc.contains((30002L, 20001L)) && inc.contains((30002L, 20002L)),
       s"the real delta near-dup must pair with both corpus twins: $inc")
   }
+
+  test("mergeClusters re-roots merged clusters, adds new docs, leaves untouched clusters alone") {
+    val labels = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L), (9L, 9L), (10L, 9L))
+      .toDF("doc_id", "cluster_id")
+    // (3,5): new doc 3 joins {4,5} and becomes its minimum;
+    // (2,4): merges {1,2} with {4,5}; (11,12): a brand-new cluster
+    val newPairs = Seq((3L, 5L), (2L, 4L), (11L, 12L)).toDF("id_a", "id_b")
+    val out = Dedup.mergeClusters(labels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      9L -> 9L, 10L -> 9L, 11L -> 11L, 12L -> 11L))
+  }
+
+  test("mergeClusters equals a full recompute over the union pair set") {
+    // arbitrary overlapping structure: chains in P1, long-range merges in P2
+    // (including endpoints P1 never saw — new docs and old singletons)
+    val p1 = (0L until 100L by 7L).map(i => (i, i + 1L)) ++
+      (0L until 100L by 11L).map(i => (i, i + 2L))
+    val p2 = (0L until 100L by 13L).map(i => (i, i + 50L)) ++
+      Seq((200L, 201L), (201L, 202L), (3L, 203L))
+    val P1 = p1.toDF("id_a", "id_b")
+    val P2 = p2.toDF("id_a", "id_b")
+    val incremental = Dedup.mergeClusters(Dedup.duplicateClusters(P1), P2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val full = Dedup.duplicateClusters(P1.unionByName(P2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(incremental == full,
+      s"merge/full divergence: only-incremental=${incremental -- full}, only-full=${full -- incremental}")
+  }
 }
