@@ -118,6 +118,7 @@ object SparkEntry {
     "q98_streaming_token_budget" -> (Pipeline.streamingTokenBudgetAdmission _),
     "q99_boilerplate_removal" -> (Pipeline.boilerplateRemoval _),
     "q100_incremental_clusters" -> (Pipeline.incrementalClusters _),
+    "q101_bloom_incremental_dedup" -> (Pipeline.bloomIncrementalDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1452,6 +1453,20 @@ object SparkEntry {
           |JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
           |      FROM comp GROUP BY cluster_id) s USING (cluster_id)
           |ORDER BY c.doc_id""".stripMargin),
+    "q101_bloom_incremental_dedup" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |delta AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, source, n_chars
+        |  FROM corpus WHERE doc_id % 25 = 1),
+        |cn AS (
+        |  SELECT DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |  FROM corpus)
+        |SELECT d.doc_id, d.source, d.n_chars FROM delta d
+        |WHERE NOT EXISTS (SELECT 1 FROM cn
+        |  WHERE cn.t = regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'))
+        |ORDER BY d.doc_id""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -370,6 +370,26 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q101 — bloom-accelerated incremental exact dedup: a re-ingest
+    * simulation (the delta is today's new docs PLUS a slice of yesterday's
+    * corpus re-arriving under fresh ids — the classic crawler re-fetch) run
+    * through [[Dedup.exactIncrementBloom]]: a delta-sized Bloom filter
+    * broadcasts into a map-side probe on the corpus scan, so the corpus
+    * never shuffles; survivors verify exactly on md5, keeping the output
+    * identical to the plain anti-join. Admitted = the genuinely-new docs;
+    * every re-ingested copy is dropped.
+    */
+  def bloomIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val corpus = d.where(col("doc_id") % 10 =!= 0)
+    val reingested = corpus.where(col("doc_id") % 25 === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val delta = d.where(col("doc_id") % 10 === 0).unionByName(reingested)
+    Dedup.exactIncrementBloom(corpus, delta, "doc_id", "text")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q95 — incremental SimHash dedup: the q64/q91/q70 delta-vs-corpus split
     * applied to the fingerprint tier (quarter-block probe of a capped corpus
     * index, Hamming ≤ 16 as in q35).
