@@ -119,6 +119,7 @@ object SparkEntry {
     "q99_boilerplate_removal" -> (Pipeline.boilerplateRemoval _),
     "q100_incremental_clusters" -> (Pipeline.incrementalClusters _),
     "q101_bloom_incremental_dedup" -> (Pipeline.bloomIncrementalDedup _),
+    "q102_knn_pq" -> (Pipeline.knnPq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1467,6 +1468,8 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM cn
         |  WHERE cn.t = regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'))
         |ORDER BY d.doc_id""".stripMargin,
+    "q102_knn_pq" ->
+      pqOracleSql(numSub = 8, subDim = 8, codes = 16, iters = 2, topK = 10),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules
@@ -1557,6 +1560,71 @@ object SparkEntry {
        |  SELECT a.vec_id, ${cosineSql("a.embedding", "q.qv")} AS cosine_sim
        |  FROM fassign a, q WHERE a.vec_id <> 0)
        |ORDER BY cosine_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
+  /** DuckDB replica of the q102 PQ pipeline: per-subspace fixed-point
+    * k-means (all subspaces as one (sub, code) codebook relation), encode,
+    * and ADC ranking. Fold orders mirror the Spark side exactly: per-pair
+    * squared-L2 is a left fold FROM 0.0 in dim order; the ADC sum is a
+    * left fold over the subspace-ordered distance list WITHOUT a seed
+    * (Spark reduces d0+d1+… left-associatively).
+    */
+  private def pqOracleSql(
+      numSub: Int, subDim: Int, codes: Int, iters: Int, topK: Int): String = {
+    def l2sq(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)"""
+    def assignFrom(book: String): String =
+      s"""SELECT vec_id, sub, sv, code FROM (
+         |    SELECT v.vec_id, v.sub, v.sv, b.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY ${l2sq("v.sv", "b.cv")} ASC, b.code) AS rn
+         |    FROM subv v JOIN $book b ON v.sub = b.sub)
+         |  WHERE rn = 1""".stripMargin
+    def iterCtes(i: Int): String = {
+      val prev = s"b${i - 1}"
+      s"""assign$i AS (
+         |  ${assignFrom(prev)}),
+         |means$i AS (
+         |  SELECT sub, code, dim,
+         |    CAST(SUM(CAST(round(x * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS m
+         |  FROM (SELECT sub, code, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x FROM assign$i)
+         |  GROUP BY sub, code, dim),
+         |b$i AS (
+         |  SELECT p.sub, p.code, COALESCE(nc.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (SELECT sub, code, list(m ORDER BY dim) AS cv FROM means$i GROUP BY sub, code) nc
+         |    ON p.sub = nc.sub AND p.code = nc.code)""".stripMargin
+    }
+    s"""WITH subs AS (SELECT CAST(unnest(range(0, $numSub)) AS INTEGER) AS sub),
+       |stepn AS (SELECT GREATEST(COUNT(*) // $codes, 1) AS step FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(rn - 1 AS INTEGER) AS code, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+       |      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cv
+       |    FROM embeddings, stepn WHERE vec_id % stepn.step = 0
+       |    ORDER BY vec_id LIMIT $codes)),
+       |b0 AS (
+       |  SELECT t.sub, s.code, s.cv[t.sub * $subDim + 1 : t.sub * $subDim + $subDim] AS cv
+       |  FROM seeds s, subs t),
+       |subv AS (
+       |  SELECT e.vec_id, t.sub,
+       |    list_transform(e.embedding[t.sub * $subDim + 1 : t.sub * $subDim + $subDim], v -> CAST(v AS DOUBLE)) AS sv
+       |  FROM embeddings e, subs t),
+       |${(1 to iters).map(iterCtes).mkString(",\n")},
+       |vcodes AS (
+       |  ${assignFrom(s"b$iters")}),
+       |q AS (
+       |  SELECT t.sub,
+       |    list_transform(e.embedding[t.sub * $subDim + 1 : t.sub * $subDim + $subDim], v -> CAST(v AS DOUBLE)) AS qs
+       |  FROM embeddings e, subs t WHERE e.vec_id = 0),
+       |dtab AS (
+       |  SELECT b.sub, b.code, ${l2sq("q.qs", "b.cv")} AS d
+       |  FROM b$iters b JOIN q ON b.sub = q.sub)
+       |SELECT vec_id, adc_dist FROM (
+       |  SELECT c.vec_id, list_reduce(list(t.d ORDER BY c.sub), (x, y) -> x + y) AS adc_dist
+       |  FROM vcodes c JOIN dtab t ON c.sub = t.sub AND c.code = t.code
+       |  WHERE c.vec_id <> 0
+       |  GROUP BY c.vec_id)
+       |ORDER BY adc_dist ASC, vec_id LIMIT $topK""".stripMargin
   }
 
   /** DuckDB cosine-similarity SQL over two list expressions — the ONE copy

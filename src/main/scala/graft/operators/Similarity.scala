@@ -319,4 +319,173 @@ object Similarity {
         col("corpus_id").as("match_id"),
         col("cosine_sim").as("max_cosine"))
   }
+
+  /** Per-row squared-L2 distance between `v` and a literal vector — a
+    * sequential left fold from 0.0 in dim order, so the double is a fixed
+    * IEEE op sequence: bit-identical across partitionings and replicable
+    * by the SQL oracle (same contract as [[graft.functions.VectorFunctions.dot]]).
+    */
+  private def l2sq(v: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, array(c.map(lit): _*), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0),
+      (acc, d) => acc + d)
+
+  /** Product-quantization codebooks: the vector is split into `numSub`
+    * contiguous subvectors and each subspace gets its own
+    * `codesPerSub`-centroid k-means — ALL subspaces train simultaneously in
+    * one DataFrame per iteration (assign is map-side against the broadcast
+    * codebook literal; means are ONE `(sub, code, dim)` aggregation), so an
+    * iteration costs one shuffle regardless of `numSub`, and only the
+    * `numSub × codesPerSub × subDim` codebook ever reaches the driver.
+    * Seeding and the fixed-point [[MeanScale]] means follow
+    * [[kmeansCentroids]], so the trained codebooks are deterministic and
+    * engine-portable (oracle-certifiable). Returns (sub → codebook), each
+    * codebook `codesPerSub` vectors of `subDim` doubles.
+    */
+  def pqCodebooks(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSub: Int,
+      codesPerSub: Int,
+      iterations: Int = 2): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val subDim = dim / numSub
+    val n = emb.count()
+    val step = math.max(n / codesPerSub, 1L)
+    val seeds: IndexedSeq[Seq[Double]] = emb
+      .where(pmod(col(idCol), lit(step)) === 0)
+      .orderBy(col(idCol))
+      .limit(codesPerSub)
+      .select(col(vecCol))
+      .collect()
+      .toIndexedSeq
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toSeq)
+    var books: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until numSub).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+
+    val subv = emb.select(
+      col(idCol).as("_vid"),
+      explode(sequence(lit(0), lit(numSub - 1))).as("_sub"),
+      col(vecCol).as("_v"))
+      .withColumn("_sv", expr(s"slice(_v, _sub * $subDim + 1, $subDim)"))
+      .drop("_v")
+
+    (0 until iterations).foreach { _ =>
+      val assigned = pqAssignSub(subv, books)
+      val means = assigned
+        .select(col("_sub"), col("_code"), posexplode(col("_sv")).as(Seq("_dim", "_x")))
+        .groupBy(col("_sub"), col("_code"), col("_dim"))
+        .agg(
+          sum(round(col("_x").cast("double") * lit(MeanScale)).cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(
+          col("_sub"), col("_code"), col("_dim"),
+          (col("s").cast("double") / col("cnt").cast("double") / lit(MeanScale)).as("m"))
+        .groupBy(col("_sub"), col("_code"))
+        .agg(sort_array(collect_list(struct(col("_dim"), col("m")))).as("dims"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(1)).toSeq)
+        .toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (old, c) => means.getOrElse((s, c), old) }
+      }
+    }
+    books
+  }
+
+  /** Nearest code per (vector, subspace) row: distances to every code of
+    * the row's OWN subspace as an array column, argmin = first position of
+    * the minimum (ties → lowest code, same rule as the oracle's
+    * `ORDER BY dist, code`). Adds `_code`.
+    */
+  private def pqAssignSub(
+      subv: DataFrame,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    val numSub = books.length
+    val codesPerSub = books.head.length
+    // dists for the row's subspace: chain on _sub (numSub branches), each an
+    // array of codesPerSub per-code folds over subDim literals
+    val distsBySub: Seq[(Int, Column)] = (0 until numSub).map { s =>
+      s -> array(books(s).map(cv => l2sq(col("_sv"), cv)): _*)
+    }
+    val dists = distsBySub.tail
+      .foldLeft(when(col("_sub") === distsBySub.head._1, distsBySub.head._2)) {
+        case (acc, (s, d)) => acc.when(col("_sub") === s, d)
+      }
+    subv
+      .withColumn("_dists", dists)
+      .withColumn("_code", (array_position(col("_dists"), array_min(col("_dists"))) - 1).cast("int"))
+      .drop("_dists")
+  }
+
+  /** PQ-encode: each vector becomes `numSub` small-int codes (one byte per
+    * subspace at codesPerSub ≤ 256) — the 100 TB ANN memory path: the codes
+    * table is `numSub` bytes/vector instead of `dim × 4`, and every
+    * downstream scan ranks against codes without touching raw floats.
+    * Returns (idCol, codes array<int> ordered by subspace).
+    */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    val numSub = books.length
+    val dim = books.length * books.head.head.length
+    val subDim = dim / numSub
+    val subv = emb.select(
+      col(idCol).as("_vid"),
+      explode(sequence(lit(0), lit(numSub - 1))).as("_sub"),
+      col(vecCol).as("_v"))
+      .withColumn("_sv", expr(s"slice(_v, _sub * $subDim + 1, $subDim)"))
+      .drop("_v")
+    pqAssignSub(subv, books)
+      .groupBy(col("_vid").as(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("_sub"), col("_code")))),
+        x => x.getField("_code")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the query's per-(sub, code) distance
+    * table is computed ONCE driver-side (numSub × codesPerSub doubles) and
+    * inlined as literals; each encoded vector's approximate distance is
+    * `numSub` array lookups summed in subspace order — a map-only scan of
+    * the codes table + TakeOrdered, no shuffle and no raw vectors.
+    * Distance table entries and their sum use the same fixed fold orders as
+    * training, so results are engine-portable.
+    */
+  def pqTopK(
+      codes: DataFrame,
+      idCol: String,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      query: Seq[Double],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val numSub = books.length
+    val subDim = query.length / numSub
+    def l2sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val dtab: IndexedSeq[IndexedSeq[Double]] = (0 until numSub).map { s =>
+      val qs = query.slice(s * subDim, (s + 1) * subDim)
+      books(s).map(cv => l2sqLocal(qs, cv))
+    }
+    val dist = (0 until numSub)
+      .map(s => element_at(array(dtab(s).map(lit): _*), col("codes")(s) + 1))
+      .reduce(_ + _)
+    val base = excludeId.map(e => codes.where(col(idCol) =!= e)).getOrElse(codes)
+    base
+      .select(col(idCol), dist.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k)
+  }
 }

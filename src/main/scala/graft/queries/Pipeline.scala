@@ -777,6 +777,24 @@ object Pipeline {
       query = queryVector(spark, dir), k = 10, nProbe = 2, excludeId = Some(0L))
   }
 
+  /** q102 — product-quantization ANN: per-subspace codebooks trained with
+    * the q94 fixed-point k-means (all subspaces in one aggregation per
+    * iteration), vectors encoded to `numSub` one-byte codes, and the query
+    * ranked by asymmetric distance — a map-only scan over the codes table
+    * with the query's distance table inlined as literals. This is the
+    * memory tier of the ANN stack: at 100 TB the raw vectors (dim × 4
+    * bytes) stay in cold storage and every query touches only the 8-byte
+    * codes.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val books = Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", numSub = 8, codesPerSub = 16, iterations = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    Similarity.pqTopK(codes, "vec_id", books,
+      query = queryVector(spark, dir), k = 10, excludeId = Some(0L))
+  }
+
   /** q41 — LSH-bucketed ANN variant (Sha60-derived hyperplanes, oracle-
     * replicated in DuckDB; recall vs the exact baseline is asserted in
     * ScalaTest).

@@ -222,4 +222,50 @@ class SimilaritySpec extends SparkSpec {
       s"equal-cosine tie must break to the lower corpus id: ${out.toSeq}")
     assert(out.head.getDouble(2) == 1.0)
   }
+
+  test("PQ codebooks are partition-invariant and codes stay in range") {
+    import org.apache.spark.sql.functions.col
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      numSub = 8, codesPerSub = 16, iterations = 2)
+    assert(books.length == 8 && books.forall(_.length == 16))
+    assert(books.forall(_.forall(_.length == 8)), "subDim = 64/8")
+    val booksRepart = Similarity.pqCodebooks(emb.repartition(7), "vec_id", "embedding",
+      numSub = 8, codesPerSub = 16, iterations = 2)
+    assert(books == booksRepart,
+      "fixed-point means must make training independent of partitioning")
+
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    assert(codes.count() == emb.count())
+    val flat = codes.select(org.apache.spark.sql.functions.explode(col("codes"))).collect().map(_.getInt(0))
+    assert(flat.forall(c => c >= 0 && c < 16), "every code addresses its codebook")
+  }
+
+  test("PQ ADC top-k recovers planted clusters exactly") {
+    import spark.implicits._
+    // 200 vectors in 4 planted clusters: prototype per id % 4, tiny
+    // deterministic per-dim jitter. Each 4-dim subspace sees only 4 distinct
+    // regions, so a 4-code codebook can represent the structure — ADC top-k
+    // must then rank the query's own cluster first.
+    val dim = 16
+    val protos: IndexedSeq[IndexedSeq[Double]] = IndexedSeq.tabulate(4, dim) {
+      (p, d) => if (d % 4 == p) 10.0 else 0.0
+    }
+    val vecs = (0L until 200L).map { id =>
+      val p = (id % 4).toInt
+      id -> protos(p).zipWithIndex
+        .map { case (v, d) => (v + ((id * 31 + d * 7) % 5).toDouble * 1e-3).toFloat }
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      numSub = 4, codesPerSub = 4, iterations = 3)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", books)
+    // query: cluster-0 prototype, excluding nothing
+    val adc = Similarity.pqTopK(codes, "vec_id", books,
+      query = protos(0), k = 20, excludeId = None).collect()
+    assert(adc.length == 20)
+    val dists = adc.map(_.getDouble(1))
+    assert(dists.sameElements(dists.sorted), "ascending ADC distance")
+    assert(adc.forall(_.getLong(0) % 4 == 0L),
+      s"every ADC hit must come from the query's planted cluster: ${adc.map(_.getLong(0)).toSeq}")
+  }
 }
