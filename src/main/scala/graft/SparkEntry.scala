@@ -120,6 +120,7 @@ object SparkEntry {
     "q100_incremental_clusters" -> (Pipeline.incrementalClusters _),
     "q101_bloom_incremental_dedup" -> (Pipeline.bloomIncrementalDedup _),
     "q102_knn_pq" -> (Pipeline.knnPq _),
+    "q103_event_funnel" -> (Pipeline.eventFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1470,6 +1471,34 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "q102_knn_pq" ->
       pqOracleSql(numSub = 8, subDim = 8, codes = 16, iters = 2, topK = 10),
+    // stage windows use the default RANGE frame (ts-peers included) and
+    // STRICT prev < ts progression — tie-order independent in both engines
+    "q103_event_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS q0
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, ts, event_type, q0,
+        |    min(CASE WHEN event_type = 'click' AND q0 < ts THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS q1
+        |  FROM s0),
+        |s2 AS (
+        |  SELECT user_id, q0, q1,
+        |    min(CASE WHEN event_type = 'purchase' AND q1 < ts THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS q2
+        |  FROM s1),
+        |per AS (
+        |  SELECT user_id, min(q0) AS t0, min(q1) AS t1, min(q2) AS t2
+        |  FROM s2 GROUP BY user_id),
+        |c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM per)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_users,
+        |    CAST(NULL AS DOUBLE) AS pct_of_prev FROM c
+        |  UNION ALL SELECT 1, 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+        |  UNION ALL SELECT 2, 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c)
+        |ORDER BY stage_idx""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -159,6 +159,58 @@ object Analytics {
   def dedupFirst(df: DataFrame, keys: Seq[Column], orderBy: Seq[Column]): DataFrame =
     dedupOrdered(df, keys, orderBy.map(_.asc))
 
+  /** Ordered multi-stage conversion funnel: for each entity (user), stage
+    * i counts only if an event of stage i's type happens STRICTLY after
+    * some qualifying stage-(i−1) event. Returns one row per stage:
+    * `(stage_idx, stage, n_users, pct_of_prev)`.
+    *
+    * Scale shape: every stage is a running-min window over the SAME
+    * `(partitionBy entity, orderBy ts)` spec, so Catalyst plans ONE
+    * exchange + ONE sort for the whole chain regardless of stage count;
+    * the per-entity rollup reuses that partitioning and only `stages`-many
+    * counters reach the final single-row aggregation. No collected event
+    * lists, no per-stage re-shuffles.
+    *
+    * Determinism under timestamp ties: the windows use the default RANGE
+    * frame (all ts-peers included), and stage progression requires a
+    * STRICT `prev < ts` — so same-instant events never qualify each other
+    * and the result is independent of the arbitrary order among equal
+    * timestamps.
+    */
+  def funnel(
+      events: DataFrame,
+      entity: Column,
+      ts: Column,
+      eventType: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(entity).orderBy(ts)
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (s, i)) =>
+      val qualifies =
+        if (i == 0) eventType === s
+        else eventType === s && col(s"_q${i - 1}") < ts
+      df.withColumn(s"_q$i", min(when(qualifies, ts)).over(w))
+    }
+    val perEntity = staged
+      .groupBy(entity.as("_e"))
+      .agg(min(col("_q0")).as("_t0"),
+        (1 until stages.length).map(i => min(col(s"_q$i")).as(s"_t$i")): _*)
+    val counts = perEntity.agg(
+      count(col("_t0")).as("_n0"),
+      (1 until stages.length).map(i => count(col(s"_t$i")).as(s"_n$i")): _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(
+        lit(i).as("stage_idx"), lit(s).as("stage"), col(s"_n$i").as("n_users"),
+        (if (i == 0) lit(null).cast("double")
+         else col(s"_n$i").cast("double") / col(s"_n${i - 1}").cast("double"))
+          .as("pct_of_prev"))
+    }
+    counts
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"), col("r.pct_of_prev"))
+      .orderBy(col("stage_idx"))
+  }
+
   private def dedupOrdered(df: DataFrame, keys: Seq[Column], ordered: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(ordered: _*)
     df.withColumn("_rn", row_number().over(w))

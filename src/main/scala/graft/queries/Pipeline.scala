@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{Analytics, Curation, Dedup, Similarity}
 import graft.lineage.Lineage
 
 /** LLM-training-data pipeline operators (dedup, text analysis, similarity
@@ -57,6 +57,18 @@ object Pipeline {
         count(lit(1)).as("n_events"),
         sum(col("is_new_session")).as("n_sessions"))
       .orderBy(col("user_id"))
+  }
+
+  /** q103 — ordered conversion funnel view → click → purchase: a user
+    * reaches a stage only via an event strictly after a qualifying
+    * previous-stage event ([[Analytics.funnel]] — one shuffle + one sort
+    * for the whole stage chain; RANGE-frame windows + strict inequality
+    * make the result independent of ordering among equal timestamps).
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    Analytics.funnel(e, col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click", "purchase"))
   }
 
   /** q62 — as-of join: every purchase matched to the user's most recent

@@ -72,4 +72,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("range_check_amount") == "FAIL")
     assert(out("duplicate_check_amount") == "FAIL") // -1 repeated 10× → 9 dups > 5%
   }
+
+  test("funnel: stages require strict ordering; ties and reversed order don't qualify") {
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      // user 2: view only
+      (2L, t(1), "view"),
+      // user 3: click BEFORE view — click must not qualify
+      (3L, t(1), "click"), (3L, t(2), "view"),
+      // user 4: click at the SAME instant as view — strict < excludes it
+      (4L, t(1), "view"), (4L, t(1), "click"),
+      // user 5: view → click, purchase before click — no purchase credit
+      (5L, t(1), "view"), (5L, t(2), "purchase"), (5L, t(3), "click")
+    ).toDF("user_id", "ts", "event_type")
+
+    val out = Analytics.funnel(events.repartition(3),
+      col("user_id"), col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+      .collect()
+    val byStage = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byStage == Map("view" -> 5L, "click" -> 2L, "purchase" -> 1L))
+    val pct = out.map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(pct(0).isEmpty && pct(1).contains(2.0 / 5.0) && pct(2).contains(1.0 / 2.0))
+  }
+
+  test("funnel plans one exchange for the whole stage chain") {
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    val events = Seq((1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val plan = Analytics.funnel(events, col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
+    val keyExchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(keyExchanges == 1,
+      s"all stage windows must share one entity shuffle, got $keyExchanges:\n$plan")
+  }
 }
