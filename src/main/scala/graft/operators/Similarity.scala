@@ -320,17 +320,6 @@ object Similarity {
         col("cosine_sim").as("max_cosine"))
   }
 
-  /** Per-row squared-L2 distance between `v` and a literal vector — a
-    * sequential left fold from 0.0 in dim order, so the double is a fixed
-    * IEEE op sequence: bit-identical across partitionings and replicable
-    * by the SQL oracle (same contract as [[graft.functions.VectorFunctions.dot]]).
-    */
-  private def l2sq(v: Column, c: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, array(c.map(lit): _*), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0),
-      (acc, d) => acc + d)
-
   /** Product-quantization codebooks: the vector is split into `numSub`
     * contiguous subvectors and each subspace gets its own
     * `codesPerSub`-centroid k-means — ALL subspaces train simultaneously in
@@ -369,12 +358,15 @@ object Similarity {
     var books: IndexedSeq[IndexedSeq[Seq[Double]]] =
       (0 until numSub).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
 
+    // one subvector frame feeds every iteration's assign+means pass —
+    // persist it so the scan+explode+slice runs once, not per iteration
     val subv = emb.select(
       col(idCol).as("_vid"),
       explode(sequence(lit(0), lit(numSub - 1))).as("_sub"),
       col(vecCol).as("_v"))
       .withColumn("_sv", expr(s"slice(_v, _sub * $subDim + 1, $subDim)"))
       .drop("_v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     (0 until iterations).foreach { _ =>
       val assigned = pqAssignSub(subv, books)
@@ -397,6 +389,7 @@ object Similarity {
         book.zipWithIndex.map { case (old, c) => means.getOrElse((s, c), old) }
       }
     }
+    subv.unpersist(blocking = false)
     books
   }
 
@@ -404,21 +397,27 @@ object Similarity {
     * the row's OWN subspace as an array column, argmin = first position of
     * the minimum (ties → lowest code, same rule as the oracle's
     * `ORDER BY dist, code`). Adds `_code`.
+    *
+    * The whole codebook rides along as ONE nested array literal indexed by
+    * the row's `_sub`, and the per-code distances are a single `transform`
+    * of per-pair folds — constant-size generated code regardless of
+    * `numSub × codesPerSub` (the first formulation enumerated every
+    * (sub, code) fold as its own expression branch: 128 inlined folds whose
+    * Janino compilation dominated the whole query at bench scale). The
+    * arithmetic per element and the fold order are unchanged, so assigned
+    * codes are bit-identical to the unrolled form and the SQL oracle.
     */
   private def pqAssignSub(
       subv: DataFrame,
       books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
-    val numSub = books.length
-    val codesPerSub = books.head.length
-    // dists for the row's subspace: chain on _sub (numSub branches), each an
-    // array of codesPerSub per-code folds over subDim literals
-    val distsBySub: Seq[(Int, Column)] = (0 until numSub).map { s =>
-      s -> array(books(s).map(cv => l2sq(col("_sv"), cv)): _*)
-    }
-    val dists = distsBySub.tail
-      .foldLeft(when(col("_sub") === distsBySub.head._1, distsBySub.head._2)) {
-        case (acc, (s, d)) => acc.when(col("_sub") === s, d)
-      }
+    val bookLit: Column = array(books.map(book =>
+      array(book.map(cv => array(cv.map(lit): _*)): _*)): _*)
+    val dists = transform(
+      element_at(bookLit, col("_sub") + 1),
+      cv => aggregate(
+        zip_with(col("_sv"), cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0),
+        (acc, d) => acc + d))
     subv
       .withColumn("_dists", dists)
       .withColumn("_code", (array_position(col("_dists"), array_min(col("_dists"))) - 1).cast("int"))
