@@ -319,4 +319,33 @@ class PropertySpec extends SparkSpec {
     assert(mismatches.isEmpty,
       s"overlap/built-in divergence on ${mismatches.length} pairs, first: ${mismatches.headOption}")
   }
+
+  test("bloom filter never false-negatives on fuzzed keys; serialization round-trips (property, 10 cases)") {
+    import graft.functions.{BloomFilterAgg, BloomParams}
+    val keysGen = Gen.listOfN(300,
+      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+    samples(keysGen, 10).zipWithIndex.foreach { case (keys0, i) =>
+      val keys = keys0.distinct
+      val (m, k) = BloomParams.size(keys.length.toLong, 0.01)
+      // driver-side build through the same kernels the aggregate uses
+      val words = new Array[Long](m >>> 6)
+      keys.foreach { v =>
+        (0 until k).foreach(j => BloomParams.setBit(words, BloomParams.bitOf(v, j, m)))
+      }
+      val bytes = BloomParams.serialize(m, k, words)
+      val (m2, k2, words2) = BloomParams.deserialize(bytes)
+      assert(m2 == m && k2 == k && java.util.Arrays.equals(words, words2),
+        s"serialize/deserialize must round-trip (case $i)")
+      // distributed build over shuffled partitions must equal the driver build
+      val distBytes = keys.toDF("k").repartition(3 + i % 5)
+        .agg(BloomFilterAgg.bloomBuild(spark, col("k"), m, k))
+        .head.getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(bytes, distBytes),
+        s"distributed OR-merge build must match the sequential build (case $i)")
+      // no false negatives, ever
+      assert(keys.forall { v =>
+        (0 until k).forall(j => BloomParams.getBit(words, BloomParams.bitOf(v, j, m)))
+      }, s"false negative in case $i")
+    }
+  }
 }
