@@ -121,6 +121,7 @@ object SparkEntry {
     "q101_bloom_incremental_dedup" -> (Pipeline.bloomIncrementalDedup _),
     "q102_knn_pq" -> (Pipeline.knnPq _),
     "q103_event_funnel" -> (Pipeline.eventFunnel _),
+    "q104_context_windows" -> (Pipeline.contextWindows _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1499,6 +1500,22 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
         |  UNION ALL SELECT 2, 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c)
         |ORDER BY stage_idx""".stripMargin,
+    // last window ends at the doc's end (list slicing clamps in both
+    // engines); docs of <= 30 tokens yield exactly one window
+    "q104_context_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 30 THEN 1
+        |         ELSE CAST(1 + ((len(toks) - 30 + 20 - 1) // 20) AS INTEGER) END AS nw
+        |  FROM t)
+        |SELECT doc_id, window_idx,
+        |  CAST(len(toks[window_idx * 20 + 1 : window_idx * 20 + 30]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[window_idx * 20 + 1 : window_idx * 20 + 30], ' ') AS window_text
+        |FROM (SELECT doc_id, toks, CAST(unnest(range(0, nw)) AS INTEGER) AS window_idx FROM w)
+        |ORDER BY doc_id, window_idx""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

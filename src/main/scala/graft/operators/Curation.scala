@@ -461,6 +461,38 @@ object Curation {
     * bindOnce: the tokenizing split must not re-run per chunk (no CSE
     * inside HOF lambdas — see TextFunctions.bindOnce).
     */
+  /** Sliding context windows over the normalized token stream: windows of
+    * `window` tokens advancing by `stride` (stride < window ⇒ overlapping
+    * windows — the standard long-document preprocessing for embedding /
+    * training-context generation). The last window may be shorter (it ends
+    * at the document's end); a document of ≤ `window` tokens yields exactly
+    * one window. Returns (doc_id, window_idx, n_tokens, window_text).
+    *
+    * Scale shape: map-only — tokenize, per-row window-count arithmetic, and
+    * an index explode + slice; NO shuffle anywhere, so a 100 TB corpus
+    * chunks at scan speed and the output can be written partition-local.
+    * Window text length is bounded by `window`, so the fan-out (~len/stride
+    * rows per doc) carries bounded-size rows.
+    */
+  def slidingWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val n = size(col("_toks"))
+    val nw = when(n <= window, 1)
+      .otherwise(expr(s"1 + ((size(_toks) - $window + $stride - 1) div $stride)").cast("int"))
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .withColumn("_wi", explode(sequence(lit(0), nw - 1)))
+      .select(
+        col("doc_id"),
+        col("_wi").as("window_idx"),
+        size(slice(col("_toks"), col("_wi") * stride + 1, lit(window))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_wi") * stride + 1, lit(window))).as("window_text"))
+  }
+
   private def chunkArray(text: Column, chunkSize: Int): Column =
     graft.functions.TextFunctions.bindOnce(tokens(text)) { toks =>
       // (size-1) div chunkSize: Column./ is double division, so truncate the

@@ -402,6 +402,16 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q104 — sliding context windows: 30-token windows at stride 20
+    * (10-token overlap) over every document —
+    * [[Curation.slidingWindows]], a map-only chunker with no shuffle.
+    */
+  def contextWindows(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Curation.slidingWindows(d, "doc_id", "text", window = 30, stride = 20)
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
+
   /** q95 — incremental SimHash dedup: the q64/q91/q70 delta-vs-corpus split
     * applied to the fingerprint tier (quarter-block probe of a capped corpus
     * index, Hamming ≤ 16 as in q35).

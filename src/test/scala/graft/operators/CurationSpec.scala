@@ -557,4 +557,34 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(twoLevel == naive, "bucketed prefix sum must equal the global window cumsum")
   }
+
+  test("slidingWindows: overlap, short-doc, and exact-boundary window arithmetic") {
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"t$i").mkString(" ")), // 7 toks, w=4 s=2 → 3 windows
+      (2L, "a b"),                                   // ≤ window → 1 window
+      (3L, (1 to 4).map(i => s"x$i").mkString(" ")), // exactly window → 1 window
+      (4L, (1 to 6).map(i => s"y$i").mkString(" "))  // 6 toks → 2 windows, no tail dup
+    ).toDF("doc_id", "text")
+    val out = Curation.slidingWindows(docs, "doc_id", "text", window = 4, stride = 2)
+      .orderBy(col("doc_id"), col("window_idx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 3)
+    assert(byDoc(1L).map(_._4).toSeq ==
+      Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7"), "stride-2 overlap + short tail")
+    assert(byDoc(1L).map(_._3).toSeq == Seq(4L, 4L, 3L))
+    assert(byDoc(2L).map(_._4).toSeq == Seq("a b"))
+    assert(byDoc(3L).length == 1, "len == window must not spill a second window")
+    assert(byDoc(4L).map(_._4).toSeq == Seq("y1 y2 y3 y4", "y3 y4 y5 y6"))
+    // every token of every doc appears in at least one window
+    assert(out.forall(_._3 > 0L))
+  }
+
+  test("slidingWindows plans no shuffle (map-only chunker)") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Curation.slidingWindows(docs, "doc_id", "text", window = 3, stride = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must stay map-only:\n$plan")
+  }
 }
