@@ -122,6 +122,7 @@ object SparkEntry {
     "q102_knn_pq" -> (Pipeline.knnPq _),
     "q103_event_funnel" -> (Pipeline.eventFunnel _),
     "q104_context_windows" -> (Pipeline.contextWindows _),
+    "q105_leakage_proof_split" -> (Pipeline.leakageProofSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1516,6 +1517,17 @@ object SparkEntry {
         |  array_to_string(toks[window_idx * 20 + 1 : window_idx * 20 + 30], ' ') AS window_text
         |FROM (SELECT doc_id, toks, CAST(unnest(range(0, nw)) AS INTEGER) AS window_idx FROM w)
         |ORDER BY doc_id, window_idx""".stripMargin,
+    // split bucket hashed on the q52 cluster id (own id when unclustered):
+    // near-dup pairs can never straddle train/val/test
+    "q105_leakage_proof_split" ->
+      (dupClusterCtes +
+        """SELECT doc_id,
+          |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+          |FROM (
+          |  SELECT d.doc_id,
+          |    CAST(('0x' || substring(sha256('split:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
+          |  FROM documents d LEFT JOIN comp c USING (doc_id))
+          |ORDER BY doc_id""".stripMargin),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

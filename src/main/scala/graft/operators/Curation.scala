@@ -134,6 +134,33 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Leakage-proof (cluster-aware) train/val/test split: the split bucket
+    * hashes the document's near-dup CLUSTER id — its own id for
+    * unclustered documents — so near-duplicate pairs can NEVER straddle
+    * the split (the classic eval-contamination leak: a test document whose
+    * near-twin sits in train). Unclustered documents get exactly the
+    * [[hashSplit]] assignment (cluster id = own id), so adopting the
+    * cluster-aware rule only moves documents that have duplicates.
+    *
+    * `labels` is a (doc_id, cluster_id) frame (e.g.
+    * [[graft.operators.Dedup.duplicateClusters]] output) — duplicate-
+    * membership sized, ≪ corpus; the left join on id is the only shuffle
+    * and the split itself stays a map-side hash.
+    */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val lab = labels.select(col("doc_id").as(idCol), col("cluster_id"))
+    hashSplit(
+      df.join(lab, Seq(idCol), "left")
+        .withColumn("_split_key", coalesce(col("cluster_id"), col(idCol))),
+      "_split_key", trainPct, valPct)
+      .drop("_split_key", "cluster_id")
+  }
+
   /** Deterministic per-source mixture sampling: keep a document iff
     * Sha60(id) mod `denom` falls under its source's weight share — the
     * data-mixing step that reweights corpus sources for training (e.g. keep

@@ -246,6 +246,20 @@ object Pipeline {
       .orderBy(col("cluster_size"))
   }
 
+  /** q105 — leakage-proof split: train/val/test assignment hashed on the
+    * q52 near-dup cluster id ([[Curation.clusterAwareSplit]]), so a test
+    * document can never have a near-twin in train. Unclustered docs get the
+    * plain q71 hash-split assignment.
+    */
+  def leakageProofSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = Dedup.minhashNearDuplicates(d, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    Curation.clusterAwareSplit(d, "doc_id", Dedup.duplicateClusters(pairs))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q53 — the corpus after LSH dedup ([[Dedup.dedupCorpus]] over the q52
     * clusters): per-source surviving-document counts — the "what did dedup
     * do to my corpus" report.

@@ -558,6 +558,33 @@ class CurationSpec extends SparkSpec {
     assert(twoLevel == naive, "bucketed prefix sum must equal the global window cumsum")
   }
 
+  test("clusterAwareSplit: near-dup pairs never straddle the split; singletons keep the plain assignment") {
+    import graft.operators.Dedup
+    // 3-doc near-dup cluster + 30 distinct singletons
+    val docs = (
+      Seq((1L, "alpha beta gamma delta epsilon"),
+          (2L, "alpha beta gamma delta epsilon"),
+          (3L, "alpha beta gamma delta zeta")) ++
+      (10L until 40L).map(i => (i, s"unique document number $i with its own content ${i * 7}"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    val labels = Dedup.duplicateClusters(pairs)
+    val split = Curation.clusterAwareSplit(docs, "doc_id", labels)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 33)
+    // the cluster moves together
+    val clusterSides = pairs.select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.map(split)
+    assert(clusterSides.distinct.length == 1,
+      s"near-dup cluster must land on ONE side, got ${clusterSides.toSeq}")
+    // singletons = plain hashSplit
+    val plain = Curation.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (10L until 40L).foreach(i => assert(split(i) == plain(i),
+      s"unclustered doc $i must keep its hashSplit assignment"))
+  }
+
   test("slidingWindows: overlap, short-doc, and exact-boundary window arithmetic") {
     val docs = Seq(
       (1L, (1 to 7).map(i => s"t$i").mkString(" ")), // 7 toks, w=4 s=2 → 3 windows
