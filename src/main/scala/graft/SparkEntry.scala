@@ -123,6 +123,7 @@ object SparkEntry {
     "q103_event_funnel" -> (Pipeline.eventFunnel _),
     "q104_context_windows" -> (Pipeline.contextWindows _),
     "q105_leakage_proof_split" -> (Pipeline.leakageProofSplit _),
+    "q106_frequent_grams" -> (Pipeline.frequentGrams _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1528,6 +1529,21 @@ object SparkEntry {
           |    CAST(('0x' || substring(sha256('split:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
           |  FROM documents d LEFT JOIN comp c USING (doc_id))
           |ORDER BY doc_id""".stripMargin),
+    // exact semantics of the sketch+recount composition: every trigram with
+    // count strictly above 1/5000 of all trigram instances, exact counts
+    "q106_frequent_grams" ->
+      """WITH toks AS (
+        |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
+        |grams AS (
+        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram FROM idx),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_count
+        |FROM grams GROUP BY gram
+        |HAVING COUNT(*) * 5000 > (SELECT n FROM tot)
+        |ORDER BY gram_count DESC, gram""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

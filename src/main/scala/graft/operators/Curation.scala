@@ -467,6 +467,50 @@ object Curation {
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("gram_count"))
 
+  /** Frequent n-grams with BOUNDED aggregation memory: every n-gram whose
+    * instance count exceeds `1/k` of all gram instances, with its exact
+    * count — the same answer as `ngramFrequency(...).where(count·k > total)`
+    * but without ever holding the full gram vocabulary in aggregation state.
+    *
+    * Two scans, neither of which shuffles the vocabulary:
+    *   1. a [[graft.functions.MisraGriesFreqItems]] sketch pass — each
+    *      aggregation buffer holds at most ~2×`k` (gram, count) entries, so
+    *      the partials that shuffle to the single reducer are KBs regardless
+    *      of corpus size, and the result is a guaranteed SUPERSET (≤ k
+    *      candidates) of the true heavy hitters plus the exact instance
+    *      total;
+    *   2. an exact recount of ONLY those candidates — the gram explode is
+    *      filtered by a broadcast join against the ≤ k candidates before any
+    *      shuffle, so just heavy-gram instances reach the count, and
+    *      map-side partial aggregation collapses them to ≤ k rows per task.
+    *
+    * The sketch's one-sided error (underestimates by at most total/(k+1),
+    * never overestimates) means no gram with true count > total/k can be
+    * missing from the candidates, and the exact recount prunes any false
+    * candidate — so the output is exact and engine-portable, while the
+    * corpus-scale plan stays O(k) in state where [[ngramFrequency]] is
+    * O(vocabulary). The threshold compares `count·k > total` in integers —
+    * no division, no float drift.
+    */
+  def frequentNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val gramsCol = shingles(col(textCol), n)
+    val sketch = df
+      .select(gramsCol.as("_grams"))
+      .agg(graft.functions.MisraGriesFreqItems
+        .freqItems(df.sparkSession, col("_grams"), k).as("_mg"))
+    // each candidate row carries the exact total, so one broadcast side
+    // serves both the pre-shuffle filter and the final threshold
+    val candidates = sketch.select(
+      col("_mg.total").as("_total_grams"),
+      explode(col("_mg.items")).as("gram"))
+    df.select(explode(gramsCol).as("gram"))
+      .join(broadcast(candidates), Seq("gram"))
+      .groupBy(col("gram"), col("_total_grams"))
+      .agg(count(lit(1)).as("gram_count"))
+      .where(col("gram_count") * lit(k.toLong) > col("_total_grams"))
+      .select(col("gram"), col("gram_count"))
+  }
+
   /** Chunk-level duplication profile (the RefinedWeb-style signal for
     * "mostly boilerplate copied elsewhere"): each document is cut into
     * consecutive `chunkSize`-token chunks (last one partial), a chunk counts

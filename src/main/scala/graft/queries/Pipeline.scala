@@ -611,6 +611,17 @@ object Pipeline {
       .orderBy(col("gram_count").desc, col("gram"))
       .limit(20)
 
+  /** q106 — frequent trigrams by RELATIVE threshold (count > 1/5000 of all
+    * gram instances) via the bounded-memory Misra–Gries sketch + exact
+    * recount ([[Curation.frequentNgrams]]). Same detection target as q73's
+    * profile but with O(k) aggregation state instead of O(vocabulary) — the
+    * shape that survives a corpus whose gram vocabulary dwarfs executor
+    * memory.
+    */
+  def frequentGrams(spark: SparkSession, dir: String): DataFrame =
+    Curation.frequentNgrams(Tables(spark, dir).documents, "text", n = 3, k = 5000)
+      .orderBy(col("gram_count").desc, col("gram"))
+
   /** q74 — chunk-level duplication profile: per document, how many of its
     * 20-token chunks occur verbatim in some other document
     * ([[Curation.chunkDedupStats]]).
