@@ -124,6 +124,8 @@ object SparkEntry {
     "q104_context_windows" -> (Pipeline.contextWindows _),
     "q105_leakage_proof_split" -> (Pipeline.leakageProofSplit _),
     "q106_frequent_grams" -> (Pipeline.frequentGrams _),
+    "q107_salted_join" -> (Relational.saltedSupplierRevenue _),
+    "q108_key_skew_profile" -> (Relational.orderKeySkew _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1544,6 +1546,25 @@ object SparkEntry {
         |FROM grams GROUP BY gram
         |HAVING COUNT(*) * 5000 > (SELECT n FROM tot)
         |ORDER BY gram_count DESC, gram""".stripMargin,
+    // the plain join IS the oracle: salting must be result-invisible
+    "q107_salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q108_key_skew_profile" ->
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS key_count
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(key_count) AS BIGINT) AS total_rows,
+        |    CAST(quantile_cont(key_count, 0.5) AS DOUBLE) AS median_count
+        |  FROM c)
+        |SELECT o_custkey, key_count, n_keys, total_rows, median_count,
+        |  CAST(key_count AS DOUBLE) / median_count AS skew_ratio
+        |FROM c, s ORDER BY key_count DESC, o_custkey LIMIT 10""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

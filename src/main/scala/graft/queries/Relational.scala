@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Analytics, QualityChecks}
+import graft.operators.{Analytics, QualityChecks, Skew}
 import graft.dml.Mutations
 
 /** Relational operator surface exercised as concrete queries over the
@@ -515,4 +515,41 @@ object Relational {
     n.select(col("n_nationkey"), sha2(payload, 256).as("row_hash"))
       .orderBy(col("n_nationkey"))
   }
+
+  /** q107 — per-nation supplier revenue computed through the SALTED skew
+    * join ([[Skew.saltedJoin]], salt 8), certified against the PLAIN-join
+    * oracle: salting must be invisible in the result — every (key, salt)
+    * replica matches exactly the rows the unsalted join would, so the only
+    * difference is physical (each hot key spread over 8 shuffle
+    * partitions). This upgrades the salting insurance from spec-gated to
+    * oracle-certified.
+    */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(
+      col("l_suppkey").as("s_suppkey"),
+      col("l_extendedprice"),
+      col("l_discount"))
+    val revenue = money(col("l_extendedprice")) * (one - factor(col("l_discount")))
+    Skew
+      .saltedJoin(
+        li,
+        t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        Seq("s_suppkey"),
+        saltBuckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        sum(revenue).cast("decimal(38,4)").cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** q108 — shuffle-key skew profile over `orders.o_custkey`
+    * ([[Skew.keySkewProfile]]): the top-10 heaviest customers with their
+    * order counts and ratio to the median per-customer count — the
+    * diagnostic that decides between a plain join, AQE skew split, and the
+    * q107 salted join.
+    */
+  def orderKeySkew(spark: SparkSession, dir: String): DataFrame =
+    Skew.keySkewProfile(Tables(spark, dir).orders, "o_custkey", topN = 10)
 }

@@ -35,5 +35,28 @@ class SkewSpec extends SparkSpec {
     assert(saltCount >= 6, s"content-hash salt should hit most buckets, got $saltCount")
   }
 
+  test("key skew profile reports exact counts, median, and ratio") {
+    // key 1 → 6 rows, key 2 → 3, key 3 → 1: median per-key count = 3
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val rows = Skew.keySkewProfile(df, "k", topN = 2)
+      .select("k", "key_count", "n_keys", "total_rows", "median_count", "skew_ratio")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    assert(rows == Seq(
+      (1L, 6L, 3L, 10L, 3.0, 2.0),
+      (2L, 3L, 3L, 10L, 3.0, 1.0)))
+  }
+
+  test("key skew profile is invariant to input partitioning") {
+    val data = (1 to 500).map(i => (i.toLong % 17, i))
+    val a = Skew.keySkewProfile(data.toDF("k", "v").repartition(1), "k", 5)
+      .collect().map(_.toSeq).toSeq
+    val b = Skew.keySkewProfile(data.toDF("k", "v").repartition(7), "k", 5)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   private val RowOrd: Ordering[Seq[Any]] = Ordering.by(_.mkString("|"))
 }
