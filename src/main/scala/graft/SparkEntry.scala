@@ -126,6 +126,7 @@ object SparkEntry {
     "q106_frequent_grams" -> (Pipeline.frequentGrams _),
     "q107_salted_join" -> (Relational.saltedSupplierRevenue _),
     "q108_key_skew_profile" -> (Relational.orderKeySkew _),
+    "q109_streaming_frequent_grams" -> (Pipeline.streamingFrequentGrams _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1565,6 +1566,21 @@ object SparkEntry {
         |SELECT o_custkey, key_count, n_keys, total_rows, median_count,
         |  CAST(key_count AS DOUBLE) / median_count AS skew_ratio
         |FROM c, s ORDER BY key_count DESC, o_custkey LIMIT 10""".stripMargin,
+    // stream path: the micro-batched sketch + recount must equal the exact
+    // batch answer — same form as q106, k = 4000
+    "q109_streaming_frequent_grams" ->
+      """WITH toks AS (
+        |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |idx AS (
+        |  SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
+        |grams AS (
+        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram FROM idx),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_count
+        |FROM grams GROUP BY gram
+        |HAVING COUNT(*) * 4000 > (SELECT n FROM tot)
+        |ORDER BY gram_count DESC, gram""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

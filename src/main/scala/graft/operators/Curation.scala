@@ -493,17 +493,34 @@ object Curation {
     * no division, no float drift.
     */
   def frequentNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
-    val gramsCol = shingles(col(textCol), n)
     val sketch = df
-      .select(gramsCol.as("_grams"))
+      .select(shingles(col(textCol), n).as("_grams"))
       .agg(graft.functions.MisraGriesFreqItems
         .freqItems(df.sparkSession, col("_grams"), k).as("_mg"))
+    heavyGramRecount(df, textCol, n, k, sketch)
+  }
+
+  /** The exact-recount half of [[frequentNgrams]], split out so the sketch
+    * can come from elsewhere — e.g. a streaming complete-mode aggregation
+    * ([[graft.streaming.DocStream]]'s frequent-grams monitor). `sketch` must
+    * be a single-row frame with a `_mg struct(total, items)` column
+    * satisfying the Misra–Gries superset guarantee over `df`'s grams; the
+    * recount output is then exact regardless of HOW the sketch was
+    * accumulated (batch vs micro-batches, any partitioning) — candidate
+    * content may differ, the thresholded exact counts cannot.
+    */
+  private[graft] def heavyGramRecount(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      k: Int,
+      sketch: DataFrame): DataFrame = {
     // each candidate row carries the exact total, so one broadcast side
     // serves both the pre-shuffle filter and the final threshold
     val candidates = sketch.select(
       col("_mg.total").as("_total_grams"),
       explode(col("_mg.items")).as("gram"))
-    df.select(explode(gramsCol).as("gram"))
+    df.select(explode(shingles(col(textCol), n)).as("gram"))
       .join(broadcast(candidates), Seq("gram"))
       .groupBy(col("gram"), col("_total_grams"))
       .agg(count(lit(1)).as("gram_count"))

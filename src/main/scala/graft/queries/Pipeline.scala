@@ -1109,4 +1109,40 @@ object Pipeline {
     spark.read.parquet(admittedDir)
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
   }
+
+  /** q109 — streaming frequent-grams, certified through the STREAM path
+    * (q106 certifies the batch twin): the documents table is dropped as 8
+    * parquet files streamed 2 files per trigger — 4 micro-batches, so the
+    * sketch state genuinely accumulates across triggers — through
+    * [[graft.streaming.DocStream.frequentGramsMonitor]] (complete-mode
+    * Misra–Gries aggregation) into a memory sink; the FINAL sketch row then
+    * drives the batch exact recount. The recount output is exact whatever
+    * the micro-batch split (superset guarantee + exact recount), so q106's
+    * oracle form certifies the stream composition with only the threshold
+    * (k = 4000) differing.
+    */
+  def streamingFrequentGrams(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q109_").toString
+    val dropDir = s"$tmp/drops"
+    val checkpoint = s"$tmp/checkpoint"
+    d.repartition(8).write.parquet(dropDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dropDir).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dropDir)
+    val query = DocStream.frequentGramsMonitor(stream, "text", n = 3, k = 4000)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q109_sketch")
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+    Curation.heavyGramRecount(d, "text", n = 3, k = 4000, spark.table("q109_sketch"))
+      .orderBy(col("gram_count").desc, col("gram"))
+  }
 }

@@ -325,6 +325,26 @@ object DocStream {
       .toDF()
   }
 
+  /** Frequent-grams monitor: the [[graft.functions.MisraGriesFreqItems]]
+    * sketch maintained as a streaming complete-mode global aggregation —
+    * each micro-batch folds its arriving documents' `n`-grams into the ONE
+    * persisted sketch buffer (state store holds the serialized ≤ ~2k-entry
+    * summary, nothing per-gram), and every trigger re-emits the current
+    * `struct(total, items)` row. The boilerplate-detection loop this serves:
+    * a long-running monitor watches the candidate set drift as a crawl
+    * arrives, and any point-in-time sketch row feeds
+    * [[graft.operators.Curation]]'s exact recount
+    * (`heavyGramRecount`) to produce exact heavy-gram counts over the
+    * corpus so far — exact regardless of how the stream was micro-batched,
+    * by the sketch's superset guarantee (which holds cumulatively across
+    * batches: state error stays ≤ total/(capacity+1)).
+    */
+  def frequentGramsMonitor(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs
+      .select(TextFunctions.shingles(col(textCol), n).as("_grams"))
+      .agg(graft.functions.MisraGriesFreqItems
+        .freqItems(docs.sparkSession, col("_grams"), k).as("_mg"))
+
   /** Shared gate predicates: `_q_ok` (quality score ≥ threshold) and `_r_ok`
     * (distinct-token ratio ≥ 0.3, the repetition gate). Both [[curate]] and
     * [[curateFunnel]] read these columns, so their semantics cannot drift.

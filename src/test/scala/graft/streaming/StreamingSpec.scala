@@ -416,4 +416,42 @@ class StreamingSpec extends SparkSpec {
       .select(col("media_id"), (lit(1) + length(col("content")) % 7).cast("long").as("n"))
     assert(perMedia.withColumnRenamed("count", "n").except(expected).count() == 0)
   }
+
+  test("streaming frequent-grams sketch + recount equals the batch answer across micro-batches") {
+    import spark.implicits._
+    // tight capacity (k=5) on a 5-token-vocab corpus: compaction and the
+    // cross-trigger state merge both genuinely run
+    // every even doc is the same boilerplate → "hot hot" holds ~half of all
+    // bigram instances (far above the 1/5 threshold); odd docs spread a
+    // ~46-type tail that overflows the 2k-entry summary
+    val docs = (0 until 120).map { i =>
+      val t =
+        if (i % 2 == 0) "hot hot hot hot hot"
+        else s"a${i % 5} b${i % 3} a${i % 5} c${i % 2} b${i % 3}"
+      (i.toLong, t, "en", s"s${i % 4}", t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-freqgram").toString + "/drops"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(6).write.parquet(dir)
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.frequentGramsMonitor(stream, "text", n = 2, k = 5)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("freqgrams")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.lastProgress.batchId >= 2, "test must exercise multiple micro-batches")
+    val batchDf = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val viaStream = graft.operators.Curation
+      .heavyGramRecount(batchDf, "text", n = 2, k = 5, spark.table("freqgrams"))
+      .as[(String, Long)].collect().toSet
+    val viaBatch = graft.operators.Curation
+      .frequentNgrams(batchDf, "text", n = 2, k = 5)
+      .as[(String, Long)].collect().toSet
+    assert(viaStream.nonEmpty, "threshold must be non-vacuous for this corpus")
+    assert(viaStream == viaBatch)
+  }
 }
