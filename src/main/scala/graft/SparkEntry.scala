@@ -127,6 +127,8 @@ object SparkEntry {
     "q107_salted_join" -> (Relational.saltedSupplierRevenue _),
     "q108_key_skew_profile" -> (Relational.orderKeySkew _),
     "q109_streaming_frequent_grams" -> (Pipeline.streamingFrequentGrams _),
+    "q110_soft_dedup_weights" -> (Pipeline.softDedup _),
+    "q111_epoch_schedule" -> (Pipeline.epochSchedule _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1581,6 +1583,38 @@ object SparkEntry {
         |FROM grams GROUP BY gram
         |HAVING COUNT(*) * 4000 > (SELECT n FROM tot)
         |ORDER BY gram_count DESC, gram""".stripMargin,
+    // weight = 1/cluster_size (1.0 unclustered): each near-dup cluster
+    // contributes one document-equivalent of training mass in expectation
+    "q110_soft_dedup_weights" ->
+      (dupClusterCtes +
+        """SELECT d.doc_id,
+          |  CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+          |  CAST(1 AS DOUBLE) / CAST(COALESCE(s.cluster_size, 1) AS DOUBLE) AS weight
+          |FROM documents d
+          |LEFT JOIN comp c ON d.doc_id = c.doc_id
+          |LEFT JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |           FROM comp GROUP BY cluster_id) s
+          |  ON c.cluster_id = s.cluster_id
+          |ORDER BY d.doc_id""".stripMargin),
+    // q32's quality tiers decide the epoch count (>=0.8 -> 3, >=0.5 -> 2)
+    "q111_epoch_schedule" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |          ELSE 0.0 END) AS quality_score
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN quality_score >= 0.8 THEN 3
+        |              WHEN quality_score >= 0.5 THEN 2 ELSE 1 END AS BIGINT) AS n_epochs
+        |  FROM q)
+        |SELECT doc_id, n_epochs, CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch_idx
+        |FROM e ORDER BY doc_id, epoch_idx""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -161,6 +161,52 @@ object Curation {
       .drop("_split_key", "cluster_id")
   }
 
+  /** Soft dedup: duplicate-aware DOWNWEIGHTING instead of dropping. Every
+    * document stays in the corpus with sampling weight `1 / cluster_size`
+    * (1.0 when unclustered), so each near-duplicate cluster contributes one
+    * document-equivalent of training mass in expectation — the
+    * "keep-but-reweight" alternative to canonical-per-cluster dedup
+    * ([[graft.operators.Dedup.dedupCorpus]]) for corpora where duplicates
+    * carry signal (popularity, cross-source corroboration) that hard
+    * dropping erases.
+    *
+    * Shape: cluster sizes aggregate over the duplicate-membership-sized
+    * labels frame (pairs-derived — far smaller than the corpus), and the
+    * corpus joins it by id; text never shuffles. The weight is ONE IEEE
+    * division of exact integers — engine-portable.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val lab = labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id").as(idCol), col("cluster_size"))
+    df.join(lab, Seq(idCol), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+      .select(col(idCol), col("cluster_size"), col("weight"))
+  }
+
+  /** Multi-epoch scheduling by quality tier: high-quality documents repeat
+    * across training epochs (quality ≥ 0.8 → 3 epochs, ≥ 0.5 → 2, else 1 —
+    * the same tier boundaries the quality label uses), emitting one
+    * (id, epoch_idx) row per scheduled appearance. The data-scheduler twin
+    * of source-level mixing ([[weightedSourceSample]]): mixing decides WHAT
+    * enters the corpus, this decides HOW OFTEN it is seen.
+    *
+    * Shape: map-only — per-row quality score (codegen'd expression) and a
+    * `sequence` explode with fan-out bounded by the max epoch count, so a
+    * 100 TB corpus schedules at scan speed with no shuffle anywhere.
+    */
+  def epochReplication(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = qualityScore(col(textCol))
+    val n = when(q >= 0.8, lit(3L)).when(q >= 0.5, lit(2L)).otherwise(lit(1L))
+    df.select(col(idCol), n.as("n_epochs"))
+      .select(
+        col(idCol),
+        col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch_idx"))
+  }
+
   /** Deterministic per-source mixture sampling: keep a document iff
     * Sha60(id) mod `denom` falls under its source's weight share — the
     * data-mixing step that reweights corpus sources for training (e.g. keep

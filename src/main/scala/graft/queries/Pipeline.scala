@@ -1145,4 +1145,25 @@ object Pipeline {
     Curation.heavyGramRecount(d, "text", n = 3, k = 4000, spark.table("q109_sketch"))
       .orderBy(col("gram_count").desc, col("gram"))
   }
+
+  /** q110 — soft dedup ([[Curation.softDedupWeights]] over the q52
+    * clusters): every document with its near-dup cluster size and
+    * `1/cluster_size` sampling weight — the keep-but-reweight alternative
+    * to q53's canonical-per-cluster drop.
+    */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = Dedup.minhashNearDuplicates(d, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    Curation.softDedupWeights(d, "doc_id", Dedup.duplicateClusters(pairs))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q111 — multi-epoch scheduling ([[Curation.epochReplication]]): one row
+    * per scheduled appearance, with high-quality documents repeating up to
+    * 3 epochs. Map-only; the q32 quality tiers decide the epoch count.
+    */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame =
+    Curation.epochReplication(Tables(spark, dir).documents, "doc_id", "text")
+      .orderBy(col("doc_id"), col("epoch_idx"))
 }

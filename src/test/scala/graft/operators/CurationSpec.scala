@@ -614,4 +614,34 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must stay map-only:\n$plan")
   }
+
+  test("soft dedup weights: 1/cluster_size for members, 1.0 for singletons") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    // cluster {1,2,3} rooted at 1; doc 4, 5 unclustered
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val out = Curation.softDedupWeights(corpus, "doc_id", labels)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out == Map(
+      1L -> ((3L, 1.0 / 3.0)), 2L -> ((3L, 1.0 / 3.0)), 3L -> ((3L, 1.0 / 3.0)),
+      4L -> ((1L, 1.0)), 5L -> ((1L, 1.0))))
+    // the expected corpus mass is one document-equivalent per cluster
+    val mass = out.values.map(_._2).sum
+    assert(math.abs(mass - 3.0) < 1e-12)
+  }
+
+  test("epoch replication emits n_epochs rows per doc by quality tier, map-only") {
+    val df = Curation.epochReplication(docs.toDF("doc_id", "text", "source"), "doc_id", "text")
+    val perDoc = df.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val epochs = df.where(col("doc_id") === 1L).select("epoch_idx")
+      .as[Long].collect().sorted.toSeq
+    // every doc appears once per scheduled epoch, epochs numbered 1..n
+    assert(perDoc.values.forall(n => n >= 1 && n <= 3))
+    assert(epochs == (1L to perDoc(1L)).toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scheduling must stay map-only:\n$plan")
+  }
 }
