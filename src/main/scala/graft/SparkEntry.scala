@@ -129,6 +129,7 @@ object SparkEntry {
     "q109_streaming_frequent_grams" -> (Pipeline.streamingFrequentGrams _),
     "q110_soft_dedup_weights" -> (Pipeline.softDedup _),
     "q111_epoch_schedule" -> (Pipeline.epochSchedule _),
+    "q112_decontaminate" -> (Pipeline.decontaminatedCorpus _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1615,6 +1616,30 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, n_epochs, CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch_idx
         |FROM e ORDER BY doc_id, epoch_idx""".stripMargin,
+    // the decontamination ACTION on q54's split: drop training docs with
+    // >= 90% distinct-bigram overlap vs the eval vocabulary; docs too short
+    // for a bigram are kept (nothing to leak)
+    "q112_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |ev AS (SELECT * FROM toks WHERE doc_id % 17 = 0),
+        |tr AS (SELECT * FROM toks WHERE doc_id % 17 <> 0),
+        |evocab AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER)), i -> t[i] || ' ' || t[i+1]))) AS gram
+        |  FROM ev),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, CAST(len(t) AS INTEGER)), i -> t[i] || ' ' || t[i+1]))) AS gram
+        |  FROM tr),
+        |rate AS (
+        |  SELECT tg.doc_id, COUNT(*) AS n, COUNT(e.gram) AS c
+        |  FROM tg LEFT JOIN evocab e USING (gram) GROUP BY tg.doc_id),
+        |bad AS (SELECT doc_id FROM rate WHERE CAST(c AS DOUBLE) / CAST(n AS DOUBLE) >= 0.9)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -57,6 +57,43 @@ object Curation {
         col("n_contaminated").cast("double") / col("n_ngrams").cast("double"))
   }
 
+  /** Decontamination ACTION — the other direction of [[contamination]]:
+    * DROP training documents whose distinct word `shingleN`-grams overlap
+    * the eval set's n-gram vocabulary at or above `maxOverlap` (the
+    * detect→act pair, like q74's chunk profile → q99's boilerplate
+    * removal). Documents too short to have an n-gram are kept — they cannot
+    * leak an n-gram they don't contain.
+    *
+    * Shape: the eval side (small by construction) becomes the broadcast
+    * vocabulary; the training side probes it per distinct gram, aggregates
+    * an integer (hits, total) pair per document — ONE id-keyed shuffle with
+    * map-side combine — and the corpus drops contaminated ids by anti-join.
+    * Text rides only the final anti-join key-equi; the overlap rate is one
+    * IEEE division of exact counts, engine-portable.
+    */
+  def decontaminate(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 2,
+      maxOverlap: Double = 0.9): DataFrame = {
+    val evalVocab = evalSet
+      .select(explode(array_distinct(shingles(col(textCol), shingleN))).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val contaminatedIds = train
+      .select(
+        col(idCol).as("_d_id"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("gram"))
+      .join(broadcast(evalVocab), Seq("gram"), "left")
+      .groupBy(col("_d_id"))
+      .agg(count(lit(1)).as("_n"), count(col("hit")).as("_c"))
+      .where(col("_c").cast("double") / col("_n").cast("double") >= maxOverlap)
+      .select(col("_d_id"))
+    train.join(contaminatedIds, train(idCol) === col("_d_id"), "left_anti")
+  }
+
   /** Repetition-based quality metrics (the Gopher/MassiveText family of
     * rules): per document, the distinct-token ratio and the fraction of word
     * bigrams taken by the single most frequent bigram. Heavily repetitive

@@ -1166,4 +1166,23 @@ object Pipeline {
   def epochSchedule(spark: SparkSession, dir: String): DataFrame =
     Curation.epochReplication(Tables(spark, dir).documents, "doc_id", "text")
       .orderBy(col("doc_id"), col("epoch_idx"))
+
+  /** q112 — decontamination action over q54's split (every 17th doc plays
+    * the eval set): training documents with ≥ 90% distinct-bigram overlap
+    * against the eval vocabulary are DROPPED
+    * ([[Curation.decontaminate]]); the surviving corpus reports per-source
+    * document and token counts — the detect (q54) → act pair.
+    */
+  def decontaminatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val evalSet = d.where(col("doc_id") % 17 === 0)
+    val train = d.where(col("doc_id") % 17 =!= 0)
+    Curation.decontaminate(train, evalSet, "doc_id", "text",
+      shingleN = 2, maxOverlap = 0.9)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy(col("source"))
+  }
 }

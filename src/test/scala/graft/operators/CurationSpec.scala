@@ -615,6 +615,20 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must stay map-only:\n$plan")
   }
 
+  test("decontaminate drops overlapping training docs, keeps short and clean ones") {
+    val evalSet = Seq((100L, "secret eval question here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "secret eval question here verbatim"), // 4/5 bigrams from eval → dropped at 0.5
+      (2L, "completely unrelated training text"), // 0 overlap → kept
+      (3L, "eval"), // too short for a bigram → kept (nothing to leak)
+      (4L, "secret eval material mixed with lots of fresh training words")) // low overlap → kept
+      .toDF("doc_id", "text")
+    val kept = Curation.decontaminate(train, evalSet, "doc_id", "text",
+      shingleN = 2, maxOverlap = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("soft dedup weights: 1/cluster_size for members, 1.0 for singletons") {
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
       .toDF("doc_id", "text")
