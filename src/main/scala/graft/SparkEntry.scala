@@ -130,6 +130,7 @@ object SparkEntry {
     "q110_soft_dedup_weights" -> (Pipeline.softDedup _),
     "q111_epoch_schedule" -> (Pipeline.epochSchedule _),
     "q112_decontaminate" -> (Pipeline.decontaminatedCorpus _),
+    "q113_neardup_decontaminate" -> (Pipeline.nearDupDecontaminated _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1640,6 +1641,28 @@ object SparkEntry {
         |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
         |FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // q64's incremental LSH probe with the eval set (doc_id % 17 = 0) as the
+    // delta; train docs matched at jaccard >= 0.5 are dropped
+    "q113_neardup_decontaminate" ->
+      ("WITH " + lshPrefixCtes("documents") + ",\n" +
+        """cbuck AS (
+          |  SELECT band, bkey, list(doc_id) AS cids
+          |  FROM banded WHERE doc_id % 17 <> 0
+          |  GROUP BY band, bkey HAVING count(*) <= 50),
+          |cand AS (
+          |  SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
+          |  FROM banded d JOIN cbuck cb ON d.band = cb.band AND d.bkey = cb.bkey
+          |  WHERE d.doc_id % 17 = 0),
+          |bad AS (
+          |  SELECT DISTINCT corpus_id FROM (
+          |    SELECT p.corpus_id,
+          |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+          |    FROM cand p JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
+          |  WHERE jaccard >= 0.5)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |FROM documents
+          |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM bad)
+          |GROUP BY source ORDER BY source""".stripMargin),
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

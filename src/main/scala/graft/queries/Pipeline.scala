@@ -1185,4 +1185,25 @@ object Pipeline {
         sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
       .orderBy(col("source"))
   }
+
+  /** q113 — NEAR-DUP decontamination, the fuzzy complement of q112's exact
+    * n-gram action: training documents that are MinHash near-duplicates of
+    * any eval document (the q64 incremental probe with the eval set playing
+    * the delta — eval-sized, so the probe side is tiny) are dropped; the
+    * surviving corpus reports per-source counts. Catches lightly-edited
+    * eval copies whose token n-grams no longer match exactly.
+    */
+  def nearDupDecontaminated(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val evalSet = d.where(col("doc_id") % 17 === 0)
+    val train = d.where(col("doc_id") % 17 =!= 0)
+    val contaminated = Dedup.minhashIncrementalDuplicates(train, evalSet, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+      .select(col("corpus_id").as("_d_id"))
+      .distinct()
+    train.join(contaminated, train("doc_id") === col("_d_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
 }
