@@ -131,6 +131,7 @@ object SparkEntry {
     "q111_epoch_schedule" -> (Pipeline.epochSchedule _),
     "q112_decontaminate" -> (Pipeline.decontaminatedCorpus _),
     "q113_neardup_decontaminate" -> (Pipeline.nearDupDecontaminated _),
+    "q114_streaming_curation_funnel" -> (Pipeline.streamingCurationFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1663,6 +1664,25 @@ object SparkEntry {
           |FROM documents
           |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM bad)
           |GROUP BY source ORDER BY source""".stripMargin),
+    // the stream's final complete-mode row must equal the whole-corpus gate
+    // attrition (q66's first stages: quality >= 0.5, distinct ratio >= 0.3)
+    "q114_streaming_curation_funnel" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
+        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |          ELSE 0.0 END) AS qs
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+        |  CAST(COUNT(*) FILTER (WHERE qs >= 0.5) AS BIGINT) AS n_after_quality,
+        |  CAST(COUNT(*) FILTER (WHERE qs >= 0.5
+        |    AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.3) AS BIGINT) AS n_curated
+        |FROM scored""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -1206,4 +1206,38 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
   }
+
+  /** q114 — streaming curation funnel certified through the STREAM path
+    * (the gate stages of q66's batch funnel; StreamingSpec already pins
+    * stream ≡ batch on the shared [[graft.streaming.DocStream]] gate
+    * flags): the documents table drops as 8 files streamed 2 per trigger —
+    * 4 micro-batches, so the three-Long funnel state genuinely accumulates
+    * — through `curateFunnel`'s complete-mode aggregation; the final
+    * emitted row is the whole-corpus attrition count, identical however
+    * the file source batches the drop.
+    */
+  def streamingCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q114_").toString
+    val dropDir = s"$tmp/drops"
+    val checkpoint = s"$tmp/checkpoint"
+    d.repartition(8).write.parquet(dropDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dropDir).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dropDir)
+    val query = DocStream.curateFunnel(stream, minQuality = 0.5)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q114_funnel")
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q114_funnel")
+      .select(col("n_input"), col("n_after_quality"), col("n_curated"))
+  }
 }
