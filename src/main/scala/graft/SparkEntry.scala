@@ -132,6 +132,7 @@ object SparkEntry {
     "q112_decontaminate" -> (Pipeline.decontaminatedCorpus _),
     "q113_neardup_decontaminate" -> (Pipeline.nearDupDecontaminated _),
     "q114_streaming_curation_funnel" -> (Pipeline.streamingCurationFunnel _),
+    "q115_streaming_corpus_report" -> (Pipeline.streamingCorpusReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1683,6 +1684,21 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE qs >= 0.5
         |    AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.3) AS BIGINT) AS n_curated
         |FROM scored""".stripMargin,
+    // the stream's final complete-mode rows must equal the whole-corpus
+    // per-source statistics (q82's count columns)
+    "q115_streaming_corpus_report" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(len(regexp_extract_all(text, '\S+'))), 0) AS BIGINT) AS total_tokens,
+        |  CAST(COUNT(CASE WHEN
+        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |          ELSE 0.0 END) >= 0.5 THEN 1 END) AS BIGINT) AS n_quality_pass,
+        |  CAST(COUNT(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) AS BIGINT) AS n_empty
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

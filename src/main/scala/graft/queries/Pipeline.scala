@@ -1240,4 +1240,35 @@ object Pipeline {
     spark.table("q114_funnel")
       .select(col("n_input"), col("n_after_quality"), col("n_curated"))
   }
+
+  /** q115 — streaming corpus health report certified through the STREAM
+    * path (q82 certifies the batch report; StreamingSpec pins stream ≡
+    * batch): per-source doc/token/quality/empty counts accumulated as a
+    * complete-mode aggregation over 4 micro-batches — one state row per
+    * source — with the final emission equal to the whole-corpus statistics
+    * however the drop is batched.
+    */
+  def streamingCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q115_").toString
+    val dropDir = s"$tmp/drops"
+    val checkpoint = s"$tmp/checkpoint"
+    d.repartition(8).write.parquet(dropDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dropDir).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dropDir)
+    val query = DocStream.corpusReportStream(stream, minQuality = 0.5)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("complete")
+      .format("memory")
+      .queryName("q115_report")
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q115_report").orderBy(col("source"))
+  }
 }
