@@ -133,6 +133,8 @@ object SparkEntry {
     "q113_neardup_decontaminate" -> (Pipeline.nearDupDecontaminated _),
     "q114_streaming_curation_funnel" -> (Pipeline.streamingCurationFunnel _),
     "q115_streaming_corpus_report" -> (Pipeline.streamingCorpusReport _),
+    "q116_streaming_curate" -> (Pipeline.streamingCurate _),
+    "q117_streaming_exact_dedup" -> (Pipeline.streamingExactDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1699,6 +1701,51 @@ object SparkEntry {
         |          ELSE 0.0 END) >= 0.5 THEN 1 END) AS BIGINT) AS n_quality_pass,
         |  CAST(COUNT(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) AS BIGINT) AS n_empty
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the stream's append-mode survivors must equal the batch gate rows:
+    // quality >= 0.5, distinct ratio >= 0.3, q33's language CASE, q59's mask
+    "q116_streaming_curate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(the|is|of|and|that|with|for|this)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|está|por|con|para)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|est|dans|pour|avec|une)\b')) AS s_fr,
+        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |          ELSE 0.0 END)
+        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
+        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |          ELSE 0.0 END) AS quality_score
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS predicted_lang,
+        |  quality_score,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS text
+        |FROM scored
+        |WHERE quality_score >= 0.5
+        |  AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.3
+        |ORDER BY doc_id""".stripMargin,
+    // NOT EXISTS (not NOT IN): anti-join null-key semantics must match
+    "q117_streaming_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT doc_id, source FROM documents d
+        |WHERE doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM corpus c
+        |  WHERE c.h = md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared q76/q77 oracle prefix: the silver.crm_sales cleaning rules

@@ -1271,4 +1271,75 @@ object Pipeline {
     } finally query.stop()
     spark.table("q115_report").orderBy(col("source"))
   }
+
+  /** q116 — the streaming curation GATE itself certified through the
+    * STREAM path (q114 certifies its attrition counts; this certifies the
+    * curated ROWS): documents drop as 8 files streamed 2 per trigger
+    * through [[graft.streaming.DocStream.curate]] — stateless per-row
+    * gates, so append mode — into a parquet sink read back for the
+    * compare: survivors with predicted language, quality score, and
+    * PII-masked text.
+    */
+  def streamingCurate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q116_").toString
+    val dropDir = s"$tmp/drops"
+    val outDir = s"$tmp/curated"
+    val checkpoint = s"$tmp/checkpoint"
+    d.repartition(8).write.parquet(dropDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dropDir).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dropDir)
+    val query = DocStream.curate(stream, minQuality = 0.5)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
+  /** q117 — streaming exact-dedup admission certified through the STREAM
+    * path (q30/q64 certify the batch hash-dedup semantics): the arriving
+    * delta (doc_id % 10 = 0) streams against the corpus content-hash index
+    * ([[graft.streaming.DocStream.corpusIndex]] over the rest) via the
+    * stream–static anti-join; admitted non-duplicates land in a parquet
+    * sink read back for the compare. Each verdict depends only on the
+    * static index, so the admitted set is micro-batch invariant.
+    */
+  def streamingExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val corpus = d.where(col("doc_id") % 10 =!= 0)
+    val arriving = d.where(col("doc_id") % 10 === 0)
+    val index = DocStream.corpusIndex(corpus)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q117_").toString
+    val dropDir = s"$tmp/drops"
+    val outDir = s"$tmp/admitted"
+    val checkpoint = s"$tmp/checkpoint"
+    arriving.repartition(4).write.parquet(dropDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dropDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dropDir)
+    val query = DocStream.dedupAgainstCorpus(stream, index)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 }
