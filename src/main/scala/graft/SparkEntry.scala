@@ -137,6 +137,35 @@ object SparkEntry {
     "q117_streaming_exact_dedup" -> (Pipeline.streamingExactDedup _),
   )
 
+  /** Frequent-trigram heavy-hitter oracle (exact semantics of the
+    * Misra–Gries sketch + recount composition), parameterized by the
+    * relative-frequency divisor `k` — shared by q106 (batch) and q109
+    * (through-the-stream) so the gram construction cannot drift between
+    * the two certifications.
+    */
+  private def freqGramsOracleSql(k: Int): String =
+    raw"""WITH toks AS (
+         |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+         |  FROM documents),
+         |idx AS (
+         |  SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
+         |grams AS (
+         |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram FROM idx),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams)
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_count
+         |FROM grams GROUP BY gram
+         |HAVING COUNT(*) * $k > (SELECT n FROM tot)
+         |ORDER BY gram_count DESC, gram""".stripMargin
+
+  /** The q32 quality-score formula (TextFunctions.qualityScore replicated in
+    * DuckDB SQL), shared by every oracle that computes or gates on the
+    * score — q32, q82, q111, q114, q115, q116, and the q65/q66 curation
+    * chain — so a threshold or stop-word change cannot silently
+    * desynchronize one copy from the rest.
+    */
+  private val qualityScoreSql: String =
+    """0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0 THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) ELSE 0.0 END) + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0 THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)"""
+
   def oracleSql: Map[String, String] = Map(
     // Decimal→double finals of scale ≥ 4 go through a VARCHAR hop: DuckDB's
     // direct DECIMAL(38,s)→DOUBLE cast is not correctly rounded once the
@@ -374,20 +403,14 @@ object SparkEntry {
         |  FROM documents GROUP BY lang)
         |ORDER BY lang""".stripMargin,
     "q32_text_quality" ->
-      """SELECT doc_id, n_tokens, stopword_hits, punct_chars, quality_score,
+      raw"""SELECT doc_id, n_tokens, stopword_hits, punct_chars, quality_score,
         |  CASE WHEN quality_score >= 0.8 THEN 'high' WHEN quality_score >= 0.5 THEN 'medium' ELSE 'low' END AS quality_label
         |FROM (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS INTEGER) AS stopword_hits,
         |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS INTEGER) AS punct_chars,
-        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-        |          ELSE 0.0 END)
-        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |          ELSE 0.0 END) AS quality_score
+        |    $qualityScoreSql AS quality_score
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q33_lang_id" ->
@@ -1052,17 +1075,11 @@ object SparkEntry {
     // all-count aggregation (no float accumulation); rates are single final
     // divisions; quality formula mirrors the q65 'qs' expression exactly
     "q82_corpus_report" ->
-      """WITH scored AS (
+      raw"""WITH scored AS (
         |  SELECT source, text,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_toks,
         |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS chash,
-        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-        |          ELSE 0.0 END)
-        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |          ELSE 0.0 END) AS qs
+        |    $qualityScoreSql AS qs
         |  FROM documents)
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -1542,19 +1559,7 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin),
     // exact semantics of the sketch+recount composition: every trigram with
     // count strictly above 1/5000 of all trigram instances, exact counts
-    "q106_frequent_grams" ->
-      """WITH toks AS (
-        |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents),
-        |idx AS (
-        |  SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
-        |grams AS (
-        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram FROM idx),
-        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams)
-        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_count
-        |FROM grams GROUP BY gram
-        |HAVING COUNT(*) * 5000 > (SELECT n FROM tot)
-        |ORDER BY gram_count DESC, gram""".stripMargin,
+    "q106_frequent_grams" -> freqGramsOracleSql(k = 5000),
     // the plain join IS the oracle: salting must be result-invisible
     "q107_salted_join" ->
       """SELECT s_nationkey,
@@ -1576,19 +1581,7 @@ object SparkEntry {
         |FROM c, s ORDER BY key_count DESC, o_custkey LIMIT 10""".stripMargin,
     // stream path: the micro-batched sketch + recount must equal the exact
     // batch answer — same form as q106, k = 4000
-    "q109_streaming_frequent_grams" ->
-      """WITH toks AS (
-        |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
-        |  FROM documents),
-        |idx AS (
-        |  SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i FROM toks),
-        |grams AS (
-        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram FROM idx),
-        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM grams)
-        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_count
-        |FROM grams GROUP BY gram
-        |HAVING COUNT(*) * 4000 > (SELECT n FROM tot)
-        |ORDER BY gram_count DESC, gram""".stripMargin,
+    "q109_streaming_frequent_grams" -> freqGramsOracleSql(k = 4000),
     // weight = 1/cluster_size (1.0 unclustered): each near-dup cluster
     // contributes one document-equivalent of training mass in expectation
     "q110_soft_dedup_weights" ->
@@ -1604,15 +1597,9 @@ object SparkEntry {
           |ORDER BY d.doc_id""".stripMargin),
     // q32's quality tiers decide the epoch count (>=0.8 -> 3, >=0.5 -> 2)
     "q111_epoch_schedule" ->
-      """WITH q AS (
+      raw"""WITH q AS (
         |  SELECT doc_id,
-        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-        |          ELSE 0.0 END)
-        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |          ELSE 0.0 END) AS quality_score
+        |    $qualityScoreSql AS quality_score
         |  FROM documents),
         |e AS (
         |  SELECT doc_id,
@@ -1670,16 +1657,10 @@ object SparkEntry {
     // the stream's final complete-mode row must equal the whole-corpus gate
     // attrition (q66's first stages: quality >= 0.5, distinct ratio >= 0.3)
     "q114_streaming_curation_funnel" ->
-      """WITH scored AS (
+      raw"""WITH scored AS (
         |  SELECT doc_id,
         |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
-        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-        |          ELSE 0.0 END)
-        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |          ELSE 0.0 END) AS qs
+        |    $qualityScoreSql AS qs
         |  FROM documents)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
         |  CAST(COUNT(*) FILTER (WHERE qs >= 0.5) AS BIGINT) AS n_after_quality,
@@ -1689,22 +1670,16 @@ object SparkEntry {
     // the stream's final complete-mode rows must equal the whole-corpus
     // per-source statistics (q82's count columns)
     "q115_streaming_corpus_report" ->
-      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      raw"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COALESCE(SUM(len(regexp_extract_all(text, '\S+'))), 0) AS BIGINT) AS total_tokens,
         |  CAST(COUNT(CASE WHEN
-        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-        |          ELSE 0.0 END)
-        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |          ELSE 0.0 END) >= 0.5 THEN 1 END) AS BIGINT) AS n_quality_pass,
+        |    $qualityScoreSql >= 0.5 THEN 1 END) AS BIGINT) AS n_quality_pass,
         |  CAST(COUNT(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) AS BIGINT) AS n_empty
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // the stream's append-mode survivors must equal the batch gate rows:
     // quality >= 0.5, distinct ratio >= 0.3, q33's language CASE, q59's mask
     "q116_streaming_curate" ->
-      """WITH scored AS (
+      raw"""WITH scored AS (
         |  SELECT doc_id, source, text,
         |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
         |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
@@ -1712,13 +1687,7 @@ object SparkEntry {
         |    len(regexp_extract_all(lower(text), '\b(the|is|of|and|that|with|for|this)\b')) AS s_en,
         |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|está|por|con|para)\b')) AS s_es,
         |    len(regexp_extract_all(lower(text), '\b(le|les|des|est|dans|pour|avec|une)\b')) AS s_fr,
-        |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-        |          ELSE 0.0 END)
-        |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-        |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-        |          ELSE 0.0 END) AS quality_score
+        |    $qualityScoreSql AS quality_score
         |  FROM documents)
         |SELECT doc_id, source,
         |  CASE WHEN cjk > 0 THEN 'zh'
@@ -1974,16 +1943,10 @@ object SparkEntry {
     * [[graft.operators.Curation.curateCorpus]] stage for stage.
     */
   private lazy val curationChainCtes: String =
-    """WITH RECURSIVE scored AS (
+    raw"""WITH RECURSIVE scored AS (
       |  SELECT doc_id, source, text,
       |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t,
-      |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-      |      + 0.4 * (1.0 - CASE WHEN CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) > 0.0
-      |          THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|is|are|of|and|or|to|in)\b')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
-      |          ELSE 0.0 END)
-      |      + 0.2 * (1.0 - CASE WHEN CAST(length(text) AS DOUBLE) > 0.0
-      |          THEN CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-      |          ELSE 0.0 END) AS qs
+      |    $qualityScoreSql AS qs
       |  FROM documents),
       |gated AS (
       |  SELECT doc_id, source,

@@ -42,7 +42,15 @@ object BloomParams {
     val ln2 = math.log(2.0)
     val mRaw = math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong
     val m = math.min(((mRaw + 63L) / 64L) * 64L, (Int.MaxValue.toLong / 64L) * 64L)
-    val k = math.max(1, math.round(m.toDouble / n.toDouble * ln2).toInt)
+    // clamp k to BloomBuildLong's [1, 32] contract: word-alignment can push
+    // m/n far above the textbook ratio for tiny n (n = 1 gives m = 64 and a
+    // raw k of 44 — which would trip the aggregate's own require and crash
+    // a one-document delta). The clamp only binds when m/n ≥ 32/ln2 ≈ 46
+    // bits per key, where even k = 32 keeps the false-positive rate
+    // (1 − e^(−kn/m))^k orders of magnitude below any requestable fpp —
+    // and correctness is unaffected either way (membership stays exact;
+    // only the false-positive rate moves).
+    val k = math.min(32, math.max(1, math.round(m.toDouble / n.toDouble * ln2).toInt))
     (m.toInt, k)
   }
 

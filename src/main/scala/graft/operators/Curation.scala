@@ -611,27 +611,6 @@ object Curation {
       .select(col("gram"), col("gram_count"))
   }
 
-  /** Chunk-level duplication profile (the RefinedWeb-style signal for
-    * "mostly boilerplate copied elsewhere"): each document is cut into
-    * consecutive `chunkSize`-token chunks (last one partial), a chunk counts
-    * as DUPLICATED when its exact content occurs in more than one distinct
-    * document, and each document reports its duplicated-chunk count and
-    * fraction.
-    *
-    * Chunks are assembled per-row with `sequence`/`slice` (codegen; the
-    * exploded row count is ~tokens/chunkSize, not one row per token), then
-    * reduced to md5 hashes BEFORE any shuffle — the cross-document frequency
-    * and the join back to documents move ids and 32-char hashes only, never
-    * chunk text. Within-document repetition does not count as duplication:
-    * the frequency side is distinct (doc, chunk) pairs.
-    */
-  /** Consecutive `chunkSize`-token chunks of the normalized text (last one
-    * partial) — the shared convention of [[chunkDedupStats]] and
-    * [[removeBoilerplateChunks]]. Assembled per-row with `sequence`/`slice`
-    * (codegen; ~tokens/chunkSize rows when exploded, not one per token);
-    * bindOnce: the tokenizing split must not re-run per chunk (no CSE
-    * inside HOF lambdas — see TextFunctions.bindOnce).
-    */
   /** Sliding context windows over the normalized token stream: windows of
     * `window` tokens advancing by `stride` (stride < window ⇒ overlapping
     * windows — the standard long-document preprocessing for embedding /
@@ -664,6 +643,13 @@ object Curation {
         concat_ws(" ", slice(col("_toks"), col("_wi") * stride + 1, lit(window))).as("window_text"))
   }
 
+  /** Consecutive `chunkSize`-token chunks of the normalized text (last one
+    * partial) — the shared convention of [[chunkDedupStats]] and
+    * [[removeBoilerplateChunks]]. Assembled per-row with `sequence`/`slice`
+    * (codegen; ~tokens/chunkSize rows when exploded, not one per token);
+    * bindOnce: the tokenizing split must not re-run per chunk (no CSE
+    * inside HOF lambdas — see TextFunctions.bindOnce).
+    */
   private def chunkArray(text: Column, chunkSize: Int): Column =
     graft.functions.TextFunctions.bindOnce(tokens(text)) { toks =>
       // (size-1) div chunkSize: Column./ is double division, so truncate the
@@ -674,6 +660,19 @@ object Curation {
         k => concat_ws(" ", slice(toks, k * chunkSize + lit(1), lit(chunkSize))))
     }
 
+  /** Chunk-level duplication profile (the RefinedWeb-style signal for
+    * "mostly boilerplate copied elsewhere"): each document is cut into
+    * consecutive `chunkSize`-token chunks (last one partial), a chunk counts
+    * as DUPLICATED when its exact content occurs in more than one distinct
+    * document, and each document reports its duplicated-chunk count and
+    * fraction.
+    *
+    * Chunk text is reduced to md5 hashes BEFORE any shuffle — the
+    * cross-document frequency and the join back to documents move ids and
+    * 32-char hashes only, never chunk text. Within-document repetition does
+    * not count as duplication: the frequency side is distinct (doc, chunk)
+    * pairs.
+    */
   def chunkDedupStats(
       df: DataFrame,
       idCol: String,

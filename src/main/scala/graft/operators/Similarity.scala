@@ -360,12 +360,7 @@ object Similarity {
 
     // one subvector frame feeds every iteration's assign+means pass —
     // persist it so the scan+explode+slice runs once, not per iteration
-    val subv = emb.select(
-      col(idCol).as("_vid"),
-      explode(sequence(lit(0), lit(numSub - 1))).as("_sub"),
-      col(vecCol).as("_v"))
-      .withColumn("_sv", expr(s"slice(_v, _sub * $subDim + 1, $subDim)"))
-      .drop("_v")
+    val subv = subvFrame(emb, idCol, vecCol, numSub, subDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     (0 until iterations).foreach { _ =>
@@ -407,6 +402,25 @@ object Similarity {
     * arithmetic per element and the fold order are unchanged, so assigned
     * codes are bit-identical to the unrolled form and the SQL oracle.
     */
+  /** (_vid, _sub, _sv) rows: each vector exploded into its `numSub`
+    * contiguous `subDim`-element subvectors — the shared slicing convention
+    * of [[pqCodebooks]] (training) and [[pqEncode]] (encoding); a drifting
+    * copy would make encoded codes silently stop matching the trained
+    * codebooks.
+    */
+  private def subvFrame(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSub: Int,
+      subDim: Int): DataFrame =
+    emb.select(
+      col(idCol).as("_vid"),
+      explode(sequence(lit(0), lit(numSub - 1))).as("_sub"),
+      col(vecCol).as("_v"))
+      .withColumn("_sv", expr(s"slice(_v, _sub * $subDim + 1, $subDim)"))
+      .drop("_v")
+
   private def pqAssignSub(
       subv: DataFrame,
       books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
@@ -438,13 +452,7 @@ object Similarity {
     val numSub = books.length
     val dim = books.length * books.head.head.length
     val subDim = dim / numSub
-    val subv = emb.select(
-      col(idCol).as("_vid"),
-      explode(sequence(lit(0), lit(numSub - 1))).as("_sub"),
-      col(vecCol).as("_v"))
-      .withColumn("_sv", expr(s"slice(_v, _sub * $subDim + 1, $subDim)"))
-      .drop("_v")
-    pqAssignSub(subv, books)
+    pqAssignSub(subvFrame(emb, idCol, vecCol, numSub, subDim), books)
       .groupBy(col("_vid").as(idCol))
       .agg(transform(
         sort_array(collect_list(struct(col("_sub"), col("_code")))),

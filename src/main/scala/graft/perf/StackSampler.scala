@@ -20,6 +20,11 @@ import scala.jdk.CollectionConverters._
 final class StackSampler(intervalMs: Int = 25, maxFrames: Int = 7, maxKeys: Int = 8000) {
   private val counts = mutable.HashMap.empty[String, Long]
   @volatile private var running = false
+  // bumped on every start/stop: a sampler thread that outlives stop()'s
+  // bounded join (getAllStackTraces can stall >1s on the loaded JVMs this
+  // tool exists to diagnose) sees a stale generation and exits instead of
+  // writing the previous query's samples into the next query's counts
+  @volatile private var generation = 0L
   private var thread: Thread = _
 
   /** Normalize a thread name so the map aggregates across pool members:
@@ -27,13 +32,15 @@ final class StackSampler(intervalMs: Int = 25, maxFrames: Int = 7, maxKeys: Int 
   private def norm(name: String): String = name.replaceAll("\\d+", "N")
 
   def start(): Unit = synchronized {
-    counts.clear()
+    counts.synchronized(counts.clear())
+    generation += 1
+    val gen = generation
     running = true
     thread = new Thread(() => {
-      while (running) {
+      while (running && gen == generation) {
         val all = Thread.getAllStackTraces.asScala
         counts.synchronized {
-          all.foreach { case (t, frames) =>
+          if (gen == generation) all.foreach { case (t, frames) =>
             if (t ne Thread.currentThread()) {
               val state = t.getState
               // skip pool threads idling between tasks — they park in the
@@ -60,6 +67,7 @@ final class StackSampler(intervalMs: Int = 25, maxFrames: Int = 7, maxKeys: Int 
 
   def stop(): Unit = synchronized {
     running = false
+    generation += 1 // invalidate any straggler that outlives the join below
     if (thread != null) { thread.join(1000); thread = null }
   }
 

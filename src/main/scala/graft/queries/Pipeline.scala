@@ -1040,6 +1040,52 @@ object Pipeline {
       .orderBy(col("eval_id"))
   }
 
+  /** Scratch directory for the through-the-stream certification queries,
+    * registered for recursive deletion at JVM exit: read-back DataFrames
+    * stay valid for the whole session, while repeated verify/bench runs
+    * stop accumulating corpus copies in the system temp dir (Bench runs
+    * every query twice; each run previously left a full drop + checkpoint
+    * + sink tree behind).
+    */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }))
+    dir.toString
+  }
+
+  /** Shared drop-directory harness for the stream-path certifications:
+    * write `docs` as parquet drops (`files` > 0 repartitions first),
+    * stream them back (`perTrigger` > 0 bounds files per micro-batch; 0
+    * replays everything in one trigger), run the query built by `start` to
+    * completion, and return the scratch root for sink read-back. Streaming
+    * semantics live entirely in `start` — this fixes only the
+    * drop/replay/teardown mechanics, so all seven certification queries
+    * share one copy of them.
+    */
+  private def runDroppedStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      files: Int,
+      perTrigger: Int,
+      prefix: String)(
+      start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val tmp = scratchDir(prefix)
+    val dropDir = s"$tmp/drops"
+    (if (files > 0) docs.repartition(files) else docs).write.parquet(dropDir)
+    val reader = spark.readStream.schema(spark.read.parquet(dropDir).schema)
+    val stream =
+      (if (perTrigger > 0) reader.option("maxFilesPerTrigger", perTrigger) else reader)
+        .parquet(dropDir)
+    val query = start(stream, tmp)
+    try query.processAllAvailable() finally query.stop()
+    tmp
+  }
+
   /** q97 — streaming near-dup admission, certified through the STREAM path
     * itself (q64 certifies the batch twin of the same index probe): the
     * arriving docs (doc_id % 10 = 0, q64's delta split) are written as a
@@ -1059,19 +1105,13 @@ object Pipeline {
     val index = DocStream.minhashCorpusIndex(
       corpus, "doc_id", "text",
       numHashes = 16, numBands = 4, shingleN = 1, maxBucketSize = 50)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q97_").toString
-    val dropDir = s"$tmp/drops"
-    val admittedDir = s"$tmp/admitted"
-    val checkpoint = s"$tmp/checkpoint"
-    arriving.write.parquet(dropDir)
-    val stream = spark.readStream.schema(arriving.schema).parquet(dropDir)
-    val query = DocStream.nearDupAdmission(stream, index, checkpoint, minJaccard = 0.5) {
-      (admitted, _) => admitted.write.mode("append").parquet(admittedDir)
+    val tmp = runDroppedStream(spark, arriving, files = 0, perTrigger = 0, "graft_q97_") {
+      (stream, t) =>
+        DocStream.nearDupAdmission(stream, index, s"$t/checkpoint", minJaccard = 0.5) {
+          (admitted, _) => admitted.write.mode("append").parquet(s"$t/admitted")
+        }
     }
-    try {
-      query.processAllAvailable()
-    } finally query.stop()
-    spark.read.parquet(admittedDir)
+    spark.read.parquet(s"$tmp/admitted")
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
@@ -1090,23 +1130,17 @@ object Pipeline {
   def streamingTokenBudgetAdmission(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocStream
     val d = Tables(spark, dir).documents
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q98_").toString
-    val dropDir = s"$tmp/drops"
-    val admittedDir = s"$tmp/admitted"
-    val checkpoint = s"$tmp/checkpoint"
-    d.write.parquet(dropDir)
-    val stream = spark.readStream.schema(d.schema).parquet(dropDir)
-    val query = DocStream.tokenBudgetAdmission(stream, budget = 1000L)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .format("parquet")
-      .option("path", admittedDir)
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally query.stop()
-    spark.read.parquet(admittedDir)
+    val tmp = runDroppedStream(spark, d, files = 0, perTrigger = 0, "graft_q98_") {
+      (stream, t) =>
+        DocStream.tokenBudgetAdmission(stream, budget = 1000L)
+          .writeStream
+          .option("checkpointLocation", s"$t/checkpoint")
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$t/admitted")
+          .start()
+    }
+    spark.read.parquet(s"$tmp/admitted")
       .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
   }
 
@@ -1124,24 +1158,15 @@ object Pipeline {
   def streamingFrequentGrams(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocStream
     val d = Tables(spark, dir).documents
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q109_").toString
-    val dropDir = s"$tmp/drops"
-    val checkpoint = s"$tmp/checkpoint"
-    d.repartition(8).write.parquet(dropDir)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(dropDir).schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(dropDir)
-    val query = DocStream.frequentGramsMonitor(stream, "text", n = 3, k = 4000)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("complete")
-      .format("memory")
-      .queryName("q109_sketch")
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally query.stop()
+    runDroppedStream(spark, d, files = 8, perTrigger = 2, "graft_q109_") { (stream, t) =>
+      DocStream.frequentGramsMonitor(stream, "text", n = 3, k = 4000)
+        .writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .outputMode("complete")
+        .format("memory")
+        .queryName("q109_sketch")
+        .start()
+    }
     Curation.heavyGramRecount(d, "text", n = 3, k = 4000, spark.table("q109_sketch"))
       .orderBy(col("gram_count").desc, col("gram"))
   }
@@ -1219,24 +1244,15 @@ object Pipeline {
   def streamingCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocStream
     val d = Tables(spark, dir).documents
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q114_").toString
-    val dropDir = s"$tmp/drops"
-    val checkpoint = s"$tmp/checkpoint"
-    d.repartition(8).write.parquet(dropDir)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(dropDir).schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(dropDir)
-    val query = DocStream.curateFunnel(stream, minQuality = 0.5)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("complete")
-      .format("memory")
-      .queryName("q114_funnel")
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally query.stop()
+    runDroppedStream(spark, d, files = 8, perTrigger = 2, "graft_q114_") { (stream, t) =>
+      DocStream.curateFunnel(stream, minQuality = 0.5)
+        .writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .outputMode("complete")
+        .format("memory")
+        .queryName("q114_funnel")
+        .start()
+    }
     spark.table("q114_funnel")
       .select(col("n_input"), col("n_after_quality"), col("n_curated"))
   }
@@ -1251,24 +1267,15 @@ object Pipeline {
   def streamingCorpusReport(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocStream
     val d = Tables(spark, dir).documents
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q115_").toString
-    val dropDir = s"$tmp/drops"
-    val checkpoint = s"$tmp/checkpoint"
-    d.repartition(8).write.parquet(dropDir)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(dropDir).schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(dropDir)
-    val query = DocStream.corpusReportStream(stream, minQuality = 0.5)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("complete")
-      .format("memory")
-      .queryName("q115_report")
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally query.stop()
+    runDroppedStream(spark, d, files = 8, perTrigger = 2, "graft_q115_") { (stream, t) =>
+      DocStream.corpusReportStream(stream, minQuality = 0.5)
+        .writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .outputMode("complete")
+        .format("memory")
+        .queryName("q115_report")
+        .start()
+    }
     spark.table("q115_report").orderBy(col("source"))
   }
 
@@ -1283,26 +1290,17 @@ object Pipeline {
   def streamingCurate(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocStream
     val d = Tables(spark, dir).documents
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q116_").toString
-    val dropDir = s"$tmp/drops"
-    val outDir = s"$tmp/curated"
-    val checkpoint = s"$tmp/checkpoint"
-    d.repartition(8).write.parquet(dropDir)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(dropDir).schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(dropDir)
-    val query = DocStream.curate(stream, minQuality = 0.5)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally query.stop()
-    spark.read.parquet(outDir).orderBy(col("doc_id"))
+    val tmp = runDroppedStream(spark, d, files = 8, perTrigger = 2, "graft_q116_") {
+      (stream, t) =>
+        DocStream.curate(stream, minQuality = 0.5)
+          .writeStream
+          .option("checkpointLocation", s"$t/checkpoint")
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$t/curated")
+          .start()
+    }
+    spark.read.parquet(s"$tmp/curated").orderBy(col("doc_id"))
   }
 
   /** q117 — streaming exact-dedup admission certified through the STREAM
@@ -1319,26 +1317,17 @@ object Pipeline {
     val corpus = d.where(col("doc_id") % 10 =!= 0)
     val arriving = d.where(col("doc_id") % 10 === 0)
     val index = DocStream.corpusIndex(corpus)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q117_").toString
-    val dropDir = s"$tmp/drops"
-    val outDir = s"$tmp/admitted"
-    val checkpoint = s"$tmp/checkpoint"
-    arriving.repartition(4).write.parquet(dropDir)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(dropDir).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dropDir)
-    val query = DocStream.dedupAgainstCorpus(stream, index)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally query.stop()
-    spark.read.parquet(outDir)
+    val tmp = runDroppedStream(spark, arriving, files = 4, perTrigger = 1, "graft_q117_") {
+      (stream, t) =>
+        DocStream.dedupAgainstCorpus(stream, index)
+          .writeStream
+          .option("checkpointLocation", s"$t/checkpoint")
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$t/admitted")
+          .start()
+    }
+    spark.read.parquet(s"$tmp/admitted")
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }

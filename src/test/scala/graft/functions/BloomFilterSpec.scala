@@ -15,6 +15,21 @@ class BloomFilterSpec extends SparkSpec {
     assert(k == 7, s"k=7 expected for 1% fpp, got $k")
     val (m2, k2) = BloomParams.size(10L, 0.5)
     assert(m2 >= 64 && k2 >= 1)
+    // tiny n: word-alignment inflates m/n (n=1 → m=64, raw k=44); sizing
+    // must clamp to the aggregate's [1,32] contract instead of crashing
+    val (m1, k1) = BloomParams.size(1L, 0.01)
+    assert(m1 == 64 && k1 == 32, s"expected clamped (64, 32), got ($m1, $k1)")
+  }
+
+  test("a one-document delta builds and dedups (regression: k clamp)") {
+    val corpus = Seq((1L, "existing content")).toDF("doc_id", "text")
+    val delta = Seq((10L, "Existing   CONTENT")).toDF("doc_id", "text")
+    val out = Dedup.exactIncrementBloom(corpus, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out.isEmpty, "the normalized duplicate must be dropped")
+    val fresh = Seq((11L, "brand new")).toDF("doc_id", "text")
+    assert(Dedup.exactIncrementBloom(corpus, fresh, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(11L))
   }
 
   test("distributed build has no false negatives and bounded false positives") {
