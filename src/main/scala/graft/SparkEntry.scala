@@ -135,6 +135,7 @@ object SparkEntry {
     "q115_streaming_corpus_report" -> (Pipeline.streamingCorpusReport _),
     "q116_streaming_curate" -> (Pipeline.streamingCurate _),
     "q117_streaming_exact_dedup" -> (Pipeline.streamingExactDedup _),
+    "q118_canonical_selection" -> (Pipeline.canonicalSelection _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1705,6 +1706,16 @@ object SparkEntry {
         |WHERE quality_score >= 0.5
         |  AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.3
         |ORDER BY doc_id""".stripMargin,
+    // per cluster: the member with the highest q32 quality score, ties by id
+    "q118_canonical_selection" ->
+      (dupClusterCtes +
+        raw"""SELECT cluster_id, doc_id AS canonical_id, quality_score AS canonical_quality FROM (
+             |  SELECT c.cluster_id, c.doc_id,
+             |    $qualityScoreSql AS quality_score,
+             |    row_number() OVER (PARTITION BY c.cluster_id
+             |      ORDER BY $qualityScoreSql DESC, c.doc_id) AS rn
+             |  FROM comp c JOIN documents USING (doc_id))
+             |WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
     // NOT EXISTS (not NOT IN): anti-join null-key semantics must match
     "q117_streaming_exact_dedup" ->
       """WITH corpus AS (

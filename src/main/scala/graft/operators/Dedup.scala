@@ -928,6 +928,39 @@ object Dedup {
       .drop("__cc_id", "__cc_cluster")
   }
 
+  /** Quality-aware canonical selection: for each near-dup cluster, elect the
+    * member with the HIGHEST quality score (ties by lowest id) instead of
+    * [[dedupCorpus]]'s min-id convention — the production knob for "when
+    * near-duplicates differ, keep the best-written copy, not the
+    * first-crawled one". Returns one row per cluster:
+    * (cluster_id, canonical_id, canonical_quality).
+    *
+    * Shape: the per-doc quality score is a map-side codegen expression; the
+    * election is a window over the duplicate-membership-sized cluster
+    * labels (clusters are LSH-cap-bounded, so no window partition can be a
+    * skew hazard), and only ids + one double ever shuffle — text stays at
+    * the scan.
+    */
+  def canonicalByQuality(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labels: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("_q").desc, col("doc_id"))
+    labels
+      .join(
+        docs.select(col(idCol).as("doc_id"), qualityScore(col(textCol)).as("_q")),
+        Seq("doc_id"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(
+        col("cluster_id"),
+        col("doc_id").as("canonical_id"),
+        col("_q").as("canonical_quality"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (pairs: columns id_a, id_b). Join-based: each side fetches its shingle
     * set by key — no cross product.

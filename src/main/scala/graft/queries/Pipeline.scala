@@ -1331,4 +1331,17 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
+
+  /** q118 — quality-aware canonical selection over the q52 clusters
+    * ([[Dedup.canonicalByQuality]]): per near-dup cluster, the
+    * highest-quality member (ties by lowest id) — the keep-the-best-copy
+    * alternative to q53's min-id canonical.
+    */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = Dedup.minhashNearDuplicates(d, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    Dedup.canonicalByQuality(d, "doc_id", "text", Dedup.duplicateClusters(pairs))
+      .orderBy(col("cluster_id"))
+  }
 }

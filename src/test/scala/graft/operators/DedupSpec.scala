@@ -359,4 +359,21 @@ class DedupSpec extends SparkSpec {
     assert(incremental == full,
       s"merge/full divergence: only-incremental=${incremental -- full}, only-full=${full -- incremental}")
   }
+
+  test("canonicalByQuality elects the highest-quality member per cluster, ties by lowest id") {
+    // doc 3's longer, punctuation-light text outscores 1 and 2; docs 5/6 tie
+    // on identical text so the lowest id wins
+    val docs = Seq(
+      (1L, "short. text."),
+      (2L, "short, text,"),
+      (3L, Seq.tabulate(100)(i => s"word$i").mkString(" ")), // >500 chars, no stopwords, no punct -> score 1.0
+      (5L, "identical twin body"),
+      (6L, "identical twin body"),
+      (9L, "unclustered loner")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.canonicalByQuality(docs, "doc_id", "text", labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 5L -> 5L))
+  }
 }
