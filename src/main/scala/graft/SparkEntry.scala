@@ -136,6 +136,7 @@ object SparkEntry {
     "q116_streaming_curate" -> (Pipeline.streamingCurate _),
     "q117_streaming_exact_dedup" -> (Pipeline.streamingExactDedup _),
     "q118_canonical_selection" -> (Pipeline.canonicalSelection _),
+    "q119_streaming_embedding_dedup" -> (Pipeline.streamingEmbeddingDedup _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -920,6 +921,26 @@ object SparkEntry {
           |    ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
           |  FROM cand p JOIN embeddings c ON p.corpus_id = c.vec_id)
           |WHERE cosine_sim >= 0.25 ORDER BY delta_id, corpus_id""".stripMargin),
+    // the stream's admitted sink is the COMPLEMENT of q70's match set:
+    // delta vectors with no capped-bucket cosine match in the corpus
+    "q119_streaming_embedding_dedup" ->
+      ("WITH " + embSigCtes + ",\n" +
+        s"""cbuck AS (
+          |  SELECT sig, list(vec_id) AS cids
+          |  FROM esigs WHERE vec_id % 10 <> 0
+          |  GROUP BY sig HAVING count(*) <= 200),
+          |dup AS (
+          |  SELECT DISTINCT delta_id FROM (
+          |    SELECT p.delta_id,
+          |      ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
+          |    FROM (SELECT d.vec_id AS delta_id, d.embedding AS dvec, unnest(cb.cids) AS corpus_id
+          |          FROM esigs d JOIN cbuck cb ON d.sig = cb.sig
+          |          WHERE d.vec_id % 10 = 0) p
+          |    JOIN embeddings c ON p.corpus_id = c.vec_id)
+          |  WHERE cosine_sim >= 0.25)
+          |SELECT vec_id FROM embeddings
+          |WHERE vec_id % 10 = 0 AND vec_id NOT IN (SELECT delta_id FROM dup)
+          |ORDER BY vec_id""".stripMargin),
     // per-source weight join + two Sha60 hash predicates (keep-threshold,
     // split bucket) — replicates Curation.weightedSourceSample + hashSplit
     "q71_corpus_mixture" ->

@@ -1332,6 +1332,38 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q119 — streaming EMBEDDING dedup admission certified through the
+    * STREAM path (q70 certifies the batch incremental probe this
+    * complements): arriving vectors (vec_id % 10 = 0) stream against the
+    * hyperplane-bucket corpus index ([[graft.streaming.DocStream
+    * .embeddingCorpusIndex]] over the rest, plane count carried in the
+    * index metadata) via the single stream–static anti-join with the
+    * cosine gate folded into the join condition; the admitted
+    * non-near-dups land in a parquet sink read back for the compare.
+    */
+  def streamingEmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val e = Tables(spark, dir).embeddings
+    val corpus = e.where(col("vec_id") % 10 =!= 0)
+    val arriving = e.where(col("vec_id") % 10 === 0)
+    val index = DocStream.embeddingCorpusIndex(corpus, "vec_id", "embedding",
+      nPlanes = 8, maxBucketSize = 200)
+    val tmp = runDroppedStream(spark, arriving, files = 4, perTrigger = 1, "graft_q119_") {
+      (stream, t) =>
+        DocStream.dedupEmbeddingsAgainstCorpus(stream, index, "vec_id", "embedding",
+          minCosine = 0.25)
+          .writeStream
+          .option("checkpointLocation", s"$t/checkpoint")
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$t/admitted")
+          .start()
+    }
+    spark.read.parquet(s"$tmp/admitted")
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q118 — quality-aware canonical selection over the q52 clusters
     * ([[Dedup.canonicalByQuality]]): per near-dup cluster, the
     * highest-quality member (ties by lowest id) — the keep-the-best-copy
