@@ -629,6 +629,29 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("decontaminate equals the per-doc overlap-rate filter (fuzz, 6 corpora)") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val rng = new scala.util.Random(77)
+    (0 until 6).foreach { _ =>
+      val mk = () => Seq.fill(2 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val evalDocs = (0 until 4).map(i => (100L + i, mk()))
+      val trainDocs = (0 until 30).map(i => (i.toLong, mk()))
+      def bigrams(t: String): Set[String] =
+        t.trim.toLowerCase.split("\\s+").toSeq.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSet
+      val evVocab = evalDocs.flatMap(d => bigrams(d._2)).toSet
+      val expected = trainDocs.filter { case (_, t) =>
+        val b = bigrams(t)
+        b.isEmpty || b.count(evVocab).toDouble / b.size < 0.5
+      }.map(_._1).toSet
+      val got = Curation.decontaminate(
+        trainDocs.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 2, maxOverlap = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected)
+    }
+  }
+
   test("soft dedup weights: 1/cluster_size for members, 1.0 for singletons") {
     val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
       .toDF("doc_id", "text")

@@ -376,4 +376,15 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 3L, 5L -> 5L))
   }
+
+  test("canonicalByQuality is invariant to input partitioning") {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, Seq.fill(1 + i % 9)(s"w${i % 13}").mkString(" ")))
+    val labels = (0 until 200).map(i => (i.toLong, (i % 40).toLong))
+    def run(parts: Int) = Dedup.canonicalByQuality(
+      docs.toDF("doc_id", "text").repartition(parts), "doc_id", "text",
+      labels.toDF("doc_id", "cluster_id").repartition(parts))
+      .collect().map(_.toSeq).toSet
+    assert(run(1) == run(7))
+  }
 }
