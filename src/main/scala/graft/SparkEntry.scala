@@ -137,6 +137,7 @@ object SparkEntry {
     "q117_streaming_exact_dedup" -> (Pipeline.streamingExactDedup _),
     "q118_canonical_selection" -> (Pipeline.canonicalSelection _),
     "q119_streaming_embedding_dedup" -> (Pipeline.streamingEmbeddingDedup _),
+    "q120_span_decontaminate" -> (Pipeline.spanDecontaminated _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1170,6 +1171,29 @@ object SparkEntry {
         |    CAST(s.n_shared AS DOUBLE) / CAST(sz.n_fp AS DOUBLE) AS overlap
         |  FROM shared s JOIN sizes sz ON s.delta_id = sz.doc_id)
         |WHERE overlap >= 0.3 ORDER BY delta_id, corpus_id""".stripMargin),
+    // q91's winnowing probe with the eval set (doc_id % 17 = 0) as the
+    // delta: train docs holding >= 30% of an eval doc's fingerprints drop
+    "q120_span_decontaminate" ->
+      ("WITH " + winnowCtes + ",\n" +
+        """exc AS (SELECT doc_id AS corpus_id, unnest(fp) AS f FROM fps WHERE doc_id % 17 <> 0),
+        |okf AS (SELECT f FROM exc GROUP BY f HAVING COUNT(*) <= 50),
+        |exd AS (SELECT doc_id AS delta_id, unnest(fp) AS f FROM fps WHERE doc_id % 17 = 0),
+        |shared AS (
+        |  SELECT d.delta_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM exd d JOIN exc c ON d.f = c.f
+        |  JOIN okf ON okf.f = d.f
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp FROM fps WHERE len(fp) > 0),
+        |bad AS (
+        |  SELECT DISTINCT corpus_id FROM (
+        |    SELECT s.corpus_id,
+        |      CAST(s.n_shared AS DOUBLE) / CAST(sz.n_fp AS DOUBLE) AS overlap
+        |    FROM shared s JOIN sizes sz ON s.delta_id = sz.doc_id)
+        |  WHERE overlap >= 0.3)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM bad)
+        |GROUP BY source ORDER BY source""".stripMargin),
     // q83's argmax assignment rolled up per label; Simpson index as a
     // sequential fold over cid-ordered shares (only +,x,/ on doubles -> no
     // libm log whose ulps differ between engines)

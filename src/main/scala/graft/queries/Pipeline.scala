@@ -1332,6 +1332,30 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q120 — SPAN-level decontamination, the third rung of the
+    * decontamination ladder (q112 exact whole-doc n-gram rate, q113
+    * whole-doc near-dup, this one position-robust spans): training
+    * documents containing ≥ 30% of some eval document's winnowing
+    * fingerprints — verbatim eval SPANS buried in otherwise-different
+    * text, which whole-doc similarity misses — are dropped. The q91
+    * winnowing probe runs with the EVAL set as the delta (eval-sized
+    * probe side; the train index pays one winnow scan with capped
+    * fingerprint buckets), and the survivors report per-source counts.
+    */
+  def spanDecontaminated(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val evalSet = d.where(col("doc_id") % 17 === 0)
+    val train = d.where(col("doc_id") % 17 =!= 0)
+    val contaminated = Dedup.winnowingIncrementalDuplicates(
+      corpus = train, delta = evalSet, "doc_id", "text")
+      .select(col("corpus_id").as("_d_id"))
+      .distinct()
+    train.join(contaminated, train("doc_id") === col("_d_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** q119 — streaming EMBEDDING dedup admission certified through the
     * STREAM path (q70 certifies the batch incremental probe this
     * complements): arriving vectors (vec_id % 10 = 0) stream against the
