@@ -1573,8 +1573,10 @@ object SparkEntry {
         |SELECT * FROM (
         |  SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_users,
         |    CAST(NULL AS DOUBLE) AS pct_of_prev FROM c
-        |  UNION ALL SELECT 1, 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
-        |  UNION ALL SELECT 2, 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c)
+        |  UNION ALL SELECT 1, 'click', n1,
+        |    CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END FROM c
+        |  UNION ALL SELECT 2, 'purchase', n2,
+        |    CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM c)
         |ORDER BY stage_idx""".stripMargin,
     // last window ends at the doc's end (list slicing clamps in both
     // engines); docs of <= 30 tokens yield exactly one window

@@ -199,10 +199,15 @@ object Analytics {
       count(col("_t0")).as("_n0"),
       (1 until stages.length).map(i => count(col(s"_t$i")).as(s"_n$i")): _*)
     val rows = stages.zipWithIndex.map { case (s, i) =>
+      // explicit zero guard: Spark's non-ANSI Divide yields NULL for x/0
+      // while an IEEE engine (the DuckDB oracle) yields inf/NaN — pin the
+      // empty-previous-stage case to NULL in BOTH engines
       struct(
         lit(i).as("stage_idx"), lit(s).as("stage"), col(s"_n$i").as("n_users"),
         (if (i == 0) lit(null).cast("double")
-         else col(s"_n$i").cast("double") / col(s"_n${i - 1}").cast("double"))
+         else when(col(s"_n${i - 1}") > 0,
+           col(s"_n$i").cast("double") / col(s"_n${i - 1}").cast("double"))
+           .otherwise(lit(null).cast("double")))
           .as("pct_of_prev"))
     }
     counts

@@ -86,7 +86,6 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 50): DataFrame = {
-    val rowsPerBand = numHashes / numBands
     // The shingle pass feeds two consumers (band generation and the final
     // jaccard verify); persist it so tokenize+shingle+hash runs once.
     // MEMORY_AND_DISK: at corpus scale the shingle sets exceed memory and
@@ -99,7 +98,25 @@ object Dedup {
     // AQE's independent stage planning (see graft.core.Caching)
     val docs = graft.core.Caching.eager(
       sigDocs(df, idCol, textCol, shingleN, numHashes))
+    minhashNearDuplicatesFromSigs(docs, numBands, numHashes / numBands,
+      minJaccard, maxBucketSize)
+  }
 
+  /** [[minhashNearDuplicates]] over an ALREADY-SIGNED frame — `docs` must
+    * be a [[sigDocs]] output `(doc_id, shingle_set, sig)` that the CALLER
+    * has persisted/materialized (this entry point adds no caching of its
+    * own). The point: pipelines that run several LSH passes over
+    * overlapping populations (e.g. q100's corpus-pairs + delta-pairs +
+    * cross-probe over two disjoint filters of ONE table) sign the union
+    * once and pass filtered views here, instead of paying the
+    * tokenize+shingle+minhash scan once per pass.
+    */
+  def minhashNearDuplicatesFromSigs(
+      docs: DataFrame,
+      numBands: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+      maxBucketSize: Int = 50): DataFrame = {
     // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
     // attached per-key after candidate pairs are deduped, so the band
     // shuffle moves ids, not documents.
@@ -271,6 +288,12 @@ object Dedup {
     * The delta is counted once to size the filter (it is persisted for
     * that pass and reused by the join); at the daily-ingest scale the
     * filter is ~1.2 MB per million delta keys at the default 1% fpp.
+    *
+    * Caching contract (same as [[minhashIncrementalDuplicates]]): the
+    * delta-keyed frame stays persisted after the lazy result is returned —
+    * it backs the verify join whenever the caller materializes. Sessions
+    * that invoke this repeatedly should `spark.catalog.clearCache()`
+    * between runs (Verify/Bench already sweep persisted RDDs per query).
     */
   def exactIncrementBloom(
       corpus: DataFrame,
@@ -323,11 +346,26 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.5,
       maxBucketSize: Int = 50): DataFrame = {
-    val rowsPerBand = numHashes / numBands
     val cDocs = graft.core.Caching.eager(
       sigDocs(corpus, idCol, textCol, shingleN, numHashes))
     val dDocs = graft.core.Caching.eager(
       sigDocs(delta, idCol, textCol, shingleN, numHashes))
+    minhashIncrementalDuplicatesFromSigs(cDocs, dDocs, numBands,
+      numHashes / numBands, minJaccard, maxBucketSize)
+  }
+
+  /** [[minhashIncrementalDuplicates]] over ALREADY-SIGNED frames — both
+    * sides must be [[sigDocs]] outputs the caller has persisted (the
+    * [[minhashNearDuplicatesFromSigs]] contract): multi-pass pipelines
+    * sign once and probe many times.
+    */
+  def minhashIncrementalDuplicatesFromSigs(
+      cDocs: DataFrame,
+      dDocs: DataFrame,
+      numBands: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+      maxBucketSize: Int = 50): DataFrame = {
     // The corpus bucket index is skew-capped via [[cappedIdBuckets]]: a
     // boilerplate band bucket shared by millions of corpus docs is dropped
     // with every aggregation buffer bounded at `maxBucketSize` ids, then the

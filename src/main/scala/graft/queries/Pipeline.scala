@@ -378,16 +378,23 @@ object Pipeline {
     */
   def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
-    val delta = d.where(col("doc_id") % 10 === 0)
-    val corpus = d.where(col("doc_id") % 10 =!= 0)
-    val oldPairs = Dedup.minhashNearDuplicates(corpus, "doc_id", "text",
-      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    // ONE tokenize+shingle+minhash pass over the whole table; the three
+    // pair generators (corpus LSH, delta LSH, cross probe) take disjoint
+    // filtered views of the cached signature frame instead of each paying
+    // its own signature scan (previously the suite's costliest query, with
+    // the text pass run up to three times over overlapping populations)
+    val sigAll = graft.core.Caching.eager(
+      Dedup.sigDocs(d, "doc_id", "text", shingleN = 1, numHashes = 16))
+    val dSigs = sigAll.where(col("doc_id") % 10 === 0)
+    val cSigs = sigAll.where(col("doc_id") % 10 =!= 0)
+    val oldPairs = Dedup.minhashNearDuplicatesFromSigs(cSigs,
+      numBands = 4, rowsPerBand = 4, minJaccard = 0.5)
     val labels = Dedup.duplicateClusters(oldPairs)
-    val deltaPairs = Dedup.minhashNearDuplicates(delta, "doc_id", "text",
-      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    val deltaPairs = Dedup.minhashNearDuplicatesFromSigs(dSigs,
+      numBands = 4, rowsPerBand = 4, minJaccard = 0.5)
       .select(col("id_a"), col("id_b"))
-    val crossPairs = Dedup.minhashIncrementalDuplicates(corpus, delta, "doc_id", "text",
-      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    val crossPairs = Dedup.minhashIncrementalDuplicatesFromSigs(cSigs, dSigs,
+      numBands = 4, rowsPerBand = 4, minJaccard = 0.5)
       .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
     val merged = Dedup.mergeClusters(labels, deltaPairs.unionByName(crossPairs))
     val sizes = merged.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
@@ -1046,15 +1053,28 @@ object Pipeline {
     * stop accumulating corpus copies in the system temp dir (Bench runs
     * every query twice; each run previously left a full drop + checkpoint
     * + sink tree behind).
+    *
+    * ONE static shutdown hook drains a concurrent queue of registered
+    * trees — a hook per invocation would accumulate unboundedly across a
+    * long verify+bench session (the JVM keeps every registered hook thread
+    * alive until exit).
     */
-  private def scratchDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      var dir = scratchDirs.poll()
+      while (dir != null) {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+        dir = scratchDirs.poll()
+      }
     }))
+  private def scratchDir(prefix: String): String = {
+    scratchHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(dir)
     dir.toString
   }
 
@@ -1081,7 +1101,23 @@ object Pipeline {
     val stream =
       (if (perTrigger > 0) reader.option("maxFilesPerTrigger", perTrigger) else reader)
         .parquet(dropDir)
-    val query = start(stream, tmp)
+    // Right-size the stateful micro-batch shuffles: each tiny trigger would
+    // otherwise inherit the session's 32 shuffle partitions for its state
+    // aggregation (32 state-store tasks per trigger, ~all parked — measured
+    // run/cpu = 15× on the corpus-report stream). Streaming clones the
+    // session conf at query START, so scoping the change around start()
+    // pins the stream to 4 state partitions without touching the batch
+    // plans before/after. (The state partition count is fixed at the first
+    // checkpoint anyway — these checkpoints are fresh per run.)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4")
+    val query =
+      try start(stream, tmp)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     try query.processAllAvailable() finally query.stop()
     tmp
   }
