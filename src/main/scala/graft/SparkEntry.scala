@@ -138,6 +138,7 @@ object SparkEntry {
     "q118_canonical_selection" -> (Pipeline.canonicalSelection _),
     "q119_streaming_embedding_dedup" -> (Pipeline.streamingEmbeddingDedup _),
     "q120_span_decontaminate" -> (Pipeline.spanDecontaminated _),
+    "q121_index_refresh_loop" -> (Pipeline.indexRefreshLoop _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1194,6 +1195,90 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM bad)
         |GROUP BY source ORDER BY source""".stripMargin),
+    // the two-day refresh loop FROM SCRATCH: day-1 admission (exact NOT
+    // EXISTS on normalized text + q97's capped LSH probe) against the
+    // day-0 population, then day-2 admission against indexes REBUILT over
+    // population ∪ admitted₁ — so a refresh-vs-rebuild divergence in the
+    // engine (resurrected over-cap bucket, stale count, missed fold)
+    // changes this set; final clusters = recursive CC over LSH pairs among
+    // the day-2 admitted docs (their pairs to older docs are empty BY
+    // ADMISSION, so the folded labeling restricted to them is exactly this)
+    "q121_index_refresh_loop" ->
+      ("WITH RECURSIVE " + lshPrefixCtes("documents") + ",\n" +
+        raw"""nrm AS (
+          |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+          |  FROM documents),
+          |ex0 AS (SELECT DISTINCT t FROM nrm WHERE doc_id % 10 <> 0 AND doc_id % 10 <> 5),
+          |b0 AS (
+          |  SELECT band, bkey, list(doc_id) AS cids
+          |  FROM banded WHERE doc_id % 10 <> 0 AND doc_id % 10 <> 5
+          |  GROUP BY band, bkey HAVING count(*) <= 50),
+          |m1 AS (
+          |  SELECT DISTINCT delta_id FROM (
+          |    SELECT p.delta_id,
+          |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+          |    FROM (
+          |      SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
+          |      FROM banded d JOIN b0 cb ON d.band = cb.band AND d.bkey = cb.bkey
+          |      WHERE d.doc_id % 10 = 5) p
+          |    JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
+          |  WHERE jaccard >= 0.5),
+          |a1 AS (
+          |  SELECT doc_id FROM nrm n WHERE doc_id % 10 = 5
+          |    AND NOT EXISTS (SELECT 1 FROM ex0 WHERE ex0.t = n.t)
+          |    AND doc_id NOT IN (SELECT delta_id FROM m1)),
+          |pop1 AS (
+          |  SELECT doc_id FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 10 <> 5
+          |  UNION ALL SELECT doc_id FROM a1),
+          |ex1 AS (SELECT DISTINCT t FROM nrm JOIN pop1 USING (doc_id)),
+          |b1 AS (
+          |  SELECT band, bkey, list(doc_id) AS cids
+          |  FROM banded JOIN pop1 USING (doc_id)
+          |  GROUP BY band, bkey HAVING count(*) <= 50),
+          |m2 AS (
+          |  SELECT DISTINCT delta_id FROM (
+          |    SELECT p.delta_id,
+          |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+          |    FROM (
+          |      SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
+          |      FROM banded d JOIN b1 cb ON d.band = cb.band AND d.bkey = cb.bkey
+          |      WHERE d.doc_id % 10 = 0) p
+          |    JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
+          |  WHERE jaccard >= 0.5),
+          |a2 AS (
+          |  SELECT doc_id FROM nrm n WHERE doc_id % 10 = 0
+          |    AND NOT EXISTS (SELECT 1 FROM ex1 WHERE ex1.t = n.t)
+          |    AND doc_id NOT IN (SELECT delta_id FROM m2)),
+          |b2 AS (
+          |  SELECT band, bkey, list_sort(list(doc_id)) AS ids
+          |  FROM banded JOIN a2 USING (doc_id)
+          |  GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 50),
+          |c2 AS (
+          |  SELECT DISTINCT pr.a AS id_a, pr.b AS id_b FROM (
+          |    SELECT UNNEST(flatten(list_transform(range(1, CAST(len(ids) AS INTEGER)), i ->
+          |      list_transform(ids[i+1:], x -> {'a': ids[i], 'b': x})))) AS pr
+          |    FROM b2)),
+          |d2 AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT p.id_a, p.id_b,
+          |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+          |    FROM c2 p JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id)
+          |  WHERE jaccard >= 0.5),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM d2 UNION SELECT id_b, id_a FROM d2),
+          |reach AS (
+          |  SELECT src AS id, src AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+          |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |        FROM comp GROUP BY cluster_id)
+          |SELECT a2.doc_id, doc.source,
+          |  COALESCE(c.cluster_id, a2.doc_id) AS cluster_id,
+          |  COALESCE(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size
+          |FROM a2 JOIN documents doc USING (doc_id)
+          |LEFT JOIN comp c USING (doc_id)
+          |LEFT JOIN csz s ON c.cluster_id = s.cluster_id
+          |ORDER BY a2.doc_id""".stripMargin),
     // q83's argmax assignment rolled up per label; Simpson index as a
     // sequential fold over cid-ordered shares (only +,x,/ on doubles -> no
     // libm log whose ulps differ between engines)

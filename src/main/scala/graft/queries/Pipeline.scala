@@ -1424,6 +1424,107 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** q121 — the daily index-refresh production loop certified END TO END,
+    * through the stream path, across TWO days. This is the cycle a 100 TB
+    * deployment runs every day; its pieces are individually certified
+    * (q97/q117 admission, q100 label merge) but this query composes them:
+    *
+    *  1. day 0: build the content-hash index and the MinHash index STATE
+    *     (index + true bucket counts, [[graft.streaming.DocStream
+    *     .minhashIndexState]]) over the standing corpus (doc_id % 10 ∉
+    *     {0,5}), plus the corpus near-dup cluster labels;
+    *  2. day 1: stream-admit delta₁ (doc_id % 10 = 5) through exact-dedup
+    *     ([[graft.streaming.DocStream.dedupAgainstCorpus]]) chained into
+    *     LSH near-dup admission ([[graft.streaming.DocStream
+    *     .nearDupAdmission]]) over the day-0 indexes, as genuine parquet
+    *     drops in 2 micro-batches;
+    *  3. compaction: fold the ADMITTED docs into both indexes
+    *     ([[graft.streaming.DocStream.refreshCorpusIndex]] /
+    *     [[graft.streaming.DocStream.refreshMinhashIndexFromSigs]] — both
+    *     delta-sized; the corpus is never re-scanned) and into the cluster
+    *     labels ([[Dedup.mergeClusters]]);
+    *  4. day 2: stream-admit delta₂ (doc_id % 10 = 0) over the REFRESHED
+    *     indexes, then fold again.
+    *
+    * Output: the day-2 admitted docs with their final folded cluster
+    * labels. The oracle recomputes the whole two-day cascade from scratch
+    * (day-2 admission against indexes REBUILT over corpus ∪ admitted₁),
+    * certifying the refresh ≡ rebuild invariant through the stream: a
+    * refresh bug — a resurrected over-cap bucket, a missed fold, a stale
+    * count — changes the day-2 admitted set.
+    *
+    * ONE signature pass serves everything batch-side (corpus pairs, index
+    * build, both refreshes, both label folds) via the shared cached
+    * [[Dedup.sigDocs]] frame; only the in-stream per-micro-batch probes
+    * sign their own delta-sized batches.
+    */
+  def indexRefreshLoop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val day0 = col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5
+    val sigAll = graft.core.Caching.eager(
+      Dedup.sigDocs(d, "doc_id", "text", shingleN = 1, numHashes = 16))
+
+    // day-0 state: indexes + labels over the standing corpus
+    val sig0 = sigAll.where(day0)
+    val hash0 = graft.core.Caching.eager(DocStream.corpusIndex(d.where(day0)))
+    val st0 = DocStream.minhashIndexStateFromSigs(sig0,
+      numHashes = 16, numBands = 4, shingleN = 1, maxBucketSize = 50)
+    val labels0 = Dedup.duplicateClusters(
+      Dedup.minhashNearDuplicatesFromSigs(sig0,
+        numBands = 4, rowsPerBand = 4, minJaccard = 0.5))
+
+    // one day's stream admission: exact-dedup chained into near-dup
+    // admission, both against the given (static, cached) indexes
+    def admit(delta: DataFrame, hashIdx: DataFrame, mhIndex: DataFrame,
+        tag: String): DataFrame = {
+      val tmp = runDroppedStream(spark, delta, files = 4, perTrigger = 2,
+        s"graft_q121${tag}_") { (stream, t) =>
+        DocStream.nearDupAdmission(
+          DocStream.dedupAgainstCorpus(stream, hashIdx),
+          mhIndex, s"$t/checkpoint", minJaccard = 0.5) { (admitted, _) =>
+          admitted.write.mode("append").parquet(s"$t/admitted")
+        }
+      }
+      spark.read.parquet(s"$tmp/admitted")
+    }
+
+    // day 1: admit delta₁, then compact: fold into indexes + labels
+    val admitted1 = admit(d.where(col("doc_id") % 10 === 5), hash0,
+      graft.core.Caching.eager(st0.index), "a")
+    val sigA1 = sigAll.join(admitted1.select("doc_id"), Seq("doc_id"), "left_semi")
+    val hash1 = graft.core.Caching.eager(
+      DocStream.refreshCorpusIndex(hash0, admitted1))
+    val st1 = DocStream.refreshMinhashIndexFromSigs(st0, sigA1)
+    val labels1 = Dedup.mergeClusters(labels0,
+      Dedup.minhashNearDuplicatesFromSigs(sigA1,
+        numBands = 4, rowsPerBand = 4, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b")))
+
+    // day 2: admit delta₂ over the REFRESHED indexes, fold again
+    val admitted2 = admit(d.where(col("doc_id") % 10 === 0), hash1,
+      graft.core.Caching.eager(st1.index), "b")
+    val sigA2 = sigAll.join(admitted2.select("doc_id"), Seq("doc_id"), "left_semi")
+    val labels2 = Dedup.mergeClusters(labels1,
+      Dedup.minhashNearDuplicatesFromSigs(sigA2,
+        numBands = 4, rowsPerBand = 4, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b")))
+
+    // day-2 admitted docs with their final folded cluster labels
+    // (singletons — docs in no near-dup pair — label as themselves)
+    val sizes = labels2.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("_csz"))
+    admitted2.select(col("doc_id"), col("source"))
+      .join(labels2, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(
+        col("doc_id"),
+        col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("_csz"), lit(1L)).as("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q118 — quality-aware canonical selection over the q52 clusters
     * ([[Dedup.canonicalByQuality]]): per near-dup cluster, the
     * highest-quality member (ties by lowest id) — the keep-the-best-copy

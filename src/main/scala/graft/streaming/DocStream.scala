@@ -126,6 +126,19 @@ object DocStream {
   private[graft] val NumHashesMetaKey = "graft.minhash.numHashes"
   private[graft] val NumBandsMetaKey = "graft.minhash.numBands"
   private[graft] val ShingleNMetaKey = "graft.minhash.shingleN"
+  private[graft] val MaxBucketMetaKey = "graft.minhash.maxBucketSize"
+
+  /** Refreshable form of the MinHash corpus index — what the daily batch
+    * compaction job actually maintains. `index` is the probe-side frame
+    * ([[minhashCorpusIndex]] shape); `bucketCounts` is the TRUE size of
+    * EVERY band bucket, including the over-cap buckets whose rows the index
+    * dropped. The counts sidecar is what makes [[refreshMinhashIndex]]
+    * exactly equivalent to a from-scratch rebuild: without it, admitted
+    * docs landing in a tombstoned (over-cap) bucket would resurrect it with
+    * only the new rows — a silent divergence from the rebuild, which drops
+    * the bucket outright (union counts only grow, so over-cap is permanent).
+    */
+  final case class MinHashIndexState(index: DataFrame, bucketCounts: DataFrame)
 
   /** Capped MinHash band index of a text corpus — the static side of
     * [[nearDupAdmission]] and the streaming twin of the index
@@ -153,28 +166,145 @@ object DocStream {
       numHashes: Int = 16,
       numBands: Int = 4,
       shingleN: Int = 3,
-      maxBucketSize: Int = 50): DataFrame = {
+      maxBucketSize: Int = 50): DataFrame =
+    minhashIndexState(corpus, idCol, textCol, numHashes, numBands, shingleN,
+      maxBucketSize).index
+
+  /** [[minhashCorpusIndex]] plus its bucket-count sidecar — the pair the
+    * daily refresh loop persists (see [[MinHashIndexState]]).
+    */
+  def minhashIndexState(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      shingleN: Int = 3,
+      maxBucketSize: Int = 50): MinHashIndexState =
+    minhashIndexStateFromSigs(
+      graft.operators.Dedup.sigDocs(corpus, idCol, textCol, shingleN, numHashes),
+      numHashes, numBands, shingleN, maxBucketSize)
+
+  /** [[minhashIndexState]] over an already-signed frame (the
+    * [[graft.operators.Dedup.minhashNearDuplicatesFromSigs]] contract:
+    * `sigs` is a caller-cached sigDocs output) — pipelines that both
+    * cluster and index one corpus sign it once.
+    */
+  def minhashIndexStateFromSigs(
+      sigs: DataFrame,
+      numHashes: Int,
+      numBands: Int,
+      shingleN: Int,
+      maxBucketSize: Int): MinHashIndexState = {
     import graft.operators.Dedup
-    val docs = Dedup.sigDocs(corpus, idCol, textCol, shingleN, numHashes)
-    val banded = Dedup.bandFrame(docs, numBands, numHashes / numBands)
-    val keep = banded
+    val banded = Dedup.bandFrame(sigs, numBands, numHashes / numBands)
+    val counts = banded
       .groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBucketSize)
+      .agg(count(lit(1)).as("n"))
+    val keep = counts
+      .where(col("n") <= maxBucketSize)
       .select(col("band"), col("band_hash"))
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(NumHashesMetaKey, numHashes.toLong)
       .putLong(NumBandsMetaKey, numBands.toLong)
       .putLong(ShingleNMetaKey, shingleN.toLong)
+      .putLong(MaxBucketMetaKey, maxBucketSize.toLong)
       .build()
-    banded
+    val index = banded
       .join(keep, Seq("band", "band_hash"), "left_semi")
-      .join(docs.select(col("doc_id"), col("shingle_set").as("c_set")), Seq("doc_id"))
+      .join(sigs.select(col("doc_id"), col("shingle_set").as("c_set")), Seq("doc_id"))
       .select(
         col("band").as("band", meta),
         col("band_hash"),
         col("doc_id").as("corpus_id"),
         col("c_set"))
+    MinHashIndexState(index, counts)
+  }
+
+  /** Fold a day's ADMITTED documents into the content-hash index: the
+    * refreshed index is exactly [[corpusIndex]] over corpus ∪ admitted
+    * (hash-distinct union — the admitted side is delta-sized, so the merge
+    * never rescans corpus text).
+    */
+  def refreshCorpusIndex(index: DataFrame, admitted: DataFrame,
+      textCol: String = "text"): DataFrame =
+    index
+      .unionByName(admitted
+        .select(md5(TextFunctions.normalizeText(col(textCol))).as("content_hash")))
+      .distinct()
+
+  /** Fold a day's ADMITTED documents into the MinHash index state — the
+    * batch-compaction step of the daily loop, delta-sized end to end:
+    * the admitted docs are signed and banded (the corpus is NEVER
+    * re-scanned), their band rows union into the index, and every bucket's
+    * TRUE count is re-derived from the counts sidecar + the delta's
+    * counts. A bucket whose union count exceeds the cap loses ALL its rows
+    * (old and new), so the refreshed index is row-identical to
+    * [[minhashIndexState]] rebuilt from scratch over corpus ∪ admitted —
+    * the invariant q121 certifies through the stream:
+    *
+    *  - union count ≤ cap ⇒ old count ≤ cap ⇒ the old rows survived day-0
+    *    capping and are all present; the delta rows are appended — equal to
+    *    the rebuild's bucket.
+    *  - union count > cap ⇒ both drop the bucket entirely.
+    *
+    * LSH parameters come from the index's schema metadata (the
+    * [[embeddingCorpusIndex]] pattern), so a refresh with mismatched
+    * parameters — which would corrupt the index silently — is impossible.
+    */
+  def refreshMinhashIndex(
+      state: MinHashIndexState,
+      admitted: DataFrame,
+      idCol: String,
+      textCol: String): MinHashIndexState = {
+    val meta = state.index.schema("band").metadata
+    require(
+      meta.contains(NumHashesMetaKey) && meta.contains(ShingleNMetaKey),
+      "index must come from DocStream.minhashIndexState (missing LSH metadata)")
+    refreshMinhashIndexFromSigs(
+      state,
+      graft.operators.Dedup.sigDocs(admitted, idCol, textCol,
+        meta.getLong(ShingleNMetaKey).toInt, meta.getLong(NumHashesMetaKey).toInt))
+  }
+
+  /** [[refreshMinhashIndex]] over an already-signed admitted frame. */
+  def refreshMinhashIndexFromSigs(
+      state: MinHashIndexState,
+      admittedSigs: DataFrame): MinHashIndexState = {
+    import graft.operators.Dedup
+    val meta = state.index.schema("band").metadata
+    require(
+      meta.contains(NumHashesMetaKey) && meta.contains(NumBandsMetaKey) &&
+        meta.contains(MaxBucketMetaKey),
+      "index must come from DocStream.minhashIndexState (missing LSH metadata)")
+    val numHashes = meta.getLong(NumHashesMetaKey).toInt
+    val numBands = meta.getLong(NumBandsMetaKey).toInt
+    val maxBucketSize = meta.getLong(MaxBucketMetaKey)
+    val banded = Dedup.bandFrame(admittedSigs, numBands, numHashes / numBands)
+    val newRows = banded
+      .join(admittedSigs.select(col("doc_id"), col("shingle_set").as("c_set")),
+        Seq("doc_id"))
+      .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id"),
+        col("c_set"))
+    val newCounts = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+    val counts = state.bucketCounts
+      .unionByName(newCounts)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(sum(col("n")).as("n"))
+    val keep = counts
+      .where(col("n") <= maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val index = state.index
+      .unionByName(newRows)
+      .join(keep, Seq("band", "band_hash"), "left_semi")
+      .select(
+        col("band").as("band", meta),
+        col("band_hash"),
+        col("corpus_id"),
+        col("c_set"))
+    MinHashIndexState(index, counts)
   }
 
   /** Streaming near-duplicate admission: per micro-batch, drop arriving

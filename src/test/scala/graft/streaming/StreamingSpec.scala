@@ -454,4 +454,61 @@ class StreamingSpec extends SparkSpec {
     assert(viaStream.nonEmpty, "threshold must be non-vacuous for this corpus")
     assert(viaStream == viaBatch)
   }
+
+  test("minhash index refresh equals a from-scratch rebuild (tombstoned buckets stay dead)") {
+    // cap = 3; three bucket fates under refresh:
+    //  - "x": 4 corpus copies → over-cap on day 0 (tombstoned), an admitted
+    //    copy must NOT resurrect it (union count 5 > 3)
+    //  - "y z": 2 corpus + 1 admitted = 3 ≤ cap → grows in place
+    //  - "w": 3 corpus (kept day 0) + 1 admitted = 4 > cap → refresh must
+    //    drop the previously-live bucket, old rows included
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val corpus = docs(
+      1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x",
+      5L -> "y z", 6L -> "y z",
+      7L -> "w", 8L -> "w", 9L -> "w")
+    val admitted = docs(11L -> "x", 12L -> "y z", 13L -> "w")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      DocStream.minhashIndexState(df, "doc_id", "text",
+        numHashes = 16, numBands = 4, shingleN = 1, maxBucketSize = 3)
+    def rows(idx: org.apache.spark.sql.DataFrame) = idx
+      .select(col("band"), col("band_hash"), col("corpus_id"))
+      .as[(Int, String, Long)].collect().toSet
+    def counts(c: org.apache.spark.sql.DataFrame) = c
+      .select(col("band"), col("band_hash"), col("n"))
+      .as[(Int, String, Long)].collect().toSet
+
+    val refreshed = DocStream.refreshMinhashIndex(state(corpus), admitted, "doc_id", "text")
+    val rebuilt = state(corpus.unionByName(admitted))
+    assert(rows(refreshed.index) == rows(rebuilt.index),
+      "refresh must be row-identical to the from-scratch rebuild")
+    assert(counts(refreshed.bucketCounts) == counts(rebuilt.bucketCounts),
+      "the counts sidecar must track TRUE sizes, tombstoned buckets included")
+    assert(!rows(refreshed.index).exists(_._3 == 11L),
+      "an admitted doc landing in a tombstoned bucket must not resurrect it")
+    assert(rows(refreshed.index).exists(_._3 == 12L) &&
+      rows(refreshed.index).exists(_._3 == 5L),
+      "a within-cap bucket keeps old rows and gains the admitted row")
+    assert(!rows(refreshed.index).exists(r => Set(7L, 8L, 9L, 13L)(r._3)),
+      "a bucket pushed over the cap by the refresh loses ALL its rows")
+
+    // metadata survives the refresh, so a second day folds cleanly — and
+    // stays rebuild-equivalent
+    val admitted2 = docs(21L -> "y z", 22L -> "v")
+    val again = DocStream.refreshMinhashIndex(refreshed, admitted2, "doc_id", "text")
+    val rebuilt2 = state(corpus.unionByName(admitted).unionByName(admitted2))
+    assert(rows(again.index) == rows(rebuilt2.index))
+    assert(counts(again.bucketCounts) == counts(rebuilt2.bucketCounts))
+  }
+
+  test("content-hash index refresh equals corpusIndex over the union") {
+    val all = graft.core.Tables(spark, Sf0001).documents
+    val corpus = all.where(col("doc_id") % 2 === 0)
+    val admitted = all.where(col("doc_id") % 2 === 1)
+    val refreshed = DocStream.refreshCorpusIndex(DocStream.corpusIndex(corpus), admitted)
+      .as[String].collect().toSet
+    val rebuilt = DocStream.corpusIndex(all).as[String].collect().toSet
+    assert(refreshed == rebuilt)
+    assert(refreshed.nonEmpty)
+  }
 }
