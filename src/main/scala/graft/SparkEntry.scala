@@ -139,6 +139,8 @@ object SparkEntry {
     "q119_streaming_embedding_dedup" -> (Pipeline.streamingEmbeddingDedup _),
     "q120_span_decontaminate" -> (Pipeline.spanDecontaminated _),
     "q121_index_refresh_loop" -> (Pipeline.indexRefreshLoop _),
+    "q122_streaming_event_dedup" -> (Pipeline.streamingEventDedup _),
+    "q123_streaming_bronze_ingest" -> (Pipeline.streamingBronzeIngest _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1279,6 +1281,54 @@ object SparkEntry {
           |LEFT JOIN comp c USING (doc_id)
           |LEFT JOIN csz s ON c.cluster_id = s.cluster_id
           |ORDER BY a2.doc_id""".stripMargin),
+    // batch implementation of dropDuplicatesWithinWatermark's state
+    // machine over the q122 arrival fixture (NOT a frozen id list): per
+    // batch, watermark = max prior-batch ts - 1h; a row is late if ts <
+    // its batch's watermark; a prior same-key arrival blocks it iff that
+    // arrival was the key's state-creating first occurrence (not late)
+    // and its expiry (ts + 1h) survived the LAST eviction, which runs at
+    // batch END with the PREVIOUS batch's watermark (removal lags one
+    // batch). Faithful for fixtures with <= 2 arrivals per key (re-created
+    // state after a re-admission is not modeled; the fixture has none).
+    "q122_streaming_event_dedup" ->
+      """WITH f AS (
+        |  SELECT CAST(v.b AS INTEGER) AS arrival_batch,
+        |    CAST(v.id AS BIGINT) AS event_id,
+        |    TIMESTAMP '2026-01-01 10:00:00' + v.m * INTERVAL 1 MINUTE AS ts
+        |  FROM (VALUES
+        |    (1, 1, 0), (1, 2, 0), (1, 3, 0), (1, 4, 0),
+        |    (2, 1, 30), (2, 2, 30), (2, 5, 300), (2, 6, 300),
+        |    (3, 7, 360), (3, 5, 330),
+        |    (4, 3, 330), (4, 4, 330), (4, 6, 345), (4, 8, 120)) v(b, id, m)),
+        |wm AS (
+        |  SELECT b.arrival_batch,
+        |    (SELECT max(ts) FROM f WHERE f.arrival_batch < b.arrival_batch)
+        |      - INTERVAL 1 HOUR AS wmk
+        |  FROM (SELECT DISTINCT arrival_batch FROM f) b),
+        |fo AS (SELECT event_id, min(arrival_batch) AS fb FROM f GROUP BY event_id),
+        |adm AS (
+        |  SELECT x.arrival_batch, x.event_id
+        |  FROM f x JOIN wm w ON w.arrival_batch = x.arrival_batch
+        |  WHERE (w.wmk IS NULL OR x.ts >= w.wmk)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM f p
+        |      JOIN fo ON fo.event_id = p.event_id AND fo.fb = p.arrival_batch
+        |      JOIN wm pw ON pw.arrival_batch = p.arrival_batch
+        |      JOIN wm lw ON lw.arrival_batch = x.arrival_batch - 1
+        |      WHERE p.event_id = x.event_id AND p.arrival_batch < x.arrival_batch
+        |        AND (pw.wmk IS NULL OR p.ts >= pw.wmk)
+        |        AND (lw.wmk IS NULL OR p.ts + INTERVAL 1 HOUR >= lw.wmk)))
+        |SELECT a.arrival_batch, a.event_id, e.event_type
+        |FROM adm a JOIN events e ON e.event_id = a.event_id
+        |ORDER BY a.arrival_batch, a.event_id""".stripMargin,
+    // per-arrival-batch ingest stats: drop k carries the event_id % 4 = k
+    // slice, so any lost/duplicated/bled row shifts a count or an id range
+    "q123_streaming_bronze_ingest" ->
+      """SELECT CAST(event_id % 4 + 1 AS INTEGER) AS batch_seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS min_event_id,
+        |  max(event_id) AS max_event_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q83's argmax assignment rolled up per label; Simpson index as a
     // sequential fold over cid-ordered shares (only +,x,/ on doubles -> no
     // libm log whose ulps differ between engines)

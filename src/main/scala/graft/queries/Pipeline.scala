@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -1120,6 +1121,138 @@ object Pipeline {
       }
     try query.processAllAvailable() finally query.stop()
     tmp
+  }
+
+  /** Ordered-arrival variant of [[runDroppedStream]] for certifications
+    * where WHICH micro-batch a row arrives in changes the answer (watermark
+    * state expiry): each element of `drops` is written as one parquet file
+    * and fully processed (`processAllAvailable`) before the next is
+    * written, so drop k IS micro-batch k — the arrival order is part of
+    * the fixture, not left to file-listing order.
+    */
+  private def runSequencedDrops(
+      spark: SparkSession,
+      drops: Seq[DataFrame],
+      prefix: String)(
+      start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val tmp = scratchDir(prefix)
+    val dropDir = s"$tmp/drops"
+    new java.io.File(dropDir).mkdirs()
+    val stream = spark.readStream.schema(drops.head.schema).parquet(dropDir)
+    // same stateful micro-batch right-sizing as runDroppedStream
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "4")
+    val query =
+      try start(stream, tmp)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    try drops.foreach { d =>
+      d.coalesce(1).write.mode("append").parquet(dropDir)
+      query.processAllAvailable()
+    } finally query.stop()
+    tmp
+  }
+
+  /** q122 — [[graft.streaming.EventStream.dedupStream]]
+    * (`dropDuplicatesWithinWatermark`) certified through the STREAM path
+    * with arrival ORDER as part of the fixture ([[runSequencedDrops]]):
+    * four micro-batches of controlled-timestamp events (built from the
+    * events table's first 8 ids; T0 = 2026-01-01 10:00 UTC, delay 1 h)
+    * exercising every state transition the operator has:
+    *
+    *  - batch 1: keys 1–4 at T0 — all admitted, state created;
+    *  - batch 2: duplicates of 1,2 at T0+30 m — DROPPED (within the
+    *    horizon); advancers 5,6 at T0+5 h — admitted, and the watermark
+    *    jumps to T0+4 h after the batch;
+    *  - batch 3: advancer 7 at T0+6 h — admitted; duplicate of 5 at
+    *    T0+5.5 h — dropped (alive state). Batch-end eviction (expiry <
+    *    watermark) now removes keys 1–4: expiry T0+1 h < T0+4 h;
+    *  - batch 4: duplicates of 3,4 at T0+5.5 h — RE-ADMITTED (their keys
+    *    expired: the within-watermark guarantee only holds inside the
+    *    delay); duplicate of 6 at T0+5.75 h — dropped (expiry T0+6 h ≥
+    *    the eviction watermark T0+4 h, so its state survived); fresh key
+    *    8 at T0+2 h — dropped as a LATE event (older than the T0+5 h
+    *    late-event watermark).
+    *
+    * The oracle implements the same semantics as a batch computation over
+    * the (arrival_batch, key, ts) fixture — per-batch watermark = max
+    * prior-batch event time − delay; a row is admitted iff it is not late
+    * and no prior same-key arrival both was admitted first and still has
+    * unexpired state at the row's batch (expiry ≥ the PREVIOUS batch's
+    * watermark — eviction runs at batch END, so removal lags one batch) —
+    * rather than hard-coding the expected ids, so it certifies the
+    * documented state machine, not a frozen list.
+    */
+  def streamingEventDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val base = Tables(spark, dir).events
+      .where(col("event_id").between(1, 8))
+      .select(col("event_id"), col("event_type"))
+    val t0 = to_timestamp(lit("2026-01-01 10:00:00"))
+    def rows(batch: Int, idsAtMinutes: (Int, Int)*): DataFrame =
+      idsAtMinutes.map { case (id, m) =>
+        base.where(col("event_id") === id)
+          .select(
+            lit(batch).as("arrival_batch"),
+            col("event_id"),
+            (t0 + expr(s"INTERVAL $m MINUTES")).as("ts"),
+            col("event_type"))
+      }.reduce(_ unionByName _)
+    val drops = Seq(
+      rows(1, 1 -> 0, 2 -> 0, 3 -> 0, 4 -> 0),
+      rows(2, 1 -> 30, 2 -> 30, 5 -> 300, 6 -> 300),
+      rows(3, 7 -> 360, 5 -> 330),
+      rows(4, 3 -> 330, 4 -> 330, 6 -> 345, 8 -> 120))
+    val tmp = runSequencedDrops(spark, drops, "graft_q122_") { (stream, t) =>
+      EventStream.dedupStream(stream, Seq("event_id"), watermark = "1 hour")
+        .writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$t/admitted")
+        .start()
+    }
+    spark.read.parquet(s"$tmp/admitted")
+      .select(col("arrival_batch"), col("event_id"), col("event_type"))
+      .orderBy(col("arrival_batch"), col("event_id"))
+  }
+
+  /** q123 — the exactly-once bronze stream sink
+    * ([[graft.streaming.EventStream.toBronze]]) certified through the
+    * STREAM path: the events table arrives as four sequenced drops
+    * (event_id % 4 = k is drop k), each landing in its own `_batch_id`
+    * partition via the idempotent dynamic-partition-overwrite sink; the
+    * read-back table reports per-batch row counts and id ranges. The
+    * oracle recomputes the same stats per event_id % 4 slice — so lost
+    * rows, duplicated rows, or cross-batch bleed all diverge. Batches are
+    * ranked by `_batch_id` rather than trusting absolute ids (an initial
+    * empty micro-batch before the first drop writes no partition but
+    * would shift the numbering). The failure-retry half of the
+    * exactly-once contract (a replayed batchId REPLACES its partition) is
+    * StreamingSpec-gated — a mid-write crash cannot be driven
+    * deterministically through the public API.
+    */
+  def streamingBronzeIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val e = Tables(spark, dir).events
+    val drops = (0 until 4).map(k => e.where(col("event_id") % 4 === k))
+    val tmp = runSequencedDrops(spark, drops, "graft_q123_") { (stream, t) =>
+      EventStream.toBronze(stream, s"$t/bronze", s"$t/checkpoint")
+    }
+    spark.read.parquet(s"$tmp/bronze")
+      .groupBy(col("_batch_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("batch_seq",
+        row_number().over(Window.orderBy(col("_batch_id"))))
+      .select(col("batch_seq"), col("n_events"), col("min_event_id"),
+        col("max_event_id"))
+      .orderBy(col("batch_seq"))
   }
 
   /** q97 — streaming near-dup admission, certified through the STREAM path
