@@ -141,6 +141,7 @@ object SparkEntry {
     "q121_index_refresh_loop" -> (Pipeline.indexRefreshLoop _),
     "q122_streaming_event_dedup" -> (Pipeline.streamingEventDedup _),
     "q123_streaming_bronze_ingest" -> (Pipeline.streamingBronzeIngest _),
+    "q124_curriculum_order" -> (Pipeline.curriculumSchedule _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1329,6 +1330,25 @@ object SparkEntry {
         |  min(event_id) AS min_event_id,
         |  max(event_id) AS max_event_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q111's epoch expansion with the seed-keyed Sha60 order key (the q98
+    // rank-hash convention: first 15 hex chars of sha256 as BIGINT)
+    "q124_curriculum_order" ->
+      raw"""WITH q AS (
+        |  SELECT doc_id,
+        |    $qualityScoreSql AS quality_score
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN quality_score >= 0.8 THEN 3
+        |              WHEN quality_score >= 0.5 THEN 2 ELSE 1 END AS BIGINT) AS n_epochs
+        |  FROM q),
+        |s AS (
+        |  SELECT doc_id, CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch_idx
+        |  FROM e)
+        |SELECT doc_id, epoch_idx,
+        |  CAST(('0x' || substring(sha256('cur:42:' || CAST(epoch_idx AS VARCHAR)
+        |    || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS order_key
+        |FROM s ORDER BY epoch_idx, order_key, doc_id""".stripMargin,
     // q83's argmax assignment rolled up per label; Simpson index as a
     // sequential fold over cid-ordered shares (only +,x,/ on doubles -> no
     // libm log whose ulps differ between engines)

@@ -244,6 +244,36 @@ object Curation {
         explode(sequence(lit(1L), col("n_epochs"))).as("epoch_idx"))
   }
 
+  /** Deterministic curriculum ordering: the [[epochReplication]] schedule
+    * with a seed-parameterized ORDER for every scheduled appearance —
+    * the piece the epoch scheduler alone lacks (WHICH order within an
+    * epoch). `order_key` = Sha60("cur:<seed>:<epoch>:<id>"), so the
+    * permutation is reproducible run-to-run and engine-to-engine,
+    * independent per epoch (no two epochs replay the same order), and
+    * re-keyed wholesale by changing the seed.
+    *
+    * Deliberately MAP-ONLY: the key IS the order. A materialized global
+    * position (`row_number` over an epoch) would shuffle the whole corpus
+    * into one partition per epoch — 3 epochs = 3 tasks at 100 TB. Shard
+    * loaders instead range-read by `(epoch_idx, order_key)`; any engine
+    * reconstructs identical positions by sorting on the key (ties are
+    * impossible per epoch: the preimage contains the unique id).
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: Long): DataFrame =
+    epochReplication(df, idCol, textCol)
+      .select(
+        col(idCol),
+        col("epoch_idx"),
+        Sha60.sha60(concat(
+          lit(s"cur:$seed:"),
+          col("epoch_idx").cast("string"),
+          lit(":"),
+          col(idCol).cast("string"))).as("order_key"))
+
   /** Deterministic per-source mixture sampling: keep a document iff
     * Sha60(id) mod `denom` falls under its source's weight share — the
     * data-mixing step that reweights corpus sources for training (e.g. keep

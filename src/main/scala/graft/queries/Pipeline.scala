@@ -1361,6 +1361,17 @@ object Pipeline {
     Curation.epochReplication(Tables(spark, dir).documents, "doc_id", "text")
       .orderBy(col("doc_id"), col("epoch_idx"))
 
+  /** q124 — deterministic curriculum ordering
+    * ([[Curation.curriculumOrder]], seed 42): q111's epoch schedule with
+    * the seed-keyed order_key that fixes WHICH order each epoch replays.
+    * Map-only; the key is certified value-exact, so the implied global
+    * order is certified with it.
+    */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame =
+    Curation.curriculumOrder(Tables(spark, dir).documents, "doc_id", "text",
+      seed = 42L)
+      .orderBy(col("epoch_idx"), col("order_key"), col("doc_id"))
+
   /** q112 — decontamination action over q54's split (every 17th doc plays
     * the eval set): training documents with ≥ 90% distinct-bigram overlap
     * against the eval vocabulary are DROPPED

@@ -681,4 +681,32 @@ class CurationSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scheduling must stay map-only:\n$plan")
   }
+
+  test("curriculum order: reproducible, seed- and epoch-independent permutations, map-only") {
+    val d = docs.toDF("doc_id", "text", "source")
+    def order(seed: Long) = Curation.curriculumOrder(d, "doc_id", "text", seed)
+    def perm(seed: Long, epoch: Long): Seq[Long] = order(seed)
+      .where(col("epoch_idx") === epoch)
+      .orderBy(col("order_key"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    // same seed → bit-identical schedule across invocations
+    assert(order(42L).collect().toSet == order(42L).collect().toSet)
+    // schedule rows == the epoch-replication schedule (ordering adds no
+    // rows and drops none)
+    assert(order(42L).count() ==
+      Curation.epochReplication(d, "doc_id", "text").count())
+    // a different seed re-keys the permutation; different epochs of one
+    // seed don't replay the same order (both hold unless the corpus is
+    // degenerate — the fixture has >= 4 multi-epoch docs)
+    val e1 = perm(42L, 1L)
+    assert(e1 != perm(7L, 1L), "seed must change the order")
+    val multi = perm(42L, 2L)
+    assert(e1.filter(multi.contains) != multi,
+      "epoch 2 must not replay epoch 1's relative order")
+    // order keys are unique per epoch (ties impossible: id is in the preimage)
+    val keys = order(42L).select("epoch_idx", "order_key").collect()
+    assert(keys.distinct.length == keys.length)
+    val plan = order(42L).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ordering must stay map-only:\n$plan")
+  }
 }
