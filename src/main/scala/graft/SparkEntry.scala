@@ -142,6 +142,7 @@ object SparkEntry {
     "q122_streaming_event_dedup" -> (Pipeline.streamingEventDedup _),
     "q123_streaming_bronze_ingest" -> (Pipeline.streamingBronzeIngest _),
     "q124_curriculum_order" -> (Pipeline.curriculumSchedule _),
+    "q125_embedding_index_refresh" -> (Pipeline.embeddingIndexRefreshLoop _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1203,18 +1204,31 @@ object SparkEntry {
     // day-0 population, then day-2 admission against indexes REBUILT over
     // population ∪ admitted₁ — so a refresh-vs-rebuild divergence in the
     // engine (resurrected over-cap bucket, stale count, missed fold)
-    // changes this set; final clusters = recursive CC over LSH pairs among
-    // the day-2 admitted docs (their pairs to older docs are empty BY
-    // ADMISSION, so the folded labeling restricted to them is exactly this)
+    // changes this set. Day 2 includes RE-FETCHES of every day-1 doc under
+    // negative ids (exact copy at -id-1; near copy with a marker token at
+    // -id-100000001): re-fetches of day-1 ADMITTED docs are rejected only
+    // if the fold really happened (exact copy ↔ content-hash fold, near
+    // copy ↔ MinHash fold), so a no-op fold provably changes the answer.
+    // Final clusters = recursive CC over LSH pairs among the day-2
+    // admitted docs (their pairs to older docs are empty BY ADMISSION, so
+    // the folded labeling restricted to them is exactly this)
     "q121_index_refresh_loop" ->
-      ("WITH RECURSIVE " + lshPrefixCtes("documents") + ",\n" +
+      ("WITH RECURSIVE " +
+        raw"""alldocs AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL SELECT -doc_id - 1, text, source
+          |    FROM documents WHERE doc_id % 10 = 5
+          |  UNION ALL SELECT -doc_id - 100000001, text || ' q121refetch', source
+          |    FROM documents WHERE doc_id % 10 = 5),
+          |""".stripMargin + lshPrefixCtes("alldocs") + ",\n" +
         raw"""nrm AS (
           |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
-          |  FROM documents),
-          |ex0 AS (SELECT DISTINCT t FROM nrm WHERE doc_id % 10 <> 0 AND doc_id % 10 <> 5),
+          |  FROM alldocs),
+          |ex0 AS (SELECT DISTINCT t FROM nrm
+          |        WHERE doc_id >= 0 AND doc_id % 10 <> 0 AND doc_id % 10 <> 5),
           |b0 AS (
           |  SELECT band, bkey, list(doc_id) AS cids
-          |  FROM banded WHERE doc_id % 10 <> 0 AND doc_id % 10 <> 5
+          |  FROM banded WHERE doc_id >= 0 AND doc_id % 10 <> 0 AND doc_id % 10 <> 5
           |  GROUP BY band, bkey HAVING count(*) <= 50),
           |m1 AS (
           |  SELECT DISTINCT delta_id FROM (
@@ -1223,11 +1237,11 @@ object SparkEntry {
           |    FROM (
           |      SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
           |      FROM banded d JOIN b0 cb ON d.band = cb.band AND d.bkey = cb.bkey
-          |      WHERE d.doc_id % 10 = 5) p
+          |      WHERE d.doc_id >= 0 AND d.doc_id % 10 = 5) p
           |    JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
           |  WHERE jaccard >= 0.5),
           |a1 AS (
-          |  SELECT doc_id FROM nrm n WHERE doc_id % 10 = 5
+          |  SELECT doc_id FROM nrm n WHERE doc_id >= 0 AND doc_id % 10 = 5
           |    AND NOT EXISTS (SELECT 1 FROM ex0 WHERE ex0.t = n.t)
           |    AND doc_id NOT IN (SELECT delta_id FROM m1)),
           |pop1 AS (
@@ -1245,11 +1259,12 @@ object SparkEntry {
           |    FROM (
           |      SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
           |      FROM banded d JOIN b1 cb ON d.band = cb.band AND d.bkey = cb.bkey
-          |      WHERE d.doc_id % 10 = 0) p
+          |      WHERE (d.doc_id >= 0 AND d.doc_id % 10 = 0) OR d.doc_id < 0) p
           |    JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
           |  WHERE jaccard >= 0.5),
           |a2 AS (
-          |  SELECT doc_id FROM nrm n WHERE doc_id % 10 = 0
+          |  SELECT doc_id FROM nrm n
+          |  WHERE ((doc_id >= 0 AND doc_id % 10 = 0) OR doc_id < 0)
           |    AND NOT EXISTS (SELECT 1 FROM ex1 WHERE ex1.t = n.t)
           |    AND doc_id NOT IN (SELECT delta_id FROM m2)),
           |b2 AS (
@@ -1278,7 +1293,7 @@ object SparkEntry {
           |SELECT a2.doc_id, doc.source,
           |  COALESCE(c.cluster_id, a2.doc_id) AS cluster_id,
           |  COALESCE(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size
-          |FROM a2 JOIN documents doc USING (doc_id)
+          |FROM a2 JOIN alldocs doc USING (doc_id)
           |LEFT JOIN comp c USING (doc_id)
           |LEFT JOIN csz s ON c.cluster_id = s.cluster_id
           |ORDER BY a2.doc_id""".stripMargin),
@@ -1349,6 +1364,46 @@ object SparkEntry {
         |  CAST(('0x' || substring(sha256('cur:42:' || CAST(epoch_idx AS VARCHAR)
         |    || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS order_key
         |FROM s ORDER BY epoch_idx, order_key, doc_id""".stripMargin,
+    // the q121 two-day cascade on the embedding tier: day-1 admission
+    // (q119's capped-bucket cosine probe) against the day-0 population,
+    // day-2 admission against buckets REBUILT over population ∪ admitted₁
+    "q125_embedding_index_refresh" ->
+      ("WITH " + embSigCtes + ",\n" +
+        s"""b0 AS (
+          |  SELECT sig, list(vec_id) AS cids
+          |  FROM esigs WHERE vec_id % 10 <> 0 AND vec_id % 10 <> 5
+          |  GROUP BY sig HAVING count(*) <= 200),
+          |m1 AS (
+          |  SELECT DISTINCT delta_id FROM (
+          |    SELECT p.delta_id,
+          |      ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
+          |    FROM (SELECT d.vec_id AS delta_id, d.embedding AS dvec, unnest(cb.cids) AS corpus_id
+          |          FROM esigs d JOIN b0 cb ON d.sig = cb.sig
+          |          WHERE d.vec_id % 10 = 5) p
+          |    JOIN embeddings c ON p.corpus_id = c.vec_id)
+          |  WHERE cosine_sim >= 0.25),
+          |a1 AS (
+          |  SELECT vec_id FROM embeddings
+          |  WHERE vec_id % 10 = 5 AND vec_id NOT IN (SELECT delta_id FROM m1)),
+          |pop1 AS (
+          |  SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0 AND vec_id % 10 <> 5
+          |  UNION ALL SELECT vec_id FROM a1),
+          |b1 AS (
+          |  SELECT sig, list(vec_id) AS cids
+          |  FROM esigs JOIN pop1 USING (vec_id)
+          |  GROUP BY sig HAVING count(*) <= 200),
+          |m2 AS (
+          |  SELECT DISTINCT delta_id FROM (
+          |    SELECT p.delta_id,
+          |      ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
+          |    FROM (SELECT d.vec_id AS delta_id, d.embedding AS dvec, unnest(cb.cids) AS corpus_id
+          |          FROM esigs d JOIN b1 cb ON d.sig = cb.sig
+          |          WHERE d.vec_id % 10 = 0) p
+          |    JOIN embeddings c ON p.corpus_id = c.vec_id)
+          |  WHERE cosine_sim >= 0.25)
+          |SELECT vec_id FROM embeddings
+          |WHERE vec_id % 10 = 0 AND vec_id NOT IN (SELECT delta_id FROM m2)
+          |ORDER BY vec_id""".stripMargin),
     // q83's argmax assignment rolled up per label; Simpson index as a
     // sequential fold over cid-ordered shares (only +,x,/ on doubles -> no
     // libm log whose ulps differ between engines)

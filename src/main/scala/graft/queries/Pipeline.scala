@@ -1605,9 +1605,33 @@ object Pipeline {
   def indexRefreshLoop(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocStream
     val d = Tables(spark, dir).documents
-    val day0 = col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5
+    // Day-2 additionally RE-FETCHES every day-1 document under a fresh id
+    // (negative — disjoint from real ids at any scale factor): an exact
+    // copy and a near-copy (one marker token appended — passes exact
+    // dedup, stays a high-Jaccard near-dup). Re-fetches of day-1 docs the
+    // corpus already contained are rejected against the day-0 index either
+    // way; re-fetches of day-1 ADMITTED docs are rejected ONLY IF the
+    // admitted docs were genuinely folded into the content-hash (exact
+    // copy) and MinHash (near copy) indexes — the crawler-re-crawl shape
+    // that makes a broken/missing fold change the certified day-2 set.
+    val delta1 = d.where(col("doc_id") % 10 === 5)
+    val reExact = delta1.withColumn("doc_id", -col("doc_id") - lit(1L))
+    val reNear = delta1
+      .withColumn("doc_id", -col("doc_id") - lit(100000001L))
+      .withColumn("text", concat(col("text"), lit(" q121refetch")))
+    val delta2 = d.where(col("doc_id") % 10 === 0)
+      .unionByName(reExact).unionByName(reNear)
+    val day0 = col("doc_id") >= 0 &&
+      col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5
+    // the shared signature pass covers real AND re-fetched ids, so the
+    // admitted-set folds (which may include re-fetches on day 2) and the
+    // label fold all draw from one cache
     val sigAll = graft.core.Caching.eager(
-      Dedup.sigDocs(d, "doc_id", "text", shingleN = 1, numHashes = 16))
+      Dedup.sigDocs(
+        d.select(col("doc_id"), col("text"))
+          .unionByName(reExact.select(col("doc_id"), col("text")))
+          .unionByName(reNear.select(col("doc_id"), col("text"))),
+        "doc_id", "text", shingleN = 1, numHashes = 16))
 
     // day-0 state: indexes + labels over the standing corpus
     val sig0 = sigAll.where(day0)
@@ -1634,7 +1658,7 @@ object Pipeline {
     }
 
     // day 1: admit delta₁, then compact: fold into indexes + labels
-    val admitted1 = admit(d.where(col("doc_id") % 10 === 5), hash0,
+    val admitted1 = admit(delta1, hash0,
       graft.core.Caching.eager(st0.index), "a")
     val sigA1 = sigAll.join(admitted1.select("doc_id"), Seq("doc_id"), "left_semi")
     val hash1 = graft.core.Caching.eager(
@@ -1646,7 +1670,7 @@ object Pipeline {
         .select(col("id_a"), col("id_b")))
 
     // day 2: admit delta₂ over the REFRESHED indexes, fold again
-    val admitted2 = admit(d.where(col("doc_id") % 10 === 0), hash1,
+    val admitted2 = admit(delta2, hash1,
       graft.core.Caching.eager(st1.index), "b")
     val sigA2 = sigAll.join(admitted2.select("doc_id"), Seq("doc_id"), "left_semi")
     val labels2 = Dedup.mergeClusters(labels1,
@@ -1667,6 +1691,48 @@ object Pipeline {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("_csz"), lit(1L)).as("cluster_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q125 — the EMBEDDING-tier daily index-refresh loop certified end to
+    * end, completing the refresh symmetry across all three corpus index
+    * tiers (q121 certifies content-hash + MinHash): day-0 hyperplane
+    * bucket index over the standing vectors (vec_id % 10 ∉ {0,5}), delta₁
+    * (% 10 = 5) stream-admitted through the q119 cosine-gated anti-join in
+    * 2 micro-batches, admitted vectors folded delta-sized into the index
+    * ([[graft.streaming.DocStream.refreshEmbeddingIndex]] — true union
+    * counts decide every bucket, so tombstoned buckets stay dead), then
+    * delta₂ (% 10 = 0) admitted over the REFRESHED index. The oracle
+    * rebuilds day-1's index from scratch over corpus ∪ admitted₁, so a
+    * refresh-vs-rebuild divergence changes the certified day-2 set.
+    */
+  def embeddingIndexRefreshLoop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val e = Tables(spark, dir).embeddings
+    val day0 = col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5
+    val st0 = DocStream.embeddingIndexState(e.where(day0), "vec_id", "embedding",
+      nPlanes = 8, maxBucketSize = 200)
+
+    def admit(delta: DataFrame, index: DataFrame, tag: String): DataFrame = {
+      val tmp = runDroppedStream(spark, delta, files = 4, perTrigger = 2,
+        s"graft_q125${tag}_") { (stream, t) =>
+        DocStream.dedupEmbeddingsAgainstCorpus(stream, index, "vec_id", "embedding",
+          minCosine = 0.25)
+          .writeStream
+          .option("checkpointLocation", s"$t/checkpoint")
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$t/admitted")
+          .start()
+      }
+      spark.read.parquet(s"$tmp/admitted")
+    }
+
+    val admitted1 = admit(e.where(col("vec_id") % 10 === 5),
+      graft.core.Caching.eager(st0.index), "a")
+    val st1 = DocStream.refreshEmbeddingIndex(st0, admitted1, "vec_id", "embedding")
+    val admitted2 = admit(e.where(col("vec_id") % 10 === 0),
+      graft.core.Caching.eager(st1.index), "b")
+    admitted2.select(col("vec_id")).orderBy(col("vec_id"))
   }
 
   /** q118 — quality-aware canonical selection over the q52 clusters

@@ -64,28 +64,86 @@ object DocStream {
       idCol: String,
       vecCol: String,
       nPlanes: Int = 12,
-      maxBucketSize: Int = 200): DataFrame = {
+      maxBucketSize: Int = 200): DataFrame =
+    embeddingIndexState(corpus, idCol, vecCol, nPlanes, maxBucketSize).index
+
+  /** Refreshable form of the embedding index — the [[MinHashIndexState]]
+    * pattern for the vector tier: `index` is the probe-side frame,
+    * `bucketCounts` the TRUE size of every hyperplane bucket (over-cap
+    * tombstones included), which is what keeps [[refreshEmbeddingIndex]]
+    * exactly rebuild-equivalent.
+    */
+  final case class EmbeddingIndexState(index: DataFrame, bucketCounts: DataFrame)
+
+  /** [[embeddingCorpusIndex]] plus its bucket-count sidecar. */
+  def embeddingIndexState(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 12,
+      maxBucketSize: Int = 200): EmbeddingIndexState = {
     import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
     val sigged = corpus.select(
       col(idCol).as("_c_id"),
       col(vecCol).as("_c_vec"),
       hyperplaneFast(col(vecCol), nPlanes).as("_sig"))
-    val keep = sigged
+    val counts = sigged
       .groupBy(col("_sig"))
-      .agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBucketSize)
+      .agg(count(lit(1)).as("n"))
+    val keep = counts
+      .where(col("n") <= maxBucketSize)
       .select(col("_sig"))
-    // the plane count rides in the _sig column's schema METADATA: the probe
-    // side reads it driver-side with no job, it survives a parquet
-    // round-trip, and a mismatched caller value (which would silently match
-    // nothing and disable dedup) becomes impossible
+    // the plane count (and cap) ride in the _sig column's schema METADATA:
+    // the probe side reads it driver-side with no job, it survives a
+    // parquet round-trip, and a mismatched caller value (which would
+    // silently match nothing and disable dedup) becomes impossible
     val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(NPlanesMetaKey, nPlanes.toLong).build()
-    sigged.join(keep, Seq("_sig"))
+      .putLong(NPlanesMetaKey, nPlanes.toLong)
+      .putLong(LshMaxBucketMetaKey, maxBucketSize.toLong)
+      .build()
+    val index = sigged.join(keep, Seq("_sig"), "left_semi")
       .select(col("_sig").as("_sig", sigMeta), col("_c_id"), col("_c_vec"))
+    EmbeddingIndexState(index, counts)
+  }
+
+  /** Fold a day's ADMITTED vectors into the embedding index state — the
+    * vector twin of [[refreshMinhashIndexFromSigs]], delta-sized end to
+    * end with the same rebuild-equivalence argument: true union counts
+    * decide every bucket's fate, so tombstoned buckets stay dead and
+    * buckets pushed over the cap drop all rows.
+    */
+  def refreshEmbeddingIndex(
+      state: EmbeddingIndexState,
+      admitted: DataFrame,
+      idCol: String,
+      vecCol: String): EmbeddingIndexState = {
+    import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
+    val meta = state.index.schema("_sig").metadata
+    require(meta.contains(NPlanesMetaKey) && meta.contains(LshMaxBucketMetaKey),
+      "index must come from DocStream.embeddingIndexState (missing LSH metadata)")
+    val nPlanes = meta.getLong(NPlanesMetaKey).toInt
+    val maxBucketSize = meta.getLong(LshMaxBucketMetaKey)
+    val sigged = admitted.select(
+      col(idCol).as("_c_id"),
+      col(vecCol).as("_c_vec"),
+      hyperplaneFast(col(vecCol), nPlanes).as("_sig"))
+    val newCounts = sigged.groupBy(col("_sig")).agg(count(lit(1)).as("n"))
+    val counts = state.bucketCounts
+      .unionByName(newCounts)
+      .groupBy(col("_sig"))
+      .agg(sum(col("n")).as("n"))
+    val keep = counts
+      .where(col("n") <= maxBucketSize)
+      .select(col("_sig"))
+    val index = state.index
+      .unionByName(sigged.select(col("_sig"), col("_c_id"), col("_c_vec")))
+      .join(keep, Seq("_sig"), "left_semi")
+      .select(col("_sig").as("_sig", meta), col("_c_id"), col("_c_vec"))
+    EmbeddingIndexState(index, counts)
   }
 
   private[graft] val NPlanesMetaKey = "graft.lsh.nPlanes"
+  private[graft] val LshMaxBucketMetaKey = "graft.lsh.maxBucketSize"
 
   /** Drop stream vectors that are near-duplicates (cosine ≥ `minCosine`) of
     * some corpus vector in the same hyperplane bucket: stream–static join on

@@ -501,6 +501,60 @@ class StreamingSpec extends SparkSpec {
     assert(counts(again.bucketCounts) == counts(rebuilt2.bucketCounts))
   }
 
+  test("minhash index refresh equals rebuild (fuzz: 6 seeded corpora, two folds each)") {
+    // small vocab forces shared shingles → real bucket collisions; cap 3
+    // guarantees tombstoned, growing, and refresh-killed buckets all occur
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      def text() = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val all = (1L to 60L).map(i => (i, text()))
+      val Seq(corpus, adm1, adm2) =
+        Seq(all.filter(_._1 % 3 == 0), all.filter(_._1 % 3 == 1), all.filter(_._1 % 3 == 2))
+          .map(_.toDF("doc_id", "text"))
+      def state(df: org.apache.spark.sql.DataFrame) =
+        DocStream.minhashIndexState(df, "doc_id", "text",
+          numHashes = 8, numBands = 4, shingleN = 1, maxBucketSize = 3)
+      def rows(idx: org.apache.spark.sql.DataFrame) = idx
+        .select(col("band"), col("band_hash"), col("corpus_id"))
+        .as[(Int, String, Long)].collect().toSet
+      val once = DocStream.refreshMinhashIndex(state(corpus), adm1, "doc_id", "text")
+      val twice = DocStream.refreshMinhashIndex(once, adm2, "doc_id", "text")
+      assert(rows(once.index) == rows(state(corpus.unionByName(adm1)).index),
+        s"seed $seed: first fold diverged from rebuild")
+      assert(rows(twice.index) ==
+        rows(state(corpus.unionByName(adm1).unionByName(adm2)).index),
+        s"seed $seed: second fold diverged from rebuild")
+    }
+  }
+
+  test("embedding index refresh equals rebuild (fuzz: 6 seeded corpora, two folds each)") {
+    // 2-d vectors from a tiny set of directions → real hyperplane-bucket
+    // collisions; cap 3 forces tombstoned / growing / refresh-killed buckets
+    val dirs = Vector((1f, 0f), (0f, 1f), (1f, 1f), (-1f, 1f), (1f, -2f))
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      def vec() = { val (x, y) = dirs(rnd.nextInt(dirs.size)); Array(x, y) }
+      val all = (1L to 60L).map(i => (i, vec()))
+      val Seq(corpus, adm1, adm2) =
+        Seq(all.filter(_._1 % 3 == 0), all.filter(_._1 % 3 == 1), all.filter(_._1 % 3 == 2))
+          .map(_.toDF("vec_id", "embedding"))
+      def state(df: org.apache.spark.sql.DataFrame) =
+        DocStream.embeddingIndexState(df, "vec_id", "embedding",
+          nPlanes = 4, maxBucketSize = 3)
+      def rows(idx: org.apache.spark.sql.DataFrame) = idx
+        .select(col("_sig"), col("_c_id"))
+        .as[(Long, Long)].collect().toSet
+      val once = DocStream.refreshEmbeddingIndex(state(corpus), adm1, "vec_id", "embedding")
+      val twice = DocStream.refreshEmbeddingIndex(once, adm2, "vec_id", "embedding")
+      assert(rows(once.index) == rows(state(corpus.unionByName(adm1)).index),
+        s"seed $seed: first fold diverged from rebuild")
+      assert(rows(twice.index) ==
+        rows(state(corpus.unionByName(adm1).unionByName(adm2)).index),
+        s"seed $seed: second fold diverged from rebuild")
+    }
+  }
+
   test("content-hash index refresh equals corpusIndex over the union") {
     val all = graft.core.Tables(spark, Sf0001).documents
     val corpus = all.where(col("doc_id") % 2 === 0)
