@@ -143,6 +143,7 @@ object SparkEntry {
     "q123_streaming_bronze_ingest" -> (Pipeline.streamingBronzeIngest _),
     "q124_curriculum_order" -> (Pipeline.curriculumSchedule _),
     "q125_embedding_index_refresh" -> (Pipeline.embeddingIndexRefreshLoop _),
+    "q126_corpus_manifest" -> (Pipeline.corpusManifestReport _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1345,6 +1346,16 @@ object SparkEntry {
         |  min(event_id) AS min_event_id,
         |  max(event_id) AS max_event_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // order-insensitive XOR fold of the q98-convention Sha60 over
+    // "<id>:<normalized text>"; '<null>' marker keeps NULL text distinct
+    // from '' in the digest
+    "q126_corpus_manifest" ->
+      raw"""SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(len(regexp_extract_all(text, '\S+'))), 0) AS BIGINT) AS n_tokens,
+        |  CAST(bit_xor(CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':' ||
+        |    COALESCE(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '<null>')), 1, 15)) AS BIGINT)) AS BIGINT) AS content_digest
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q111's epoch expansion with the seed-keyed Sha60 order key (the q98
     // rank-hash convention: first 15 hex chars of sha256 as BIGINT)
     "q124_curriculum_order" ->

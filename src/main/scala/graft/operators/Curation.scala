@@ -304,6 +304,34 @@ object Curation {
       .drop("_w_source", "_w_keep")
   }
 
+  /** Reproducibility manifest: per source, document/token counts and an
+    * order-insensitive `content_digest` — the bit-XOR of every document's
+    * Sha60 over `"<id>:<normalized text>"`. XOR commutes, so the digest is
+    * independent of partitioning, shuffle order, and task scheduling, and
+    * computes as ONE map-side-combined aggregation whose output is a
+    * constant few rows at any corpus size. Two pipeline runs (or two
+    * engines) produce equal digests iff each source's (id, content) set is
+    * identical — the O(rows-scanned, constant-output) drift CHECK that
+    * decides whether anything downstream needs reprocessing;
+    * [[corpusDiff]] is the row-level investigation once a digest moves.
+    * NULL text folds in as the `<null>` marker (distinct from empty text),
+    * so a null↔'' flip moves the digest too.
+    */
+  def corpusManifest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(tokenCount(col(textCol)).cast("long")), lit(0L))
+          .as("n_tokens"),
+        call_function("bit_xor", Sha60.sha60(concat(
+          col(idCol).cast("string"), lit(":"),
+          coalesce(normalizeText(col(textCol)), lit("<null>")))))
+          .as("content_digest"))
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` (id only in `newer`), `removed` (id only in
     * `older`), `changed` (both, normalized content hash differs), or

@@ -1361,6 +1361,16 @@ object Pipeline {
     Curation.epochReplication(Tables(spark, dir).documents, "doc_id", "text")
       .orderBy(col("doc_id"), col("epoch_idx"))
 
+  /** q126 — reproducibility manifest ([[Curation.corpusManifest]]): one
+    * row per source with doc/token counts and the order-insensitive
+    * XOR-of-Sha60 content digest — the constant-output drift check two
+    * pipeline runs compare before deciding whether anything needs
+    * reprocessing.
+    */
+  def corpusManifestReport(spark: SparkSession, dir: String): DataFrame =
+    Curation.corpusManifest(Tables(spark, dir).documents, "doc_id", "text", "source")
+      .orderBy(col("source"))
+
   /** q124 — deterministic curriculum ordering
     * ([[Curation.curriculumOrder]], seed 42): q111's epoch schedule with
     * the seed-keyed order_key that fixes WHICH order each epoch replays.

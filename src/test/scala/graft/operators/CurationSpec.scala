@@ -682,6 +682,35 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scheduling must stay map-only:\n$plan")
   }
 
+  test("corpus manifest: partition-invariant digest, content-sensitive, null distinct from empty") {
+    val d = Seq(
+      (1L, "alpha beta", "s1"), (2L, "gamma", "s1"),
+      (3L, null: String, "s2"), (4L, "", "s2"))
+      .toDF("doc_id", "text", "source")
+    def digest(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Curation.corpusManifest(df, "doc_id", "text", "source")
+        .select("source", "content_digest")
+        .as[(String, Long)].collect().toMap
+    val base = digest(d)
+    // XOR commutes: the digest cannot depend on partitioning or row order
+    assert(digest(d.repartition(7)) == base)
+    assert(digest(d.orderBy(col("doc_id").desc)) == base)
+    // one character of drift moves the source's digest and no other's
+    val drifted = digest(d.withColumn("text",
+      when(col("doc_id") === 2L, lit("gamma!")).otherwise(col("text"))))
+    assert(drifted("s1") != base("s1") && drifted("s2") == base("s2"))
+    // null text and empty text are distinct corpus states
+    val nulled = digest(d.withColumn("text",
+      when(col("doc_id") === 4L, lit(null: String)).otherwise(col("text"))))
+    assert(nulled("s2") != base("s2"))
+    // counts: null text contributes zero tokens but one doc
+    val m = Curation.corpusManifest(d, "doc_id", "text", "source")
+      .select("source", "n_docs", "n_tokens")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, a, b) => s -> ((a, b)) }.toMap
+    assert(m("s1") == ((2L, 3L)) && m("s2")._1 == 2L)
+  }
+
   test("curriculum order: reproducible, seed- and epoch-independent permutations, map-only") {
     val d = docs.toDF("doc_id", "text", "source")
     def order(seed: Long) = Curation.curriculumOrder(d, "doc_id", "text", seed)
