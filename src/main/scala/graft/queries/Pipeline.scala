@@ -1611,6 +1611,15 @@ object Pipeline {
     * build, both refreshes, both label folds) via the shared cached
     * [[Dedup.sigDocs]] frame; only the in-stream per-micro-batch probes
     * sign their own delta-sized batches.
+    *
+    * Caching contract (the LSH-operator contract): the signature cache and
+    * the eager index frames stay persisted after the lazy result returns;
+    * sessions invoking this repeatedly should `spark.catalog.clearCache()`
+    * between runs (Verify/Bench already sweep per query). A production
+    * many-day fold chain would persist each day's index/counts as TABLES
+    * (parquet), not as an ever-growing lineage of unions — the operators
+    * take DataFrames precisely so the compaction job can feed the
+    * read-back of yesterday's table.
     */
   def indexRefreshLoop(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.DocStream

@@ -325,7 +325,14 @@ object DocStream {
         meta.getLong(ShingleNMetaKey).toInt, meta.getLong(NumHashesMetaKey).toInt))
   }
 
-  /** [[refreshMinhashIndex]] over an already-signed admitted frame. */
+  /** [[refreshMinhashIndex]] over an already-signed admitted frame.
+    *
+    * The returned state's frames derive from the input state's (one union
+    * + re-cap per fold): a production loop folding many days should write
+    * each day's index/counts to parquet and refresh from the READ-BACK —
+    * that is the lineage checkpoint; chaining dozens of folds as pure
+    * DataFrames grows the plan unboundedly.
+    */
   def refreshMinhashIndexFromSigs(
       state: MinHashIndexState,
       admittedSigs: DataFrame): MinHashIndexState = {
