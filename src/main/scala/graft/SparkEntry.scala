@@ -1206,8 +1206,9 @@ object SparkEntry {
     // population ∪ admitted₁ — so a refresh-vs-rebuild divergence in the
     // engine (resurrected over-cap bucket, stale count, missed fold)
     // changes this set. Day 2 includes RE-FETCHES of every day-1 doc under
-    // negative ids (exact copy at -id-1; near copy with a marker token at
-    // -id-100000001): re-fetches of day-1 ADMITTED docs are rejected only
+    // negative ids (exact copy at -2id-1, odd; near copy with a marker
+    // token at -2id-2, even — families disjoint for ANY source id):
+    // re-fetches of day-1 ADMITTED docs are rejected only
     // if the fold really happened (exact copy ↔ content-hash fold, near
     // copy ↔ MinHash fold), so a no-op fold provably changes the answer.
     // Final clusters = recursive CC over LSH pairs among the day-2
@@ -1217,9 +1218,9 @@ object SparkEntry {
       ("WITH RECURSIVE " +
         raw"""alldocs AS (
           |  SELECT doc_id, text, source FROM documents
-          |  UNION ALL SELECT -doc_id - 1, text, source
+          |  UNION ALL SELECT -doc_id * 2 - 1, text, source
           |    FROM documents WHERE doc_id % 10 = 5
-          |  UNION ALL SELECT -doc_id - 100000001, text || ' q121refetch', source
+          |  UNION ALL SELECT -doc_id * 2 - 2, text || ' q121refetch', source
           |    FROM documents WHERE doc_id % 10 = 5),
           |""".stripMargin + lshPrefixCtes("alldocs") + ",\n" +
         raw"""nrm AS (

@@ -66,13 +66,11 @@ object Skew {
     * [[graft.queries.Relational]].
     */
   def keySkewProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
-    // the output/internal names below would silently shadow (or ambiguate
-    // against) same-named input columns — refuse loudly instead
+    // Only the KEY column's name can genuinely collide: the groupBy
+    // projects every other input column away before any reserved name is
+    // introduced, but a key named like an output (e.g. "key_count") would
+    // duplicate a column name in the profile and ambiguate the sort.
     val reserved = Seq("key_count", "n_keys", "total_rows", "median_count", "skew_ratio")
-    val clash = df.columns.filter(c => reserved.contains(c) && c != keyCol)
-    require(clash.isEmpty,
-      s"keySkewProfile reserves column names ${reserved.mkString(", ")}; " +
-        s"input collides on ${clash.mkString(", ")} — rename before profiling")
     require(!reserved.contains(keyCol),
       s"keySkewProfile reserves '$keyCol' for its own output — rename the key column")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("key_count"))

@@ -1065,10 +1065,15 @@ object Pipeline {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       var dir = scratchDirs.poll()
       while (dir != null) {
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
+        // per-dir isolation: one already-reaped tree (NoSuchFileException
+        // from a concurrent tmp cleaner) must not abort the rest of the
+        // queue — that would leak every later-registered tree
+        try {
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => }
         dir = scratchDirs.poll()
       }
     }))
@@ -1102,25 +1107,33 @@ object Pipeline {
     val stream =
       (if (perTrigger > 0) reader.option("maxFilesPerTrigger", perTrigger) else reader)
         .parquet(dropDir)
-    // Right-size the stateful micro-batch shuffles: each tiny trigger would
-    // otherwise inherit the session's 32 shuffle partitions for its state
-    // aggregation (32 state-store tasks per trigger, ~all parked — measured
-    // run/cpu = 15× on the corpus-report stream). Streaming clones the
-    // session conf at query START, so scoping the change around start()
-    // pins the stream to 4 state partitions without touching the batch
-    // plans before/after. (The state partition count is fixed at the first
-    // checkpoint anyway — these checkpoints are fresh per run.)
+    val query = startRightSized(spark)(start(stream, tmp))
+    try query.processAllAvailable() finally query.stop()
+    tmp
+  }
+
+  /** Start a certification stream with right-sized stateful micro-batch
+    * shuffles: each tiny trigger would otherwise inherit the session's 32
+    * shuffle partitions for its state aggregation (32 state-store tasks
+    * per trigger, ~all parked — measured run/cpu = 15× on the
+    * corpus-report stream). Streaming clones the session conf at query
+    * START, so scoping the change around start() pins the stream to 4
+    * state partitions without touching the batch plans before/after. (The
+    * state partition count is fixed at the first checkpoint anyway — these
+    * checkpoints are fresh per run.) ONE copy of the pin/restore dance,
+    * shared by both drop harnesses, so the two cannot drift.
+    */
+  private def startRightSized(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "4")
-    val query =
-      try start(stream, tmp)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    try query.processAllAvailable() finally query.stop()
-    tmp
+    try start
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Ordered-arrival variant of [[runDroppedStream]] for certifications
@@ -1139,16 +1152,7 @@ object Pipeline {
     val dropDir = s"$tmp/drops"
     new java.io.File(dropDir).mkdirs()
     val stream = spark.readStream.schema(drops.head.schema).parquet(dropDir)
-    // same stateful micro-batch right-sizing as runDroppedStream
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "4")
-    val query =
-      try start(stream, tmp)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    val query = startRightSized(spark)(start(stream, tmp))
     try drops.foreach { d =>
       d.coalesce(1).write.mode("append").parquet(dropDir)
       query.processAllAvailable()
@@ -1187,25 +1191,27 @@ object Pipeline {
     * documented state machine, not a frozen list.
     */
   def streamingEventDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import graft.streaming.EventStream
     val base = Tables(spark, dir).events
       .where(col("event_id").between(1, 8))
       .select(col("event_id"), col("event_type"))
-    val t0 = to_timestamp(lit("2026-01-01 10:00:00"))
-    def rows(batch: Int, idsAtMinutes: (Int, Int)*): DataFrame =
-      idsAtMinutes.map { case (id, m) =>
-        base.where(col("event_id") === id)
-          .select(
-            lit(batch).as("arrival_batch"),
-            col("event_id"),
-            (t0 + expr(s"INTERVAL $m MINUTES")).as("ts"),
-            col("event_type"))
-      }.reduce(_ unionByName _)
-    val drops = Seq(
-      rows(1, 1 -> 0, 2 -> 0, 3 -> 0, 4 -> 0),
-      rows(2, 1 -> 30, 2 -> 30, 5 -> 300, 6 -> 300),
-      rows(3, 7 -> 360, 5 -> 330),
-      rows(4, 3 -> 330, 4 -> 330, 6 -> 345, 8 -> 120))
+    // (arrival_batch, key, minutes-after-T0) — ONE literal frame joined
+    // against one pruned scan of the events table, instead of a filtered
+    // scan per fixture row
+    val arrivals = Seq(
+      (1, 1L, 0), (1, 2L, 0), (1, 3L, 0), (1, 4L, 0),
+      (2, 1L, 30), (2, 2L, 30), (2, 5L, 300), (2, 6L, 300),
+      (3, 7L, 360), (3, 5L, 330),
+      (4, 3L, 330), (4, 4L, 330), (4, 6L, 345), (4, 8L, 120))
+      .toDF("arrival_batch", "event_id", "m")
+    val fixture = arrivals.join(base, Seq("event_id"))
+      .select(
+        col("arrival_batch"),
+        col("event_id"),
+        expr("timestampadd(MINUTE, m, timestamp'2026-01-01 10:00:00')").as("ts"),
+        col("event_type"))
+    val drops = (1 to 4).map(b => fixture.where(col("arrival_batch") === b))
     val tmp = runSequencedDrops(spark, drops, "graft_q122_") { (stream, t) =>
       EventStream.dedupStream(stream, Seq("event_id"), watermark = "1 hour")
         .writeStream
@@ -1625,18 +1631,20 @@ object Pipeline {
     import graft.streaming.DocStream
     val d = Tables(spark, dir).documents
     // Day-2 additionally RE-FETCHES every day-1 document under a fresh id
-    // (negative — disjoint from real ids at any scale factor): an exact
-    // copy and a near-copy (one marker token appended — passes exact
-    // dedup, stays a high-Jaccard near-dup). Re-fetches of day-1 docs the
-    // corpus already contained are rejected against the day-0 index either
-    // way; re-fetches of day-1 ADMITTED docs are rejected ONLY IF the
-    // admitted docs were genuinely folded into the content-hash (exact
-    // copy) and MinHash (near copy) indexes — the crawler-re-crawl shape
-    // that makes a broken/missing fold change the certified day-2 set.
+    // (negative — disjoint from real ids at any scale factor; exact copies
+    // take ODD negatives, near copies EVEN, so the two families cannot
+    // collide for ANY source id): an exact copy and a near-copy (one
+    // marker token appended — passes exact dedup, stays a high-Jaccard
+    // near-dup). Re-fetches of day-1 docs the corpus already contained are
+    // rejected against the day-0 index either way; re-fetches of day-1
+    // ADMITTED docs are rejected ONLY IF the admitted docs were genuinely
+    // folded into the content-hash (exact copy) and MinHash (near copy)
+    // indexes — the crawler-re-crawl shape that makes a broken/missing
+    // fold change the certified day-2 set.
     val delta1 = d.where(col("doc_id") % 10 === 5)
-    val reExact = delta1.withColumn("doc_id", -col("doc_id") - lit(1L))
+    val reExact = delta1.withColumn("doc_id", -col("doc_id") * 2 - lit(1L))
     val reNear = delta1
-      .withColumn("doc_id", -col("doc_id") - lit(100000001L))
+      .withColumn("doc_id", -col("doc_id") * 2 - lit(2L))
       .withColumn("text", concat(col("text"), lit(" q121refetch")))
     val delta2 = d.where(col("doc_id") % 10 === 0)
       .unionByName(reExact).unionByName(reNear)
@@ -1676,13 +1684,17 @@ object Pipeline {
       spark.read.parquet(s"$tmp/admitted")
     }
 
+    // ONE materialized copy of each day's index serves BOTH consumers —
+    // the per-micro-batch stream probe and the next fold's union (an
+    // uncached st0.index there would re-run the band/bucket build)
+    val st0c = st0.copy(index = graft.core.Caching.eager(st0.index))
+
     // day 1: admit delta₁, then compact: fold into indexes + labels
-    val admitted1 = admit(delta1, hash0,
-      graft.core.Caching.eager(st0.index), "a")
+    val admitted1 = admit(delta1, hash0, st0c.index, "a")
     val sigA1 = sigAll.join(admitted1.select("doc_id"), Seq("doc_id"), "left_semi")
     val hash1 = graft.core.Caching.eager(
       DocStream.refreshCorpusIndex(hash0, admitted1))
-    val st1 = DocStream.refreshMinhashIndexFromSigs(st0, sigA1)
+    val st1 = DocStream.refreshMinhashIndexFromSigs(st0c, sigA1)
     val labels1 = Dedup.mergeClusters(labels0,
       Dedup.minhashNearDuplicatesFromSigs(sigA1,
         numBands = 4, rowsPerBand = 4, minJaccard = 0.5)
@@ -1691,6 +1703,8 @@ object Pipeline {
     // day 2: admit delta₂ over the REFRESHED indexes, fold again
     val admitted2 = admit(delta2, hash1,
       graft.core.Caching.eager(st1.index), "b")
+    // (st1.index has a single consumer — the day-2 stream — so only it
+    // is cached; a day-3 fold would hoist it like st0c)
     val sigA2 = sigAll.join(admitted2.select("doc_id"), Seq("doc_id"), "left_semi")
     val labels2 = Dedup.mergeClusters(labels1,
       Dedup.minhashNearDuplicatesFromSigs(sigA2,
@@ -1746,9 +1760,11 @@ object Pipeline {
       spark.read.parquet(s"$tmp/admitted")
     }
 
-    val admitted1 = admit(e.where(col("vec_id") % 10 === 5),
-      graft.core.Caching.eager(st0.index), "a")
-    val st1 = DocStream.refreshEmbeddingIndex(st0, admitted1, "vec_id", "embedding")
+    // one materialized index copy per day, shared by the stream probe and
+    // the fold (same hoist as q121's st0c)
+    val st0c = st0.copy(index = graft.core.Caching.eager(st0.index))
+    val admitted1 = admit(e.where(col("vec_id") % 10 === 5), st0c.index, "a")
+    val st1 = DocStream.refreshEmbeddingIndex(st0c, admitted1, "vec_id", "embedding")
     val admitted2 = admit(e.where(col("vec_id") % 10 === 0),
       graft.core.Caching.eager(st1.index), "b")
     admitted2.select(col("vec_id")).orderBy(col("vec_id"))

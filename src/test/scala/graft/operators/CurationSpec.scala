@@ -718,8 +718,12 @@ class CurationSpec extends SparkSpec {
       .where(col("epoch_idx") === epoch)
       .orderBy(col("order_key"), col("doc_id"))
       .select("doc_id").as[Long].collect().toSeq
-    // same seed → bit-identical schedule across invocations
-    assert(order(42L).collect().toSet == order(42L).collect().toSet)
+    // same seed → bit-identical schedule regardless of execution shape
+    // (keys are pure functions of (seed, epoch, id), so repartitioning
+    // the input cannot move anything)
+    assert(order(42L).collect().toSet ==
+      Curation.curriculumOrder(d.repartition(7), "doc_id", "text", 42L)
+        .collect().toSet)
     // schedule rows == the epoch-replication schedule (ordering adds no
     // rows and drops none)
     assert(order(42L).count() ==
