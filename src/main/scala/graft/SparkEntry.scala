@@ -144,6 +144,7 @@ object SparkEntry {
     "q124_curriculum_order" -> (Pipeline.curriculumSchedule _),
     "q125_embedding_index_refresh" -> (Pipeline.embeddingIndexRefreshLoop _),
     "q126_corpus_manifest" -> (Pipeline.corpusManifestReport _),
+    "q127_checkpointed_refresh" -> (Pipeline.checkpointedRefreshLoop _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1299,6 +1300,48 @@ object SparkEntry {
           |LEFT JOIN comp c USING (doc_id)
           |LEFT JOIN csz s ON c.cluster_id = s.cluster_id
           |ORDER BY a2.doc_id""".stripMargin),
+    // from-scratch recompute of q127's THREE-day admission cascade (the
+    // q121 oracle construction, one more day, no label tier): each day's
+    // population = previous population + its admitted delta; exact gate =
+    // normalized-text existence, near gate = capped-bucket candidates +
+    // jaccard >= 0.5. Checkpointing is invisible to the oracle BY DESIGN —
+    // refresh-from-read-back must equal the rebuild, so a lost/corrupted
+    // round-trip diverges from this recompute. EVERY day's admitted set is
+    // part of the answer (see the q127 scaladoc: a re-crawl fixture
+    // self-heals, so the last day alone would mask a day-1 fold bug —
+    // DuckDB-probed; with all three days emitted, every per-day per-tier
+    // fold probe changes the output: baseline 41 rows; day-1 fold 55,
+    // hash-only 47, minhash-only 45; day-2 fold 57, hash-only 46,
+    // minhash-only 50).
+    "q127_checkpointed_refresh" ->
+      ("WITH " +
+        raw"""alldocs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT -doc_id * 4 - 1, text
+          |    FROM documents WHERE doc_id % 10 = 5
+          |  UNION ALL SELECT -doc_id * 4 - 2, text || ' q127refetch'
+          |    FROM documents WHERE doc_id % 10 = 5
+          |  UNION ALL SELECT -doc_id * 4 - 3, text
+          |    FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT -doc_id * 4 - 4, text || ' q127refetch'
+          |    FROM documents WHERE doc_id % 10 = 0),
+          |""".stripMargin + lshPrefixCtes("alldocs") + ",\n" +
+        raw"""nrm AS (
+          |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+          |  FROM alldocs),
+          |pop0 AS (
+          |  SELECT doc_id FROM alldocs
+          |  WHERE doc_id >= 0 AND doc_id % 10 NOT IN (0, 3, 5)),
+          |""".stripMargin +
+        refreshDayCtes(0, "doc_id >= 0 AND doc_id % 10 = 5") + ",\n" +
+        refreshDayCtes(1,
+          "(doc_id >= 0 AND doc_id % 10 = 0) OR (doc_id < 0 AND (-doc_id) % 4 IN (1, 2))") + ",\n" +
+        refreshDayCtes(2,
+          "(doc_id >= 0 AND doc_id % 10 = 3) OR (doc_id < 0 AND (-doc_id) % 4 IN (3, 0))") + "\n" +
+        """SELECT CAST(1 AS INTEGER) AS day, doc_id FROM a1
+          |UNION ALL SELECT CAST(2 AS INTEGER), doc_id FROM a2
+          |UNION ALL SELECT CAST(3 AS INTEGER), doc_id FROM a3
+          |ORDER BY day, doc_id""".stripMargin),
     // batch implementation of dropDuplicatesWithinWatermark's state
     // machine over the q122 arrival fixture (NOT a frozen id list): per
     // batch, watermark = max prior-batch ts - 1h; a row is late if ts <
@@ -2258,6 +2301,35 @@ object SparkEntry {
     * band layout lives in ONE place — q34, q52/q53, q64, and q65 all compose
     * from it.
     */
+  /** One day of the q127/q129 refresh-cascade oracle: given `pop$k`
+    * (the day-k population CTE), emit the exact-text and capped-bucket
+    * gates over it, the near-dup verdict for the day-(k+1) delta
+    * (`deltaCond`, a predicate on doc_id), the admitted set `a${k+1}`,
+    * and the grown population `pop${k+1}` — so the 3-day oracle is one
+    * construction repeated, not three hand-kept copies.
+    */
+  private def refreshDayCtes(k: Int, deltaCond: String): String =
+    raw"""ex$k AS (SELECT DISTINCT t FROM nrm JOIN pop$k USING (doc_id)),
+         |b$k AS (
+         |  SELECT band, bkey, list(doc_id) AS cids
+         |  FROM banded JOIN pop$k USING (doc_id)
+         |  GROUP BY band, bkey HAVING count(*) <= 50),
+         |m${k + 1} AS (
+         |  SELECT DISTINCT delta_id FROM (
+         |    SELECT p.delta_id,
+         |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |    FROM (
+         |      SELECT DISTINCT d.doc_id AS delta_id, unnest(cb.cids) AS corpus_id
+         |      FROM banded d JOIN b$k cb ON d.band = cb.band AND d.bkey = cb.bkey
+         |      WHERE ${deltaCond.replace("doc_id", "d.doc_id")}) p
+         |    JOIN sigs a ON p.delta_id = a.doc_id JOIN sigs b ON p.corpus_id = b.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |a${k + 1} AS (
+         |  SELECT doc_id FROM nrm n WHERE ($deltaCond)
+         |    AND NOT EXISTS (SELECT 1 FROM ex$k WHERE ex$k.t = n.t)
+         |    AND doc_id NOT IN (SELECT delta_id FROM m${k + 1})),
+         |pop${k + 1} AS (SELECT doc_id FROM pop$k UNION ALL SELECT doc_id FROM a${k + 1})""".stripMargin
+
   private def lshPrefixCtes(src: String): String =
     raw"""toks AS (
          |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS sh

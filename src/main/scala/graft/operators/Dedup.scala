@@ -117,6 +117,7 @@ object Dedup {
       rowsPerBand: Int,
       minJaccard: Double,
       maxBucketSize: Int = 50): DataFrame = {
+    requireBandingFits(docs, numBands, rowsPerBand)
     // Bands carry ONLY (doc_id, band, band_hash): the shingle arrays are
     // attached per-key after candidate pairs are deduped, so the band
     // shuffle moves ids, not documents.
@@ -235,8 +236,34 @@ object Dedup {
       .select(
         col("doc_id"),
         col("shingle_set"),
+        // signature length rides in the column's schema metadata (the
+        // graft.streaming.DocStream LSH-params pattern): the FromSigs entry
+        // points take (numBands, rowsPerBand) as free ints, and a value
+        // inconsistent with the signature length would silently mis-band —
+        // slice() past the array end yields short/empty band keys — so they
+        // require numBands * rowsPerBand <= this recorded length
         graft.functions.MinHashSignatureExpr
-          .minhashFast(col("shingle_set"), numHashes).as("sig"))
+          .minhashFast(col("shingle_set"), numHashes).as("sig",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(NumHashesMetaKey, numHashes.toLong).build()))
+
+  private[graft] val NumHashesMetaKey = "graft.minhash.sigNumHashes"
+
+  /** Guard for the FromSigs entry points: when the signed frame carries
+    * [[sigDocs]]' signature-length metadata, a banding scheme that would
+    * read past the signature is rejected instead of silently generating
+    * wrong (truncated) band keys. Frames without the metadata (externally
+    * built) pass through — the guard is best-effort by design.
+    */
+  private def requireBandingFits(sigs: DataFrame, numBands: Int, rowsPerBand: Int): Unit = {
+    val meta = sigs.schema("sig").metadata
+    if (meta.contains(NumHashesMetaKey)) {
+      val n = meta.getLong(NumHashesMetaKey)
+      require(numBands.toLong * rowsPerBand <= n,
+        s"banding $numBands x $rowsPerBand exceeds the $n-hash signature " +
+          "(would slice past the array and mis-band)")
+    }
+  }
 
   /** LSH band keys for a signature frame: (doc_id, band, band_hash). The
     * band key is the signature slice itself rendered as a string — only
@@ -366,6 +393,8 @@ object Dedup {
       rowsPerBand: Int,
       minJaccard: Double,
       maxBucketSize: Int = 50): DataFrame = {
+    requireBandingFits(cDocs, numBands, rowsPerBand)
+    requireBandingFits(dDocs, numBands, rowsPerBand)
     // The corpus bucket index is skew-capped via [[cappedIdBuckets]]: a
     // boilerplate band bucket shared by millions of corpus docs is dropped
     // with every aggregation buffer bounded at `maxBucketSize` ids, then the

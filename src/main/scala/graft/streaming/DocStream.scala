@@ -372,6 +372,108 @@ object DocStream {
     MinHashIndexState(index, counts)
   }
 
+  /** Persist a MinHash index state as the daily loop's lineage checkpoint:
+    * `dir/index` + `dir/counts` parquet tables. The LSH parameters ride in
+    * the index's `band` column schema metadata, which Spark stores in the
+    * parquet footer schema — [[readMinhashIndexState]] proves they survived
+    * before handing the state to a refresh (q127 certifies the whole
+    * round-trip against a from-scratch rebuild). At scale this is the
+    * compaction job's commit point: each day folds FROM the read-back of
+    * yesterday's tables, so the lineage (and the Spark plan) stays one day
+    * deep instead of growing across the loop's life.
+    */
+  def writeMinhashIndexState(state: MinHashIndexState, dir: String): Unit = {
+    state.index.write.mode("overwrite").parquet(s"$dir/index")
+    state.bucketCounts.write.mode("overwrite").parquet(s"$dir/counts")
+  }
+
+  /** Read back a [[writeMinhashIndexState]] checkpoint. Fails loudly at
+    * READ time if the parquet round-trip lost the LSH schema metadata —
+    * the alternative is [[refreshMinhashIndex]]'s `require` tripping a day
+    * later, or a silent mis-parameterized refresh.
+    */
+  def readMinhashIndexState(spark: SparkSession, dir: String): MinHashIndexState = {
+    val index = spark.read.parquet(s"$dir/index")
+    val meta = index.schema("band").metadata
+    require(
+      meta.contains(NumHashesMetaKey) && meta.contains(NumBandsMetaKey) &&
+        meta.contains(ShingleNMetaKey) && meta.contains(MaxBucketMetaKey),
+      s"checkpoint $dir/index lost its LSH schema metadata in the parquet round-trip")
+    MinHashIndexState(index, spark.read.parquet(s"$dir/counts"))
+  }
+
+  /** Compact the counts sidecar: keep ONLY over-cap tombstone rows. An
+    * under-cap bucket's count equals its index row count (the refresh
+    * invariant — under-cap buckets keep every row), so those rows are
+    * redundant with the index and [[expandMinhashIndexState]] re-derives
+    * them exactly; over-cap tombstones are the only counts the index lost
+    * and MUST survive (they are what keeps dead buckets dead across
+    * refreshes). Without compaction the sidecar holds a row for every
+    * bucket ever seen — at years of daily folds, index-sized metadata;
+    * compacted it holds only the tombstones.
+    */
+  def compactMinhashIndexState(state: MinHashIndexState): MinHashIndexState = {
+    val meta = state.index.schema("band").metadata
+    require(meta.contains(MaxBucketMetaKey),
+      "index must come from DocStream.minhashIndexState (missing LSH metadata)")
+    MinHashIndexState(
+      state.index,
+      state.bucketCounts.where(col("n") > meta.getLong(MaxBucketMetaKey)))
+  }
+
+  /** Rebuild the full counts sidecar of a [[compactMinhashIndexState]]
+    * output: tombstone rows pass through; every bucket absent from the
+    * sidecar gets its count re-derived from the index (exact, by the
+    * under-cap invariant). Idempotent — expanding an already-full state
+    * returns it row-identically — so a loop may expand unconditionally
+    * after load. One aggregation + anti-join over the index, paid by the
+    * compaction consumer at load time, not by every refresh.
+    */
+  def expandMinhashIndexState(state: MinHashIndexState): MinHashIndexState =
+    MinHashIndexState(
+      state.index,
+      state.bucketCounts.unionByName(
+        state.index
+          .groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n"))
+          .join(state.bucketCounts.select(col("band"), col("band_hash")),
+            Seq("band", "band_hash"), "left_anti")))
+
+  /** [[writeMinhashIndexState]] for the embedding tier. */
+  def writeEmbeddingIndexState(state: EmbeddingIndexState, dir: String): Unit = {
+    state.index.write.mode("overwrite").parquet(s"$dir/index")
+    state.bucketCounts.write.mode("overwrite").parquet(s"$dir/counts")
+  }
+
+  /** [[readMinhashIndexState]] for the embedding tier. */
+  def readEmbeddingIndexState(spark: SparkSession, dir: String): EmbeddingIndexState = {
+    val index = spark.read.parquet(s"$dir/index")
+    val meta = index.schema("_sig").metadata
+    require(meta.contains(NPlanesMetaKey) && meta.contains(LshMaxBucketMetaKey),
+      s"checkpoint $dir/index lost its LSH schema metadata in the parquet round-trip")
+    EmbeddingIndexState(index, spark.read.parquet(s"$dir/counts"))
+  }
+
+  /** [[compactMinhashIndexState]] for the embedding tier. */
+  def compactEmbeddingIndexState(state: EmbeddingIndexState): EmbeddingIndexState = {
+    val meta = state.index.schema("_sig").metadata
+    require(meta.contains(LshMaxBucketMetaKey),
+      "index must come from DocStream.embeddingIndexState (missing LSH metadata)")
+    EmbeddingIndexState(
+      state.index,
+      state.bucketCounts.where(col("n") > meta.getLong(LshMaxBucketMetaKey)))
+  }
+
+  /** [[expandMinhashIndexState]] for the embedding tier. */
+  def expandEmbeddingIndexState(state: EmbeddingIndexState): EmbeddingIndexState =
+    EmbeddingIndexState(
+      state.index,
+      state.bucketCounts.unionByName(
+        state.index
+          .groupBy(col("_sig"))
+          .agg(count(lit(1)).as("n"))
+          .join(state.bucketCounts.select(col("_sig")), Seq("_sig"), "left_anti")))
+
   /** Streaming near-duplicate admission: per micro-batch, drop arriving
     * documents that are MinHash near-duplicates (Jaccard ≥ `minJaccard`) of
     * some corpus document, then hand the survivors to `sink` with the batch
@@ -395,6 +497,39 @@ object DocStream {
       idCol: String = "doc_id",
       textCol: String = "text")(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at query CONSTRUCTION, not first micro-batch: a mis-built index
+    // must not let a long-running stream start at all
+    val meta = index.schema("band").metadata
+    require(
+      meta.contains(NumHashesMetaKey) && meta.contains(NumBandsMetaKey) &&
+        meta.contains(ShingleNMetaKey),
+      "index must come from DocStream.minhashCorpusIndex (missing LSH metadata)")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(admitNearDups(batch.toDF(), index, minJaccard, idCol, textCol), batchId)
+      }
+      .start()
+  }
+
+  /** One batch of near-dup admission against the capped corpus index: the
+    * `batch` documents that are NOT MinHash near-duplicates (Jaccard ≥
+    * `minJaccard`) of some corpus document. This is [[nearDupAdmission]]'s
+    * per-micro-batch verdict as a standalone batch operator — ONE shared
+    * implementation, so the batch-mode daily loop (the q127 lineage-
+    * checkpoint certification) and the streaming admission (q97/q121)
+    * cannot drift: certifying either path certifies the verdict both run.
+    *
+    * LSH parameters come from the index's schema metadata; batch docs are
+    * signed and banded map-only, probe the capped index by equi-join, and
+    * exact Jaccard verifies each candidate before the anti-join.
+    */
+  def admitNearDups(
+      batch: DataFrame,
+      index: DataFrame,
+      minJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     import graft.operators.Dedup
     val meta = index.schema("band").metadata
     require(
@@ -404,23 +539,18 @@ object DocStream {
     val numHashes = meta.getLong(NumHashesMetaKey).toInt
     val numBands = meta.getLong(NumBandsMetaKey).toInt
     val shingleN = meta.getLong(ShingleNMetaKey).toInt
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // sigDocs canonicalizes idCol to "doc_id" internally; the final
-        // anti-join maps it back so callers with renamed columns work
-        val sigged = Dedup.sigDocs(batch, idCol, textCol, shingleN, numHashes)
-        val dupIds = Dedup.bandFrame(sigged, numBands, numHashes / numBands)
-          .join(index, Seq("band", "band_hash"))
-          .join(sigged.select(col("doc_id"), col("shingle_set")), Seq("doc_id"))
-          .where(
-            graft.functions.SortedSetOverlap
-              .jaccardFast(col("shingle_set"), col("c_set")) >= minJaccard)
-          .select(col("doc_id").as("_dup_id"))
-          .distinct()
-        sink(batch.join(dupIds, batch(idCol) === col("_dup_id"), "left_anti"), batchId)
-      }
-      .start()
+    // sigDocs canonicalizes idCol to "doc_id" internally; the final
+    // anti-join maps it back so callers with renamed columns work
+    val sigged = Dedup.sigDocs(batch, idCol, textCol, shingleN, numHashes)
+    val dupIds = Dedup.bandFrame(sigged, numBands, numHashes / numBands)
+      .join(index, Seq("band", "band_hash"))
+      .join(sigged.select(col("doc_id"), col("shingle_set")), Seq("doc_id"))
+      .where(
+        graft.functions.SortedSetOverlap
+          .jaccardFast(col("shingle_set"), col("c_set")) >= minJaccard)
+      .select(col("doc_id").as("_dup_id"))
+      .distinct()
+    batch.join(dupIds, batch(idCol) === col("_dup_id"), "left_anti")
   }
 
   /** The curation gate: keep documents scoring at least `minQuality` that
