@@ -145,6 +145,9 @@ object SparkEntry {
     "q125_embedding_index_refresh" -> (Pipeline.embeddingIndexRefreshLoop _),
     "q126_corpus_manifest" -> (Pipeline.corpusManifestReport _),
     "q127_checkpointed_refresh" -> (Pipeline.checkpointedRefreshLoop _),
+    "q128_stream_restart_recovery" -> (Pipeline.streamingEventDedupRestart _),
+    "q129_compacted_refresh" -> (Pipeline.compactedRefreshLoop _),
+    "q130_embedding_checkpointed_refresh" -> (Pipeline.checkpointedEmbeddingRefresh _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1313,75 +1316,34 @@ object SparkEntry {
     // fold probe changes the output: baseline 41 rows; day-1 fold 55,
     // hash-only 47, minhash-only 45; day-2 fold 57, hash-only 46,
     // minhash-only 50).
-    "q127_checkpointed_refresh" ->
-      ("WITH " +
-        raw"""alldocs AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL SELECT -doc_id * 4 - 1, text
-          |    FROM documents WHERE doc_id % 10 = 5
-          |  UNION ALL SELECT -doc_id * 4 - 2, text || ' q127refetch'
-          |    FROM documents WHERE doc_id % 10 = 5
-          |  UNION ALL SELECT -doc_id * 4 - 3, text
-          |    FROM documents WHERE doc_id % 10 = 0
-          |  UNION ALL SELECT -doc_id * 4 - 4, text || ' q127refetch'
-          |    FROM documents WHERE doc_id % 10 = 0),
-          |""".stripMargin + lshPrefixCtes("alldocs") + ",\n" +
-        raw"""nrm AS (
-          |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
-          |  FROM alldocs),
-          |pop0 AS (
-          |  SELECT doc_id FROM alldocs
-          |  WHERE doc_id >= 0 AND doc_id % 10 NOT IN (0, 3, 5)),
-          |""".stripMargin +
-        refreshDayCtes(0, "doc_id >= 0 AND doc_id % 10 = 5") + ",\n" +
-        refreshDayCtes(1,
-          "(doc_id >= 0 AND doc_id % 10 = 0) OR (doc_id < 0 AND (-doc_id) % 4 IN (1, 2))") + ",\n" +
-        refreshDayCtes(2,
-          "(doc_id >= 0 AND doc_id % 10 = 3) OR (doc_id < 0 AND (-doc_id) % 4 IN (3, 0))") + "\n" +
-        """SELECT CAST(1 AS INTEGER) AS day, doc_id FROM a1
-          |UNION ALL SELECT CAST(2 AS INTEGER), doc_id FROM a2
-          |UNION ALL SELECT CAST(3 AS INTEGER), doc_id FROM a3
-          |ORDER BY day, doc_id""".stripMargin),
-    // batch implementation of dropDuplicatesWithinWatermark's state
-    // machine over the q122 arrival fixture (NOT a frozen id list): per
-    // batch, watermark = max prior-batch ts - 1h; a row is late if ts <
-    // its batch's watermark; a prior same-key arrival blocks it iff that
-    // arrival was the key's state-creating first occurrence (not late)
-    // and its expiry (ts + 1h) survived the LAST eviction, which runs at
-    // batch END with the PREVIOUS batch's watermark (removal lags one
-    // batch). Faithful for fixtures with <= 2 arrivals per key (re-created
-    // state after a re-admission is not modeled; the fixture has none).
-    "q122_streaming_event_dedup" ->
-      """WITH f AS (
-        |  SELECT CAST(v.b AS INTEGER) AS arrival_batch,
-        |    CAST(v.id AS BIGINT) AS event_id,
-        |    TIMESTAMP '2026-01-01 10:00:00' + v.m * INTERVAL 1 MINUTE AS ts
-        |  FROM (VALUES
-        |    (1, 1, 0), (1, 2, 0), (1, 3, 0), (1, 4, 0),
-        |    (2, 1, 30), (2, 2, 30), (2, 5, 300), (2, 6, 300),
-        |    (3, 7, 360), (3, 5, 330),
-        |    (4, 3, 330), (4, 4, 330), (4, 6, 345), (4, 8, 120)) v(b, id, m)),
-        |wm AS (
-        |  SELECT b.arrival_batch,
-        |    (SELECT max(ts) FROM f WHERE f.arrival_batch < b.arrival_batch)
-        |      - INTERVAL 1 HOUR AS wmk
-        |  FROM (SELECT DISTINCT arrival_batch FROM f) b),
-        |fo AS (SELECT event_id, min(arrival_batch) AS fb FROM f GROUP BY event_id),
-        |adm AS (
-        |  SELECT x.arrival_batch, x.event_id
-        |  FROM f x JOIN wm w ON w.arrival_batch = x.arrival_batch
-        |  WHERE (w.wmk IS NULL OR x.ts >= w.wmk)
-        |    AND NOT EXISTS (
-        |      SELECT 1 FROM f p
-        |      JOIN fo ON fo.event_id = p.event_id AND fo.fb = p.arrival_batch
-        |      JOIN wm pw ON pw.arrival_batch = p.arrival_batch
-        |      JOIN wm lw ON lw.arrival_batch = x.arrival_batch - 1
-        |      WHERE p.event_id = x.event_id AND p.arrival_batch < x.arrival_batch
-        |        AND (pw.wmk IS NULL OR p.ts >= pw.wmk)
-        |        AND (lw.wmk IS NULL OR p.ts + INTERVAL 1 HOUR >= lw.wmk)))
-        |SELECT a.arrival_batch, a.event_id, e.event_type
-        |FROM adm a JOIN events e ON e.event_id = a.event_id
-        |ORDER BY a.arrival_batch, a.event_id""".stripMargin,
+    "q127_checkpointed_refresh" -> checkpointedRefreshOracleSql,
+    // identical oracle to q127 BY CONSTRUCTION: q129 runs the same loop
+    // with every checkpoint compacted to tombstone-only count sidecars
+    // (expanded on read-back) — compaction is a pure storage optimization,
+    // so any observable difference from the rebuild is a bug. A simulated
+    // lost-tombstone corruption changes this output (DuckDB-probed; see
+    // the q129 scaladoc).
+    "q129_compacted_refresh" -> checkpointedRefreshOracleSql,
+    // batch implementation of dropDuplicatesWithinWatermark's COMPLETE
+    // state machine over the q122 arrival fixture (NOT a frozen id list),
+    // with no arrivals-per-key cap: a recursive per-key fold over arrival
+    // order. Per batch, watermark = max prior-batch ts - 1h; a row is
+    // LATE (dropped, state untouched) if ts < its batch's watermark;
+    // otherwise it is dropped iff the key holds SURVIVING state — state =
+    // the most recent ADMITTED arrival's ts, surviving iff its expiry
+    // (ts + 1h) >= that SAME current-batch watermark. (Eviction runs at
+    // the previous batch's END with the watermark ADVANCED by that batch,
+    // so there is no lag relative to an arrival's own watermark — the r9
+    // model's "removal lags one batch" reading was indistinguishable on
+    // the 4-batch fixture; the batch-6 duplicate disambiguated it against
+    // the real executor.) Shared verbatim by q128: a mid-stream restart
+    // must reproduce the single-lifetime answer exactly.
+    "q122_streaming_event_dedup" -> eventDedupOracleSql,
+    // identical oracle to q122 BY CONSTRUCTION: q128 replays the same
+    // sequenced drops but kills the query after batch 4 and restarts from
+    // the checkpoint — recovery is correct exactly when the output is
+    // indistinguishable from one query lifetime
+    "q128_stream_restart_recovery" -> eventDedupOracleSql,
     // per-arrival-batch ingest stats: drop k carries the event_id % 4 = k
     // slice, so any lost/duplicated/bled row shifts a count or an id range
     "q123_streaming_bronze_ingest" ->
@@ -1423,42 +1385,35 @@ object SparkEntry {
     // (q119's capped-bucket cosine probe) against the day-0 population,
     // day-2 admission against buckets REBUILT over population ∪ admitted₁
     "q125_embedding_index_refresh" ->
-      ("WITH " + embSigCtes + ",\n" +
-        s"""b0 AS (
-          |  SELECT sig, list(vec_id) AS cids
-          |  FROM esigs WHERE vec_id % 10 <> 0 AND vec_id % 10 <> 5
-          |  GROUP BY sig HAVING count(*) <= 200),
-          |m1 AS (
-          |  SELECT DISTINCT delta_id FROM (
-          |    SELECT p.delta_id,
-          |      ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
-          |    FROM (SELECT d.vec_id AS delta_id, d.embedding AS dvec, unnest(cb.cids) AS corpus_id
-          |          FROM esigs d JOIN b0 cb ON d.sig = cb.sig
-          |          WHERE d.vec_id % 10 = 5) p
-          |    JOIN embeddings c ON p.corpus_id = c.vec_id)
-          |  WHERE cosine_sim >= 0.25),
-          |a1 AS (
-          |  SELECT vec_id FROM embeddings
-          |  WHERE vec_id % 10 = 5 AND vec_id NOT IN (SELECT delta_id FROM m1)),
-          |pop1 AS (
-          |  SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0 AND vec_id % 10 <> 5
-          |  UNION ALL SELECT vec_id FROM a1),
-          |b1 AS (
-          |  SELECT sig, list(vec_id) AS cids
-          |  FROM esigs JOIN pop1 USING (vec_id)
-          |  GROUP BY sig HAVING count(*) <= 200),
-          |m2 AS (
-          |  SELECT DISTINCT delta_id FROM (
-          |    SELECT p.delta_id,
-          |      ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
-          |    FROM (SELECT d.vec_id AS delta_id, d.embedding AS dvec, unnest(cb.cids) AS corpus_id
-          |          FROM esigs d JOIN b1 cb ON d.sig = cb.sig
-          |          WHERE d.vec_id % 10 = 0) p
-          |    JOIN embeddings c ON p.corpus_id = c.vec_id)
-          |  WHERE cosine_sim >= 0.25)
-          |SELECT vec_id FROM embeddings
-          |WHERE vec_id % 10 = 0 AND vec_id NOT IN (SELECT delta_id FROM m2)
-          |ORDER BY vec_id""".stripMargin),
+      ("WITH " + embSigCtes + ",\n" + embPop0Cte + ",\n" +
+        embDayCtes(0, 200, "vec_id % 10 = 5") + ",\n" +
+        embDayCtes(1, 200, "vec_id % 10 = 0") + "\n" +
+        "SELECT vec_id FROM a2 ORDER BY vec_id"),
+    // the q125 two-day embedding cascade recomputed from scratch, at the
+    // q130 bucket cap (2 — chosen so 57 of the 194 day-0 hyperplane
+    // buckets are genuine over-cap tombstones at sf0.01; q125's cap 200
+    // never binds on this corpus, which would make the compaction and
+    // tombstone-retention surface vacuous). Day 2 additionally RE-FETCHES
+    // every delta-1 vector as an exact copy under -2*id-1 (identical
+    // signature, cosine 1.0 with its original) — at cap 2 the fold's
+    // effect on the plain day-2 delta vanishes (DuckDB-probed: fold-blind
+    // oracle identical without the re-fetches), while a re-fetch of an
+    // admitted vector is rejected exactly when the fold actually landed
+    // its original in a live bucket. BOTH days' admitted sets are emitted
+    // (the q127 lesson: per-day outputs make each fold and each
+    // round-trip unmaskable).
+    "q130_embedding_checkpointed_refresh" ->
+      ("WITH " +
+        """allvecs AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL SELECT -vec_id * 2 - 1, embedding
+          |    FROM embeddings WHERE vec_id % 10 = 5),
+          |""".stripMargin + embSigCtesFrom("allvecs") + ",\n" + embPop0Cte + ",\n" +
+        embDayCtes(0, 2, "vec_id >= 0 AND vec_id % 10 = 5") + ",\n" +
+        embDayCtes(1, 2, "(vec_id >= 0 AND vec_id % 10 = 0) OR vec_id < 0") + "\n" +
+        """SELECT CAST(1 AS INTEGER) AS day, vec_id FROM a1
+          |UNION ALL SELECT CAST(2 AS INTEGER), vec_id FROM a2
+          |ORDER BY day, vec_id""".stripMargin),
     // q83's argmax assignment rolled up per label; Simpson index as a
     // sequential fold over cid-ordered shares (only +,x,/ on doubles -> no
     // libm log whose ulps differ between engines)
@@ -2228,8 +2183,12 @@ object SparkEntry {
       |         ELSE list_distinct(list_transform(generate_series(1, CAST(len(hs) AS INTEGER) - 3), i -> list_min(hs[i:i+3]))) END AS fp
       |  FROM hseq)""".stripMargin
 
-  private val embSigCtes: String =
-    """dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+  /** [[embSigCtes]] over an arbitrary (vec_id, embedding) source CTE —
+    * q130's fixture extends the embeddings table with re-fetch copies, so
+    * the signature construction takes its source like [[lshPrefixCtes]].
+    */
+  private def embSigCtesFrom(src: String): String =
+    s"""dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM $src LIMIT 1),
       |planes AS (
       |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
       |    SELECT t.p, list_transform(range(0, dims.d), i ->
@@ -2242,7 +2201,9 @@ object SparkEntry {
       |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
       |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
       |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-      |  FROM embeddings, planes)""".stripMargin
+      |  FROM $src, planes)""".stripMargin
+
+  private val embSigCtes: String = embSigCtesFrom("embeddings")
 
   /** Continuation of [[embSigCtes]] for q67/q68: bucket cap 200 and
     * same-bucket pairs at cosine ≥ 0.25 — `epairs(id_a, id_b, cosine_sim)`.
@@ -2301,6 +2262,127 @@ object SparkEntry {
     * band layout lives in ONE place — q34, q52/q53, q64, and q65 all compose
     * from it.
     */
+  /** The q122/q128 oracle: dropDuplicatesWithinWatermark's state machine
+    * as a RECURSIVE per-key fold over the arrival fixture (arrival_batch,
+    * key, minutes-after-T0) — see the oracleSql comment at the q122 entry
+    * for the transition rules. `st` carries (admitted, state_ts) along
+    * each key's arrival sequence; an arrival can consult only the fold
+    * state, never a global first-occurrence shortcut, which is what makes
+    * re-created state (admit → evict → re-admit → duplicate → evict →
+    * re-admit) exact.
+    */
+  private val eventDedupOracleSql: String =
+    """WITH RECURSIVE f AS (
+      |  SELECT CAST(v.b AS INTEGER) AS arrival_batch,
+      |    CAST(v.id AS BIGINT) AS event_id,
+      |    TIMESTAMP '2026-01-01 10:00:00' + v.m * INTERVAL 1 MINUTE AS ts
+      |  FROM (VALUES
+      |    (1, 1, 0), (1, 2, 0), (1, 3, 0), (1, 4, 0),
+      |    (2, 1, 30), (2, 2, 30), (2, 5, 300), (2, 6, 300),
+      |    (3, 7, 360), (3, 5, 330),
+      |    (4, 3, 330), (4, 4, 330), (4, 6, 345), (4, 8, 120),
+      |    (5, 3, 345), (5, 9, 600),
+      |    (6, 3, 580),
+      |    (7, 3, 590), (7, 9, 605)) v(b, id, m)),
+      |wm AS (
+      |  SELECT b.arrival_batch,
+      |    (SELECT max(ts) FROM f WHERE f.arrival_batch < b.arrival_batch)
+      |      - INTERVAL 1 HOUR AS wmk
+      |  FROM (SELECT DISTINCT arrival_batch FROM f) b),
+      |arr AS (
+      |  SELECT f.*,
+      |    row_number() OVER (PARTITION BY event_id ORDER BY arrival_batch) AS seq
+      |  FROM f),
+      |st AS (
+      |  SELECT a.event_id, a.seq, a.arrival_batch,
+      |    (w.wmk IS NULL OR a.ts >= w.wmk) AS admitted,
+      |    CASE WHEN (w.wmk IS NULL OR a.ts >= w.wmk) THEN a.ts END AS state_ts
+      |  FROM arr a JOIN wm w ON w.arrival_batch = a.arrival_batch
+      |  WHERE a.seq = 1
+      |  UNION ALL
+      |  SELECT a.event_id, a.seq, a.arrival_batch,
+      |    CASE WHEN (w.wmk IS NOT NULL AND a.ts < w.wmk) THEN FALSE
+      |         WHEN s.state_ts IS NOT NULL
+      |           AND (w.wmk IS NULL OR s.state_ts + INTERVAL 1 HOUR >= w.wmk)
+      |           THEN FALSE
+      |         ELSE TRUE END,
+      |    CASE WHEN (w.wmk IS NOT NULL AND a.ts < w.wmk) THEN s.state_ts
+      |         WHEN s.state_ts IS NOT NULL
+      |           AND (w.wmk IS NULL OR s.state_ts + INTERVAL 1 HOUR >= w.wmk)
+      |           THEN s.state_ts
+      |         ELSE a.ts END
+      |  FROM st s
+      |  JOIN arr a ON a.event_id = s.event_id AND a.seq = s.seq + 1
+      |  JOIN wm w ON w.arrival_batch = a.arrival_batch)
+      |SELECT s.arrival_batch, s.event_id, e.event_type
+      |FROM st s JOIN events e ON e.event_id = s.event_id
+      |WHERE s.admitted
+      |ORDER BY s.arrival_batch, s.event_id""".stripMargin
+
+  private val embPop0Cte: String =
+    "pop0 AS (SELECT vec_id FROM esigs WHERE vec_id >= 0 AND vec_id % 10 <> 0 AND vec_id % 10 <> 5)"
+
+  /** One day of the q125/q130 embedding-refresh oracle — the vector twin
+    * of [[refreshDayCtes]]: capped buckets over `pop$k`, the cosine-gated
+    * near-dup verdict for the day-(k+1) delta, the admitted set
+    * `a${k + 1}`, and the grown population `pop${k + 1}`. References only
+    * `esigs` (which carries every fixture vector), never the embeddings
+    * table directly — so one construction serves q125's plain fixture and
+    * q130's re-fetch-extended one.
+    */
+  private def embDayCtes(k: Int, cap: Int, deltaCond: String): String =
+    s"""b$k AS (
+       |  SELECT sig, list(vec_id) AS cids
+       |  FROM esigs JOIN pop$k USING (vec_id)
+       |  GROUP BY sig HAVING count(*) <= $cap),
+       |m${k + 1} AS (
+       |  SELECT DISTINCT delta_id FROM (
+       |    SELECT p.delta_id,
+       |      ${cosineSql("p.dvec", "c.embedding")} AS cosine_sim
+       |    FROM (SELECT d.vec_id AS delta_id, d.embedding AS dvec, unnest(cb.cids) AS corpus_id
+       |          FROM esigs d JOIN b$k cb ON d.sig = cb.sig
+       |          WHERE ${deltaCond.replace("vec_id", "d.vec_id")}) p
+       |    JOIN esigs c ON p.corpus_id = c.vec_id)
+       |  WHERE cosine_sim >= 0.25),
+       |a${k + 1} AS (
+       |  SELECT vec_id FROM esigs
+       |  WHERE ($deltaCond) AND vec_id NOT IN (SELECT delta_id FROM m${k + 1})),
+       |pop${k + 1} AS (SELECT vec_id FROM pop$k UNION ALL SELECT vec_id FROM a${k + 1})""".stripMargin
+
+  /** The q127/q129 oracle: from-scratch recompute of the three-day
+    * admission cascade (built from [[refreshDayCtes]]; day partition and
+    * re-fetch id scheme documented at Pipeline.checkpointedRefreshLoop).
+    */
+  private val checkpointedRefreshOracleSql: String =
+    "WITH " +
+      raw"""alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT -doc_id * 4 - 1, text
+        |    FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT -doc_id * 4 - 2, text || ' q127refetch'
+        |    FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL SELECT -doc_id * 4 - 3, text
+        |    FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT -doc_id * 4 - 4, text || ' q127refetch'
+        |    FROM documents WHERE doc_id % 10 = 0),
+        |""".stripMargin + lshPrefixCtes("alldocs") + ",\n" +
+      raw"""nrm AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |  FROM alldocs),
+        |pop0 AS (
+        |  SELECT doc_id FROM alldocs
+        |  WHERE doc_id >= 0 AND doc_id % 10 NOT IN (0, 3, 5)),
+        |""".stripMargin +
+      refreshDayCtes(0, "doc_id >= 0 AND doc_id % 10 = 5") + ",\n" +
+      refreshDayCtes(1,
+        "(doc_id >= 0 AND doc_id % 10 = 0) OR (doc_id < 0 AND (-doc_id) % 4 IN (1, 2))") + ",\n" +
+      refreshDayCtes(2,
+        "(doc_id >= 0 AND doc_id % 10 = 3) OR (doc_id < 0 AND (-doc_id) % 4 IN (3, 0))") + "\n" +
+      """SELECT CAST(1 AS INTEGER) AS day, doc_id FROM a1
+        |UNION ALL SELECT CAST(2 AS INTEGER), doc_id FROM a2
+        |UNION ALL SELECT CAST(3 AS INTEGER), doc_id FROM a3
+        |ORDER BY day, doc_id""".stripMargin
+
   /** One day of the q127/q129 refresh-cascade oracle: given `pop$k`
     * (the day-k population CTE), emit the exact-text and capped-bucket
     * gates over it, the near-dup verdict for the day-(k+1) delta

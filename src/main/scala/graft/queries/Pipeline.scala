@@ -1154,15 +1154,35 @@ object Pipeline {
       spark: SparkSession,
       drops: Seq[DataFrame],
       prefix: String)(
+      start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): String =
+    runSequencedDropsRestarting(spark, drops, restartAfter = -1, prefix)(start)
+
+  /** [[runSequencedDrops]] with a MID-STREAM RESTART: after drop
+    * `restartAfter` is fully processed, the query is STOPPED and a brand-new
+    * query is started from the same checkpoint and sink before the remaining
+    * drops arrive — so the second query's behavior on those drops depends
+    * entirely on state, watermark, and source offsets RECOVERED from the
+    * checkpoint (the q128 certification surface). `restartAfter` outside
+    * 1..drops.size-1 degenerates to a single query lifetime.
+    */
+  private def runSequencedDropsRestarting(
+      spark: SparkSession,
+      drops: Seq[DataFrame],
+      restartAfter: Int,
+      prefix: String)(
       start: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): String = {
     val tmp = scratchDir(prefix)
     val dropDir = s"$tmp/drops"
     new java.io.File(dropDir).mkdirs()
     val stream = spark.readStream.schema(drops.head.schema).parquet(dropDir)
-    val query = startRightSized(spark)(start(stream, tmp))
-    try drops.foreach { d =>
+    var query = startRightSized(spark)(start(stream, tmp))
+    try drops.zipWithIndex.foreach { case (d, i) =>
       d.coalesce(1).write.mode("append").parquet(dropDir)
       query.processAllAvailable()
+      if (i + 1 == restartAfter) {
+        query.stop()
+        query = startRightSized(spark)(start(stream, tmp))
+      }
     } finally query.stop()
     tmp
   }
@@ -1170,38 +1190,73 @@ object Pipeline {
   /** q122 — [[graft.streaming.EventStream.dedupStream]]
     * (`dropDuplicatesWithinWatermark`) certified through the STREAM path
     * with arrival ORDER as part of the fixture ([[runSequencedDrops]]):
-    * four micro-batches of controlled-timestamp events (built from the
-    * events table's first 8 ids; T0 = 2026-01-01 10:00 UTC, delay 1 h)
-    * exercising every state transition the operator has:
+    * seven micro-batches of controlled-timestamp events (built from the
+    * events table's first 9 ids; T0 = 2026-01-01 10:00 UTC, delay 1 h)
+    * exercising every state transition the operator has, INCLUDING the
+    * full life cycle of RE-CREATED state:
     *
     *  - batch 1: keys 1–4 at T0 — all admitted, state created;
     *  - batch 2: duplicates of 1,2 at T0+30 m — DROPPED (within the
     *    horizon); advancers 5,6 at T0+5 h — admitted, and the watermark
     *    jumps to T0+4 h after the batch;
     *  - batch 3: advancer 7 at T0+6 h — admitted; duplicate of 5 at
-    *    T0+5.5 h — dropped (alive state). Batch-end eviction (expiry <
-    *    watermark) now removes keys 1–4: expiry T0+1 h < T0+4 h;
+    *    T0+5.5 h — dropped (alive state: expiry T0+6 h ≥ the T0+4 h
+    *    watermark). Keys 1–4 (expiry T0+1 h) are now evicted;
     *  - batch 4: duplicates of 3,4 at T0+5.5 h — RE-ADMITTED (their keys
     *    expired: the within-watermark guarantee only holds inside the
     *    delay); duplicate of 6 at T0+5.75 h — dropped (expiry T0+6 h ≥
-    *    the eviction watermark T0+4 h, so its state survived); fresh key
-    *    8 at T0+2 h — dropped as a LATE event (older than the T0+5 h
-    *    late-event watermark).
+    *    the T0+5 h watermark, so its state survived); fresh key 8 at
+    *    T0+2 h — dropped as a LATE event (older than the T0+5 h
+    *    late-event watermark);
+    *  - batch 5: duplicate of 3 at T0+5.75 h — DROPPED by the RE-CREATED
+    *    state (expiry T0+6.5 h ≥ the T0+5 h watermark) — the branch the
+    *    r9 oracle documented as unmodeled; advancer 9 at T0+10 h —
+    *    admitted, pushing the watermark to T0+9 h;
+    *  - batch 6: duplicate of 3 at T0+9.67 h — RE-ADMITTED a second time:
+    *    the re-created state (expiry T0+6.5 h) died with the T0+9 h
+    *    watermark. This arrival DISAMBIGUATED the eviction cadence
+    *    against the real executor: the r9 model read eviction as lagging
+    *    one batch (state removed with the PREVIOUS batch's watermark),
+    *    which the 4-batch fixture could not distinguish — the executor
+    *    evicts with the watermark as advanced by the previous batch's
+    *    END, i.e. the arrival's OWN batch watermark;
+    *  - batch 7: duplicates of 3 at T0+9.83 h and 9 at T0+10.08 h — both
+    *    dropped (both keys' state re-created/created after the watermark
+    *    passed their horizon).
     *
     * The oracle implements the same semantics as a batch computation over
-    * the (arrival_batch, key, ts) fixture — per-batch watermark = max
-    * prior-batch event time − delay; a row is admitted iff it is not late
-    * and no prior same-key arrival both was admitted first and still has
-    * unexpired state at the row's batch (expiry ≥ the PREVIOUS batch's
-    * watermark — eviction runs at batch END, so removal lags one batch) —
-    * rather than hard-coding the expected ids, so it certifies the
-    * documented state machine, not a frozen list.
+    * the (arrival_batch, key, ts) fixture — a recursive per-key fold of
+    * the documented state machine (see the oracle comment), not a frozen
+    * id list, and with no arrivals-per-key cap: key 3 alone runs through
+    * admit → evict → re-admit → duplicate-drop → evict → re-admit →
+    * duplicate-drop.
     */
-  def streamingEventDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamingEventDedup(spark: SparkSession, dir: String): DataFrame =
+    eventDedupThroughStream(spark, dir, restartAfter = -1, "graft_q122_")
+
+  /** q128 — CHECKPOINT RESTART RECOVERY of the stateful dedup stream: the
+    * exact q122 fixture and oracle, but the query is KILLED after batch 4
+    * and a brand-new query starts from the same checkpoint for batches
+    * 5–7 ([[runSequencedDropsRestarting]]). Equality with the
+    * single-lifetime oracle is then a recovery proof, because every
+    * post-restart verdict depends on recovered checkpoint content: batch
+    * 5's duplicate-drop needs key 3's batch-4 re-created state back; its
+    * late-check needs the recovered watermark; batch 6's re-admission
+    * needs the recovered state to be EVICTED on the recovered watermark
+    * cadence; batch 7's drops need state created and re-created entirely
+    * post-restart. This is the state-recovery half of the exactly-once
+    * story whose sink half q123 certifies (idempotent batchId replay).
+    */
+  def streamingEventDedupRestart(spark: SparkSession, dir: String): DataFrame =
+    eventDedupThroughStream(spark, dir, restartAfter = 4, "graft_q128_")
+
+  private def eventDedupThroughStream(
+      spark: SparkSession, dir: String, restartAfter: Int,
+      prefix: String): DataFrame = {
     import spark.implicits._
     import graft.streaming.EventStream
     val base = Tables(spark, dir).events
-      .where(col("event_id").between(1, 8))
+      .where(col("event_id").between(1, 9))
       .select(col("event_id"), col("event_type"))
     // (arrival_batch, key, minutes-after-T0) — ONE literal frame joined
     // against one pruned scan of the events table, instead of a filtered
@@ -1210,7 +1265,10 @@ object Pipeline {
       (1, 1L, 0), (1, 2L, 0), (1, 3L, 0), (1, 4L, 0),
       (2, 1L, 30), (2, 2L, 30), (2, 5L, 300), (2, 6L, 300),
       (3, 7L, 360), (3, 5L, 330),
-      (4, 3L, 330), (4, 4L, 330), (4, 6L, 345), (4, 8L, 120))
+      (4, 3L, 330), (4, 4L, 330), (4, 6L, 345), (4, 8L, 120),
+      (5, 3L, 345), (5, 9L, 600),
+      (6, 3L, 580),
+      (7, 3L, 590), (7, 9L, 605))
       .toDF("arrival_batch", "event_id", "m")
     val fixture = arrivals.join(base, Seq("event_id"))
       .select(
@@ -1218,15 +1276,16 @@ object Pipeline {
         col("event_id"),
         expr("timestampadd(MINUTE, m, timestamp'2026-01-01 10:00:00')").as("ts"),
         col("event_type"))
-    val drops = (1 to 4).map(b => fixture.where(col("arrival_batch") === b))
-    val tmp = runSequencedDrops(spark, drops, "graft_q122_") { (stream, t) =>
-      EventStream.dedupStream(stream, Seq("event_id"), watermark = "1 hour")
-        .writeStream
-        .option("checkpointLocation", s"$t/checkpoint")
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$t/admitted")
-        .start()
+    val drops = (1 to 7).map(b => fixture.where(col("arrival_batch") === b))
+    val tmp = runSequencedDropsRestarting(spark, drops, restartAfter, prefix) {
+      (stream, t) =>
+        EventStream.dedupStream(stream, Seq("event_id"), watermark = "1 hour")
+          .writeStream
+          .option("checkpointLocation", s"$t/checkpoint")
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$t/admitted")
+          .start()
     }
     spark.read.parquet(s"$tmp/admitted")
       .select(col("arrival_batch"), col("event_id"), col("event_type"))
@@ -1820,10 +1879,90 @@ object Pipeline {
     * the IDENTICAL day-3 set). Certifying each day's admissions directly
     * is what makes every fold and every round-trip unmaskable.
     */
-  def checkpointedRefreshLoop(spark: SparkSession, dir: String): DataFrame = {
+  def checkpointedRefreshLoop(spark: SparkSession, dir: String): DataFrame =
+    checkpointedRefresh(spark, dir, compacted = false, "graft_q127_")
+
+  /** q129 — the COMPACTED-SIDECAR variant of q127: every checkpoint
+    * commits [[graft.streaming.DocStream.compactMinhashIndexState]]'s
+    * output (tombstone count rows only — the sidecar a years-long daily
+    * loop can actually afford) and every read-back passes through
+    * [[graft.streaming.DocStream.expandMinhashIndexState]] before the
+    * probe and fold. The oracle is q127's from-scratch rebuild VERBATIM:
+    * compaction must be a pure storage optimization, so any observable
+    * difference is a bug. Discrimination (DuckDB-probed at sf0.01): 41
+    * delta-1 docs land in day-0 tombstoned buckets, and simulating the
+    * compaction hazard — tombstone counts lost at the checkpoint, so dead
+    * buckets resurrect with only delta rows — changes the certified row
+    * set (same count, different ids). The complementary hazard (expand
+    * failing to re-derive under-cap counts) cannot surface at sf0.01 —
+    * no bucket crosses the cap between days in this corpus — and is
+    * pinned exactly by IndexStateSpec's controlled cap-crossing fixture
+    * instead.
+    */
+  def compactedRefreshLoop(spark: SparkSession, dir: String): DataFrame =
+    checkpointedRefresh(spark, dir, compacted = true, "graft_q129_")
+
+  /** q130 — the EMBEDDING-tier lineage-checkpoint + compaction loop,
+    * completing q127/q129's surface across all three index tiers: day-0
+    * hyperplane index state COMMITTED compacted
+    * ([[graft.streaming.DocStream.compactEmbeddingIndexState]] — tombstone
+    * counts only), read back and EXPANDED before every probe and fold, with
+    * the day-1 fold running on the round-tripped state
+    * ([[graft.streaming.DocStream.refreshEmbeddingIndex]] re-derives
+    * nPlanes/cap from the parquet-round-tripped schema metadata). Bucket
+    * cap 2 — unlike q125's never-binding 200 — makes 57 of the 194 day-0
+    * buckets genuine tombstones at sf0.01, so tombstone retention through
+    * the compacted checkpoint is load-bearing for the admitted sets; both
+    * days are emitted (the q127 lesson). Admission is the same cosine-gated
+    * anti-join the q119/q125 STREAM path certifies
+    * ([[graft.streaming.DocStream.dedupEmbeddingsAgainstCorpus]] is one
+    * DataFrame expression, batch or stream); the oracle rebuilds each
+    * day's buckets from scratch.
+    *
+    * Day 2 re-fetches every delta-1 vector as an exact copy under
+    * −2·id−1 (identical hyperplane signature, cosine 1.0): at cap 2 the
+    * fold's effect on the plain day-2 delta is invisible (DuckDB-probed),
+    * but a re-fetched ADMITTED vector is rejected exactly when the fold
+    * landed its original in a still-live bucket — the crawler-re-crawl
+    * probe that makes the checkpointed fold load-bearing on this tier.
+    */
+  def checkpointedEmbeddingRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val e = Tables(spark, dir).embeddings
+    val tmp = scratchDir("graft_q130_")
+    def commit(st: DocStream.EmbeddingIndexState, day: String): Unit =
+      DocStream.writeEmbeddingIndexState(
+        DocStream.compactEmbeddingIndexState(st), s"$tmp/$day")
+    def readBack(day: String): DocStream.EmbeddingIndexState =
+      DocStream.expandEmbeddingIndexState(
+        DocStream.readEmbeddingIndexState(spark, s"$tmp/$day"))
+    def admit(delta: DataFrame, index: DataFrame): DataFrame =
+      DocStream.dedupEmbeddingsAgainstCorpus(
+        delta, index, "vec_id", "embedding", minCosine = 0.25)
+
+    commit(DocStream.embeddingIndexState(
+      e.where(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5),
+      "vec_id", "embedding", nPlanes = 8, maxBucketSize = 2), "day0")
+    val st0 = readBack("day0")
+    val admitted1 = graft.core.Caching.eager(
+      admit(e.where(col("vec_id") % 10 === 5), st0.index))
+    commit(DocStream.refreshEmbeddingIndex(st0, admitted1, "vec_id", "embedding"),
+      "day1")
+    val delta2 = e.where(col("vec_id") % 10 === 0)
+      .unionByName(e.where(col("vec_id") % 10 === 5)
+        .withColumn("vec_id", -col("vec_id") * 2 - lit(1L)))
+    val admitted2 = admit(delta2, readBack("day1").index)
+    admitted1.select(lit(1).cast("int").as("day"), col("vec_id"))
+      .unionByName(admitted2.select(lit(2).cast("int").as("day"), col("vec_id")))
+      .orderBy(col("day"), col("vec_id"))
+  }
+
+  private def checkpointedRefresh(
+      spark: SparkSession, dir: String, compacted: Boolean,
+      prefix: String): DataFrame = {
     import graft.streaming.DocStream
     val d = Tables(spark, dir).documents
-    val tmp = scratchDir("graft_q127_")
+    val tmp = scratchDir(prefix)
 
     val delta1 = d.where(col("doc_id") % 10 === 5)
     val delta2real = d.where(col("doc_id") % 10 === 0)
@@ -1840,15 +1979,21 @@ object Pipeline {
     // them — the loop's first lineage checkpoint
     val corpus0 = d.where(col("doc_id") % 10 =!= 0 &&
       col("doc_id") % 10 =!= 5 && col("doc_id") % 10 =!= 3)
+    def commit(state: DocStream.MinHashIndexState, day: String): Unit =
+      DocStream.writeMinhashIndexState(
+        if (compacted) DocStream.compactMinhashIndexState(state) else state,
+        s"$tmp/$day/minhash")
     DocStream.corpusIndex(corpus0).write.parquet(s"$tmp/day0/hash")
-    DocStream.writeMinhashIndexState(
+    commit(
       DocStream.minhashIndexState(corpus0, "doc_id", "text",
         numHashes = 16, numBands = 4, shingleN = 1, maxBucketSize = 50),
-      s"$tmp/day0/minhash")
+      "day0")
 
-    def readBack(day: String) = (
-      spark.read.parquet(s"$tmp/$day/hash"),
-      DocStream.readMinhashIndexState(spark, s"$tmp/$day/minhash"))
+    def readBack(day: String) = {
+      val st = DocStream.readMinhashIndexState(spark, s"$tmp/$day/minhash")
+      (spark.read.parquet(s"$tmp/$day/hash"),
+        if (compacted) DocStream.expandMinhashIndexState(st) else st)
+    }
     def admit(delta: DataFrame, hash: DataFrame, index: DataFrame) =
       DocStream.admitNearDups(
         DocStream.dedupAgainstCorpus(delta, hash), index, minJaccard = 0.5)
@@ -1862,9 +2007,9 @@ object Pipeline {
       val admitted = graft.core.Caching.eager(admit(delta, hash, st.index))
       DocStream.refreshCorpusIndex(hash, admitted)
         .write.parquet(s"$tmp/day${day + 1}/hash")
-      DocStream.writeMinhashIndexState(
+      commit(
         DocStream.refreshMinhashIndex(st, admitted, "doc_id", "text"),
-        s"$tmp/day${day + 1}/minhash")
+        s"day${day + 1}")
       admitted.select(lit(day + 1).cast("int").as("day"), col("doc_id"))
     }
 
