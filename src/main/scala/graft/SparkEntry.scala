@@ -148,6 +148,7 @@ object SparkEntry {
     "q128_stream_restart_recovery" -> (Pipeline.streamingEventDedupRestart _),
     "q129_compacted_refresh" -> (Pipeline.compactedRefreshLoop _),
     "q130_embedding_checkpointed_refresh" -> (Pipeline.checkpointedEmbeddingRefresh _),
+    "q131_training_shards" -> (Pipeline.trainingShardManifest _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1365,22 +1366,19 @@ object SparkEntry {
     // q111's epoch expansion with the seed-keyed Sha60 order key (the q98
     // rank-hash convention: first 15 hex chars of sha256 as BIGINT)
     "q124_curriculum_order" ->
-      raw"""WITH q AS (
-        |  SELECT doc_id,
-        |    $qualityScoreSql AS quality_score
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN quality_score >= 0.8 THEN 3
-        |              WHEN quality_score >= 0.5 THEN 2 ELSE 1 END AS BIGINT) AS n_epochs
-        |  FROM q),
-        |s AS (
-        |  SELECT doc_id, CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch_idx
-        |  FROM e)
-        |SELECT doc_id, epoch_idx,
-        |  CAST(('0x' || substring(sha256('cur:42:' || CAST(epoch_idx AS VARCHAR)
-        |    || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS order_key
-        |FROM s ORDER BY epoch_idx, order_key, doc_id""".stripMargin,
+      (curriculumKeyCtes + "\n" +
+        "SELECT doc_id, epoch_idx, order_key FROM k ORDER BY epoch_idx, order_key, doc_id"),
+    // q124's schedule rolled up per (epoch, top-3-bits-of-key shard):
+    // counts, key ranges, and the order-insensitive XOR key digest — what
+    // the read-back of q131's shard files must reproduce exactly
+    "q131_training_shards" ->
+      (curriculumKeyCtes + "\n" +
+        """SELECT epoch_idx, CAST(order_key >> 57 AS INTEGER) AS shard,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  min(order_key) AS min_key,
+          |  max(order_key) AS max_key,
+          |  CAST(bit_xor(order_key) AS BIGINT) AS key_digest
+          |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // the q121 two-day cascade on the embedding tier: day-1 admission
     // (q119's capped-bucket cosine probe) against the day-0 population,
     // day-2 admission against buckets REBUILT over population ∪ admitted₁
@@ -2318,6 +2316,29 @@ object SparkEntry {
       |FROM st s JOIN events e ON e.event_id = s.event_id
       |WHERE s.admitted
       |ORDER BY s.arrival_batch, s.event_id""".stripMargin
+
+  /** The q124/q131 curriculum schedule: quality-tiered epoch counts,
+    * per-epoch expansion, and the seed-42 Sha60 order key —
+    * `k(doc_id, epoch_idx, order_key)`.
+    */
+  private def curriculumKeyCtes: String =
+    raw"""WITH q AS (
+      |  SELECT doc_id,
+      |    $qualityScoreSql AS quality_score
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN quality_score >= 0.8 THEN 3
+      |              WHEN quality_score >= 0.5 THEN 2 ELSE 1 END AS BIGINT) AS n_epochs
+      |  FROM q),
+      |s AS (
+      |  SELECT doc_id, CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch_idx
+      |  FROM e),
+      |k AS (
+      |  SELECT doc_id, epoch_idx,
+      |    CAST(('0x' || substring(sha256('cur:42:' || CAST(epoch_idx AS VARCHAR)
+      |      || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS order_key
+      |  FROM s)""".stripMargin
 
   private val embPop0Cte: String =
     "pop0 AS (SELECT vec_id FROM esigs WHERE vec_id >= 0 AND vec_id % 10 <> 0 AND vec_id % 10 <> 5)"

@@ -274,6 +274,62 @@ object Curation {
           lit(":"),
           col(idCol).cast("string"))).as("order_key"))
 
+  /** Shard assignment for a [[curriculumOrder]] schedule: `shard` =
+    * the top log₂(shardsPerEpoch) bits of the 60-bit `order_key` — a pure
+    * range bucketing of the key space, computed MAP-ONLY. Because the key
+    * is Sha60-uniform, the fixed boundaries split every epoch into
+    * near-equal shards with no sampling pass and no range-exchange; and
+    * because the key IS the curriculum order, shard k's keys all precede
+    * shard k+1's — a loader replays the curriculum by walking shards in
+    * order. `shardsPerEpoch` must be a power of two so the bucket
+    * boundaries are exact bit prefixes.
+    */
+  def curriculumShards(scheduled: DataFrame, shardsPerEpoch: Int): DataFrame = {
+    require(shardsPerEpoch > 0 && (shardsPerEpoch & (shardsPerEpoch - 1)) == 0,
+      s"shardsPerEpoch must be a power of two, got $shardsPerEpoch")
+    val bits = Integer.numberOfTrailingZeros(shardsPerEpoch)
+    require(bits <= 60, s"shardsPerEpoch 2^$bits exceeds the 60-bit key space")
+    scheduled.withColumn("shard",
+      shiftright(col("order_key"), 60 - bits).cast("int"))
+  }
+
+  /** The write-side layout of [[writeCurriculumShards]], exposed for the
+    * plan audit: ONE hash exchange on (epoch_idx, shard) co-locates each
+    * shard, and a partition-local sort orders rows by `order_key` within
+    * it — deliberately NO global range sort (a `row_number`/`orderBy` per
+    * epoch would funnel 100 TB through one range exchange; the Sha60 key
+    * already encodes the order, so a local sort suffices and every shard
+    * file comes out internally ordered).
+    */
+  private[graft] def shardLayout(
+      scheduled: DataFrame, shardsPerEpoch: Int): DataFrame =
+    curriculumShards(scheduled, shardsPerEpoch)
+      .repartition(col("epoch_idx"), col("shard"))
+      .sortWithinPartitions(col("epoch_idx"), col("shard"), col("order_key"))
+
+  /** Materialize a curriculum schedule as range-bucketed training shards:
+    * `dir/epoch_idx=E/shard=S/` parquet files, each internally sorted by
+    * `order_key` and capped at `maxRecordsPerFile` rows (the trainer's
+    * unit of work). Tasks write their own (epoch, shard) groups
+    * contiguously — the layout sort makes each group a contiguous run, so
+    * the dynamic-partition writer holds one open file at a time. The q131
+    * oracle certifies the read-back against the schedule recomputed from
+    * scratch (per-shard counts, key ranges, and an order-insensitive key
+    * digest); ShardSpec pins the file-level contracts (per-file cap,
+    * per-file ordering, boundary formula, no range exchange in the plan).
+    */
+  def writeCurriculumShards(
+      scheduled: DataFrame,
+      dir: String,
+      shardsPerEpoch: Int,
+      maxRecordsPerFile: Int): Unit =
+    shardLayout(scheduled, shardsPerEpoch)
+      .write
+      .partitionBy("epoch_idx", "shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .parquet(dir)
+
   /** Deterministic per-source mixture sampling: keep a document iff
     * Sha60(id) mod `denom` falls under its source's weight share — the
     * data-mixing step that reweights corpus sources for training (e.g. keep

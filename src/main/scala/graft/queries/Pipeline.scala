@@ -1454,6 +1454,40 @@ object Pipeline {
       seed = 42L)
       .orderBy(col("epoch_idx"), col("order_key"), col("doc_id"))
 
+  /** q131 — the training-shard WRITER
+    * ([[Curation.writeCurriculumShards]]): q124's curriculum order (seed
+    * 42) materialized as range-bucketed shard files — 8 shards per epoch
+    * on the top 3 bits of the 60-bit order key, files capped at 100 rows,
+    * each internally sorted, no global sort anywhere (the write-side twin
+    * of q124's map-only order). The certified answer is the per-shard
+    * manifest computed from the READ-BACK files — row counts, key ranges,
+    * and an order-insensitive XOR key digest per (epoch, shard) — against
+    * the schedule recomputed from scratch by the oracle, so a row lost,
+    * duplicated, or mis-sharded by the write path moves a count, a
+    * boundary, or the digest. File-level contracts (per-file cap and
+    * ordering, boundary formula, hash-not-range exchange) are
+    * ShardSpec-pinned.
+    */
+  def trainingShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("graft_q131_")
+    Curation.writeCurriculumShards(
+      Curation.curriculumOrder(Tables(spark, dir).documents, "doc_id", "text",
+        seed = 42L),
+      s"$tmp/shards", shardsPerEpoch = 8, maxRecordsPerFile = 100)
+    spark.read.parquet(s"$tmp/shards")
+      .groupBy(
+        // partition-directory columns come back type-inferred (int), not
+        // as written — pin the contract types explicitly
+        col("epoch_idx").cast("long").as("epoch_idx"),
+        col("shard").cast("int").as("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("order_key")).as("min_key"),
+        max(col("order_key")).as("max_key"),
+        call_function("bit_xor", col("order_key")).as("key_digest"))
+      .orderBy(col("epoch_idx"), col("shard"))
+  }
+
   /** q112 — decontamination action over q54's split (every 17th doc plays
     * the eval set): training documents with ≥ 90% distinct-bigram overlap
     * against the eval vocabulary are DROPPED
