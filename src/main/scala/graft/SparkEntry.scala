@@ -149,6 +149,9 @@ object SparkEntry {
     "q129_compacted_refresh" -> (Pipeline.compactedRefreshLoop _),
     "q130_embedding_checkpointed_refresh" -> (Pipeline.checkpointedEmbeddingRefresh _),
     "q131_training_shards" -> (Pipeline.trainingShardManifest _),
+    "q132_distribution_drift" -> (Pipeline.corpusDriftReport _),
+    "q133_corpus_similarity" -> (Pipeline.corpusSimilarityMatrix _),
+    "q134_daily_production_run" -> (Pipeline.dailyProductionRun _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1374,6 +1377,97 @@ object SparkEntry {
     "q131_training_shards" ->
       (curriculumKeyCtes + "\n" +
         """SELECT epoch_idx, CAST(order_key >> 57 AS INTEGER) AS shard,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  min(order_key) AS min_key,
+          |  max(order_key) AS max_key,
+          |  CAST(bit_xor(order_key) AS BIGINT) AS key_digest
+          |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // per-source TVD over integer log2 token-count buckets between the
+    // corpus and the simulated re-crawl (src0-6 truncate: long docs
+    // vanish; src15-19 double their text; src7-14 untouched — probed:
+    // tvd 0.36-0.50 vs exactly 0, both perturbation arms load-bearing).
+    // All arithmetic integer until the single final division.
+    "q132_distribution_drift" ->
+      raw"""WITH older AS (SELECT source, text FROM documents),
+        |newer AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 20 >= 15 THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents WHERE NOT (n_chars > 300 AND doc_id % 20 < 7)),
+        |ho AS (
+        |  SELECT source, length(bin(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))) AS bucket,
+        |    count(*) AS n_old
+        |  FROM older GROUP BY 1, 2),
+        |hn AS (
+        |  SELECT source, length(bin(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))) AS bucket,
+        |    count(*) AS n_new
+        |  FROM newer GROUP BY 1, 2),
+        |h AS (
+        |  SELECT COALESCE(ho.source, hn.source) AS source,
+        |    COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+        |  FROM ho FULL OUTER JOIN hn ON ho.source = hn.source AND ho.bucket = hn.bucket),
+        |tot AS (SELECT source, SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM h GROUP BY 1)
+        |SELECT h.source,
+        |  CAST(MAX(t_old) AS BIGINT) AS n_old, CAST(MAX(t_new) AS BIGINT) AS n_new,
+        |  CASE WHEN MAX(t_old) = 0 OR MAX(t_new) = 0 THEN 1.0
+        |       ELSE CAST(SUM(ABS(n_new * t_old - n_old * t_new)) AS DOUBLE)
+        |            / CAST(2 * MAX(t_old) * MAX(t_new) AS DOUBLE) END AS tvd,
+        |  CASE WHEN MAX(t_old) = 0 OR MAX(t_new) = 0 THEN TRUE
+        |       ELSE SUM(ABS(n_new * t_old - n_old * t_new)) * 1000
+        |            > 100 * 2 * MAX(t_old) * MAX(t_new) END AS drifted
+        |FROM h JOIN tot ON h.source = tot.source
+        |GROUP BY h.source ORDER BY h.source""".stripMargin,
+    // per-source corpus MinHash sketch over TRIGRAM shingles (per-doc
+    // distinct), pairwise matches via the (component, value) equi-join —
+    // the same hash family as the per-doc minhash oracles
+    "q133_corpus_similarity" ->
+      raw"""WITH t0 AS (
+        |  SELECT source, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source, unnest(list_distinct(CASE WHEN len(tk) < 3 THEN []
+        |    ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END)) AS s
+        |  FROM t0),
+        |base AS (
+        |  SELECT source, CAST(('0x' || substring(sha256(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+        |  FROM sh),
+        |sk AS (
+        |  SELECT source, j, MIN(((2*j + 1) * h + 104729 * (j + 1)) % 2147483647) AS m
+        |  FROM base, (SELECT unnest(range(0, 16)) AS j) t
+        |  GROUP BY source, j)
+        |SELECT a.source AS corpus_a, b.source AS corpus_b,
+        |  CAST(count(*) AS BIGINT) AS matching_components,
+        |  CAST(count(*) AS DOUBLE) / 16.0 AS jaccard_est
+        |FROM sk a JOIN sk b ON a.j = b.j AND a.m = b.m AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the one-day production capstone recomputed from scratch: exact +
+    // near-dup admission of the % 10 = 5 delta (refreshDayCtes), the
+    // 0.75 quality gate, the curriculum epoch tiers and seed-42 keys,
+    // rolled up as the per-shard manifest q134's read-back must reproduce
+    "q134_daily_production_run" ->
+      ("WITH " + lshPrefixCtes("documents") + ",\n" +
+        raw"""nrm AS (
+          |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+          |  FROM documents),
+          |pop0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 5),
+          |""".stripMargin +
+        refreshDayCtes(0, "doc_id % 10 = 5") + ",\n" +
+        s"""q AS (
+          |  SELECT d.doc_id, $qualityScoreSql AS quality_score
+          |  FROM documents d JOIN a1 USING (doc_id)),
+          |e AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN quality_score >= 0.8 THEN 3
+          |              WHEN quality_score >= 0.5 THEN 2 ELSE 1 END AS BIGINT) AS n_epochs
+          |  FROM q WHERE quality_score >= 0.75),
+          |s AS (
+          |  SELECT doc_id, CAST(unnest(generate_series(1, n_epochs)) AS BIGINT) AS epoch_idx
+          |  FROM e),
+          |k AS (
+          |  SELECT doc_id, epoch_idx,
+          |    CAST(('0x' || substring(sha256('cur:42:' || CAST(epoch_idx AS VARCHAR)
+          |      || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS order_key
+          |  FROM s)
+          |SELECT epoch_idx, CAST(order_key >> 57 AS INTEGER) AS shard,
           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  min(order_key) AS min_key,
           |  max(order_key) AS max_key,

@@ -388,6 +388,74 @@ object Curation {
           coalesce(normalizeText(col(textCol)), lit("<null>")))))
           .as("content_digest"))
 
+  /** Per-source length-DISTRIBUTION drift between two corpus snapshots —
+    * the attestation layer between [[corpusManifest]] (did ANYTHING change?)
+    * and [[corpusDiff]] (which rows changed?): did the SHAPE of a source
+    * change enough to re-validate downstream mixtures and packing? A crawl
+    * that re-fetches the same page count but starts truncating long pages
+    * has an identical row count, a moved digest, and — this operator's
+    * signal — a large distribution shift.
+    *
+    * Metric: total-variation distance between the two snapshots' token-count
+    * histograms, bucketed by the bit length of the token count
+    * (`length(bin(tokens))` — an INTEGER log2 bucket; no floating log whose
+    * last-ulp could flip a bucket across engines). TVD is computed entirely
+    * in exact integer arithmetic: with per-bucket counts n_b/m_b and totals
+    * N/M, `tvd = Σ_b |m_b·N − n_b·M| / (2·N·M)` — the products are carried
+    * as DECIMAL(38,0) so the arithmetic is exact far beyond Long range
+    * (count products overflow Long around 3·10⁹ docs per source; a 100 TB
+    * corpus is past that), the sum is order-insensitive, and the only
+    * floating-point step is one final exactly-rounded division. The
+    * `drifted` verdict never touches floats at all:
+    * `num·1000 > thresholdPermille·den` in decimal.
+    *
+    * Scale shape: two corpus scans (map-side-combined histogram
+    * aggregations with ≤ ~40 bucket rows per source), then joins over
+    * histogram-sized data only — text is read once per snapshot and never
+    * shuffled. A source present in only one snapshot reports `tvd = 1.0`,
+    * `drifted = true` (total drift), not a division by zero.
+    */
+  def distributionDrift(
+      older: DataFrame,
+      newer: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      thresholdPermille: Int = 100): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def hist(df: DataFrame, n: String) =
+      df.groupBy(
+          col(sourceCol).as("source"),
+          length(bin(tokenCount(col(textCol)).cast("long"))).as("_bucket"))
+        .agg(count(lit(1)).as(n))
+    // eager: the joined histogram feeds two consumers (the per-bucket
+    // branch and the per-source totals) — uncached, each would re-run BOTH
+    // corpus scans (plan-verified). Histogram-sized: ≤ ~40 rows per source.
+    val h = graft.core.Caching.eager(
+      hist(older, "_n_old")
+        .join(hist(newer, "_n_new"), Seq("source", "_bucket"), "full_outer")
+        .na.fill(0L, Seq("_n_old", "_n_new")))
+    val tot = h.groupBy(col("source"))
+      .agg(sum(col("_n_old")).as("_t_old"), sum(col("_n_new")).as("_t_new"))
+    val zero = lit(0).cast(dec)
+    val agg = h.join(tot, Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("_t_old")).as("_t_old"),
+        max(col("_t_new")).as("_t_new"),
+        sum(abs(col("_n_new").cast(dec) * col("_t_old").cast(dec)
+          - col("_n_old").cast(dec) * col("_t_new").cast(dec))).as("_num"))
+    val den = col("_t_old").cast(dec) * col("_t_new").cast(dec) * lit(2).cast(dec)
+    agg.select(
+      col("source"),
+      col("_t_old").as("n_old"),
+      col("_t_new").as("n_new"),
+      when(den === zero, lit(1.0))
+        .otherwise(col("_num").cast("double") / den.cast("double")).as("tvd"),
+      when(den === zero, lit(true))
+        .otherwise(col("_num") * lit(1000) > lit(thresholdPermille).cast(dec) * den)
+        .as("drifted"))
+  }
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` (id only in `newer`), `removed` (id only in
     * `older`), `changed` (both, normalized content hash differs), or

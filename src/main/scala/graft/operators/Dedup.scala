@@ -69,6 +69,77 @@ object Dedup {
           (m, j) => least(m, pmod(element_at(aArr, j) * h + element_at(bArr, j), p))))
   }
 
+  /** Corpus-LEVEL MinHash sketch: one `numHashes`-component signature per
+    * CORPUS (source, snapshot, domain…), not per document — component j is
+    * the j-th permutation minimum over the UNION of all member documents'
+    * shingle hashes. Because min distributes over union, this equals the
+    * component-wise min of the members' [[minhashSignature]]s, so the
+    * sketch of a merged corpus is the element-wise min of the parts'
+    * sketches (mergeable, spec-pinned).
+    *
+    * Scale shape: one text scan, per-doc-distinct shingle explode, then ONE
+    * hash aggregation whose state is `numHashes` longs per corpus with
+    * map-side partial combine — two 100 TB corpora are compared by shipping
+    * k longs each. Same hash family as the per-doc operators
+    * ([[graft.functions.Sha60]] base, (2j+1)·h + 104729·(j+1) mod 2³¹−1),
+    * so the DuckDB oracle reproduces the sketch bit-for-bit.
+    */
+  def corpusMinhashSketch(
+      df: DataFrame,
+      corpusCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    val p = lit(graft.functions.Sha60.Mersenne31)
+    val base = df
+      .select(
+        col(corpusCol).as("corpus"),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("_s"))
+      .select(col("corpus"), pmod(graft.functions.Sha60.sha60(col("_s")), p).as("_h"))
+    val mins = (0 until numHashes).map(j =>
+      min(pmod(lit(2L * j + 1) * col("_h") + lit(104729L * (j + 1)), p)).as(s"_m$j"))
+    base.groupBy(col("corpus"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("corpus"),
+        array((0 until numHashes).map(j => col(s"_m$j")): _*).as("sketch"))
+  }
+
+  /** Pairwise corpus-overlap estimate from [[corpusMinhashSketch]]:
+    * `jaccard_est` = matching-components / `numHashes` — the standard
+    * MinHash estimator of the Jaccard similarity of the two corpora's
+    * SHINGLE VOCABULARIES (which near-dup and shared documents inflate).
+    * The cross-source duplication radar that needs no pairwise document
+    * work at all.
+    *
+    * Pairs are generated by an EQUI-join on (component index, min value) —
+    * only corpus pairs agreeing on at least one component appear (absent
+    * pair ⇒ estimate 0, below one-component resolution), so there is no
+    * cartesian/NLJ over corpora: the plan stays a key-shuffle join even at
+    * millions of corpora (domains), exactly the LSH-bucket philosophy one
+    * level up.
+    */
+  def corpusSketchSimilarity(
+      df: DataFrame,
+      corpusCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    // eager: both join sides read the sketch — uncached, the corpus text
+    // scan and shingle explode would run twice. Sketch-sized: k longs per
+    // corpus.
+    val comp = graft.core.Caching.eager(
+      corpusMinhashSketch(df, corpusCol, textCol, numHashes, shingleN)
+        .select(col("corpus"), posexplode(col("sketch")).as(Seq("_j", "_m"))))
+    comp.select(col("corpus").as("corpus_a"), col("_j"), col("_m"))
+      .join(comp.select(col("corpus").as("corpus_b"), col("_j"), col("_m")),
+        Seq("_j", "_m"))
+      .where(col("corpus_a") < col("corpus_b"))
+      .groupBy(col("corpus_a"), col("corpus_b"))
+      .agg(count(lit(1)).as("matching_components"))
+      .withColumn("jaccard_est",
+        col("matching_components").cast("double") / lit(numHashes.toDouble))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs: signatures split into
     * `numBands` bands; documents sharing any band bucket become a candidate
     * pair, then pairs are verified with exact shingle-set Jaccard and kept at

@@ -1441,7 +1441,41 @@ object Pipeline {
     */
   def corpusManifestReport(spark: SparkSession, dir: String): DataFrame =
     Curation.corpusManifest(Tables(spark, dir).documents, "doc_id", "text", "source")
+
+  /** q132 — per-source distribution-drift attestation
+    * ([[Curation.distributionDrift]]) between the corpus and a simulated
+    * re-crawl in which sources src0–src6 silently TRUNCATE (docs over 300
+    * chars vanish — a length-correlated loss that shifts the histogram,
+    * not just the count), sources src15–src19 double their text (shape
+    * shift up), and src7–src14 are byte-identical. DuckDB-probed at
+    * sf0.01: the twelve perturbed sources score tvd 0.36–0.50, the eight
+    * untouched ones exactly 0 — the 100‰ threshold splits them with a 3.6×
+    * margin, and BOTH perturbation arms are independently load-bearing.
+    */
+  def corpusDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val newer = d
+      .where(!(col("n_chars") > 300 && col("doc_id") % 20 < 7))
+      .withColumn("text",
+        when(col("doc_id") % 20 >= 15, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+    Curation.distributionDrift(d, newer, "source", "text")
       .orderBy(col("source"))
+  }
+
+  /** q133 — the cross-source duplication radar
+    * ([[Dedup.corpusSketchSimilarity]]): pairwise corpus-vocabulary
+    * overlap estimates from per-source MinHash sketches over TRIGRAM
+    * shingles (unigram vocabularies of same-generator sources overlap
+    * near-1.0 — probed — so trigrams are what make the estimate
+    * discriminating: only sources sharing near-dup documents light up).
+    * Pairs appear only via the (component, value) equi-join — at sf0.01,
+    * 51 of 190 source pairs match on ≥ 1 of 16 components.
+    */
+  def corpusSimilarityMatrix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.corpusSketchSimilarity(Tables(spark, dir).documents, "source", "text",
+      numHashes = 16, shingleN = 3)
+      .orderBy(col("corpus_a"), col("corpus_b"))
 
   /** q124 — deterministic curriculum ordering
     * ([[Curation.curriculumOrder]], seed 42): q111's epoch schedule with
@@ -1474,7 +1508,15 @@ object Pipeline {
       Curation.curriculumOrder(Tables(spark, dir).documents, "doc_id", "text",
         seed = 42L),
       s"$tmp/shards", shardsPerEpoch = 8, maxRecordsPerFile = 100)
-    spark.read.parquet(s"$tmp/shards")
+    readBackShardManifest(spark, s"$tmp/shards")
+  }
+
+  /** The certified shard manifest, computed from the READ-BACK files (not
+    * the pre-write DataFrame): per (epoch, shard) row counts, key ranges,
+    * and the order-insensitive XOR key digest — shared by q131 and q134.
+    */
+  private def readBackShardManifest(spark: SparkSession, shardDir: String): DataFrame =
+    spark.read.parquet(shardDir)
       .groupBy(
         // partition-directory columns come back type-inferred (int), not
         // as written — pin the contract types explicitly
@@ -1486,6 +1528,45 @@ object Pipeline {
         max(col("order_key")).as("max_key"),
         call_function("bit_xor", col("order_key")).as("key_digest"))
       .orderBy(col("epoch_idx"), col("shard"))
+
+  /** q134 — the DAILY PRODUCTION RUN capstone: one day of the full
+    * training-data path composed END TO END from the certified pieces —
+    * crawl delta (doc_id % 10 = 5) → exact-dedup against the standing
+    * content-hash index → LSH near-dup admission against the capped MinHash
+    * index (the SAME verdict implementation the q121 stream runs per
+    * micro-batch; batch-mode here isolates the composition, q127
+    * precedent) → quality-gate curation (≥ 0.75 — BETWEEN the curriculum's
+    * 0.5/0.8 epoch tiers, so the gate is load-bearing: DuckDB-probed at
+    * sf0.01, a gate-blind oracle schedules 26 rows vs the certified 18,
+    * and an admission-blind oracle 95) → seed-keyed curriculum schedule →
+    * range-bucketed shard write — and the certified answer is the per-shard
+    * manifest from the READ-BACK files, so every stage's output feeds the
+    * next and a fault anywhere (wrong admission, wrong gate, wrong
+    * schedule, row lost by the writer) moves a count, a boundary, or a
+    * digest. The oracle recomputes the whole day from scratch in DuckDB.
+    *
+    * Scale: each stage keeps its certified scale shape (delta-sized
+    * admission probes against capped indexes; map-only curriculum keys; no
+    * global sort in the shard write) — composing them adds no new shuffle
+    * beyond the stages' own.
+    */
+  def dailyProductionRun(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val corpus0 = d.where(col("doc_id") % 10 =!= 5)
+    val delta = d.where(col("doc_id") % 10 === 5)
+    val hash0 = DocStream.corpusIndex(corpus0)
+    val st0 = DocStream.minhashIndexState(corpus0, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, maxBucketSize = 50)
+    val admitted = DocStream.admitNearDups(
+      DocStream.dedupAgainstCorpus(delta, hash0), st0.index, minJaccard = 0.5)
+    val curated = admitted.where(
+      graft.functions.TextFunctions.qualityScore(col("text")) >= 0.75)
+    val tmp = scratchDir("graft_q134_")
+    Curation.writeCurriculumShards(
+      Curation.curriculumOrder(curated, "doc_id", "text", seed = 42L),
+      s"$tmp/shards", shardsPerEpoch = 8, maxRecordsPerFile = 100)
+    readBackShardManifest(spark, s"$tmp/shards")
   }
 
   /** q112 — decontamination action over q54's split (every 17th doc plays

@@ -742,4 +742,33 @@ class CurationSpec extends SparkSpec {
     val plan = order(42L).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"ordering must stay map-only:\n$plan")
   }
+
+  test("distribution drift: zero for identical snapshots, exact TVD for a shape shift, total for a vanished source") {
+    val d = docs
+    // identical snapshots: every source scores exactly 0, nothing drifts
+    val same = Curation.distributionDrift(d, d, "source", "text").collect()
+    assert(same.length == 2)
+    assert(same.forall(r => r.getAs[Double]("tvd") == 0.0 && !r.getAs[Boolean]("drifted")))
+
+    // doc 3 (6 tokens, s1) truncated to 1 token: s1 histograms go
+    // {bitlen 3: 3 docs} -> {3: 2, 1: 1}; TVD = (|2*3-3*3| + |1*3-0|) / (2*3*3) = 1/3
+    val shifted = d.withColumn("text",
+      when($"doc_id" === 3L, lit("one")).otherwise($"text"))
+    val byScore = Curation.distributionDrift(d, shifted, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(byScore("s1").getAs[Double]("tvd") == 6.0 / 18.0)
+    assert(byScore("s1").getAs[Boolean]("drifted"))
+    assert(byScore("s2").getAs[Double]("tvd") == 0.0 && !byScore("s2").getAs[Boolean]("drifted"))
+    // the verdict honors the threshold: 333 permille < 500 permille
+    val lax = Curation.distributionDrift(d, shifted, "source", "text", thresholdPermille = 500)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Boolean]("drifted")).toMap
+    assert(!lax("s1"))
+
+    // a source absent from the newer snapshot is total drift, not a 0/0
+    val gone = Curation.distributionDrift(d, d.where($"source" === "s1"), "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(gone("s2").getAs[Long]("n_new") == 0L)
+    assert(gone("s2").getAs[Double]("tvd") == 1.0 && gone("s2").getAs[Boolean]("drifted"))
+    assert(gone("s1").getAs[Double]("tvd") == 0.0)
+  }
 }

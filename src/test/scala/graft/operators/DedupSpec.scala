@@ -387,4 +387,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(run(1) == run(7))
   }
+
+  test("corpus minhash sketch: mergeable, partition-invariant, and the estimator finds shared vocabularies") {
+    val corpora = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (2L, "pack my box with five dozen liquor jugs", "s1"),
+      (3L, "the quick brown fox jumps over the lazy dog", "s2"), // s2 = copy of s1's vocab
+      (4L, "pack my box with five dozen liquor jugs", "s2"),
+      (5L, "voltas herkimer quixotic zygote numinous ossify", "s3") // disjoint vocab
+    ).toDF("doc_id", "text", "source")
+
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      Dedup.corpusMinhashSketch(df, "source", "text", numHashes = 16, shingleN = 1)
+        .collect().map(r => r.getAs[String]("corpus") -> r.getSeq[Long](1)).toMap
+
+    val sk = sketchOf(corpora)
+    assert(sk.values.forall(_.length == 16))
+    // identical member documents => identical corpus sketches
+    assert(sk("s1") == sk("s2"))
+    // partition-invariant (min commutes with union)
+    assert(sketchOf(corpora.repartition(7)) == sk)
+    // MERGE property: the sketch of s1 (union) s3 as ONE corpus is the
+    // element-wise min of the two corpus sketches
+    val merged = sketchOf(
+      corpora.where($"source" =!= "s2").withColumn("source", lit("all")))("all")
+    assert(merged == sk("s1").zip(sk("s3")).map { case (a, b) => math.min(a, b) })
+
+    val sim = Dedup.corpusSketchSimilarity(corpora, "source", "text",
+      numHashes = 16, shingleN = 1)
+      .collect()
+      .map(r => (r.getAs[String]("corpus_a"), r.getAs[String]("corpus_b")) ->
+        (r.getAs[Long]("matching_components"), r.getAs[Double]("jaccard_est"))).toMap
+    // identical vocabularies: all 16 components agree, estimate 1.0
+    assert(sim(("s1", "s2")) == ((16L, 1.0)))
+    // disjoint vocabularies never collide on a component: s3 pairs with nobody
+    assert(!sim.keySet.exists { case (a, b) => a == "s3" || b == "s3" })
+  }
 }
