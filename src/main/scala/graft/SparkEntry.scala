@@ -152,6 +152,8 @@ object SparkEntry {
     "q132_distribution_drift" -> (Pipeline.corpusDriftReport _),
     "q133_corpus_similarity" -> (Pipeline.corpusSimilarityMatrix _),
     "q134_daily_production_run" -> (Pipeline.dailyProductionRun _),
+    "q135_mmr_rerank" -> (Pipeline.mmrDiverseNeighbors _),
+    "q136_hard_negatives" -> (Pipeline.hardNegativePairs _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1439,6 +1441,63 @@ object SparkEntry {
         |  CAST(count(*) AS DOUBLE) / 16.0 AS jaccard_est
         |FROM sk a JOIN sk b ON a.j = b.j AND a.m = b.m AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the MMR greedy replayed as a recursive CTE carrying the chosen set:
+    // seed = most relevant candidate; each step picks argmax of
+    // 0.5·simq − 0.5·max-sim-to-chosen over the unchosen pool (ties by
+    // id) — identical fold arithmetic to the Spark side, so the selection
+    // is bit-reproducible
+    "q135_mmr_rerank" ->
+      (s"""WITH RECURSIVE qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id AS id, embedding, ${cosineSql("embedding", "qv.q")} AS simq
+        |  FROM embeddings, qv WHERE vec_id <> 0
+        |  ORDER BY simq DESC, vec_id LIMIT 20),
+        |pair AS (
+        |  SELECT a.id AS a, b.id AS b, ${cosineSql("a.embedding", "b.embedding")} AS sim
+        |  FROM cand a JOIN cand b ON a.id <> b.id),
+        |sel AS (
+        |  SELECT CAST(1 AS BIGINT) AS mmr_rank, c.id, c.simq, [c.id] AS chosen
+        |  FROM (SELECT id, simq FROM cand ORDER BY simq DESC, id LIMIT 1) c
+        |  UNION ALL
+        |  SELECT s.mmr_rank + 1, n.id, n.simq, list_append(s.chosen, n.id)
+        |  FROM sel s JOIN LATERAL (
+        |    SELECT c.id, c.simq,
+        |      0.5 * c.simq - 0.5 * (SELECT MAX(p.sim) FROM pair p
+        |        WHERE p.a = c.id AND list_contains(s.chosen, p.b)) AS score
+        |    FROM cand c
+        |    WHERE NOT list_contains(s.chosen, c.id)
+        |    ORDER BY score DESC, c.id
+        |    LIMIT 1) n ON TRUE
+        |  WHERE s.mmr_rank < 5)
+        |SELECT mmr_rank, id AS vec_id, simq AS relevance FROM sel ORDER BY mmr_rank""".stripMargin),
+    // q80's capped-bucket kNN pipeline with labels joined and the
+    // different-label filter applied BEFORE ranking
+    "q136_hard_negatives" ->
+      ("WITH " + embSigCtes + ",\n" +
+        s"""capped AS (
+          |  SELECT vec_id, embedding, sig FROM (
+          |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
+          |  WHERE bs <= 200),
+          |apairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    ${cosineSql("a.embedding", "b.embedding")} AS cosine_sim
+          |  FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+          |sym AS (
+          |  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine_sim FROM apairs
+          |  UNION ALL
+          |  SELECT id_b, id_a, cosine_sim FROM apairs),
+          |lab AS (SELECT vec_id, label FROM embeddings),
+          |neg AS (
+          |  SELECT s.vec_id, la.label AS anchor_label, s.neighbor_id,
+          |    lb.label AS neighbor_label, s.cosine_sim
+          |  FROM sym s JOIN lab la ON s.vec_id = la.vec_id
+          |  JOIN lab lb ON s.neighbor_id = lb.vec_id
+          |  WHERE la.label <> lb.label)
+          |SELECT vec_id, anchor_label, neg_rank, neighbor_id, neighbor_label, cosine_sim FROM (
+          |  SELECT neg.*, CAST(row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS neg_rank
+          |  FROM neg)
+          |WHERE neg_rank <= 3 ORDER BY vec_id, neg_rank""".stripMargin),
     // the one-day production capstone recomputed from scratch: exact +
     // near-dup admission of the % 10 = 5 delta (refreshDayCtes), the
     // 0.75 quality gate, the curriculum epoch tiers and seed-42 keys,

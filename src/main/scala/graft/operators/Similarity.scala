@@ -37,6 +37,116 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance (MMR) top-k: the diversity re-rank of
+    * [[bruteForceTopK]]'s exact candidate pool. Greedy selection — pick the
+    * candidate maximizing `λ·sim(query, c) − (1−λ)·max_{s∈selected}
+    * sim(c, s)` (for the first pick the penalty term is 0, so it is the
+    * most relevant candidate); ties break by ascending id. The classic
+    * redundancy-suppressing retrieval used to diversify few-shot example
+    * pools and RAG contexts.
+    *
+    * Scale shape: the corpus is touched ONCE, by the distributed exact
+    * top-`poolSize` scan; only the pool — `poolSize` (id, sim, vector)
+    * rows, a documented constant — reaches the driver for the O(k·poolSize)
+    * greedy (the bounded-driver-state precedent of the IVF centroids and PQ
+    * codebooks; the greedy's result depends on all-pairs state over the
+    * pool, which is exactly what bounded driver work is for). Every cosine
+    * uses the same sequential-fold arithmetic as the
+    * `cosine_similarity` expression, so the selection is bit-reproducible
+    * against the DuckDB oracle.
+    */
+  def mmrTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      poolSize: Int,
+      lambda: Double = 0.5,
+      excludeId: Option[Long] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(emb, idCol, vecCol, query, poolSize, excludeId)
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).cast("long"), col("cosine_sim"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
+    // sequential folds in the exact order of the certified cosine HOF
+    // formulation (dot, then |a|², then |b|²) — bit-identical across
+    // engines
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+      i = 0
+      while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      i = 0
+      while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(c => c._1 -> c).toIndexedSeq: _*)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val chosenVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    while (chosen.size < k && remaining.nonEmpty) {
+      val best = remaining.values.map { c =>
+        val penalty =
+          if (chosenVecs.isEmpty) 0.0
+          else chosenVecs.iterator.map(v => cos(c._3, v)).max
+        (c, lambda * c._2 - (1.0 - lambda) * penalty)
+      }.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1._1 < x._1._1)) y else x
+      }._1
+      chosen += ((best._1, best._2))
+      chosenVecs += best._3
+      remaining.remove(best._1)
+    }
+    chosen.toSeq.zipWithIndex
+      .map { case ((id, rel), i) => (i + 1L, id, rel) }
+      .toDF("mmr_rank", idCol, "relevance")
+  }
+
+  /** Hard-negative mining: for EVERY anchor vector, its top-`k` most
+    * similar same-LSH-bucket vectors with a DIFFERENT label — the
+    * contrastive-training pairs that are hard precisely because they are
+    * close in embedding space but semantically distinct. The
+    * [[knnJoin]] bucket pipeline (ids-first capped buckets, Σ bucket²
+    * candidate work, never N²) with the label anti-filter applied BEFORE
+    * ranking, so `neg_rank` counts negatives only; labels attach by
+    * ids-only joins — vectors never move to the label join.
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      maxBucketSize: Int = 200): DataFrame = {
+    val pairs = Dedup.embeddingNearDuplicates(
+      emb, idCol, vecCol, minCosine = -1.0, nPlanes = nPlanes,
+      maxBucketSize = maxBucketSize)
+    val sym = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cosine_sim"))
+      .unionByName(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("neighbor_id"), col("cosine_sim")))
+    val labels = emb.select(col(idCol).as("_lbl_id"), col(labelCol).as("_lbl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    sym
+      .join(labels.select(col("_lbl_id").as("vec_id"), col("_lbl").as("anchor_label")),
+        Seq("vec_id"))
+      .join(labels.select(col("_lbl_id").as("neighbor_id"), col("_lbl").as("neighbor_label")),
+        Seq("neighbor_id"))
+      .where(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= k)
+      .select(col("vec_id"), col("anchor_label"), col("neg_rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cosine_sim"))
+  }
+
   /** LSH-bucketed ANN: rank candidates whose hyperplane signature differs
     * from the query signature in at most `maxBitDiff` of `nPlanes` bits,
     * then exact-rank the survivors. Returns the same schema as brute force;

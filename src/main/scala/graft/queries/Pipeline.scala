@@ -802,6 +802,30 @@ object Pipeline {
       query = queryVector(spark, dir), k = 10, excludeId = Some(0L))
   }
 
+  /** q135 — MMR diversity re-rank ([[Similarity.mmrTopK]]): the exact
+    * top-20 pool of vec_id 0's neighbors greedily re-ranked to 5 with
+    * λ = 0.5. Probed at sf0.01: MMR selects {365, 344, 483, 165, 388} vs
+    * plain top-5 {365, 334, 387, 423, 73} — the redundancy penalty is
+    * load-bearing from the second pick on. The oracle replays the greedy
+    * as a recursive CTE carrying the chosen set.
+    */
+  def mmrDiverseNeighbors(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      query = queryVector(spark, dir), k = 5, poolSize = 20,
+      lambda = 0.5, excludeId = Some(0L))
+
+  /** q136 — hard-negative mining ([[Similarity.hardNegatives]]): per
+    * anchor, the 3 most-similar same-bucket vectors with a DIFFERENT
+    * label — q80's certified bucket pipeline with the label filter ahead
+    * of ranking (857 rows at sf0.01, all 10 labels participating).
+    */
+  def hardNegativePairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(
+      Tables(spark, dir).embeddings, "vec_id", "embedding", "label",
+      k = 3, nPlanes = 8, maxBucketSize = 200)
+      .orderBy(col("vec_id"), col("neg_rank"))
+
   /** q39 — IVF ANN with seeded coarse centroids: vectors 1..4 act as the
     * (deterministic) centroid set, every vector is assigned to its nearest
     * centroid, and the query probes the 2 nearest lists. Seeding (instead of

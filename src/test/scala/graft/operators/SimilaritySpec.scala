@@ -268,4 +268,48 @@ class SimilaritySpec extends SparkSpec {
     assert(adc.forall(_.getLong(0) % 4 == 0L),
       s"every ADC hit must come from the query's planted cluster: ${adc.map(_.getLong(0)).toSeq}")
   }
+
+  test("MMR re-rank: relevance-first seed, redundancy suppressed, pool-bounded") {
+    import spark.implicits._
+    // planted geometry: 1 and 2 are near-duplicates of each other (and the
+    // two most query-relevant), 3 is less relevant but diverse, 4 is
+    // anti-correlated; none coincides with the query direction (a candidate
+    // equal to the query degenerates every second-pick score to ~0)
+    val planted = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.89f, 0.12f, 0.0f)),
+      (3L, Seq(0.5f, -0.8f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0)
+    val mmr = Similarity.mmrTopK(planted, "vec_id", "embedding", q,
+      k = 3, poolSize = 4, lambda = 0.5).collect()
+    assert(mmr.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L),
+      "first pick = most relevant; second pick must SKIP the near-duplicate 2 for the diverse 3")
+    assert(mmr.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // plain top-3 would have taken the redundant pair back to back
+    val plain = Similarity.bruteForceTopK(planted, "vec_id", "embedding", q, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+    // k beyond the pool degrades to the pool, no duplicates ever
+    val all = Similarity.mmrTopK(planted, "vec_id", "embedding", q,
+      k = 10, poolSize = 4, lambda = 0.5).collect().map(_.getLong(1))
+    assert(all.length == 4 && all.distinct.length == 4)
+  }
+
+  test("hard negatives: never a same-label pair, ranks contiguous and similarity-ordered") {
+    val neg = Similarity.hardNegatives(Tables(spark, Sf0001).embeddings,
+      "vec_id", "embedding", "label", k = 3).collect()
+    assert(neg.nonEmpty)
+    assert(neg.forall(r => r.getAs[Int]("anchor_label") != r.getAs[Int]("neighbor_label")),
+      "a hard negative must carry a different label")
+    val byAnchor = neg.groupBy(_.getLong(0))
+    byAnchor.foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_.getAs[Long]("neg_rank"))
+      assert(ranked.map(_.getAs[Long]("neg_rank")).toSeq == (1L to rows.length).toSeq)
+      val sims = ranked.map(_.getAs[Double]("cosine_sim")).toSeq
+      assert(sims == sims.sorted.reverse, "negatives ranked by descending similarity")
+      assert(rows.length <= 3)
+    }
+  }
 }
