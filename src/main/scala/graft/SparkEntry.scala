@@ -154,6 +154,10 @@ object SparkEntry {
     "q134_daily_production_run" -> (Pipeline.dailyProductionRun _),
     "q135_mmr_rerank" -> (Pipeline.mmrDiverseNeighbors _),
     "q136_hard_negatives" -> (Pipeline.hardNegativePairs _),
+    "q137_bpe_merges" -> (Pipeline.bpeMergeTable _),
+    "q138_cms_frequency" -> (Pipeline.cmsTokenFrequencyReport _),
+    "q139_matryoshka_rerank" -> (Pipeline.matryoshkaNeighbors _),
+    "q140_bpe_compression" -> (Pipeline.bpeCompressionBySource _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1498,6 +1502,41 @@ object SparkEntry {
           |    PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS neg_rank
           |  FROM neg)
           |WHERE neg_rank <= 3 ORDER BY vec_id, neg_rank""".stripMargin),
+    "q137_bpe_merges" -> bpeOracleSql(10),
+    "q140_bpe_compression" -> bpeCompressionOracleSql(10),
+    // the d×w counter grid rebuilt from scratch over the distinct-token
+    // frame; estimates = min over the 4 rows at each probe's buckets
+    "q138_cms_frequency" ->
+      """WITH tc AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+        |  GROUP BY 1),
+        |probes AS (SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 20),
+        |sk AS (
+        |  SELECT j AS row_id,
+        |    CAST(('0x' || substring(sha256('cms:' || CAST(j AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 32 AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS counter
+        |  FROM tc, range(0, 4) t(j) GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.token, min(s.counter) AS cms_estimate
+        |  FROM probes p, range(0, 4) t(j)
+        |  JOIN sk s ON s.row_id = t.j
+        |   AND s.bucket = CAST(('0x' || substring(sha256('cms:' || CAST(t.j AS VARCHAR) || ':' || p.token), 1, 15)) AS BIGINT) % 32
+        |  GROUP BY 1)
+        |SELECT p.token, p.cnt AS true_count, e.cms_estimate
+        |FROM probes p JOIN est e ON p.token = e.token
+        |ORDER BY true_count DESC, p.token""".stripMargin,
+    // the two-stage funnel replayed: prefix-16 coarse top-50, exact
+    // full-dimension re-rank to 10 — same fold arithmetic at both stages
+    "q139_matryoshka_rerank" ->
+      s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT vec_id, embedding,
+        |    ${cosineSql("list_slice(embedding, 1, 16)", "list_slice(qv.q, 1, 16)")} AS coarse_sim
+        |  FROM embeddings, qv WHERE vec_id <> 0
+        |  ORDER BY coarse_sim DESC, vec_id LIMIT 50)
+        |SELECT c.vec_id, c.coarse_sim, ${cosineSql("c.embedding", "qv.q")} AS cosine_sim
+        |FROM coarse c, qv ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
     // the one-day production capstone recomputed from scratch: exact +
     // near-dup admission of the % 10 = 5 delta (refreshDayCtes), the
     // 0.75 quality gate, the curriculum epoch tiers and seed-42 keys,
@@ -2300,6 +2339,72 @@ object SparkEntry {
        |  GROUP BY c.vec_id)
        |ORDER BY adc_dist ASC, vec_id LIMIT $topK""".stripMargin
   }
+
+  /** q137 oracle: from-scratch BPE merge induction over the word-frequency
+    * table. Per step `k`: `best{k}` is the argmax pair (count desc, then
+    * lhs/rhs ascending) over the symbols AFTER merges 1..k−1; `app{k}` is a
+    * recursive CTE replaying the greedy left-to-right merge fold per word
+    * (the same (emitted-prefix, pending-symbol) state machine as the Spark
+    * `aggregate` fold); `syms{k}` flushes the pending symbol. The
+    * MATERIALIZED hints are load-bearing: without them DuckDB re-inlines
+    * the entire prefix pipeline into every iteration of every downstream
+    * recursion and the query never finishes.
+    */
+  private def bpeCtes(n: Int): String = {
+    def step(k: Int): String =
+      s"""best$k AS MATERIALIZED (
+        |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS c FROM (
+        |    SELECT unnest(syms[1:len(syms)-1]) AS lhs, unnest(syms[2:len(syms)]) AS rhs, freq
+        |    FROM syms${k - 1} WHERE len(syms) >= 2)
+        |  GROUP BY 1, 2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+        |app$k AS (
+        |  SELECT word, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS out, CAST(NULL AS VARCHAR) AS pend
+        |  FROM syms${k - 1}
+        |  UNION ALL
+        |  SELECT a.word, a.freq, a.syms, a.i + 1,
+        |    CASE WHEN a.pend IS NULL THEN a.out
+        |         WHEN a.pend = b.lhs AND a.syms[a.i] = b.rhs THEN list_append(a.out, a.pend || a.syms[a.i])
+        |         ELSE list_append(a.out, a.pend) END,
+        |    CASE WHEN a.pend IS NULL THEN a.syms[a.i]
+        |         WHEN a.pend = b.lhs AND a.syms[a.i] = b.rhs THEN NULL
+        |         ELSE a.syms[a.i] END
+        |  FROM app$k a, best$k b WHERE a.i <= len(a.syms)),
+        |syms$k AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    CASE WHEN pend IS NULL THEN out ELSE list_append(out, pend) END AS syms
+        |  FROM app$k WHERE i = len(syms) + 1)""".stripMargin
+    """WITH RECURSIVE words AS MATERIALIZED (
+      |  SELECT w AS word, count(*) AS freq FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+      |  GROUP BY 1),
+      |syms0 AS MATERIALIZED (SELECT word, freq, regexp_extract_all(word, '[a-z0-9]') AS syms FROM words),
+      |""".stripMargin +
+      (1 to n).map(step).mkString(",\n")
+  }
+
+  private def bpeOracleSql(n: Int): String =
+    bpeCtes(n) + "\n" +
+      (1 to n).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, c AS pair_count FROM best$k")
+        .mkString(" UNION ALL ") +
+      " ORDER BY step"
+
+  /** q140 oracle: segment the vocabulary with the SAME recursive-CTE
+    * machinery (10 trained merges applied), then account the corpus word
+    * stream against that vocab dimension per source.
+    */
+  private def bpeCompressionOracleSql(n: Int): String =
+    bpeCtes(n) + s""",
+      |seg AS MATERIALIZED (
+      |  SELECT word, CAST(length(word) AS BIGINT) AS chars, CAST(len(syms) AS BIGINT) AS seglen
+      |  FROM syms$n),
+      |docw AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents)
+      |SELECT d.source, count(*) AS word_count,
+      |  CAST(sum(s.chars) AS BIGINT) AS char_count,
+      |  CAST(sum(s.seglen) AS BIGINT) AS bpe_token_count
+      |FROM docw d JOIN seg s ON d.word = s.word
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB cosine-similarity SQL over two list expressions — the ONE copy
     * of the determinism-critical fold (CAST placement, sequential

@@ -147,6 +147,43 @@ object Similarity {
         col("neighbor_id"), col("neighbor_label"), col("cosine_sim"))
   }
 
+  /** Matryoshka-style two-stage retrieval: a COARSE pass scores every
+    * vector by the cosine of its first `coarseDims` components against the
+    * query prefix and keeps the top `coarseK`; an exact full-dimension
+    * re-rank over those candidates returns the final top `k`. The standard
+    * cheap-filter-then-refine funnel used with prefix-truncatable
+    * (Matryoshka) embeddings — stage 1 reads `coarseDims/d` of the vector
+    * bytes per row.
+    *
+    * One corpus scan total: the candidate vectors ride THROUGH the coarse
+    * TakeOrdered (coarseK · d floats of shuffle payload, a constant), so
+    * the refine stage never rejoins the corpus. Both cosines use the
+    * certified sequential-fold expression — the funnel's selections are
+    * bit-reproducible.
+    */
+  def refineTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      coarseDims: Int,
+      coarseK: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val coarseQ = array(query.take(coarseDims).map(lit): _*)
+    val fullQ = array(query.map(lit): _*)
+    val base = excludeId.map(e => emb.where(col(idCol) =!= e)).getOrElse(emb)
+    base
+      .select(col(idCol), col(vecCol),
+        cosineFast(slice(col(vecCol), 1, coarseDims), coarseQ).as("coarse_sim"))
+      .orderBy(col("coarse_sim").desc, col(idCol))
+      .limit(coarseK)
+      .select(col(idCol), col("coarse_sim"),
+        cosineFast(col(vecCol), fullQ).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: rank candidates whose hyperplane signature differs
     * from the query signature in at most `maxBitDiff` of `nPlanes` bits,
     * then exact-rank the survivors. Returns the same schema as brute force;

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Analytics, Curation, Dedup, Similarity}
+import graft.operators.{Analytics, Curation, Dedup, Similarity, Sketches, Tokenizer}
 import graft.lineage.Lineage
 
 /** LLM-training-data pipeline operators (dedup, text analysis, similarity
@@ -825,6 +825,55 @@ object Pipeline {
       Tables(spark, dir).embeddings, "vec_id", "embedding", "label",
       k = 3, nPlanes = 8, maxBucketSize = 200)
       .orderBy(col("vec_id"), col("neg_rank"))
+
+  /** q137 — BPE merge induction ([[Tokenizer.bpeMerges]]): 10 merges over
+    * the documents corpus. Probed at sf0.01: a broken apply step (pair
+    * counts recomputed on raw characters with chosen pairs excluded)
+    * diverges from step 6 on — step 6 picks ('m','er'), a pair whose rhs
+    * only exists because step 1 merged ('e','r') — so each row past 5
+    * certifies the previous folds corpus-wide.
+    */
+  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame =
+    Tokenizer.bpeMerges(Tables(spark, dir).documents, "text", numMerges = 10)
+
+  /** q138 — count–min sketch frequency report ([[Sketches
+    * .cmsTokenFrequency]]): d=4 × w=32 sketch probed at the corpus's own
+    * top-20 tokens. Probed at sf0.01: 16/20 estimates exact, 4 inflated by
+    * live collisions — the min-over-rows is load-bearing in both
+    * directions.
+    */
+  def cmsTokenFrequencyReport(spark: SparkSession, dir: String): DataFrame =
+    Sketches.cmsTokenFrequency(
+      Tables(spark, dir).documents, "text", depth = 4, width = 32, topK = 20)
+
+  /** q139 — Matryoshka two-stage retrieval ([[Similarity.refineTopK]]):
+    * coarse 16-dim-prefix cosine top-50, exact 64-dim re-rank to 10.
+    * Probed at sf0.01: the funnel's ids {365,334,423,483,…} differ from
+    * BOTH the exact full-dim top-10 (which keeps 387/73/7 that the coarse
+    * stage prunes) and the coarse-only order — both stages load-bearing.
+    */
+  def matryoshkaNeighbors(spark: SparkSession, dir: String): DataFrame =
+    Similarity.refineTopK(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      query = queryVector(spark, dir), k = 10, coarseDims = 16, coarseK = 50,
+      excludeId = Some(0L))
+
+  /** q140 — BPE compression report ([[Tokenizer.bpeCompressionReport]]):
+    * the 10 q137-trained merges applied corpus-wide, accounted per source
+    * (word / char / BPE-token counts). Certifies `bpeEncode`'s apply path
+    * at corpus scale — the oracle re-trains from scratch AND re-segments
+    * via its own recursive-CTE fold, so a divergence in ANY of the 10
+    * folds shows up in `bpe_token_count`.
+    */
+  def bpeCompressionBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val merges = Tokenizer.bpeMerges(docs, "text", numMerges = 10)
+      .collect()                       // the 10-row trained model (bounded)
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    Tokenizer.bpeCompressionReport(docs, "text", "source", merges)
+  }
 
   /** q39 — IVF ANN with seeded coarse centroids: vectors 1..4 act as the
     * (deterministic) centroid set, every vector is assigned to its nearest

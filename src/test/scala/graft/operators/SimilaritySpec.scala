@@ -297,6 +297,30 @@ class SimilaritySpec extends SparkSpec {
     assert(all.length == 4 && all.distinct.length == 4)
   }
 
+  test("matryoshka refine: coarse prefix prunes, exact re-rank orders") {
+    import spark.implicits._
+    // planted: B looks better than C on the 2-dim prefix but worse on the
+    // full 4 dims — with coarseK=2 the funnel keeps {A,B}; with coarseK=3
+    // the exact re-rank recovers the true top-2 {A,C}
+    val planted = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // A: perfect everywhere
+      (2L, Seq(0.8f, 0.01f, 0.6f, 0.0f)),  // B: coarse ~1.0, full ~0.8
+      (3L, Seq(0.6f, 0.25f, 0.0f, 0.0f))   // C: coarse ~0.92, full ~0.92
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val narrow = Similarity.refineTopK(planted, "vec_id", "embedding", q,
+      k = 2, coarseDims = 2, coarseK = 2).collect()
+    assert(narrow.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "coarseK=2 must prune C before the re-rank sees it")
+    val wide = Similarity.refineTopK(planted, "vec_id", "embedding", q,
+      k = 2, coarseDims = 2, coarseK = 3).collect()
+    assert(wide.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "with C in the pool the exact re-rank must prefer it over B")
+    // full-dim similarity strictly ordered within the result
+    val sims = wide.map(_.getAs[Double]("cosine_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("hard negatives: never a same-label pair, ranks contiguous and similarity-ordered") {
     val neg = Similarity.hardNegatives(Tables(spark, Sf0001).embeddings,
       "vec_id", "embedding", "label", k = 3).collect()
