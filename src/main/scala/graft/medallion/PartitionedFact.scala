@@ -99,14 +99,13 @@ object PartitionedFact {
       .unionByName(keyed.select(survivors.columns.map(col): _*))
       .localCheckpoint()
 
-    val overwriteMode = "spark.sql.sources.partitionOverwriteMode"
-    val previous = spark.conf.getOption(overwriteMode)
-    spark.conf.set(overwriteMode, "dynamic")
-    try merged.write.mode(SaveMode.Overwrite).partitionBy(parts: _*).parquet(path)
-    finally previous match {
-      case Some(v) => spark.conf.set(overwriteMode, v)
-      case None    => spark.conf.unset(overwriteMode)
-    }
+    // dynamic overwrite as a per-WRITE option (overrides the session conf) —
+    // scoped to this write, invisible to concurrent writers on the session
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(parts: _*)
+      .parquet(path)
     // the session-wide file-status cache still lists the replaced files
     spark.catalog.refreshByPath(path)
   }

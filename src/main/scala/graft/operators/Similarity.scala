@@ -66,16 +66,21 @@ object Similarity {
       excludeId: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // element type read as Number so both array<float> and array<double>
+    // vector columns work (a raw getSeq[Float] on a double column compiles
+    // but ClassCastExceptions at runtime); float inputs widen exactly, so
+    // the arithmetic is unchanged for the certified float path
     val pool = bruteForceTopK(emb, idCol, vecCol, query, poolSize, excludeId)
       .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol).cast("long"), col("cosine_sim"), col(vecCol))
       .collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2)))
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Number](2).map(_.doubleValue): Seq[Double]))
       .sortBy(_._1)
     // sequential folds in the exact order of the certified cosine HOF
     // formulation (dot, then |a|², then |b|²) — bit-identical across
     // engines
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -88,7 +93,7 @@ object Similarity {
     val remaining = scala.collection.mutable.LinkedHashMap(
       pool.map(c => c._1 -> c).toIndexedSeq: _*)
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-    val chosenVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    val chosenVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
     while (chosen.size < k && remaining.nonEmpty) {
       val best = remaining.values.map { c =>
         val penalty =

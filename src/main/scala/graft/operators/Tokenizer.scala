@@ -72,19 +72,29 @@ object Tokenizer {
     * (lhs, rhs) ascending; binary (codepoint) string order in both
     * engines.
     *
-    * The vocabulary frame is persisted once; step `k` re-applies the first
-    * `k−1` folds on top of it (map-only column work over the vocab — a
-    * production run training thousands of merges would checkpoint the
-    * symbol frame every ~50 steps to keep the plan bounded, the same
-    * lineage-checkpoint contract the index-refresh loops document).
+    * The vocabulary frame is persisted once; step `k` re-applies the
+    * folds since the last checkpoint on top of it (map-only column work
+    * over the vocab). Every `checkpointEvery` steps the symbol frame is
+    * materialized via an eager `localCheckpoint` that TRUNCATES the plan,
+    * so Catalyst analysis cost stays bounded at thousands of merges
+    * instead of growing quadratically in `numMerges` — the same
+    * lineage-checkpoint contract the index-refresh loops execute (a
+    * cluster deployment would use a reliable `checkpoint()`/parquet
+    * round-trip so the truncated lineage survives executor loss).
     */
-  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      checkpointEvery: Int = 50): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val words = vocab(df, textCol)
     words.persist()
     try {
       var cur: DataFrame = words
+      var lastCheckpoint: Option[DataFrame] = None
       val merges = Seq.newBuilder[(Long, String, String, Long)]
       var step = 1
       var exhausted = false
@@ -106,9 +116,16 @@ object Tokenizer {
           val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((step.toLong, l, r, c))
           cur = cur.select(col("freq"), applyMerge(col("syms"), l, r).as("syms"))
+          if (step % checkpointEvery == 0) {
+            val snapped = cur.localCheckpoint(true)
+            lastCheckpoint.foreach(_.unpersist(blocking = false))
+            lastCheckpoint = Some(snapped)
+            cur = snapped
+          }
           step += 1
         }
       }
+      lastCheckpoint.foreach(_.unpersist(blocking = false))
       merges.result().toDF("step", "lhs", "rhs", "pair_count")
     } finally words.unpersist(blocking = false)
   }
@@ -147,8 +164,12 @@ object Tokenizer {
     *
     * Scale shape: segmentation (the `numMerges` nested folds) runs over
     * the DISTINCT-word frame only; the corpus-sized word stream joins that
-    * vocab dimension by broadcast and aggregates with map-side combine —
-    * the folds never run per occurrence.
+    * vocab dimension and aggregates with map-side combine — the folds
+    * never run per occurrence. The join strategy is deliberately LEFT TO
+    * AQE: the distinct-word vocabulary is unbounded (10⁸–10⁹ words at
+    * 100 TB), so a forced broadcast would bypass Spark's size-based
+    * fallback and OOM the driver; AQE broadcasts when the measured vocab
+    * fits and falls back to a sort-merge join on `word` when it does not.
     */
   def bpeCompressionReport(
       df: DataFrame,
@@ -168,7 +189,7 @@ object Tokenizer {
         size(segmented).cast("long").as("seglen"))
     df.select(col(sourceCol).as("source"), explode(
         regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("word"))
-      .join(broadcast(vocabSeg), Seq("word"))
+      .join(vocabSeg, Seq("word"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("word_count"),

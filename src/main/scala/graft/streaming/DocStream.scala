@@ -711,27 +711,22 @@ object DocStream {
       sinkDir: String,
       seed: Long,
       shardsPerEpoch: Int,
-      maxRecordsPerFile: Int): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val previous = batch.sparkSession.conf.getOption(key)
-    batch.sparkSession.conf.set(key, "dynamic")
-    try
-      Curation.curriculumShards(
-          Curation.curriculumOrder(batch, "doc_id", "text", seed),
-          shardsPerEpoch)
-        .withColumn("batch_id", lit(batchId))
-        .repartition(col("epoch_idx"), col("shard"))
-        .sortWithinPartitions(col("epoch_idx"), col("shard"), col("order_key"))
-        .write
-        .partitionBy("epoch_idx", "shard", "batch_id")
-        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-        .mode("overwrite")
-        .parquet(sinkDir)
-    finally previous match {
-      case Some(v) => batch.sparkSession.conf.set(key, v)
-      case None    => batch.sparkSession.conf.unset(key)
-    }
-  }
+      maxRecordsPerFile: Int): Unit =
+    // dynamic overwrite is requested as a per-WRITE option (takes precedence
+    // over the session conf), so a concurrent partitioned overwrite on the
+    // shared session never inherits dynamic semantics from this micro-batch
+    Curation.curriculumShards(
+        Curation.curriculumOrder(batch, "doc_id", "text", seed),
+        shardsPerEpoch)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("epoch_idx"), col("shard"))
+      .sortWithinPartitions(col("epoch_idx"), col("shard"), col("order_key"))
+      .write
+      .partitionBy("epoch_idx", "shard", "batch_id")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(sinkDir)
 
   /** Shared gate predicates: `_q_ok` (quality score ≥ threshold) and `_r_ok`
     * (distinct-token ratio ≥ 0.3, the repetition gate). Both [[curate]] and

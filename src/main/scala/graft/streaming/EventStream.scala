@@ -153,22 +153,15 @@ object EventStream {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // scoped conf change: leaking dynamic overwrite mode would silently
-        // change semantics for every other writer on the shared session
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val previous = batch.sparkSession.conf.getOption(key)
-        batch.sparkSession.conf.set(key, "dynamic")
-        try
-          batch
-            .withColumn("_batch_id", lit(batchId))
-            .write
-            .partitionBy("_batch_id")
-            .mode("overwrite")
-            .parquet(tablePath)
-        finally previous match {
-          case Some(v) => batch.sparkSession.conf.set(key, v)
-          case None    => batch.sparkSession.conf.unset(key)
-        }
+        // dynamic overwrite as a per-WRITE option (overrides the session
+        // conf) — other writers on the shared session never see it
+        batch
+          .withColumn("_batch_id", lit(batchId))
+          .write
+          .partitionBy("_batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(tablePath)
       }
       .start()
 }

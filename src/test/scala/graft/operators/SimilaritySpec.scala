@@ -295,6 +295,13 @@ class SimilaritySpec extends SparkSpec {
     val all = Similarity.mmrTopK(planted, "vec_id", "embedding", q,
       k = 10, poolSize = 4, lambda = 0.5).collect().map(_.getLong(1))
     assert(all.length == 4 && all.distinct.length == 4)
+    // an array<double> vector column must produce the same selection (the
+    // pool read matches on element type instead of assuming float)
+    val asDouble = planted.selectExpr("vec_id",
+      "transform(embedding, x -> cast(x as double)) as embedding")
+    val mmrD = Similarity.mmrTopK(asDouble, "vec_id", "embedding", q,
+      k = 3, poolSize = 4, lambda = 0.5).collect()
+    assert(mmrD.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
   }
 
   test("matryoshka refine: coarse prefix prunes, exact re-rank orders") {

@@ -39,6 +39,17 @@ class TokenizerSpec extends SparkSpec {
       (3L, "b", "an", 4L)))
   }
 
+  test("bpeMerges: lineage checkpointing every N steps leaves the model unchanged") {
+    // checkpointEvery=2 forces two plan truncations inside an 8-step run;
+    // the merge table (the model) must be identical to the default path
+    val docs = Seq("banana banana", "banana bandana", "cabana band").toDF("text")
+    val expected = Tokenizer.bpeMerges(docs, "text", numMerges = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val snapped = Tokenizer.bpeMerges(docs, "text", numMerges = 8, checkpointEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(snapped.toList == expected.toList)
+  }
+
   test("bpeMerges: stops early when no pair remains") {
     val docs = Seq("ab ab").toDF("text")
     val merges = Tokenizer.bpeMerges(docs, "text", numMerges = 5).collect()
