@@ -158,6 +158,8 @@ object SparkEntry {
     "q138_cms_frequency" -> (Pipeline.cmsTokenFrequencyReport _),
     "q139_matryoshka_rerank" -> (Pipeline.matryoshkaNeighbors _),
     "q140_bpe_compression" -> (Pipeline.bpeCompressionBySource _),
+    "q141_bm25_retrieval" -> (Pipeline.bm25Retrieval _),
+    "q142_bm25_refreshed_probe" -> (Pipeline.bm25RefreshedProbe _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1504,6 +1506,8 @@ object SparkEntry {
           |WHERE neg_rank <= 3 ORDER BY vec_id, neg_rank""".stripMargin),
     "q137_bpe_merges" -> bpeOracleSql(10),
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
+    "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
+    "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
     // the d×w counter grid rebuilt from scratch over the distinct-token
     // frame; estimates = min over the 4 rows at each probe's buckets
     "q138_cms_frequency" ->
@@ -2380,6 +2384,46 @@ object SparkEntry {
       |syms0 AS MATERIALIZED (SELECT word, freq, regexp_extract_all(word, '[a-z0-9]') AS syms FROM words),
       |""".stripMargin +
       (1 to n).map(step).mkString(",\n")
+  }
+
+  /** BM25 oracle, shared by q141 (direct build) and q142 (refreshed-index
+    * probe — the oracle rebuilds from the FULL corpus from scratch, which
+    * is exactly what certifies refresh ≡ rebuild). Mirrors
+    * [[graft.operators.Retrieval.bm25Probe]]'s arithmetic contract:
+    * rational idf (no `ln` — libm is not bit-stable across engines), every
+    * literal cast to DOUBLE (DuckDB types bare literals DECIMAL), and the
+    * per-doc sum folded in ascending-token order via `list_reduce` (the
+    * first element serves as init; `0.0 + c` ≡ `c` so it matches Spark's
+    * zero-seeded `aggregate` fold bit-for-bit).
+    */
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    raw"""WITH toks AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n_docs, sum(len(ts)) AS total_tokens FROM toks),
+      |inst AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM toks),
+      |post AS (
+      |  SELECT doc_id, dl, token, count(*) AS tf FROM inst
+      |  WHERE token IN ($termList) GROUP BY 1, 2, 3),
+      |dfc AS (SELECT token, count(*) AS df_count FROM post GROUP BY 1),
+      |contrib AS (
+      |  SELECT p.doc_id, p.token,
+      |    ((CAST(s.n_docs - d.df_count AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |      / (CAST(d.df_count AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |    * ((CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |      / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |         * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE)
+      |            * (CAST(p.dl AS DOUBLE)
+      |               / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS contrib
+      |  FROM post p JOIN dfc d USING (token), stats s),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+      |    list_reduce(list(contrib ORDER BY token), (a, b) -> a + b) AS score
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank,
+      |  doc_id, matched_terms, score
+      |FROM agg ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   private def bpeOracleSql(n: Int): String =

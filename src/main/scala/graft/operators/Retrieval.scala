@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** BM25 keyword retrieval over an inverted index — the lexical half of a
+  * training-data / RAG retrieval stack (the embedding half is
+  * [[Similarity]]). Extends the reference's analytics surface with the
+  * retrieval primitives a corpus pipeline needs: build postings once,
+  * probe them per query, fold a delta day in without a rebuild.
+  *
+  * Components:
+  *   - [[invertedIndex]] — postings `(token, doc_id, tf, dl)`: ONE
+  *     tokenize pass, one aggregation. The artifact a 100 TB deployment
+  *     materializes (partitioned/bucketed by token so a probe's
+  *     `token IN (…)` prunes to the query's row groups).
+  *   - [[corpusStats]] — `(n_docs, total_tokens)`: one map-side-combined
+  *     aggregation to a single row.
+  *   - [[bm25Probe]] — score a query against a prebuilt index: all work
+  *     after the postings filter is QUERY-sized (matched postings →
+  *     per-term df → per-doc fold → TakeOrdered top-k); the corpus never
+  *     re-shuffles.
+  *   - [[bm25TopK]] — convenience: build + probe in one call (two corpus
+  *     scans, both collapsing map-side; the probe filter is applied BEFORE
+  *     the tf aggregation so the groupBy only sees matching tokens).
+  *   - [[refreshInvertedIndex]] / [[refreshCorpusStats]] — the daily fold:
+  *     postings are disjoint-additive across new doc ids and the stats row
+  *     is element-wise additive, so refresh ≡ rebuild EXACTLY (the same
+  *     algebra the MinHash/embedding index refresh loops certify); the
+  *     delta is tokenized once and the base index is never re-scanned.
+  *
+  * Cross-engine determinism (the certification contract): BM25's usual
+  * `ln((N−df+0.5)/(df+0.5))` idf is NOT bit-stable across engines (libm
+  * `ln` differs in ULPs between the JVM and DuckDB — the precedent
+  * [[Curation.targetAffinity]] documents), so the score uses the RATIONAL
+  * idf `(N−df+0.5)/(df+0.5)` — the same monotone-in-df ordering, computed
+  * with only IEEE-correctly-rounded +,−,×,÷. Per-doc summation order is
+  * pinned by folding contributions in ascending-token order (sort_array →
+  * sequential `aggregate` fold), mirroring the oracle's
+  * `list_reduce(list(contrib ORDER BY token))`.
+  */
+object Retrieval {
+
+  /** Postings list `(token, doc_id, tf, dl)` — term frequency per
+    * (token, document) plus the document length `dl` (token count) carried
+    * on every posting so the probe never rejoins the corpus for lengths.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+
+  /** Corpus-level BM25 normalization state: ONE row `(n_docs,
+    * total_tokens)`. Both fields are plain sums, so shard stats merge by
+    * addition — the property [[refreshCorpusStats]] exploits.
+    */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+
+  /** Fold a day of NEW documents into an existing postings index. Delta
+    * doc ids must be disjoint from the base's (new documents, the bronze
+    * append contract) — then `(token, doc_id)` keys cannot collide and the
+    * union IS the rebuilt index, row for row. The base index is touched
+    * only by the union (no re-scan, no re-shuffle of old postings).
+    */
+  def refreshInvertedIndex(
+      base: DataFrame,
+      deltaDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    base.unionByName(invertedIndex(deltaDocs, idCol, textCol))
+
+  /** Fold a delta's stats row into the base's: element-wise addition via a
+    * union + re-aggregate (two 1-row inputs — the cross-engine-exact twin
+    * of merging counters).
+    */
+  def refreshCorpusStats(base: DataFrame, deltaDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    base.unionByName(corpusStats(deltaDocs, idCol, textCol))
+      .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
+
+  /** BM25 top-`k` against a prebuilt `(token, doc_id, tf, dl)` postings
+    * index and 1-row stats frame. Returns `(bm25_rank, doc_id,
+    * matched_terms, score)`.
+    *
+    * Scale shape: the `token IN (terms)` filter is the FIRST touch of the
+    * postings (pushed to the scan on a token-partitioned layout); df
+    * counts, the per-doc fold, and the ranking all run over
+    * query-matched postings only. The stats row attaches via the
+    * constant-key scalar broadcast join ([[graft.core.ScalarJoin]] —
+    * BroadcastHashJoin, not a nested loop). Top-k is `orderBy.limit` →
+    * TakeOrdered, never a global sort.
+    */
+  def bm25Probe(
+      postings: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 query needs at least one term")
+    val matched = postings.where(col("token").isin(terms.map(lit): _*))
+    val dfCounts = matched.groupBy("token").agg(count(lit(1)).as("df_count"))
+    val scored = graft.core.ScalarJoin.withScalars(
+        matched.join(dfCounts, Seq("token")), stats)
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        ((col("n_docs") - col("df_count")).cast("double") + lit(0.5)) /
+          (col("df_count").cast("double") + lit(0.5)))
+      .withColumn("tf_term",
+        (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") + lit(k1) *
+            ((lit(1.0) - lit(b)) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("contrib", col("idf") * col("tf_term"))
+    scored
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("matched_terms"),
+        sort_array(collect_list(struct(col("token"), col("contrib")))).as("cs"))
+      .withColumn("score",
+        aggregate(col("cs"), lit(0.0), (acc, s) => acc + s.getField("contrib")))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long").as("bm25_rank"),
+        col("doc_id"), col("matched_terms"), col("score"))
+  }
+
+  /** Build-and-probe convenience: two corpus scans (stats + postings),
+    * both collapsing map-side; the term filter lands BEFORE the tf
+    * aggregation so the shuffle carries matching tokens only.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .where(col("token").isin(terms.map(lit): _*))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_tokens"))
+    bm25Probe(postings, stats, terms, k, k1, b)
+  }
+}

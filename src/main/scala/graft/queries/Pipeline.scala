@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Analytics, Curation, Dedup, Similarity, Sketches, Tokenizer}
+import graft.operators.{Analytics, Curation, Dedup, Retrieval, Similarity, Sketches, Tokenizer}
 import graft.lineage.Lineage
 
 /** LLM-training-data pipeline operators (dedup, text analysis, similarity
@@ -2207,6 +2207,40 @@ object Pipeline {
       .select(lit(3).cast("int").as("day"), col("doc_id"))
     admittedDays.reduce(_ unionByName _).unionByName(day3)
       .orderBy(col("day"), col("doc_id"))
+  }
+
+  /** q141 — BM25 keyword retrieval ([[Retrieval.bm25TopK]]): top-15 docs
+    * for the two-term query {dup, join}. `dup` is the corpus's one rare
+    * token (df ≈ 26 at sf0.01) and `join` its most common (df ≈ 400+), so
+    * the rational-idf weighting is load-bearing: a df-blind scorer would
+    * let high-tf `join` docs swamp the `dup` matches. Scores use only
+    * IEEE +,−,×,÷ with the per-doc fold pinned to ascending-token order —
+    * bit-identical to the oracle's `list_reduce`.
+    */
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables(spark, dir).documents, "doc_id", "text",
+      terms = Seq("dup", "join"), k = 15)
+
+  /** q142 — BM25 over a REFRESHED inverted index
+    * ([[Retrieval.refreshInvertedIndex]]): the base index is built from
+    * docs with `doc_id % 5 != 0`, the delta day (`% 5 == 0`) is folded in
+    * postings-additively, and the probe runs against the refreshed index +
+    * stats. The oracle recomputes BM25 from the FULL corpus from scratch,
+    * so the green row certifies refresh ≡ rebuild on the lexical tier —
+    * the same daily-fold algebra as the MinHash/embedding loops (q121/
+    * q125): disjoint new doc ids make postings unions exact and the stats
+    * row element-wise additive. Terms {dup, scan} differ from q141's so
+    * the two certifications don't alias.
+    */
+  def bm25RefreshedProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val base = d.where(col("doc_id") % 5 =!= 0)
+    val delta = d.where(col("doc_id") % 5 === 0)
+    val postings = Retrieval.refreshInvertedIndex(
+      Retrieval.invertedIndex(base, "doc_id", "text"), delta, "doc_id", "text")
+    val stats = Retrieval.refreshCorpusStats(
+      Retrieval.corpusStats(base, "doc_id", "text"), delta, "doc_id", "text")
+    Retrieval.bm25Probe(postings, stats, terms = Seq("dup", "scan"), k = 12)
   }
 
   /** q118 — quality-aware canonical selection over the q52 clusters
