@@ -160,6 +160,7 @@ object SparkEntry {
     "q140_bpe_compression" -> (Pipeline.bpeCompressionBySource _),
     "q141_bm25_retrieval" -> (Pipeline.bm25Retrieval _),
     "q142_bm25_refreshed_probe" -> (Pipeline.bm25RefreshedProbe _),
+    "q143_semdedup_clusters" -> (Pipeline.semDedupClustered _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1508,6 +1509,37 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // SemDeDup: q39's seeded nearest-centroid assignment (ties -> lowest
+    // cid), per-cluster id-capped membership, then the one-pass pairwise
+    // prune — dropped_by = min lower-id tau-similar same-cluster member
+    "q143_semdedup_clusters" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ${cosineSql("e.embedding", "c.cv")} AS s
+        |  FROM embeddings e, c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT vec_id, embedding, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1),
+        |capped AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT vec_id, embedding, cid,
+        |      row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS cr
+        |    FROM assign)
+        |  WHERE cr <= 1000),
+        |dropped AS (
+        |  SELECT b.vec_id AS dup_id, min(a.vec_id) AS dropper
+        |  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= CAST(0.45 AS DOUBLE)
+        |  GROUP BY b.vec_id)
+        |SELECT s.vec_id, CAST(s.cid AS INTEGER) AS cluster_id,
+        |  CAST(CASE WHEN d.dropper IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        |  CAST(coalesce(d.dropper, -1) AS BIGINT) AS dropped_by
+        |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.dup_id
+        |ORDER BY s.vec_id""".stripMargin,
     // the d×w counter grid rebuilt from scratch over the distinct-token
     // frame; estimates = min over the 4 rows at each probe's buckets
     "q138_cms_frequency" ->

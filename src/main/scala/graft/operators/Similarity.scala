@@ -437,6 +437,62 @@ object Similarity {
       .select(col("label"), col("n_vecs"), col("n_clusters"), col("top_share"), col("simpson"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then prune τ-similar pairs WITHIN each
+    * cluster only — the clustering is the LSH-bucket philosophy for
+    * cosine dedup (bound the quadratic to Σ cluster², never corpus²).
+    * Returns every vector as `(vec_id, cluster_id, kept, dropped_by)`:
+    * `kept = 0` iff SOME lower-id member of the same cluster is τ-similar,
+    * and `dropped_by` is the smallest such keeper id (−1 when kept).
+    *
+    * Drop semantics are the one-pass pairwise rule: a vector is dropped
+    * even if its dropper is itself dropped (chains a<b<c with
+    * cos(a,b) ≥ τ ≥ cos(b,c) but cos(a,c) < τ drop both b and c). The
+    * greedy sequential variant differs only on such chains and needs an
+    * ordered per-cluster scan, which distributes poorly; the pairwise rule
+    * is one self-equi-join. Deterministic: min-id keeper, exact cosine.
+    *
+    * Scale shape: assignment is a map-only pass over centroid literals
+    * ([[ivfAssign]]); the prune self-joins each cluster on `centroid_id`
+    * with `id_a < id_b` — Σ cluster² candidate work, bounded by
+    * `maxClusterSize` (per-cluster membership is capped to the first
+    * `maxClusterSize` ids via one window; over-cap members are kept
+    * unconditionally and documented as un-pruned — size k so clusters
+    * land under the cap, exactly the capped-bucket discipline of
+    * [[Dedup.embeddingNearDuplicates]]). Vectors move once into the
+    * cluster shuffle; the verdict join back is ids-only.
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      tau: Double,
+      maxClusterSize: Int = 1000): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id")).orderBy(col(idCol))
+    val inPrune = assigned
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= maxClusterSize)
+      .drop("_rank")
+    val dropped = inPrune.as("a")
+      .join(inPrune.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .where(cosineFast(col(s"a.$vecCol"), col(s"b.$vecCol")) >= tau)
+      .groupBy(col(s"b.$idCol").as("_dup_id"))
+      .agg(min(col(s"a.$idCol")).as("_dropped_by"))
+    assigned
+      .join(dropped, col(idCol) === col("_dup_id"), "left")
+      .select(
+        col(idCol),
+        col("centroid_id").as("cluster_id"),
+        when(col("_dropped_by").isNull, 1L).otherwise(0L).as("kept"),
+        coalesce(col("_dropped_by"), lit(-1L)).as("dropped_by"))
+  }
+
   /** Eval-set contamination in embedding space: for each eval item, its
     * best (highest-cosine) training-corpus match at or above `minCosine` —
     * the embedding-space analog of the n-gram contamination check, used to

