@@ -161,6 +161,7 @@ object SparkEntry {
     "q141_bm25_retrieval" -> (Pipeline.bm25Retrieval _),
     "q142_bm25_refreshed_probe" -> (Pipeline.bm25RefreshedProbe _),
     "q143_semdedup_clusters" -> (Pipeline.semDedupClustered _),
+    "q144_quantized_retrieval" -> (Pipeline.quantizedRetrieval _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1509,6 +1510,41 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // int8 quantized retrieval: per-dim min/max calibration, the clamped
+    // floor encode mirrored expression-for-expression, integer-dot coarse
+    // ranking (exact, order-free), exact cosine joined for the winners
+    "q144_quantized_retrieval" -> {
+      def code(x: String): String =
+        s"""(CASE WHEN prm.maxs[i] = prm.mins[i] THEN CAST(0 AS BIGINT)
+           |      ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+           |        floor((CAST($x AS DOUBLE) - prm.mins[i])
+           |          * (CAST(255 AS DOUBLE) / (prm.maxs[i] - prm.mins[i]))
+           |          + CAST(0.5 AS DOUBLE)))) AS BIGINT) END - CAST(128 AS BIGINT))""".stripMargin
+      s"""WITH dims AS (
+        |  SELECT unnest(generate_series(1, len(embedding))) AS dim, unnest(embedding) AS x
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT dim, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+        |  FROM dims GROUP BY dim),
+        |prm AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM p),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qc AS (
+        |  SELECT list_transform(generate_series(1, len(q.qv)), i -> ${code("q.qv[i]")}) AS qcodes
+        |  FROM q, prm),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    CAST(list_reduce(
+        |      list_transform(generate_series(1, len(e.embedding)),
+        |        i -> ${code("e.embedding[i]")} * qc.qcodes[i]),
+        |      (a, b) -> a + b) AS BIGINT) AS qscore
+        |  FROM embeddings e, prm, qc WHERE e.vec_id <> 0),
+        |top AS (SELECT vec_id, qscore FROM scored ORDER BY qscore DESC, vec_id LIMIT 15)
+        |SELECT CAST(row_number() OVER (ORDER BY t.qscore DESC, t.vec_id) AS BIGINT) AS q_rank,
+        |  t.vec_id, t.qscore,
+        |  ${cosineSql("e.embedding", "q.qv")} AS cosine_sim
+        |FROM top t JOIN embeddings e ON t.vec_id = e.vec_id, q
+        |ORDER BY q_rank""".stripMargin
+    },
     // SemDeDup: q39's seeded nearest-centroid assignment (ties -> lowest
     // cid), per-cluster id-capped membership, then the one-pass pairwise
     // prune — dropped_by = min lower-id tau-similar same-cluster member

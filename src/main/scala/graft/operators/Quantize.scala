@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosineFast
+
+/** Int8 scalar quantization of embedding columns — the memory-bound ANN
+  * path: per-dimension min/max calibration, a map-only encode to int8
+  * codes (4× smaller than float32, 8× than float64; integer SIMD dot
+  * products), and quantized top-k retrieval scored entirely in exact
+  * integer arithmetic.
+  *
+  * Cross-engine contract: calibration emits RAW column min/max (no
+  * arithmetic → bit-exact); the encode is one pinned-order float
+  * expression per component ending in `floor` (exactly rounded), clamped
+  * to [0, 255] and shifted to [−128, 127]; retrieval scores are BIGINT
+  * sums of code products — integer addition is exact and
+  * order-independent, so the ranking needs no fold-order pinning at all.
+  *
+  * Scale shape: calibration is ONE posexplode + per-dimension min/max
+  * (map-side combined, d rows of final state); only the d-row parameter
+  * table reaches the driver (the bounded-artifact precedent of the IVF
+  * centroids and PQ codebooks). Encode and scoring are map-only over the
+  * corpus with the parameters riding as literals; top-k is
+  * `orderBy.limit` → TakeOrdered.
+  */
+object Quantize {
+
+  /** Per-dimension calibration `(dim, min_val, max_val)` — dim is
+    * 0-based. One scan, d rows out.
+    */
+  def quantizationParams(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(min(col("x").cast("double")).as("min_val"),
+        max(col("x").cast("double")).as("max_val"))
+
+  /** The shared encode expression: `clamp(floor((x − mn)·(255/(mx − mn)) +
+    * 0.5), 0, 255) − 128`, with degenerate dimensions (mx = mn) pinned to
+    * code −128. Every operation is IEEE-correctly-rounded, so the codes
+    * are bit-identical in any engine that mirrors the expression order.
+    */
+  private def codeExpr(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0L)).otherwise(
+      least(lit(255.0), greatest(lit(0.0),
+        floor((x.cast("double") - mn) * (lit(255.0) / (mx - mn)) + lit(0.5))))
+        .cast("long")) - lit(128L)
+
+  /** Encode driver-side with the same arithmetic (for query vectors —
+    * the JVM's IEEE ops match the column expression bit-for-bit).
+    */
+  private[graft] def encodeLocal(
+      v: Seq[Double], params: Seq[(Double, Double)]): Seq[Long] =
+    v.zip(params).map { case (x, (mn, mx)) =>
+      (if (mx == mn) 0L
+       else math.min(255.0, math.max(0.0,
+         math.floor((x - mn) * (255.0 / (mx - mn)) + 0.5))).toLong) - 128L
+    }
+
+  /** Corpus encode: `(idCol, codes array<long>)` — map-only; `params` is
+    * the collected d-row calibration (index = dim).
+    */
+  /** The codes column for `vec` under `params` — usable in any projection
+    * (map-only; the parameters ride as literal arrays).
+    */
+  def codesCol(vec: Column, params: Seq[(Double, Double)]): Column = {
+    val mins = array(params.map(p => lit(p._1)): _*)
+    val maxs = array(params.map(p => lit(p._2)): _*)
+    transform(arrays_zip(vec.as("x"), mins.as("mn"), maxs.as("mx")),
+      s => codeExpr(s.getField("x"), s.getField("mn"), s.getField("mx")))
+  }
+
+  def scalarQuantize(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: Seq[(Double, Double)]): DataFrame =
+    emb.select(col(idCol), codesCol(col(vecCol), params).as("codes"))
+
+  /** Collect the calibration table into the parameter vector (d rows of
+    * driver state). */
+  def collectParams(emb: DataFrame, vecCol: String): Seq[(Double, Double)] =
+    quantizationParams(emb, vecCol)
+      .orderBy(col("dim")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+
+  /** Quantized top-k: encode corpus and query under the same calibration,
+    * score by the EXACT integer dot product of the int8 codes, then fetch
+    * the certified float cosine for the k PICKED vectors only — the
+    * two-stage shape of a memory-bound retriever. Returns `(q_rank,
+    * idCol, qscore, cosine_sim)`; integer scores make the coarse ranking
+    * trivially engine-portable; ties break by ascending id.
+    *
+    * Stage 1 touches codes only (with a materialized `codes` column the
+    * scan never reads the float vectors — the 4× I/O cut is the point of
+    * int8); stage 2 joins the k winners back for exact cosines — a
+    * k-row broadcast join, never a second full-width pass.
+    */
+  def quantizedTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      params: Seq[(Double, Double)],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val qCodes = encodeLocal(query, params)
+    val qLit = array(qCodes.map(lit): _*)
+    val qVec = array(query.map(lit): _*)
+    val base = excludeId.map(e => emb.where(col(idCol) =!= e)).getOrElse(emb)
+    val picked = base
+      .select(col(idCol),
+        aggregate(zip_with(codesCol(col(vecCol), params), qLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol))
+      .limit(k)
+    broadcast(picked)
+      .join(base.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("qscore").desc, col(idCol))).cast("long").as("q_rank"),
+        col(idCol), col("qscore"),
+        cosineFast(col(vecCol), qVec).as("cosine_sim"))
+      .orderBy(col("q_rank"))
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Analytics, Curation, Dedup, Retrieval, Similarity, Sketches, Tokenizer}
+import graft.operators.{Analytics, Curation, Dedup, Quantize, Retrieval, Similarity, Sketches, Tokenizer}
 import graft.lineage.Lineage
 
 /** LLM-training-data pipeline operators (dedup, text analysis, similarity
@@ -2256,6 +2256,23 @@ object Pipeline {
     val emb = Tables(spark, dir).embeddings
     Similarity.semDedup(emb, "vec_id", "embedding", seedCentroids(emb), tau = 0.45)
       .orderBy(col("vec_id"))
+  }
+
+  /** q144 — int8-quantized retrieval ([[Quantize.quantizedTopK]]): the
+    * corpus is calibrated per-dimension (min/max), encoded to int8 codes,
+    * and vec_id 0's top-15 neighbors are ranked by the EXACT integer dot
+    * product of the codes, with the certified float cosine fetched for
+    * the 15 winners only (k-row broadcast join back — the two-stage
+    * memory-bound retriever). Integer coarse scores need no fold-order
+    * pinning at all; the oracle recomputes calibration, encode, and
+    * scoring from scratch.
+    */
+  def quantizedRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Quantize.quantizedTopK(emb, "vec_id", "embedding",
+      query = queryVector(spark, dir),
+      params = Quantize.collectParams(emb, "embedding"),
+      k = 15, excludeId = Some(0L))
   }
 
   /** q118 — quality-aware canonical selection over the q52 clusters

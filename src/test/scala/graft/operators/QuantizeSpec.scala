@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scalarQuantize: hand-computed codes, endpoints hit -128/127") {
+    val df = Seq(
+      (1L, Seq(0.0f, 10.0f, 7.0f)),
+      (2L, Seq(5.0f, 20.0f, 7.0f)),
+      (3L, Seq(10.0f, 30.0f, 7.0f))   // dim 2 is degenerate (constant)
+    ).toDF("vec_id", "embedding")
+    val params = Quantize.collectParams(df, "embedding")
+    assert(params == Seq((0.0, 10.0), (10.0, 30.0), (7.0, 7.0)))
+    val codes = Quantize.scalarQuantize(df, "vec_id", "embedding", params)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(codes(1L) == List(-128L, -128L, -128L), "min maps to -128; degenerate pinned")
+    assert(codes(2L) == List(0L, 0L, -128L), "midpoint maps to 0")
+    assert(codes(3L) == List(127L, 127L, -128L), "max maps to 127")
+  }
+
+  test("encodeLocal (driver) == scalarQuantize (executor) bit-for-bit") {
+    val df = Seq(
+      (1L, Seq(0.13f, -2.7f, 9.81f)),
+      (2L, Seq(1.62f, 3.14f, -0.58f)),
+      (3L, Seq(-7.4f, 0.0f, 2.72f))
+    ).toDF("vec_id", "embedding")
+    val params = Quantize.collectParams(df, "embedding")
+    val dist = Quantize.scalarQuantize(df, "vec_id", "embedding", params)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    rows.foreach { case (id, v) =>
+      assert(Quantize.encodeLocal(v, params).toList == dist(id),
+        s"driver and executor encodes must agree for $id")
+    }
+  }
+
+  test("quantizedTopK: integer scores rank correctly, exact cosine attached") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),    // query
+      (1L, Seq(0.9f, 0.1f)),    // close
+      (2L, Seq(0.5f, 0.5f)),    // mid
+      (3L, Seq(-1.0f, 1.0f))    // far
+    ).toDF("vec_id", "embedding")
+    val params = Quantize.collectParams(df, "embedding")
+    val q = Seq(1.0, 0.0)
+    val out = Quantize.quantizedTopK(df, "vec_id", "embedding", q, params,
+      k = 3, excludeId = Some(0L)).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L), "quantized order matches geometry")
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "dense ranks")
+    // scores are the exact integer dots of the int8 codes
+    val codes = Quantize.scalarQuantize(df, "vec_id", "embedding", params)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val qc = Quantize.encodeLocal(q, params)
+    out.foreach { r =>
+      val want = codes(r.getLong(1)).zip(qc).map { case (a, b) => a * b }.sum
+      assert(r.getLong(2) == want, s"qscore must be the exact integer dot for ${r.getLong(1)}")
+    }
+    // exact cosine rides along for the picked rows
+    assert(out.head.getDouble(3) > 0.9 && out.last.getDouble(3) < 0.0)
+  }
+}
