@@ -162,6 +162,7 @@ object SparkEntry {
     "q142_bm25_refreshed_probe" -> (Pipeline.bm25RefreshedProbe _),
     "q143_semdedup_clusters" -> (Pipeline.semDedupClustered _),
     "q144_quantized_retrieval" -> (Pipeline.quantizedRetrieval _),
+    "q145_hybrid_retrieval" -> (Pipeline.hybridRetrieval _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1510,6 +1511,34 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // RRF hybrid fusion: BM25 top-20 (lexical arm, the shared q141 CTE
+    // chain) + exact cosine top-20 (semantic arm, the q40 arithmetic),
+    // 1/(60+rank) contributions folded in retriever order
+    "q145_hybrid_retrieval" ->
+      s"""WITH ${bm25CoreCtes(Seq("dup", "merge"))},
+        |lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+        |  FROM agg ORDER BY score DESC, doc_id LIMIT 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |sem AS (
+        |  SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT) AS r
+        |  FROM (
+        |    SELECT e.vec_id, ${cosineSql("e.embedding", "q.qv")} AS cs
+        |    FROM embeddings e, q WHERE e.vec_id <> 0)
+        |  ORDER BY cs DESC, doc_id LIMIT 20),
+        |contribs AS (
+        |  SELECT doc_id, 0 AS src,
+        |    CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r AS DOUBLE)) AS c FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS src,
+        |    CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(r AS DOUBLE)) AS c FROM sem),
+        |fused AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sources,
+        |    list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS rrf_score
+        |  FROM contribs GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank,
+        |  doc_id, sources, rrf_score
+        |FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     // int8 quantized retrieval: per-dim min/max calibration, the clamped
     // floor encode mirrored expression-for-expression, integer-dot coarse
     // ranking (exact, order-free), exact cosine joined for the winners
@@ -2464,9 +2493,14 @@ object SparkEntry {
     * first element serves as init; `0.0 + c` ≡ `c` so it matches Spark's
     * zero-seeded `aggregate` fold bit-for-bit).
     */
-  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+  /** The shared BM25 CTE chain ending in `agg(doc_id, matched_terms,
+    * score)` — reused verbatim by q141/q142 (direct/refreshed probes) and
+    * q145 (the lexical arm of the hybrid fusion) so the scoring
+    * arithmetic cannot drift between certifications.
+    */
+  private def bm25CoreCtes(terms: Seq[String]): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    raw"""WITH toks AS (
+    raw"""toks AS (
       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
       |  FROM documents),
       |stats AS (SELECT count(*) AS n_docs, sum(len(ts)) AS total_tokens FROM toks),
@@ -2488,11 +2522,14 @@ object SparkEntry {
       |agg AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
       |    list_reduce(list(contrib ORDER BY token), (a, b) -> a + b) AS score
-      |  FROM contrib GROUP BY doc_id)
+      |  FROM contrib GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bm25OracleSql(terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25CoreCtes(terms)}
       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank,
       |  doc_id, matched_terms, score
       |FROM agg ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
-  }
 
   private def bpeOracleSql(n: Int): String =
     bpeCtes(n) + "\n" +

@@ -135,6 +135,51 @@ object Retrieval {
         col("doc_id"), col("matched_terms"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * search combiner: each input ranking contributes `1/(rrfK + rank)` per
+    * document and the contributions sum; rank-based fusion needs no score
+    * normalization across heterogeneous retrievers (BM25 scores and
+    * cosines are not commensurable — their RANKS are).
+    *
+    * Inputs are `(id, rank)` frames, one per retriever, in a FIXED order:
+    * the per-doc sum folds contributions by retriever index
+    * (sort_array over (src, contrib) structs → sequential `aggregate`),
+    * so the float addition order is pinned for the cross-engine contract
+    * even though fused lists are tiny. Returns `(rrf_rank, idCol,
+    * sources, rrf_score)` — `sources` counts how many retrievers
+    * surfaced the doc; ties break by ascending id.
+    *
+    * Scale shape: the inputs are already top-N lists (N rows each, not
+    * corpus-sized), so fusion is an N·retrievers-row union + one tiny
+    * aggregation — the expensive work happened inside the retrievers,
+    * which keep their own certified scale shapes.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), lit(i).as("_src"), col("rank").cast("double").as("_rank"))
+    }
+    tagged.reduce(_ unionByName _)
+      .select(col(idCol), col("_src"),
+        (lit(1.0) / (lit(rrfK.toDouble) + col("_rank"))).as("_c"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("sources"),
+        sort_array(collect_list(struct(col("_src"), col("_c")))).as("_cs"))
+      .withColumn("rrf_score",
+        aggregate(col("_cs"), lit(0.0), (acc, s) => acc + s.getField("_c")))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_score").desc, col(idCol))).cast("long").as("rrf_rank"),
+        col(idCol), col("sources"), col("rrf_score"))
+  }
+
   /** Build-and-probe convenience: two corpus scans (stats + postings),
     * both collapsing map-side; the term filter lands BEFORE the tf
     * aggregation so the shuffle carries matching tokens only.

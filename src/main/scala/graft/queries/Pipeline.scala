@@ -2275,6 +2275,28 @@ object Pipeline {
       k = 15, excludeId = Some(0L))
   }
 
+  /** q145 — hybrid retrieval via reciprocal-rank fusion
+    * ([[Retrieval.rrfFuse]]): the BM25 top-20 for {dup, merge} and the
+    * exact cosine top-20 of vec_id 0 fused at rrfK = 60 into a top-10.
+    * Probed at sf0.01: the fused list contains docs surfaced by only ONE
+    * retriever on each side plus both-retriever docs ranked first — both
+    * sublists and the 1/(60+rank) weighting are load-bearing. Rank-based
+    * fusion (not score-based) is the point: BM25 scores and cosines are
+    * not commensurable.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lex = Retrieval.bm25TopK(t.documents, "doc_id", "text",
+      terms = Seq("dup", "merge"), k = 20)
+      .select(col("doc_id"), col("bm25_rank").as("rank"))
+    val sem = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding",
+      query = queryVector(spark, dir), k = 20, excludeId = Some(0L))
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine_sim").desc, col("vec_id"))).cast("long").as("rank"))
+    Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
+  }
+
   /** q118 — quality-aware canonical selection over the q52 clusters
     * ([[Dedup.canonicalByQuality]]): per near-dup cluster, the
     * highest-quality member (ties by lowest id) — the keep-the-best-copy

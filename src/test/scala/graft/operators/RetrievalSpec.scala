@@ -76,6 +76,20 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall(_.getLong(2) == 1L))
   }
 
+  test("rrfFuse: both-list docs outrank single-list docs; 1/(60+rank) weighting") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 20: 1/62 + 1/61 ≈ .0325 beats 10: 1/61 + 1/63 ≈ .0323; both beat
+    // single-list 40 (1/62) and 30 (1/63)
+    assert(out.map(_._2).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(out.map(_._3).toSeq == Seq(2L, 2L, 1L, 1L), "sources counts")
+    val expected20 = 1.0 / (60.0 + 2.0) + 1.0 / (60.0 + 1.0)
+    assert(out.head._4 == 0.0 + 1.0 / (60.0 + 2.0) + 1.0 / (60.0 + 1.0) &&
+      out.head._4 == expected20, "pinned-order fold, bit-exact")
+  }
+
   test("refreshInvertedIndex/refreshCorpusStats: refresh == rebuild exactly") {
     val base = corpus.where($"doc_id" % 2 =!= 0)
     val delta = corpus.where($"doc_id" % 2 === 0)
