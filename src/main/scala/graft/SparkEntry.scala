@@ -163,6 +163,7 @@ object SparkEntry {
     "q143_semdedup_clusters" -> (Pipeline.semDedupClustered _),
     "q144_quantized_retrieval" -> (Pipeline.quantizedRetrieval _),
     "q145_hybrid_retrieval" -> (Pipeline.hybridRetrieval _),
+    "q146_calibration_drift" -> (Pipeline.calibrationDriftReport _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1511,6 +1512,23 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // calibration drift: old = base-slice min/max, new = FULL-corpus
+    // min/max from scratch (base ∪ delta = corpus, so this certifies the
+    // mergeable-params fold); 0-based dims to match posexplode
+    "q146_calibration_drift" ->
+      """WITH db AS (
+        |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim, unnest(embedding) AS x
+        |  FROM embeddings WHERE vec_id % 4 <> 1),
+        |b AS (SELECT dim, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx FROM db GROUP BY dim),
+        |df AS (
+        |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim, unnest(embedding) AS x
+        |  FROM embeddings),
+        |f AS (SELECT dim, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx FROM df GROUP BY dim)
+        |SELECT CAST(b.dim AS BIGINT) AS dim, b.mn AS old_min, b.mx AS old_max,
+        |  f.mn AS new_min, f.mx AS new_max,
+        |  CAST(CASE WHEN f.mn < b.mn OR f.mx > b.mx THEN 1 ELSE 0 END AS BIGINT) AS drifted
+        |FROM b JOIN f ON b.dim = f.dim
+        |ORDER BY dim""".stripMargin,
     // RRF hybrid fusion: BM25 top-20 (lexical arm, the shared q141 CTE
     // chain) + exact cosine top-20 (semantic arm, the q40 arithmetic),
     // 1/(60+rank) contributions folded in retriever order

@@ -78,6 +78,42 @@ object Quantize {
       params: Seq[(Double, Double)]): DataFrame =
     emb.select(col(idCol), codesCol(col(vecCol), params).as("codes"))
 
+  /** Fold a delta day into an existing calibration: per-dimension min/max
+    * are mergeable (min of mins, max of maxes), so the refresh is one
+    * d-row union + re-aggregate — the base corpus is never re-scanned.
+    */
+  def refreshParams(base: DataFrame, deltaEmb: DataFrame, vecCol: String): DataFrame =
+    base.unionByName(quantizationParams(deltaEmb, vecCol))
+      .groupBy("dim")
+      .agg(min("min_val").as("min_val"), max("max_val").as("max_val"))
+
+  /** Calibration-drift report — THE production question for an int8
+    * index: scalar-quantization codes are valid only under the
+    * calibration that produced them, and a delta day that extends a
+    * dimension's min/max silently shifts every existing code on that
+    * dimension. Returns per-dimension `(dim, old_min, old_max, new_min,
+    * new_max, drifted)` (drifted = 1 iff the range moved): drifted = 0
+    * everywhere means the standing corpus's codes stay valid and the
+    * delta is encode-and-append; any drifted dimension requires a
+    * re-encode of that dimension's codes (map-only, but a full-corpus
+    * touch — which is why the report exists).
+    *
+    * Raw min/max comparisons only — no arithmetic — so the report is
+    * bit-exact across engines by construction. One delta scan + two
+    * d-row joins.
+    */
+  def calibrationDrift(
+      baseParams: DataFrame, deltaEmb: DataFrame, vecCol: String): DataFrame = {
+    val refreshed = refreshParams(baseParams, deltaEmb, vecCol)
+      .select(col("dim"), col("min_val").as("new_min"), col("max_val").as("new_max"))
+    baseParams
+      .select(col("dim"), col("min_val").as("old_min"), col("max_val").as("old_max"))
+      .join(refreshed, Seq("dim"))
+      .select(col("dim"), col("old_min"), col("old_max"), col("new_min"), col("new_max"),
+        when(col("new_min") < col("old_min") || col("new_max") > col("old_max"), 1L)
+          .otherwise(0L).as("drifted"))
+  }
+
   /** Collect the calibration table into the parameter vector (d rows of
     * driver state). */
   def collectParams(emb: DataFrame, vecCol: String): Seq[(Double, Double)] =

@@ -2221,25 +2221,30 @@ object Pipeline {
     Retrieval.bm25TopK(Tables(spark, dir).documents, "doc_id", "text",
       terms = Seq("dup", "join"), k = 15)
 
-  /** q142 — BM25 over a REFRESHED inverted index
-    * ([[Retrieval.refreshInvertedIndex]]): the base index is built from
-    * docs with `doc_id % 5 != 0`, the delta day (`% 5 == 0`) is folded in
-    * postings-additively, and the probe runs against the refreshed index +
-    * stats. The oracle recomputes BM25 from the FULL corpus from scratch,
-    * so the green row certifies refresh ≡ rebuild on the lexical tier —
-    * the same daily-fold algebra as the MinHash/embedding loops (q121/
-    * q125): disjoint new doc ids make postings unions exact and the stats
-    * row element-wise additive. Terms {dup, scan} differ from q141's so
-    * the two certifications don't alias.
+  /** q142 — BM25 over a CHECKPOINTED-then-refreshed inverted index
+    * ([[Retrieval.refreshInvertedIndex]]): the base index (docs with
+    * `doc_id % 5 != 0`) and its stats row are WRITTEN to parquet — the
+    * lineage checkpoint a daily lexical loop commits — and the delta day
+    * (`% 5 == 0`) is folded postings-additively into the READ-BACK state
+    * before the probe. The oracle recomputes BM25 from the FULL corpus
+    * from scratch, so the green row certifies refresh ≡ rebuild THROUGH
+    * the storage round-trip — the same daily-fold algebra as the MinHash/
+    * embedding loops (q121/q127): disjoint new doc ids make postings
+    * unions exact and the stats row element-wise additive. Terms
+    * {dup, scan} differ from q141's so the two certifications don't
+    * alias.
     */
   def bm25RefreshedProbe(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
+    val tmp = scratchDir("graft_q142_")
     val base = d.where(col("doc_id") % 5 =!= 0)
     val delta = d.where(col("doc_id") % 5 === 0)
+    Retrieval.invertedIndex(base, "doc_id", "text").write.parquet(s"$tmp/postings")
+    Retrieval.corpusStats(base, "doc_id", "text").write.parquet(s"$tmp/stats")
     val postings = Retrieval.refreshInvertedIndex(
-      Retrieval.invertedIndex(base, "doc_id", "text"), delta, "doc_id", "text")
+      spark.read.parquet(s"$tmp/postings"), delta, "doc_id", "text")
     val stats = Retrieval.refreshCorpusStats(
-      Retrieval.corpusStats(base, "doc_id", "text"), delta, "doc_id", "text")
+      spark.read.parquet(s"$tmp/stats"), delta, "doc_id", "text")
     Retrieval.bm25Probe(postings, stats, terms = Seq("dup", "scan"), k = 12)
   }
 
@@ -2295,6 +2300,26 @@ object Pipeline {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cosine_sim").desc, col("vec_id"))).cast("long").as("rank"))
     Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 10)
+  }
+
+  /** q146 — quantization calibration drift ([[Quantize.calibrationDrift]]):
+    * the int8 calibration from the standing corpus (vec_id % 4 ≠ 1) folded
+    * with the delta day (% 4 = 1) — min/max are mergeable, so the refresh
+    * never re-scans the base — and every dimension reports whether its
+    * range moved. drifted = 1 means that dimension's existing codes are
+    * invalid and need a (map-only, full-corpus) re-encode; the report is
+    * what lets a daily loop SKIP that touch when nothing drifted. The
+    * oracle computes old from the base slice and new from the full corpus
+    * from scratch, certifying merge ≡ rebuild. Raw min/max only — exact by
+    * construction; at sf0.01 both drift classes are populated.
+    */
+  def calibrationDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val base = emb.where(col("vec_id") % 4 =!= 1)
+    val delta = emb.where(col("vec_id") % 4 === 1)
+    Quantize.calibrationDrift(
+      Quantize.quantizationParams(base, "embedding"), delta, "embedding")
+      .orderBy("dim")
   }
 
   /** q118 — quality-aware canonical selection over the q52 clusters

@@ -37,6 +37,29 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("refreshParams merges min/max; calibrationDrift flags moved ranges only") {
+    val base = Seq(
+      (1L, Seq(0.0f, 5.0f, 1.0f)),
+      (2L, Seq(10.0f, 8.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (3L, Seq(4.0f, 9.0f, 1.5f))   // dim0 inside, dim1 extends max, dim2 inside
+    ).toDF("vec_id", "embedding")
+    val bp = Quantize.quantizationParams(base, "embedding")
+    val merged = Quantize.refreshParams(bp, delta, "embedding")
+      .orderBy("dim").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(merged.toList == List((0L, 0.0, 10.0), (1L, 5.0, 9.0), (2L, 1.0, 2.0)))
+    // merge == rebuild from the union
+    val rebuilt = Quantize.quantizationParams(base.unionByName(delta), "embedding")
+      .orderBy("dim").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(merged.toList == rebuilt.toList)
+    val drift = Quantize.calibrationDrift(bp, delta, "embedding")
+      .orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toList
+    assert(drift == List((0L, 0L), (1L, 1L), (2L, 0L)),
+      "only the dimension whose range moved is flagged")
+  }
+
   test("quantizedTopK: integer scores rank correctly, exact cosine attached") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)),    // query
