@@ -164,6 +164,7 @@ object SparkEntry {
     "q144_quantized_retrieval" -> (Pipeline.quantizedRetrieval _),
     "q145_hybrid_retrieval" -> (Pipeline.hybridRetrieval _),
     "q146_calibration_drift" -> (Pipeline.calibrationDriftReport _),
+    "q147_streaming_quantized_dedup" -> (Pipeline.streamingQuantizedDedup _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1512,6 +1513,34 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // streaming quantized admission: corpus-slice calibration, int8 codes,
+    // 8-plane Sha60 buckets with the 200-cap, admitted = arrivals with NO
+    // same-bucket corpus row at integer code dot >= 30000
+    "q147_streaming_quantized_dedup" ->
+      ("WITH " + embSigCtes + ",\n" +
+        s"""cd AS (
+          |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim, unnest(embedding) AS x
+          |  FROM embeddings WHERE vec_id % 10 <> 0),
+          |p2 AS (SELECT dim, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx FROM cd GROUP BY dim),
+          |prm AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM p2),
+          |corpcap AS (
+          |  SELECT vec_id, embedding, sig FROM (
+          |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs
+          |    FROM esigs WHERE vec_id % 10 <> 0)
+          |  WHERE bs <= 200),
+          |ccodes AS (
+          |  SELECT sig, list_transform(generate_series(1, len(embedding)), i -> ${quantCodeSql("embedding[i]")}) AS codes
+          |  FROM corpcap, prm),
+          |arr AS (SELECT vec_id, embedding, sig FROM esigs WHERE vec_id % 10 = 0),
+          |acodes AS (
+          |  SELECT vec_id, sig, list_transform(generate_series(1, len(embedding)), i -> ${quantCodeSql("embedding[i]")}) AS codes
+          |  FROM arr, prm),
+          |hits AS (
+          |  SELECT DISTINCT a.vec_id FROM acodes a JOIN ccodes c ON a.sig = c.sig
+          |  WHERE CAST(list_reduce(list_transform(list_zip(a.codes, c.codes), z -> z[1] * z[2]),
+          |    (x, y) -> x + y) AS BIGINT) >= CAST(30000 AS BIGINT))
+          |SELECT vec_id FROM arr WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+          |ORDER BY vec_id""".stripMargin),
     // calibration drift: old = base-slice min/max, new = FULL-corpus
     // min/max from scratch (base ∪ delta = corpus, so this certifies the
     // mergeable-params fold); 0-based dims to match posexplode
@@ -1561,12 +1590,7 @@ object SparkEntry {
     // floor encode mirrored expression-for-expression, integer-dot coarse
     // ranking (exact, order-free), exact cosine joined for the winners
     "q144_quantized_retrieval" -> {
-      def code(x: String): String =
-        s"""(CASE WHEN prm.maxs[i] = prm.mins[i] THEN CAST(0 AS BIGINT)
-           |      ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
-           |        floor((CAST($x AS DOUBLE) - prm.mins[i])
-           |          * (CAST(255 AS DOUBLE) / (prm.maxs[i] - prm.mins[i]))
-           |          + CAST(0.5 AS DOUBLE)))) AS BIGINT) END - CAST(128 AS BIGINT))""".stripMargin
+      def code(x: String): String = quantCodeSql(x)
       s"""WITH dims AS (
         |  SELECT unnest(generate_series(1, len(embedding))) AS dim, unnest(embedding) AS x
         |  FROM embeddings),
@@ -2542,6 +2566,18 @@ object SparkEntry {
       |    list_reduce(list(contrib ORDER BY token), (a, b) -> a + b) AS score
       |  FROM contrib GROUP BY doc_id)""".stripMargin
   }
+
+  /** The int8 encode mirrored expression-for-expression from
+    * [[graft.operators.Quantize.codesCol]] — expects `prm(mins, maxs)` in
+    * scope and a 1-based index binding `i`. Shared by q144 and q147 so
+    * the encode arithmetic cannot drift between certifications.
+    */
+  private def quantCodeSql(x: String): String =
+    s"""(CASE WHEN prm.maxs[i] = prm.mins[i] THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+       |        floor((CAST($x AS DOUBLE) - prm.mins[i])
+       |          * (CAST(255 AS DOUBLE) / (prm.maxs[i] - prm.mins[i]))
+       |          + CAST(0.5 AS DOUBLE)))) AS BIGINT) END - CAST(128 AS BIGINT))""".stripMargin
 
   private def bm25OracleSql(terms: Seq[String], k: Int): String =
     s"""WITH ${bm25CoreCtes(terms)}

@@ -1838,6 +1838,41 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** q147 — streaming INT8-QUANTIZED dedup admission certified through the
+    * STREAM path: q119's hyperplane-bucket admission with the probe-side
+    * state quantized to int8 codes under the CORPUS calibration
+    * ([[graft.streaming.DocStream.quantizedCorpusIndex]] — a quarter of
+    * the re-broadcast bytes per micro-batch) and the gate scored by the
+    * EXACT integer code dot (≥ 30000) instead of float cosine. Arriving
+    * vectors (% 10 = 0) encode map-only under the same calibration.
+    * Probed at sf0.01: 15 of 50 arrivals are rejected at the threshold —
+    * both verdicts populated; the oracle rebuilds calibration, codes,
+    * buckets, and the anti-join from scratch.
+    */
+  def streamingQuantizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val e = Tables(spark, dir).embeddings
+    val corpus = e.where(col("vec_id") % 10 =!= 0)
+    val arriving = e.where(col("vec_id") % 10 === 0)
+    val params = Quantize.collectParams(corpus, "embedding")
+    val index = DocStream.quantizedCorpusIndex(corpus, "vec_id", "embedding",
+      params, nPlanes = 8, maxBucketSize = 200)
+    val tmp = runDroppedStream(spark, arriving, files = 4, perTrigger = 1, "graft_q147_") {
+      (stream, t) =>
+        DocStream.dedupQuantizedAgainstCorpus(stream, index, "vec_id", "embedding",
+          params, minQDot = 30000L)
+          .writeStream
+          .option("checkpointLocation", s"$t/checkpoint")
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$t/admitted")
+          .start()
+    }
+    spark.read.parquet(s"$tmp/admitted")
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q121 — the daily index-refresh production loop certified END TO END,
     * through the stream path, across TWO days. This is the cycle a 100 TB
     * deployment runs every day; its pieces are individually certified

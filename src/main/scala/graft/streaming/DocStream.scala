@@ -142,6 +142,60 @@ object DocStream {
     EmbeddingIndexState(index, counts)
   }
 
+  /** Int8-quantized form of [[embeddingCorpusIndex]]: identical hyperplane
+    * buckets and cap discipline, but the probe-side payload is the int8
+    * CODES under `params` — a quarter of the float32 state (an eighth of
+    * float64), which is the point: the static side of a streaming
+    * admission join is re-broadcast every micro-batch, so its byte size
+    * is the recurring cost. Candidate scoring downstream is the exact
+    * integer code dot ([[dedupQuantizedAgainstCorpus]]).
+    */
+  def quantizedCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: Seq[(Double, Double)],
+      nPlanes: Int = 12,
+      maxBucketSize: Int = 200): DataFrame =
+    embeddingIndexState(corpus, idCol, vecCol, nPlanes, maxBucketSize).index
+      .select(col("_sig"), col("_c_id"),
+        graft.operators.Quantize.codesCol(col("_c_vec"), params).as("_c_codes"))
+
+  /** Quantized streaming dedup admission: the memory-bound twin of
+    * [[dedupEmbeddingsAgainstCorpus]] — same single stream–static
+    * `left_anti` with the gate folded into the join condition, but the
+    * similarity is the EXACT integer dot of the int8 codes (stream
+    * vectors encode map-only under the same `params` the index was built
+    * with) against `minQDot`. Integer scoring is engine-portable with no
+    * fold-order pinning; the calibration-coupling hazard (stale `params`
+    * after a drifted day) is exactly what [[graft.operators.Quantize
+    * .calibrationDrift]] reports.
+    */
+  def dedupQuantizedAgainstCorpus(
+      stream: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: Seq[(Double, Double)],
+      minQDot: Long): DataFrame = {
+    import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
+    val sigMeta = index.schema("_sig").metadata
+    require(sigMeta.contains(NPlanesMetaKey),
+      "index must come from DocStream.quantizedCorpusIndex (missing nPlanes metadata)")
+    val nPlanes = sigMeta.getLong(NPlanesMetaKey).toInt
+    val sigged = stream
+      .withColumn("_sig", hyperplaneFast(col(vecCol), nPlanes))
+      .withColumn("_codes", graft.operators.Quantize.codesCol(col(vecCol), params))
+    sigged
+      .join(
+        index,
+        sigged("_sig") === index("_sig") &&
+          aggregate(zip_with(col("_codes"), index("_c_codes"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x) >= minQDot,
+        "left_anti")
+      .drop("_sig", "_codes")
+  }
+
   private[graft] val NPlanesMetaKey = "graft.lsh.nPlanes"
   private[graft] val LshMaxBucketMetaKey = "graft.lsh.maxBucketSize"
 

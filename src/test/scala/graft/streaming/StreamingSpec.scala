@@ -289,6 +289,40 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("minhashCorpusIndex"))
   }
 
+  test("quantized admission: planted near-dup rejected, orthogonal admitted; codes payload only") {
+    import spark.implicits._
+    // corpus along +x; calibration over the corpus slice; an arriving copy
+    // of the corpus vector maxes the integer dot, an anti-correlated
+    // arrival bottoms it — the threshold separates them
+    val dim = 8
+    val corpus = Seq(
+      (2L, Array.tabulate(dim)(i => 1.0f + i)),
+      (4L, Array.tabulate(dim)(i => 1.1f + i))
+    ).toDF("vec_id", "embedding")
+    val arriving = Seq(
+      (11L, Array.tabulate(dim)(i => 1.0f + i)),        // copy of 2 -> reject
+      (13L, Array.tabulate(dim)(i => -(1.0f + i)))      // opposite -> admit
+    ).toDF("vec_id", "embedding")
+    val params = graft.operators.Quantize.collectParams(corpus, "embedding")
+    val index = DocStream.quantizedCorpusIndex(corpus, "vec_id", "embedding",
+      params, nPlanes = 8, maxBucketSize = 200)
+    assert(index.columns.toSeq == Seq("_sig", "_c_id", "_c_codes"),
+      "probe-side payload is codes, never the float vectors")
+    val admitted = DocStream.dedupQuantizedAgainstCorpus(
+      arriving, index, "vec_id", "embedding", params, minQDot = 1000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(13L),
+      s"copy must be rejected by the integer-dot gate, opposite admitted; got $admitted")
+    // index built under DIFFERENT metadata params must be rejected loudly
+    val bogus = index.select(col("_sig").cast("long").as("_sig"),
+      col("_c_id"), col("_c_codes"))
+    val err = intercept[IllegalArgumentException] {
+      DocStream.dedupQuantizedAgainstCorpus(
+        arriving, bogus, "vec_id", "embedding", params, minQDot = 1000L)
+    }
+    assert(err.getMessage.contains("quantizedCorpusIndex"))
+  }
+
   test("streaming embedding dedup equals the batch incremental near-dup complement") {
     val dir = java.nio.file.Files.createTempDirectory("graft-embdedup").toString
     java.nio.file.Files.copy(
