@@ -145,10 +145,13 @@ object Quantize {
     val qLit = array(qCodes.map(lit): _*)
     val qVec = array(query.map(lit): _*)
     val base = excludeId.map(e => emb.where(col(idCol) =!= e)).getOrElse(emb)
+    // quantizedDotFast = the native codegen kernel (bit-identical to the
+    // HOF fold — integer arithmetic, parity-tested) keeping the corpus
+    // scan inside WholeStageCodegen
     val picked = base
       .select(col(idCol),
-        aggregate(zip_with(codesCol(col(vecCol), params), qLit, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("qscore"))
+        graft.functions.QuantizedDot.quantizedDotFast(
+          codesCol(col(vecCol), params), qLit).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol))
       .limit(k)
     broadcast(picked)

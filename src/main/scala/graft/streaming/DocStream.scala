@@ -190,8 +190,8 @@ object DocStream {
       .join(
         index,
         sigged("_sig") === index("_sig") &&
-          aggregate(zip_with(col("_codes"), index("_c_codes"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x) >= minQDot,
+          graft.functions.QuantizedDot.quantizedDotFast(
+            col("_codes"), index("_c_codes")) >= minQDot,
         "left_anti")
       .drop("_sig", "_codes")
   }
