@@ -165,6 +165,7 @@ object SparkEntry {
     "q145_hybrid_retrieval" -> (Pipeline.hybridRetrieval _),
     "q146_calibration_drift" -> (Pipeline.calibrationDriftReport _),
     "q147_streaming_quantized_dedup" -> (Pipeline.streamingQuantizedDedup _),
+    "q148_ivf_sq8_retrieval" -> (Pipeline.ivfSq8Retrieval _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1513,6 +1514,45 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // IVF-SQ8: q39's seeded assignment + 2-probe pruning, with probed
+    // lists scored by the shared int8 encode's integer dot
+    "q148_ivf_sq8_retrieval" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |pd AS (
+        |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim, unnest(embedding) AS x
+        |  FROM embeddings),
+        |p2 AS (SELECT dim, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx FROM pd GROUP BY dim),
+        |prm AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM p2),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    ${cosineSql("e.embedding", "c.cv")} AS s
+        |  FROM embeddings e, c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT vec_id, embedding, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, ${cosineSql("c.cv", "q.qv")} AS sq FROM c, q)
+        |  ORDER BY sq DESC, cid LIMIT 2),
+        |qc AS (
+        |  SELECT list_transform(generate_series(1, len(q.qv)), i -> ${quantCodeSql("q.qv[i]")}) AS qcodes
+        |  FROM q, prm),
+        |scored AS (
+        |  SELECT a.vec_id, a.cid,
+        |    CAST(list_reduce(
+        |      list_transform(generate_series(1, len(a.embedding)),
+        |        i -> ${quantCodeSql("a.embedding[i]")} * qc.qcodes[i]),
+        |      (x, y) -> x + y) AS BIGINT) AS qscore
+        |  FROM assign a, qc, prm
+        |  WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0),
+        |top AS (SELECT vec_id, cid, qscore FROM scored ORDER BY qscore DESC, vec_id LIMIT 15)
+        |SELECT CAST(row_number() OVER (ORDER BY qscore DESC, vec_id) AS BIGINT) AS sq_rank,
+        |  vec_id, CAST(cid AS INTEGER) AS centroid_id, qscore
+        |FROM top ORDER BY sq_rank""".stripMargin,
     // streaming quantized admission: corpus-slice calibration, int8 codes,
     // 8-plane Sha60 buckets with the 200-cap, admitted = arrivals with NO
     // same-bucket corpus row at integer code dot >= 30000

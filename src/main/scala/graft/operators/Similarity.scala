@@ -336,6 +336,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-SQ8 query — the FAISS-style composite ANN index: coarse IVF
+    * partition pruning ([[ivfAssign]] lists, `nProbe` nearest probed) with
+    * the probed lists scored by the EXACT integer dot of int8 codes
+    * ([[Quantize.codesCol]] under a fixed calibration, the native
+    * [[graft.functions.QuantizedDot]] kernel). The two memory levers
+    * compose: IVF prunes which vectors are touched (~nProbe/k_lists of the
+    * corpus), SQ8 shrinks the bytes per touched vector 4×; a deployment
+    * materializes `(centroid_id, codes)` and the scan reads neither the
+    * float vectors nor the unprobed lists. Returns `(sq_rank, idCol,
+    * centroid_id, qscore)`; integer scores need no fold-order pinning.
+    */
+  def ivfSq8TopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      params: Seq[(Double, Double)],
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int = 2,
+      excludeId: Option[Long] = None): DataFrame = {
+    // probe choice = ivfTopK's driver-side argmax over the centroid
+    // literals (Scala .sum is the same left fold as the oracle's
+    // list_reduce, so the probed set is engine-portable)
+    def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      d / (na * nb)
+    }
+    val probeIds = centroids
+      .map { case (cid, c) => cid -> cosineLocal(query, c) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe)
+      .map(_._1)
+    val qLit = array(Quantize.encodeLocal(query, params).map(lit): _*)
+    val assigned = ivfAssign(emb, idCol, vecCol, centroids)
+    val base = excludeId.map(e => assigned.where(col(idCol) =!= e)).getOrElse(assigned)
+    base
+      .where(col("centroid_id").isin(probeIds: _*))
+      .select(col(idCol), col("centroid_id"),
+        graft.functions.QuantizedDot.quantizedDotFast(
+          Quantize.codesCol(col(vecCol), params), qLit).as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol))
+      .limit(k)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("qscore").desc, col(idCol))).cast("long").as("sq_rank"),
+        col(idCol), col("centroid_id"), col("qscore"))
+  }
+
   /** All-vectors kNN self-join: for EVERY vector, its top-`k` most similar
     * neighbors among same-LSH-bucket candidates — the batch similarity-join
     * primitive behind SemDeDup-style clustering diagnostics, hard-negative

@@ -2357,6 +2357,23 @@ object Pipeline {
       .orderBy("dim")
   }
 
+  /** q148 — IVF-SQ8 retrieval ([[Similarity.ivfSq8TopK]]): the q39 seed
+    * centroids prune to the 2 probed lists, the probed vectors score by
+    * the exact integer dot of their int8 codes (full-corpus calibration,
+    * as q144) — the FAISS composite shape from certified parts. Probed at
+    * sf0.01: the top-15 differs from BOTH q144 (no IVF pruning there —
+    * ids from unprobed lists appear in q144's answer) and q39 (float
+    * cosine there), so both composed stages are load-bearing.
+    */
+  def ivfSq8Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+      centroids = seedCentroids(emb),
+      params = Quantize.collectParams(emb, "embedding"),
+      query = queryVector(spark, dir), k = 15, nProbe = 2,
+      excludeId = Some(0L))
+  }
+
   /** q118 — quality-aware canonical selection over the q52 clusters
     * ([[Dedup.canonicalByQuality]]): per near-dup cluster, the
     * highest-quality member (ties by lowest id) — the keep-the-best-copy

@@ -60,6 +60,38 @@ class QuantizeSpec extends SparkSpec {
       "only the dimension whose range moved is flagged")
   }
 
+  test("ivfSq8TopK: unprobed lists are pruned even when their dots would win") {
+    // cluster A along +x, cluster B along +y; query points at +y, so with
+    // nProbe=1 only B's list is scanned — vector 30 in A has a HIGH dot
+    // with the query's codes but must never appear
+    val df = Seq(
+      (10L, Seq(0.1f, 0.9f, 0.0f)),   // B
+      (11L, Seq(0.2f, 0.8f, 0.0f)),   // B
+      (30L, Seq(0.9f, 0.6f, 0.0f)),   // A (x-dominant) but y-heavy too
+      (31L, Seq(1.0f, 0.0f, 0.0f))    // A
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(1 -> Seq(1.0, 0.0, 0.0), 2 -> Seq(0.0, 1.0, 0.0))
+    val params = Quantize.collectParams(df, "embedding")
+    val q = Seq(0.0, 1.0, 0.0)
+    val out = Similarity.ivfSq8TopK(df, "vec_id", "embedding", cents, params,
+      q, k = 4, nProbe = 1).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L, 11L),
+      s"only the probed list's vectors may appear: ${out.map(_.getLong(1)).toSeq}")
+    assert(out.forall(_.getInt(2) == 2), "every hit comes from the probed cluster")
+    // widening the probe recovers the pruned list
+    val wide = Similarity.ivfSq8TopK(df, "vec_id", "embedding", cents, params,
+      q, k = 4, nProbe = 2).collect()
+    assert(wide.map(_.getLong(1)).toSet == Set(10L, 11L, 30L, 31L))
+    // scores are the exact integer code dots
+    val qc = Quantize.encodeLocal(q, params)
+    val codes = Quantize.scalarQuantize(df, "vec_id", "embedding", params)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    wide.foreach { r =>
+      val want = codes(r.getLong(1)).zip(qc).map { case (a, b) => a * b }.sum
+      assert(r.getLong(3) == want)
+    }
+  }
+
   test("quantizedTopK: integer scores rank correctly, exact cosine attached") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)),    // query
