@@ -166,6 +166,7 @@ object SparkEntry {
     "q146_calibration_drift" -> (Pipeline.calibrationDriftReport _),
     "q147_streaming_quantized_dedup" -> (Pipeline.streamingQuantizedDedup _),
     "q148_ivf_sq8_retrieval" -> (Pipeline.ivfSq8Retrieval _),
+    "q149_pooled_chunk_embeddings" -> (Pipeline.pooledChunkEmbeddings _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1514,6 +1515,20 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // fixed-point mean pooling (the certified k-means mean arithmetic) of
+    // 10-chunk groups, long format — every component hash-certified
+    "q149_pooled_chunk_embeddings" ->
+      """SELECT group_id, dim,
+        |  CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS pooled,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks
+        |FROM (
+        |  SELECT vec_id // 10 AS group_id,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings)
+        |GROUP BY group_id, dim
+        |ORDER BY group_id, dim""".stripMargin,
     // IVF-SQ8: q39's seeded assignment + 2-probe pruning, with probed
     // lists scored by the shared int8 encode's integer dot
     "q148_ivf_sq8_retrieval" ->

@@ -336,6 +336,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Fixed-point mean-pooling of chunk embeddings into group (document)
+    * vectors — the RAG/doc-embedding primitive: a document embedded as N
+    * chunks gets ONE vector, the per-dimension mean of its chunks'. The
+    * mean uses the [[MeanScale]] fixed-point sum (scaled ints summed as
+    * DECIMAL(38,0), one exactly-rounded division per component — the
+    * certified k-means arithmetic), so pooled vectors are bit-identical
+    * across partitionings and engines where a raw double `avg` is not.
+    *
+    * Returns the LONG format `(groupCol, dim, pooled, n_chunks)` — every
+    * pooled component is directly certifiable; reassembly to arrays is a
+    * `sort_array(collect_list(...))` away when an API consumer wants it.
+    *
+    * Shape: one posexplode + ONE groupBy(group, dim) with map-side
+    * combine; state per group is d rows. At 100 TB of chunk vectors this
+    * is a single shuffle keyed (group, dim), no skew shape (every group
+    * has the same d fan-out).
+    */
+  def meanPool(
+      emb: DataFrame,
+      groupCol: String,
+      vecCol: String): DataFrame =
+    emb
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(
+        sum(round(col("x").cast("double") * lit(MeanScale)).cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n_chunks"))
+      .select(
+        col(groupCol), col("dim"),
+        (col("s").cast("double") / col("n_chunks").cast("double") / lit(MeanScale))
+          .as("pooled"),
+        col("n_chunks"))
+
   /** IVF-SQ8 query — the FAISS-style composite ANN index: coarse IVF
     * partition pruning ([[ivfAssign]] lists, `nProbe` nearest probed) with
     * the probed lists scored by the EXACT integer dot of int8 codes

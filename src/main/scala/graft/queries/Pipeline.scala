@@ -2374,6 +2374,20 @@ object Pipeline {
       excludeId = Some(0L))
   }
 
+  /** q149 — chunk-embedding mean-pooling ([[Similarity.meanPool]]):
+    * vec_id div 10 groups the corpus into 10-chunk documents; each group's
+    * pooled vector is the fixed-point per-dimension mean (the certified
+    * k-means arithmetic), emitted in long format so EVERY pooled component
+    * is hash-certified directly. 3,200 rows at sf0.01 (50 groups × 64
+    * dims); the oracle recomputes the scaled-decimal mean from scratch.
+    */
+  def pooledChunkEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Similarity.meanPool(
+      Tables(spark, dir).embeddings
+        .select(expr("vec_id div 10").as("group_id"), col("embedding")),
+      "group_id", "embedding")
+      .orderBy(col("group_id"), col("dim"))
+
   /** q118 — quality-aware canonical selection over the q52 clusters
     * ([[Dedup.canonicalByQuality]]): per near-dup cluster, the
     * highest-quality member (ties by lowest id) — the keep-the-best-copy

@@ -60,6 +60,21 @@ class QuantizeSpec extends SparkSpec {
       "only the dimension whose range moved is flagged")
   }
 
+  test("meanPool: hand-computed means, partition-invariant fixed-point sums") {
+    val chunks = Seq(
+      (1L, Seq(1.0f, -2.0f)),
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.5f, 0.25f))
+    ).toDF("group_id", "embedding")
+    def run(parts: Int) = Similarity.meanPool(chunks.repartition(parts), "group_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val one = run(1)
+    assert(run(5) == one, "fixed-point decimal sums must not depend on partitioning")
+    val m = one.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(m((1L, 0L)) == ((2.0, 2L)) && m((1L, 1L)) == ((1.0, 2L)))
+    assert(m((2L, 0L)) == ((0.5, 1L)) && m((2L, 1L)) == ((0.25, 1L)))
+  }
+
   test("ivfSq8TopK: unprobed lists are pruned even when their dots would win") {
     // cluster A along +x, cluster B along +y; query points at +y, so with
     // nProbe=1 only B's list is scanned — vector 30 in A has a HIGH dot
