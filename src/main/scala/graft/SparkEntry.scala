@@ -167,6 +167,7 @@ object SparkEntry {
     "q147_streaming_quantized_dedup" -> (Pipeline.streamingQuantizedDedup _),
     "q148_ivf_sq8_retrieval" -> (Pipeline.ivfSq8Retrieval _),
     "q149_pooled_chunk_embeddings" -> (Pipeline.pooledChunkEmbeddings _),
+    "q150_pooled_retrieval" -> (Pipeline.pooledRetrieval _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1515,6 +1516,26 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // pooled-space retrieval: q149's means reassembled per group, exact
+    // cosine top-10 (group 0 holds the query chunk and is excluded)
+    "q150_pooled_retrieval" ->
+      s"""WITH pooled AS (
+        |  SELECT group_id, dim,
+        |    CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1073741824.0 AS m
+        |  FROM (
+        |    SELECT vec_id // 10 AS group_id,
+        |      unnest(generate_series(0, len(embedding) - 1)) AS dim,
+        |      unnest(embedding) AS x
+        |    FROM embeddings)
+        |  GROUP BY group_id, dim),
+        |docs AS (SELECT group_id, list(m ORDER BY dim) AS vec FROM pooled GROUP BY group_id),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT group_id, cosine_sim FROM (
+        |  SELECT d.group_id,
+        |    ${cosineSql("d.vec", "q.qv")} AS cosine_sim
+        |  FROM docs d, q WHERE d.group_id <> 0)
+        |ORDER BY cosine_sim DESC, group_id LIMIT 10""".stripMargin,
     // fixed-point mean pooling (the certified k-means mean arithmetic) of
     // 10-chunk groups, long format — every component hash-certified
     "q149_pooled_chunk_embeddings" ->

@@ -2388,6 +2388,29 @@ object Pipeline {
       "group_id", "embedding")
       .orderBy(col("group_id"), col("dim"))
 
+  /** q150 — retrieval over POOLED document vectors: the chunk→doc RAG
+    * query path. q149's fixed-point pooled components reassemble into
+    * per-group vectors (a bounded d-struct collect per group) and the
+    * exact cosine top-10 for vec_id 0's query runs over the POOLED space
+    * — 10× fewer vectors than the chunk space, which is the pooling
+    * trade a deployment makes. Group 0 (which contains the query chunk)
+    * is excluded; the oracle recomputes pooling, reassembly, and the
+    * ranking from scratch. Certifies the pooled vectors' downstream use,
+    * not just their values (q149).
+    */
+  def pooledRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val pooled = Similarity.meanPool(
+      emb.select(expr("vec_id div 10").as("group_id"), col("embedding")),
+      "group_id", "embedding")
+    val docs = pooled
+      .groupBy("group_id")
+      .agg(sort_array(collect_list(struct(col("dim"), col("pooled")))).as("ds"))
+      .select(col("group_id"), expr("transform(ds, s -> s.pooled)").as("vec"))
+    Similarity.bruteForceTopK(docs, "group_id", "vec",
+      query = queryVector(spark, dir), k = 10, excludeId = Some(0L))
+  }
+
   /** q118 — quality-aware canonical selection over the q52 clusters
     * ([[Dedup.canonicalByQuality]]): per near-dup cluster, the
     * highest-quality member (ties by lowest id) — the keep-the-best-copy
