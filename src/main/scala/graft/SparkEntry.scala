@@ -2609,12 +2609,11 @@ object SparkEntry {
     * literal cast to DOUBLE (DuckDB types bare literals DECIMAL), and the
     * per-doc sum folded in ascending-token order via `list_reduce` (the
     * first element serves as init; `0.0 + c` ≡ `c` so it matches Spark's
-    * zero-seeded `aggregate` fold bit-for-bit).
-    */
-  /** The shared BM25 CTE chain ending in `agg(doc_id, matched_terms,
-    * score)` — reused verbatim by q141/q142 (direct/refreshed probes) and
-    * q145 (the lexical arm of the hybrid fusion) so the scoring
-    * arithmetic cannot drift between certifications.
+    * zero-seeded `aggregate` fold bit-for-bit). The CTE chain (ending in
+    * `agg(doc_id, matched_terms, score)`) lives in [[bm25CoreCtes]],
+    * reused VERBATIM by q141/q142 (direct/refreshed probes) and q145
+    * (the lexical arm of the hybrid fusion) so the scoring arithmetic
+    * cannot drift between certifications.
     */
   private def bm25CoreCtes(terms: Seq[String]): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")

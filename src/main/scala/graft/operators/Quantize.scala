@@ -58,9 +58,6 @@ object Quantize {
          math.floor((x - mn) * (255.0 / (mx - mn)) + 0.5))).toLong) - 128L
     }
 
-  /** Corpus encode: `(idCol, codes array<long>)` — map-only; `params` is
-    * the collected d-row calibration (index = dim).
-    */
   /** The codes column for `vec` under `params` — usable in any projection
     * (map-only; the parameters ride as literal arrays).
     */
@@ -71,6 +68,9 @@ object Quantize {
       s => codeExpr(s.getField("x"), s.getField("mn"), s.getField("mx")))
   }
 
+  /** Corpus encode: `(idCol, codes array<long>)` — map-only; `params` is
+    * the collected d-row calibration (index = dim).
+    */
   def scalarQuantize(
       emb: DataFrame,
       idCol: String,
@@ -99,20 +99,26 @@ object Quantize {
     * touch — which is why the report exists).
     *
     * Raw min/max comparisons only — no arithmetic — so the report is
-    * bit-exact across engines by construction. One delta scan + two
-    * d-row joins.
+    * bit-exact across engines by construction. One delta scan + one
+    * d-row join: the merged range is derived with least/greatest on the
+    * joined rows (identical to [[refreshParams]]' union-and-reaggregate),
+    * so the base-params lineage is referenced ONCE — routing through
+    * refreshParams would embed it twice and re-run an unmaterialized
+    * base-corpus aggregation per report.
     */
   def calibrationDrift(
-      baseParams: DataFrame, deltaEmb: DataFrame, vecCol: String): DataFrame = {
-    val refreshed = refreshParams(baseParams, deltaEmb, vecCol)
-      .select(col("dim"), col("min_val").as("new_min"), col("max_val").as("new_max"))
+      baseParams: DataFrame, deltaEmb: DataFrame, vecCol: String): DataFrame =
     baseParams
       .select(col("dim"), col("min_val").as("old_min"), col("max_val").as("old_max"))
-      .join(refreshed, Seq("dim"))
+      // left join: a dimension the delta never touches (e.g. an empty
+      // delta day) still reports, un-drifted
+      .join(quantizationParams(deltaEmb, vecCol), Seq("dim"), "left")
+      .select(col("dim"), col("old_min"), col("old_max"),
+        least(col("old_min"), coalesce(col("min_val"), col("old_min"))).as("new_min"),
+        greatest(col("old_max"), coalesce(col("max_val"), col("old_max"))).as("new_max"))
       .select(col("dim"), col("old_min"), col("old_max"), col("new_min"), col("new_max"),
         when(col("new_min") < col("old_min") || col("new_max") > col("old_max"), 1L)
           .otherwise(0L).as("drifted"))
-  }
 
   /** Collect the calibration table into the parameter vector (d rows of
     * driver state). */

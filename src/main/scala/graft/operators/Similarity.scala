@@ -307,6 +307,30 @@ object Similarity {
     * only vectors assigned to those lists. `assigned` is the [[ivfAssign]]
     * output (precomputed once, reused across queries).
     */
+  /** Driver-side cosine over two small literal vectors. Scala `.sum` is
+    * the same left fold as the oracle's `list_reduce`, so anything chosen
+    * by this arithmetic (probe sets, tie orders) is engine-portable.
+    * Shared by [[ivfTopK]] and [[ivfSq8TopK]] — the probed-list choice is
+    * determinism-critical and must not fork.
+    */
+  private def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    d / (na * nb)
+  }
+
+  /** The `nProbe` centroid ids nearest to `query` (cosine desc, cid asc). */
+  private def probeIds(
+      centroids: Seq[(Int, Seq[Double])],
+      query: Seq[Double],
+      nProbe: Int): Seq[Int] =
+    centroids
+      .map { case (cid, c) => cid -> cosineLocal(query, c) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe)
+      .map(_._1)
+
   def ivfTopK(
       assigned: DataFrame,
       idCol: String,
@@ -316,21 +340,11 @@ object Similarity {
       k: Int,
       nProbe: Int = 2,
       excludeId: Option[Long] = None): DataFrame = {
-    def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      d / (na * nb)
-    }
-    val probeIds = centroids
-      .map { case (cid, c) => cid -> cosineLocal(query, c) }
-      .sortBy { case (cid, s) => (-s, cid) }
-      .take(nProbe)
-      .map(_._1)
+    val probed = probeIds(centroids, query, nProbe)
     val q = array(query.map(lit): _*)
     val base = excludeId.map(e => assigned.where(col(idCol) =!= e)).getOrElse(assigned)
     base
-      .where(col("centroid_id").isin(probeIds: _*))
+      .where(col("centroid_id").isin(probed: _*))
       .select(col(idCol), cosineFast(col(vecCol), q).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
@@ -390,25 +404,12 @@ object Similarity {
       k: Int,
       nProbe: Int = 2,
       excludeId: Option[Long] = None): DataFrame = {
-    // probe choice = ivfTopK's driver-side argmax over the centroid
-    // literals (Scala .sum is the same left fold as the oracle's
-    // list_reduce, so the probed set is engine-portable)
-    def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
-      val d = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum)
-      val nb = math.sqrt(b.map(x => x * x).sum)
-      d / (na * nb)
-    }
-    val probeIds = centroids
-      .map { case (cid, c) => cid -> cosineLocal(query, c) }
-      .sortBy { case (cid, s) => (-s, cid) }
-      .take(nProbe)
-      .map(_._1)
+    val probed = probeIds(centroids, query, nProbe)
     val qLit = array(Quantize.encodeLocal(query, params).map(lit): _*)
     val assigned = ivfAssign(emb, idCol, vecCol, centroids)
     val base = excludeId.map(e => assigned.where(col(idCol) =!= e)).getOrElse(assigned)
     base
-      .where(col("centroid_id").isin(probeIds: _*))
+      .where(col("centroid_id").isin(probed: _*))
       .select(col(idCol), col("centroid_id"),
         graft.functions.QuantizedDot.quantizedDotFast(
           Quantize.codesCol(col(vecCol), params), qLit).as("qscore"))
