@@ -168,6 +168,7 @@ object SparkEntry {
     "q148_ivf_sq8_retrieval" -> (Pipeline.ivfSq8Retrieval _),
     "q149_pooled_chunk_embeddings" -> (Pipeline.pooledChunkEmbeddings _),
     "q150_pooled_retrieval" -> (Pipeline.pooledRetrieval _),
+    "q151_binary_retrieval" -> (Pipeline.binaryRetrieval _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1516,6 +1517,31 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // binary (1-bit) retrieval: sign-bit packing (32 bits per word — no
+    // word touches the BIGINT sign bit), Hamming coarse top-50 via
+    // XOR + popcount, exact cosine re-rank of the riders to top-10
+    "q151_binary_retrieval" ->
+      s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(generate_series(0, 1), w ->
+        |      CAST(list_reduce(list_transform(generate_series(1, 32),
+        |        j -> CASE WHEN embedding[w * 32 + j] > CAST(0 AS DOUBLE)
+        |                  THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE CAST(0 AS BIGINT) END),
+        |        (x, y) -> x + y) AS BIGINT)) AS words
+        |  FROM embeddings),
+        |q AS (SELECT words AS qw, embedding AS qv FROM b WHERE vec_id = 0),
+        |ham AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(bit_count(xor(words[1], qw[1])) + bit_count(xor(words[2], qw[2])) AS BIGINT) AS hamming
+        |  FROM b, q WHERE vec_id <> 0),
+        |cand AS (SELECT vec_id, embedding, hamming FROM ham ORDER BY hamming, vec_id LIMIT 50),
+        |rr AS (
+        |  SELECT c.vec_id, c.hamming, ${cosineSql("c.embedding", "q.qv")} AS cosine_sim
+        |  FROM cand c, q
+        |  ORDER BY cosine_sim DESC, c.vec_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS b_rank,
+        |  vec_id, hamming, cosine_sim
+        |FROM rr ORDER BY b_rank""".stripMargin,
     // pooled-space retrieval: q149's means reassembled per group, exact
     // cosine top-10 (group 0 holds the query chunk and is excluded)
     "q150_pooled_retrieval" ->

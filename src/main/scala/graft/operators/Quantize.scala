@@ -127,6 +127,93 @@ object Quantize {
       .orderBy(col("dim")).collect()
       .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
 
+  /** Binary (1-bit) sign quantization: bit `i` of the signature is set iff
+    * component `i` is STRICTLY positive — a comparison, no arithmetic, so
+    * the packing is bit-exact across engines by construction. Components
+    * pack 32 per BIGINT word (`ceil(d/32)` words), 32 rather than 64 so
+    * no bit ever lands on the BIGINT sign position, whose shift/overflow
+    * behavior engines do not agree on.
+    *
+    * This is the bottom tier of the quantization ladder (float32 → int8
+    * [[scalarQuantize]] → 1-bit): 32× smaller than float32, and the
+    * coarse ranking degrades to XOR + popcount — the cheapest distance a
+    * vector index can run, which is why binary signatures are the standing
+    * in-memory tier of a disk-resident 100 TB index (the full vectors and
+    * even the int8 codes stay on disk; only `ceil(d/32)` longs per vector
+    * need RAM).
+    */
+  def signBitsCol(vec: Column, dims: Int): Column = {
+    val nWords = (dims + 31) / 32
+    array((0 until nWords).map { w =>
+      val lo = w * 32
+      // distinct powers of two — the sum IS the bitwise OR, kept as `+`
+      // so the whole word stays one codegen'd arithmetic chain
+      (lo until math.min(lo + 32, dims)).map { i =>
+        when(element_at(vec, i + 1).cast("double") > lit(0.0),
+          lit(1L << (i - lo))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Driver-side twin of [[signBitsCol]] for query vectors. */
+  private[graft] def signBitsLocal(v: Seq[Double], dims: Int): Seq[Long] = {
+    val nWords = (dims + 31) / 32
+    (0 until nWords).map { w =>
+      val lo = w * 32
+      (lo until math.min(lo + 32, dims)).foldLeft(0L) { (acc, i) =>
+        if (v(i) > 0.0) acc + (1L << (i - lo)) else acc
+      }
+    }
+  }
+
+  /** Hamming distance between two packed signatures: per-word XOR +
+    * popcount, summed — integer arithmetic, exact and order-free.
+    */
+  def hammingCol(a: Column, b: Column, nWords: Int): Column =
+    (0 until nWords).map { w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1))).cast("long")
+    }.reduce(_ + _)
+
+  /** Binary-coarse top-k: rank the corpus by Hamming distance of the sign
+    * signatures (ascending, ties by id), keep `coarseK` candidates with
+    * their float vectors riding THROUGH the TakeOrdered (the Matryoshka
+    * precedent — the exact stage never rejoins the corpus), then re-rank
+    * the candidates by exact cosine. Returns `(b_rank, idCol, hamming,
+    * cosine_sim)`.
+    *
+    * Stage 1 touches `ceil(d/32)` longs per vector — with a materialized
+    * signature column that is the ENTIRE scan payload; stage 2 reads
+    * `coarseK` full vectors. Both ranking stages are `orderBy.limit` →
+    * TakeOrdered, never a global sort.
+    */
+  def binaryTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      coarseK: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val dims = query.length
+    val nWords = (dims + 31) / 32
+    val qWords = array(signBitsLocal(query, dims).map(lit): _*)
+    val qVec = array(query.map(lit): _*)
+    val base = excludeId.map(e => emb.where(col(idCol) =!= e)).getOrElse(emb)
+    base
+      .select(col(idCol), col(vecCol),
+        hammingCol(signBitsCol(col(vecCol), dims), qWords, nWords).as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(coarseK)
+      .select(col(idCol), col("hamming"),
+        cosineFast(col(vecCol), qVec).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine_sim").desc, col(idCol))).cast("long").as("b_rank"),
+        col(idCol), col("hamming"), col("cosine_sim"))
+  }
+
   /** Quantized top-k: encode corpus and query under the same calibration,
     * score by the EXACT integer dot product of the int8 codes, then fetch
     * the certified float cosine for the k PICKED vectors only — the

@@ -2315,6 +2315,18 @@ object Pipeline {
       k = 15, excludeId = Some(0L))
   }
 
+  /** q151 — binary (1-bit) retrieval ([[Quantize.binaryTopK]]): sign-bit
+    * signatures (64 dims → two 32-bit words), Hamming-distance coarse
+    * top-50 (XOR + popcount — integer, order-free), exact cosine re-rank
+    * to top-10. The bottom tier of the quantization ladder below q144's
+    * int8: probed at sf0.01, the cascade's answer differs from BOTH the
+    * exact top-10 (three ids pruned by the binary coarse stage) and the
+    * Hamming-only top-10 — both stages load-bearing.
+    */
+  def binaryRetrieval(spark: SparkSession, dir: String): DataFrame =
+    Quantize.binaryTopK(Tables(spark, dir).embeddings, "vec_id", "embedding",
+      query = queryVector(spark, dir), k = 10, coarseK = 50, excludeId = Some(0L))
+
   /** q145 — hybrid retrieval via reciprocal-rank fusion
     * ([[Retrieval.rrfFuse]]): the BM25 top-20 for {dup, merge} and the
     * exact cosine top-20 of vec_id 0 fused at rrfK = 60 into a top-10.

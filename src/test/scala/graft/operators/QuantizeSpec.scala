@@ -107,6 +107,51 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("signBits: hand-computed packing across the 32-bit word boundary") {
+    // 34 dims: bits 0, 31 (word-0 extremes) and 32, 33 (word 1) set
+    val v = Array.fill(34)(-1.0)
+    v(0) = 1.0; v(31) = 0.5; v(32) = 2.0; v(33) = 0.1
+    val df = Seq((1L, v.toSeq.map(_.toFloat))).toDF("vec_id", "embedding")
+    val words = df.select(Quantize.signBitsCol($"embedding", 34)).head.getSeq[Long](0)
+    assert(words == Seq(1L + (1L << 31), 1L + 2L), "bit 31 stays in word 0, bit 32 starts word 1")
+    assert(Quantize.signBitsLocal(v.toIndexedSeq, 34) == words,
+      "driver packing must equal the column expression")
+    // zero is NOT positive — its bit stays clear
+    val z = Seq((2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Quantize.signBitsCol($"embedding", 2)).head.getSeq[Long](0)
+    assert(z == Seq(2L))
+  }
+
+  test("hammingCol: popcount of the XOR, summed across words") {
+    val df = Seq((Seq(0L, 0L), Seq(5L, 1L))).toDF("a", "b") // 101 and 1 → 3 bits
+    assert(df.select(Quantize.hammingCol($"a", $"b", 2)).head.getLong(0) == 3L)
+  }
+
+  test("binaryTopK: coarse Hamming prunes, exact cosine re-ranks the survivors") {
+    // query +x. id 1 near +x; id 2 shares NO sign bit with the query
+    // (high Hamming) despite decent cosine; id 3 shares signs but has a
+    // worse cosine than 1. coarseK=2 keeps {1,3} (Hamming 0) and prunes 2.
+    val df = Seq(
+      (0L, Seq(1.0f, 1.0f, -1.0f)),
+      (1L, Seq(0.9f, 0.8f, -0.2f)),    // hamming 0, best cosine
+      (2L, Seq(-0.1f, -0.1f, 0.9f)),   // hamming 3 — pruned by coarse
+      (3L, Seq(0.1f, 2.0f, -0.1f))     // hamming 0, weaker cosine
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 1.0, -1.0)
+    val out = Quantize.binaryTopK(df, "vec_id", "embedding", q,
+      k = 3, coarseK = 2, excludeId = Some(0L)).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L),
+      s"coarse stage must prune id 2: ${out.map(_.getLong(1)).toSeq}")
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "dense b_rank")
+    assert(out.forall(_.getLong(2) == 0L), "survivors share every sign bit")
+    assert(out.head.getDouble(3) > out.last.getDouble(3), "exact cosine orders the survivors")
+    // widening the coarse stage recovers id 2 at the bottom
+    val wide = Quantize.binaryTopK(df, "vec_id", "embedding", q,
+      k = 3, coarseK = 3, excludeId = Some(0L)).collect()
+    assert(wide.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+  }
+
   test("quantizedTopK: integer scores rank correctly, exact cosine attached") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)),    // query
