@@ -169,6 +169,8 @@ object SparkEntry {
     "q149_pooled_chunk_embeddings" -> (Pipeline.pooledChunkEmbeddings _),
     "q150_pooled_retrieval" -> (Pipeline.pooledRetrieval _),
     "q151_binary_retrieval" -> (Pipeline.binaryRetrieval _),
+    "q152_bm25_after_deletes" -> (Pipeline.bm25AfterDeletes _),
+    "q153_phrase_search" -> (Pipeline.phraseMatches _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1517,6 +1519,24 @@ object SparkEntry {
     "q140_bpe_compression" -> bpeCompressionOracleSql(10),
     "q141_bm25_retrieval" -> bm25OracleSql(Seq("dup", "join"), 15),
     "q142_bm25_refreshed_probe" -> bm25OracleSql(Seq("dup", "scan"), 12),
+    // BM25 after index deletions: the oracle rebuilds from scratch over
+    // the SURVIVING corpus — deletion ≡ rebuild is the certified claim
+    "q152_bm25_after_deletes" ->
+      bm25OracleSql(Seq("filter", "window"), 12, docFilter = "doc_id % 7 <> 3"),
+    // exact phrase search: positions re-derived via generate_subscripts
+    // (1-based, matching the index's posexplode+1), adjacency as
+    // pos-minus-offset equi-joins — occurrence rows with positions
+    "q153_phrase_search" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+        |  FROM documents),
+        |inst AS (SELECT doc_id, unnest(ts) AS token, generate_subscripts(ts, 1) AS pos FROM toks),
+        |m0 AS (SELECT doc_id, pos AS start_pos FROM inst WHERE token = 'stream'),
+        |m1 AS (SELECT doc_id, pos - 1 AS start_pos FROM inst WHERE token = 'table'),
+        |m2 AS (SELECT doc_id, pos - 2 AS start_pos FROM inst WHERE token = 'hash')
+        |SELECT m0.doc_id, CAST(m0.start_pos AS BIGINT) AS match_pos
+        |FROM m0 JOIN m1 USING (doc_id, start_pos) JOIN m2 USING (doc_id, start_pos)
+        |ORDER BY doc_id, match_pos""".stripMargin,
     // binary (1-bit) retrieval: sign-bit packing (32 bits per word — no
     // word touches the BIGINT sign bit), Hamming coarse top-50 via
     // XOR + popcount, exact cosine re-rank of the riders to top-10
@@ -2641,11 +2661,11 @@ object SparkEntry {
     * (the lexical arm of the hybrid fusion) so the scoring arithmetic
     * cannot drift between certifications.
     */
-  private def bm25CoreCtes(terms: Seq[String]): String = {
+  private def bm25CoreCtes(terms: Seq[String], docFilter: String = "TRUE"): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     raw"""toks AS (
       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
-      |  FROM documents),
+      |  FROM documents WHERE $docFilter),
       |stats AS (SELECT count(*) AS n_docs, sum(len(ts)) AS total_tokens FROM toks),
       |inst AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM toks),
       |post AS (
@@ -2680,8 +2700,8 @@ object SparkEntry {
        |          * (CAST(255 AS DOUBLE) / (prm.maxs[i] - prm.mins[i]))
        |          + CAST(0.5 AS DOUBLE)))) AS BIGINT) END - CAST(128 AS BIGINT))""".stripMargin
 
-  private def bm25OracleSql(terms: Seq[String], k: Int): String =
-    s"""WITH ${bm25CoreCtes(terms)}
+  private def bm25OracleSql(terms: Seq[String], k: Int, docFilter: String = "TRUE"): String =
+    s"""WITH ${bm25CoreCtes(terms, docFilter)}
       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank,
       |  doc_id, matched_terms, score
       |FROM agg ORDER BY score DESC, doc_id LIMIT $k""".stripMargin

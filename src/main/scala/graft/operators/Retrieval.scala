@@ -86,6 +86,48 @@ object Retrieval {
     base.unionByName(corpusStats(deltaDocs, idCol, textCol))
       .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
 
+  /** Delete documents from a standing lexical index WITHOUT re-scanning
+    * the corpus — the tombstone half of index maintenance
+    * ([[refreshInvertedIndex]] is the additive half). Returns the
+    * `(postings, stats)` pair after deletion.
+    *
+    * Everything is derived from the index itself: the postings of a
+    * deleted doc are removed by an anti-join on `doc_id`, and the stats
+    * decrement (docs gone, tokens gone) comes from those same postings —
+    * `dl` rides on every posting row, so a deleted doc's token count is
+    * recoverable without touching raw text. Ids absent from the index are
+    * no-ops (already-deleted or never-indexed), which makes the fold
+    * idempotent under replay.
+    *
+    * Deletion ≡ rebuild EXACTLY: postings keys `(token, doc_id)` are
+    * per-doc, so dropping a doc's rows leaves precisely the index of the
+    * surviving corpus, and both stats fields are plain sums over
+    * surviving docs. Scale shape: work is index-sized on the doc_id
+    * dimension only — the anti/semi joins broadcast the (small) deletion
+    * set against the postings; on a token-partitioned layout the
+    * surviving postings never move.
+    */
+  def deleteFromIndex(
+      postings: DataFrame,
+      stats: DataFrame,
+      deletedIds: DataFrame): (DataFrame, DataFrame) = {
+    val del = deletedIds.select(col(deletedIds.columns.head).as("doc_id"))
+    // using-column joins surface doc_id first; restore the postings contract
+    val newPostings = postings.join(del, Seq("doc_id"), "left_anti")
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    // per-deleted-doc dl from its own postings (every row carries it),
+    // then one 1-row decrement aggregate; empty deletion set → (0, 0)
+    val removed = postings.join(del, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("_gone_docs"),
+        coalesce(sum("dl"), lit(0L)).as("_gone_tokens"))
+    val newStats = graft.core.ScalarJoin.withScalars(stats, removed)
+      .select(
+        (col("n_docs") - col("_gone_docs")).as("n_docs"),
+        (col("total_tokens") - col("_gone_tokens")).as("total_tokens"))
+    (newPostings, newStats)
+  }
+
   /** BM25 top-`k` against a prebuilt `(token, doc_id, tf, dl)` postings
     * index and 1-row stats frame. Returns `(bm25_rank, doc_id,
     * matched_terms, score)`.
@@ -133,6 +175,43 @@ object Retrieval {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id"))).cast("long").as("bm25_rank"),
         col("doc_id"), col("matched_terms"), col("score"))
+  }
+
+  /** Positional postings `(token, doc_id, pos)` — one row per token
+    * OCCURRENCE (the [[invertedIndex]] collapses to per-doc term
+    * frequencies; phrase and proximity queries need the positions back).
+    * Positions are 1-based. Index size is the corpus token count — the
+    * standard ~linear positional-index overhead a lexical engine accepts
+    * to answer phrase queries at all.
+    */
+  def positionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p0", "token")))
+      .select(col("token"), col("doc_id"), (col("p0") + 1).cast("long").as("pos"))
+
+  /** Exact phrase search over a positional index: one row per OCCURRENCE,
+    * `(doc_id, match_pos)` = the phrase's first-token position.
+    *
+    * The phrase's term at offset `i` must sit at `start + i`, so each
+    * term's postings are normalized to their implied start position
+    * (`pos − i`) and the terms chain through plain EQUI-joins on
+    * `(doc_id, start_pos)` — no window functions, no per-doc array
+    * reassembly, and overlapping occurrences fall out naturally (each
+    * start position is its own join key). Scale shape: every term filter
+    * prunes the index first (scan-prunable on a token-partitioned
+    * layout), so join inputs are term-frequency-sized, never
+    * corpus-sized; a production planner would additionally chain
+    * rarest-term-first to shrink the intermediate — the joins commute, so
+    * that is a pure execution-order choice.
+    */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    val anchored = phrase.zipWithIndex.map { case (term, i) =>
+      index.where(col("token") === term)
+        .select(col("doc_id"), (col("pos") - lit(i.toLong)).as("start_pos"))
+    }
+    anchored.reduce(_.join(_, Seq("doc_id", "start_pos")))
+      .select(col("doc_id"), col("start_pos").as("match_pos"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-

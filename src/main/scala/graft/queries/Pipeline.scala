@@ -2283,6 +2283,44 @@ object Pipeline {
     Retrieval.bm25Probe(postings, stats, terms = Seq("dup", "scan"), k = 12)
   }
 
+  /** q152 — BM25 after index DELETIONS ([[Retrieval.deleteFromIndex]]):
+    * the tombstone half of lexical index maintenance (q142 certifies the
+    * additive half). The full-corpus index and stats are built once, the
+    * docs with `doc_id % 7 == 3` (~14% of the corpus) are deleted FROM
+    * THE INDEX — postings anti-join + a stats decrement recovered from
+    * the deleted docs' own posting rows, the raw text never re-read —
+    * and the probe runs over the shrunken state. The oracle rebuilds
+    * BM25 from scratch over the surviving corpus, so the green row
+    * certifies deletion ≡ rebuild: at sf0.01 two of the base top-12
+    * docs for {filter, window} are themselves deleted AND the surviving
+    * scores shift (n_docs, avgdl, and df all move), so a stale-stats or
+    * postings-only deletion cannot pass.
+    */
+  def bm25AfterDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val (postings, stats) = Retrieval.deleteFromIndex(
+      Retrieval.invertedIndex(docs, "doc_id", "text"),
+      Retrieval.corpusStats(docs, "doc_id", "text"),
+      docs.where(col("doc_id") % 7 === 3).select("doc_id"))
+    Retrieval.bm25Probe(postings, stats, terms = Seq("filter", "window"), k = 12)
+  }
+
+  /** q153 — exact phrase search ([[Retrieval.phraseSearch]]) for
+    * "stream table hash" over the positional inverted index
+    * ([[Retrieval.positionalIndex]]): each term's occurrences normalize
+    * to their implied start position and chain through equi-joins — one
+    * output row per occurrence with its 1-based position. The oracle
+    * re-derives positions independently with `generate_subscripts` and
+    * the same adjacency join; 7 docs match at sf0.01, and the emitted
+    * POSITIONS (not just membership) are hashed, so an off-by-one in
+    * either engine's adjacency arithmetic fails the row.
+    */
+  def phraseMatches(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(
+      Retrieval.positionalIndex(Tables(spark, dir).documents, "doc_id", "text"),
+      Seq("stream", "table", "hash"))
+      .orderBy("doc_id", "match_pos")
+
   /** q143 — cluster-scoped SemDeDup ([[Similarity.semDedup]]): the
     * embedding space is partitioned by the q39 seed centroids (vectors
     * 1..4) and τ = 0.45-similar pairs are pruned WITHIN clusters only —

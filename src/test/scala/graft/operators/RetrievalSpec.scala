@@ -109,6 +109,56 @@ class RetrievalSpec extends SparkSpec {
       (fullStats.getLong(0), fullStats.getLong(1)))
   }
 
+  test("deleteFromIndex: deletion == rebuild over the surviving corpus; unknown ids are no-ops") {
+    val postings = Retrieval.invertedIndex(corpus, "doc_id", "text")
+    val stats = Retrieval.corpusStats(corpus, "doc_id", "text")
+    val victims = corpus.where($"doc_id" % 2 === 0).select("doc_id")
+    val (p2, s2) = Retrieval.deleteFromIndex(postings, stats, victims)
+    val surviving = corpus.where($"doc_id" % 2 =!= 0)
+    val rebuiltP = Retrieval.invertedIndex(surviving, "doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(p2.collect().map(key).toSet == rebuiltP.collect().map(key).toSet)
+    assert(p2.count() == rebuiltP.count())
+    val got = s2.collect().head
+    val want = Retrieval.corpusStats(surviving, "doc_id", "text").collect().head
+    assert((got.getLong(0), got.getLong(1)) == (want.getLong(0), want.getLong(1)),
+      "stats decrement recovered from the index must equal a re-count")
+    // ids not in the index change nothing (idempotent replay)
+    import spark.implicits._
+    val (p3, s3) = Retrieval.deleteFromIndex(p2, s2, Seq(99999L, -5L).toDF("doc_id"))
+    assert(p3.count() == p2.count())
+    val again = s3.collect().head
+    assert((again.getLong(0), again.getLong(1)) == (got.getLong(0), got.getLong(1)))
+    // deleting every remaining doc empties the state cleanly
+    val (p4, s4) = Retrieval.deleteFromIndex(p2, s2, surviving.select("doc_id"))
+    assert(p4.count() == 0L)
+    val empty = s4.collect().head
+    assert((empty.getLong(0), empty.getLong(1)) == (0L, 0L))
+  }
+
+  test("positionalIndex/phraseSearch: positions 1-based; overlaps and repeats counted; no cross-doc bleed") {
+    val docs = Seq(
+      (1L, "a a a b"),          // "a a" overlaps at 1 and 2; "a b" at 3
+      (2L, "x a"),              // ends with the phrase head — no "a b" here
+      (3L, "b a b a b"),        // "a b" at 2 and 4
+      (4L, "A  B")              // case/whitespace normalization
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.positionalIndex(docs, "doc_id", "text")
+    assert(idx.where($"doc_id" === 1L && $"token" === "b").head.getLong(2) == 4L,
+      "positions are 1-based occurrence slots")
+    def matches(phrase: String*) =
+      Retrieval.phraseSearch(idx, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches("a", "a") == Set((1L, 1L), (1L, 2L)),
+      "overlapping occurrences each match (start positions are join keys)")
+    assert(matches("a", "b") == Set((1L, 3L), (3L, 2L), (3L, 4L), (4L, 1L)))
+    assert(matches("a", "b", "a") == Set((3L, 2L)), "three-term chain")
+    assert(matches("b", "x").isEmpty, "adjacency never crosses documents")
+    assert(matches("a") == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (3L, 2L), (3L, 4L), (4L, 1L)),
+      "single-term phrase degenerates to the token's occurrence list")
+  }
+
   test("bm25Probe over a refreshed index == bm25TopK over the full corpus") {
     val base = corpus.where($"doc_id" % 2 =!= 0)
     val delta = corpus.where($"doc_id" % 2 === 0)
