@@ -171,6 +171,7 @@ object SparkEntry {
     "q151_binary_retrieval" -> (Pipeline.binaryRetrieval _),
     "q152_bm25_after_deletes" -> (Pipeline.bm25AfterDeletes _),
     "q153_phrase_search" -> (Pipeline.phraseMatches _),
+    "q154_pagerank_centrality" -> (Pipeline.pagerankCentrality _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1523,6 +1524,9 @@ object SparkEntry {
     // the SURVIVING corpus — deletion ≡ rebuild is the certified claim
     "q152_bm25_after_deletes" ->
       bm25OracleSql(Seq("filter", "window"), 12, docFilter = "doc_id % 7 <> 3"),
+    // PageRank: 5 unrolled integer fixed-point iterations over the
+    // symmetrized exact-threshold pair graph
+    "q154_pagerank_centrality" -> pageRankOracleSql(5),
     // exact phrase search: positions re-derived via generate_subscripts
     // (1-based, matching the index's posexplode+1), adjacency as
     // pos-minus-offset equi-joins — occurrence rows with positions
@@ -2705,6 +2709,43 @@ object SparkEntry {
       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank,
       |  doc_id, matched_terms, score
       |FROM agg ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** q154 oracle: integer fixed-point PageRank with the iterations
+    * UNROLLED as chained CTEs (standard SQL forbids aggregation inside a
+    * recursive CTE term, so a from-scratch replay unrolls — the bpeCtes
+    * precedent). Mirrors [[graft.operators.Graph.pageRank]]'s update rule
+    * exactly: all BIGINT, floor division only. The edge list is
+    * symmetrized, so no node is dangling and the implementation's
+    * `dangling // n` term is identically zero — omitted here rather than
+    * folded in as `+ 0`.
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS (
+        |  SELECT nd.u, CAST((15 * (1000000000000 // nn.n)) // 100
+        |      + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.v AS u, sum(r.r // o.d) AS s
+        |    FROM e JOIN r${k - 1} r ON e.u = r.u JOIN odeg o ON e.u = o.u
+        |    GROUP BY e.v) i ON nd.u = i.u, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE a.vec_id < 500 AND b.vec_id < 500
+      |    AND ${cosineSql("a.embedding", "b.embedding")} >= CAST(0.25 AS DOUBLE)),
+      |e AS (SELECT ia AS u, ib AS v FROM p UNION ALL SELECT ib, ia FROM p),
+      |nodes AS (SELECT DISTINCT u FROM e),
+      |odeg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |r0 AS (SELECT u, CAST(1000000000000 // nn.n AS BIGINT) AS r FROM nodes, nn),
+      |$iters
+      |SELECT CAST(row_number() OVER (ORDER BY r.r DESC, r.u) AS BIGINT) AS pr_rank,
+      |  r.u AS vec_id, r.r AS pr_score, o.d AS out_degree
+      |FROM r$iterations r JOIN odeg o ON r.u = o.u
+      |ORDER BY pr_rank""".stripMargin
+  }
 
   private def bpeOracleSql(n: Int): String =
     bpeCtes(n) + "\n" +

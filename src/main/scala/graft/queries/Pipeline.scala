@@ -2321,6 +2321,36 @@ object Pipeline {
       Seq("stream", "table", "hash"))
       .orderBy("doc_id", "match_pos")
 
+  /** q154 — PageRank canonical-selection centrality
+    * ([[graft.operators.Graph.pageRank]]): the exact cosine ≥ 0.25 pair
+    * graph over the 500-vector fixture slice (SF-invariant, the q39
+    * bounded-fixture convention), symmetrized, 5 synchronous iterations
+    * in BIGINT fixed-point (parts of 10^12) — bit-identical across
+    * engines and partitionings because every update is integer +, ×, and
+    * floor division. Probed at sf0.01: the centrality order differs from
+    * the degree order (node 445 outranks 48 at equal degree 21), so a
+    * degree-shortcut implementation cannot pass. At 100 TB the edge
+    * input is the LSH-capped pair generator (q67) instead of the exact
+    * threshold join — the operator is pair-source-agnostic.
+    */
+  def pagerankCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineFast
+    val e = Tables(spark, dir).embeddings.where(col("vec_id") < 500)
+    val pairs = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .where(col("id_a") < col("id_b"))
+      .where(cosineFast(col("va"), col("vb")) >= 0.25)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    graft.operators.Graph.pageRank(edges, "id_a", "id_b", iterations = 5)
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr_score").desc, col("node_id"))).cast("long").as("pr_rank"),
+        col("node_id").as("vec_id"), col("pr_score"), col("out_degree"))
+      .orderBy("pr_rank")
+  }
+
   /** q143 — cluster-scoped SemDeDup ([[Similarity.semDedup]]): the
     * embedding space is partitioned by the q39 seed centroids (vectors
     * 1..4) and τ = 0.45-similar pairs are pruned WITHIN clusters only —
