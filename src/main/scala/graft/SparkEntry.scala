@@ -172,6 +172,9 @@ object SparkEntry {
     "q152_bm25_after_deletes" -> (Pipeline.bm25AfterDeletes _),
     "q153_phrase_search" -> (Pipeline.phraseMatches _),
     "q154_pagerank_centrality" -> (Pipeline.pagerankCentrality _),
+    "q155_orc_interchange" -> (Pipeline.orcInterchange _),
+    "q156_streaming_attribution" -> (Pipeline.streamingAttribution _),
+    "q157_streaming_session_windows" -> (Pipeline.streamingSessionWindows _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1527,6 +1530,52 @@ object SparkEntry {
     // PageRank: 5 unrolled integer fixed-point iterations over the
     // symmetrized exact-threshold pair graph
     "q154_pagerank_centrality" -> pageRankOracleSql(5),
+    // ORC interchange: the oracle reads the ORIGINAL parquet — equality
+    // certifies the ORC write+read round-trip the Spark side took
+    "q155_orc_interchange" ->
+      """SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+        |  COUNT(*) AS n_items,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream-stream attribution: the converged left interval join — the
+    // batch recompute certifies the stream because the fixture's
+    // watermark delay (2h) exceeds the attribution window (1h) and drops
+    // arrive in event-time order, so no valid match is ever evicted
+    "q156_streaming_attribution" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS pu, ts AS pts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_value
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.pu AND p.pts >= c.click_ts AND p.pts <= c.click_ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // native session_window sessions: batch gap-islands recompute with
+    // Spark's BOUNDARY-INCLUSIVE merge rule (an event at exactly
+    // prev + gap still merges — spec-pinned in StreamingSpec); only
+    // ts > prev + gap starts a new session; session_end = last event + gap
+    "q157_streaming_session_windows" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // exact phrase search: positions re-derived via generate_subscripts
     // (1-based, matching the index's posexplode+1), adjacency as
     // pos-minus-offset equi-joins — occurrence rows with positions

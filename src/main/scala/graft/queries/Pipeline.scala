@@ -1400,6 +1400,121 @@ object Pipeline {
       .orderBy(col("batch_seq"))
   }
 
+  /** Split an event frame into `k` EVENT-TIME-ORDERED drops (equal spans
+    * of the observed ts range) and append a far-future watermark-flush
+    * sentinel (`user_id` −1, one year past the data) as the final drop.
+    * Time-ordered arrival is the fixture property the event-time stream
+    * certifications (q156/q157) rely on: no event is ever late, and the
+    * watermark advances monotonically batch over batch, so the stream's
+    * answer converges to the batch oracle's; the sentinel pushes the
+    * final watermark past every session/join horizon so append-mode
+    * state flushes before the query stops. Bounds come from ONE 2-value
+    * aggregate (bounded driver state).
+    */
+  private def timeOrderedEventDrops(
+      spark: SparkSession,
+      ev: DataFrame,
+      k: Int,
+      sentinelTypes: Seq[String]): Seq[DataFrame] = {
+    val canon = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val bounds = canon.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cuts = (1 until k).map(i => lo + (hi - lo) / k * i)
+    val ranges = (Seq(Long.MinValue) ++ cuts).zip(cuts ++ Seq(Long.MaxValue))
+    val drops = ranges.map { case (a, b) =>
+      canon.where(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < b)
+    }
+    val yearMicros = 365L * 24 * 3600 * 1000000L
+    // TWO sentinel drops, each carrying one row PER requested event type:
+    // the global watermark is the MIN across every withWatermark node, so
+    // a query that splits the stream into multiple watermarked branches
+    // (the stream-stream join) only advances when EVERY branch saw a
+    // sentinel. The first drop advances the watermark at its batch end;
+    // the second gives the engine a batch to RUN under that watermark —
+    // join state only emits null-extended rows while a batch executes.
+    val sentinels = Seq(0L, 3600000000L).map { off =>
+      sentinelTypes.zipWithIndex.map { case (tpe, i) =>
+        spark.range(1).select(
+          lit(-1L - i).as("event_id"),
+          timestamp_micros(lit(hi + yearMicros + off)).as("ts"),
+          lit(-1L).as("user_id"),
+          lit(tpe).as("event_type"),
+          lit(0.0).as("value"),
+          lit("").as("props"))
+      }.reduce(_ unionByName _)
+    }
+    drops ++ sentinels
+  }
+
+  /** q156 — watermarked STREAM-STREAM interval join certified through the
+    * stream path ([[graft.streaming.EventStream.attributionJoin]]):
+    * clicks and purchases from the SAME event stream (a stream-stream
+    * self-join) buffer in versioned join state; matches within the 1-hour
+    * attribution window emit as they meet, and every unmatched click
+    * emits null-extended once the watermark proves no qualifying
+    * purchase can arrive. The fixture replays the events table in three
+    * event-time-ordered drops plus the flush sentinel
+    * ([[timeOrderedEventDrops]]); because the watermark delay (2 h)
+    * exceeds the attribution window (1 h), no valid match is ever
+    * evicted early — so the converged sink must equal the BATCH interval
+    * left-join the oracle computes (33 of 2 006 clicks attributed at
+    * sf0.01; the null-extension machinery carries the other 1 973 rows).
+    */
+  def streamingAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val ev = Tables(spark, dir).events
+      .where(col("event_type").isin("click", "purchase"))
+    val drops = timeOrderedEventDrops(spark, ev, k = 3,
+      sentinelTypes = Seq("click", "purchase"))
+    val tmp = runSequencedDrops(spark, drops, "graft_q156_") { (stream, t) =>
+      EventStream.attributionJoin(stream)
+        .writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$t/joined")
+        .start()
+    }
+    spark.read.parquet(s"$tmp/joined")
+      .where(col("user_id") =!= -1L)
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** q157 — native `session_window` streaming aggregation certified
+    * through the stream path ([[graft.streaming.EventStream
+    * .sessionWindows]]): 30-minute-gap sessions per user over the FULL
+    * event stream, with windows merging across micro-batches (a session
+    * straddling a drop boundary is still open when its continuation
+    * arrives — the fixture's 2 h watermark > 30 m gap guarantees it) and
+    * finalizing in append mode as the watermark passes each session end.
+    * The oracle recomputes the sessions as a batch gap-islands
+    * computation (lag + running break-sum — q29's certified shape) with
+    * Spark's boundary-INCLUSIVE merge rule (only `ts > prev + gap`
+    * breaks — pinned against the executor in StreamingSpec), so
+    * every session's exact bounds, membership count, and the ~9.5 k-row
+    * session inventory at sf0.01 are all hash-certified.
+    */
+  def streamingSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val drops = timeOrderedEventDrops(
+      spark, Tables(spark, dir).events, k = 3, sentinelTypes = Seq("view"))
+    val tmp = runSequencedDrops(spark, drops, "graft_q157_") { (stream, t) =>
+      EventStream.sessionWindows(stream)
+        .writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$t/sessions")
+        .start()
+    }
+    spark.read.parquet(s"$tmp/sessions")
+      .where(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
+  }
+
   /** q97 — streaming near-dup admission, certified through the STREAM path
     * itself (q64 certifies the batch twin of the same index probe): the
     * arriving docs (doc_id % 10 = 0, q64's delta split) are written as a
@@ -2349,6 +2464,34 @@ object Pipeline {
           .orderBy(col("pr_score").desc, col("node_id"))).cast("long").as("pr_rank"),
         col("node_id").as("vec_id"), col("pr_score"), col("out_degree"))
       .orderBy("pr_rank")
+  }
+
+  /** q155 — ORC interchange certification: the returned-items monthly
+    * rollup computed over an ORC round-trip of the lineitem slice — the
+    * frame is WRITTEN to ORC (the interchange format warehouses that are
+    * not parquet-native expect) and the aggregation reads the ORC COPY,
+    * never the original parquet, so the green row certifies write+read
+    * fidelity for every type in the slice (bigint, double, string,
+    * timestamp) against the parquet-derived oracle. The returnflag filter
+    * sits on the ORC scan (PushedFilters — spec-asserted, ORC pushdown
+    * works like parquet's), and money sums use the q03 decimal contract.
+    */
+  def orcInterchange(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = scratchDir("graft_q155_")
+    Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      .write.orc(s"$tmp/lineitem_orc")
+    spark.read.orc(s"$tmp/lineitem_orc")
+      .where(col("l_returnflag") === "R")
+      .groupBy(
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        month(col("l_shipdate")).cast("long").as("ship_month"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("decimal(38,4)").cast("double").as("sum_price"))
+      .orderBy("ship_year", "ship_month")
   }
 
   /** q143 — cluster-scoped SemDeDup ([[Similarity.semDedup]]): the

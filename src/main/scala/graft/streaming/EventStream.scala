@@ -140,6 +140,76 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked STREAM-STREAM interval join — click→purchase attribution:
+    * each click left-joins the same user's purchases landing within
+    * `attributionWindow` after it. This is the one Structured Streaming
+    * operator class the engine's other streams don't exercise: BOTH sides
+    * buffer in versioned join state, matches emit as they meet, and
+    * unmatched clicks emit null-extended once the watermark proves no
+    * qualifying purchase can still arrive.
+    *
+    * State is bounded by construction: the time-range condition bounds a
+    * click's liveness to `attributionWindow` past its timestamp plus the
+    * watermark delay, and purchases age out symmetrically — Spark derives
+    * both eviction horizons from the join condition, which is why the
+    * condition must bound `purchase_ts` relative to `click_ts` on BOTH
+    * sides. Correctness window: with `watermark` ≥ `attributionWindow`
+    * no valid match can be evicted early, so on a stream whose drops
+    * arrive in event-time order the join converges to the batch interval
+    * join exactly (the q156 certification argument).
+    */
+  def attributionJoin(
+      events: DataFrame,
+      watermark: String = "2 hours",
+      attributionWindow: String = "1 hour"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      expr(s"""click_user = purchase_user
+              |AND purchase_ts >= click_ts
+              |AND purchase_ts <= click_ts + interval $attributionWindow""".stripMargin),
+      "leftOuter")
+      .select(col("click_id"), col("click_user").as("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_value"))
+  }
+
+  /** Native `session_window` streaming aggregation — the built-in twin of
+    * the custom-state [[sessionize]]: 30-minute-gap sessions per user with
+    * windows that MERGE as bridging events arrive (two open sessions
+    * within `gap` of each other collapse into one — machinery
+    * flatMapGroupsWithState never exercises), emitted in append mode once
+    * the watermark passes the session end. Returns `(session_start,
+    * session_end, user_id, n_events)` — `session_end` is last event +
+    * `gap`, and the merge rule is BOUNDARY-INCLUSIVE: an event at exactly
+    * `prev + gap` still extends the session (spec-pinned against the
+    * executor; only `ts > prev + gap` starts a new one).
+    *
+    * The watermark bounds state (sessions finalize and evict as it
+    * advances) and must EXCEED `gap` for in-order drops: a session
+    * straddling a micro-batch boundary is still open when its
+    * continuation arrives, because the watermark trails far enough that
+    * `session_end` hasn't passed — which is why the q157 fixture's
+    * delay (2 h) > gap (30 m).
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Incremental bronze ingestion as a stream: each micro-batch lands in its
     * own `_batch_id=<id>` partition via dynamic partition overwrite, so a
     * batch retried after a mid-write failure REPLACES its partition instead

@@ -589,6 +589,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("attributionJoin: in-window matches, cross-batch matches, null-extension, boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val t0 = java.time.Instant.parse("2026-01-01T10:00:00Z")
+    def ts(m: Long) = java.sql.Timestamp.from(t0.plusSeconds(m * 60))
+    def ev(id: Long, u: Long, tpe: String, m: Long, v: Double) = (id, ts(m), u, tpe, v)
+    def df(rows: (Long, java.sql.Timestamp, Long, String, Double)*) =
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val drop1 = df(
+      ev(1, 1, "click", 0, 0), ev(2, 1, "click", 10, 0), ev(3, 1, "purchase", 30, 5.0),
+      ev(4, 2, "purchase", 30, 9.0),   // no user-2 click — never surfaces
+      ev(5, 3, "click", 0, 0), ev(6, 3, "purchase", 90, 9.0), // outside the hour
+      ev(7, 4, "click", 50, 0))
+    val drop2 = df(ev(8, 4, "purchase", 80, 7.0)) // cross-batch match for click 7
+    def sentinels(m: Long) = df(ev(-1, -1, "click", m, 0), ev(-2, -1, "purchase", m, 0))
+    val stream = spark.readStream.schema(drop1.schema).parquet(dir)
+    val q = EventStream.attributionJoin(stream)
+      .writeStream.outputMode("append").format("memory").queryName("attr")
+      .option("checkpointLocation", s"$dir-ck").start()
+    try Seq(drop1, drop2, sentinels(20000), sentinels(20060)).foreach { d =>
+      d.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("attr").where($"user_id" =!= -1L).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == Set(
+      (1L, Some(3L)), (2L, Some(3L)),  // both clicks match the same purchase
+      (5L, None),                      // purchase 90m away → null-extended
+      (7L, Some(8L))),                 // matched across micro-batches
+      s"got $out")
+  }
+
+  test("sessionWindows: cross-batch merge, end-exclusive boundary, exact bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val t0 = java.time.Instant.parse("2026-01-01T10:00:00Z")
+    def ts(m: Long) = java.sql.Timestamp.from(t0.plusSeconds(m * 60))
+    def df(rows: (Long, java.sql.Timestamp, Long)*) =
+      rows.toSeq.toDF("event_id", "ts", "user_id")
+    val drop1 = df((1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(0), 2L), (4L, ts(30), 2L),
+      (6L, ts(0), 3L), (7L, ts(31), 3L))
+    val drop2 = df((5L, ts(35), 1L)) // 35 < 10+30 → merges into user 1's open session
+    def sentinel(m: Long) = df((-1L, ts(m), -1L))
+    val stream = spark.readStream.schema(drop1.schema).parquet(dir)
+    val q = EventStream.sessionWindows(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .option("checkpointLocation", s"$dir-ck").start()
+    try Seq(drop1, drop2, sentinel(20000), sentinel(20060)).foreach { d =>
+      d.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess").where($"user_id" =!= -1L).collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, ts(0), ts(65), 3L),   // merged across batches: last event 35m + 30m gap
+      (2L, ts(0), ts(60), 2L),   // exactly prev+gap still MERGES (inclusive rule)
+      (3L, ts(0), ts(30), 1L),   // one minute past the gap → genuine break
+      (3L, ts(31), ts(61), 1L)),
+      s"got $out")
+  }
+
   test("content-hash index refresh equals corpusIndex over the union") {
     val all = graft.core.Tables(spark, Sf0001).documents
     val corpus = all.where(col("doc_id") % 2 === 0)
