@@ -175,6 +175,10 @@ object SparkEntry {
     "q155_orc_interchange" -> (Pipeline.orcInterchange _),
     "q156_streaming_attribution" -> (Pipeline.streamingAttribution _),
     "q157_streaming_session_windows" -> (Pipeline.streamingSessionWindows _),
+    "q158_hll_cardinality" -> (Pipeline.hllCardinalityReport _),
+    "q159_fuzzy_dup_pairs" -> (Pipeline.fuzzyDupPairs _),
+    "q160_bucketed_join" -> (Pipeline.bucketedColocatedJoin _),
+    "q161_revenue_rollup" -> (Pipeline.revenueRollup _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1540,6 +1544,83 @@ object SparkEntry {
         |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ROLLUP subtotals: region -> nation -> grand total in one pass;
+    // GROUPING bitmask disambiguates subtotal rows from NULL keys
+    "q161_revenue_rollup" ->
+      """SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS BIGINT) AS level,
+        |  COUNT(*) AS n_orders,
+        |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS total_revenue
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY 3, 1, 2""".stripMargin,
+    // bucketed co-located join: the oracle joins the ORIGINAL parquet —
+    // equality certifies the bucketed write+read round trip; the
+    // exchange-free plan shape is spec-asserted
+    "q160_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fuzzy duplicate pairs: 8-token prefix keys, first-token blocking
+    // with the 200-cap, exact integer levenshtein gate at <= 6
+    "q159_fuzzy_dup_pairs" ->
+      raw"""WITH k AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(
+        |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), 1, 8), ' ') AS key
+        |  FROM documents),
+        |b AS (SELECT doc_id, key, string_split(key, ' ')[1] AS blk FROM k),
+        |capped AS (
+        |  SELECT doc_id, key, blk FROM (
+        |    SELECT doc_id, key, blk, count(*) OVER (PARTITION BY blk) AS bs FROM b)
+        |  WHERE bs <= 200)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(levenshtein(a.key, b2.key) AS BIGINT) AS edit_distance
+        |FROM capped a JOIN capped b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(a.key, b2.key) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+    // deterministic HLL: sha60 buckets, rank via length(bin(rest))
+    // integer arithmetic, raw estimate with the ascending-bucket pinned
+    // fold of exact dyadic terms; exact count(distinct) alongside
+    "q158_hll_cardinality" ->
+      raw"""WITH t0 AS (
+        |  SELECT source, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source, unnest(CASE WHEN len(tk) < 3 THEN []
+        |    ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END) AS s
+        |  FROM t0),
+        |h AS (
+        |  SELECT source, s, CAST(('0x' || substring(sha256('hll:' || s), 1, 15)) AS BIGINT) AS hv
+        |  FROM sh),
+        |br AS (SELECT source, hv % 64 AS bucket, hv // 64 AS rest FROM h),
+        |rho AS (
+        |  SELECT source, bucket,
+        |    CASE WHEN rest = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(54 - length(bin(rest)) + 1 AS BIGINT) END AS rho
+        |  FROM br),
+        |regs AS (SELECT source, bucket, max(rho) AS register FROM rho GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT s.source, g.b AS bucket
+        |  FROM (SELECT DISTINCT source FROM documents) s,
+        |       (SELECT unnest(generate_series(0, 63)) AS b) g),
+        |fr AS (
+        |  SELECT sp.source, sp.bucket, COALESCE(r.register, 0) AS register
+        |  FROM spine sp LEFT JOIN regs r ON sp.source = r.source AND sp.bucket = r.bucket),
+        |est AS (
+        |  SELECT source,
+        |    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |      / list_reduce(
+        |          list(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << register) AS DOUBLE) ORDER BY bucket),
+        |          (a, b) -> a + b) AS hll_estimate,
+        |    CAST(count(*) FILTER (register = 0) AS BIGINT) AS n_zero
+        |  FROM fr GROUP BY source),
+        |ex AS (SELECT source, CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct FROM sh GROUP BY source)
+        |SELECT e.source, ex.exact_distinct, e.hll_estimate, e.n_zero
+        |FROM est e JOIN ex ON e.source = ex.source
+        |ORDER BY e.source""".stripMargin,
     // stream-stream attribution: the converged left interval join — the
     // batch recompute certifies the stream because the fixture's
     // watermark delay (2h) exceeds the attribution window (1h) and drops

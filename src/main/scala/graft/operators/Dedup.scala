@@ -35,6 +35,47 @@ object Dedup {
       keys = Seq(col("_content_hash")),
       orderBy = Seq(col(idCol))).drop("_content_hash")
 
+  /** Blocking-based fuzzy duplicate detection — the entity-resolution
+    * tier of the dedup ladder: exact (hash) and set-similarity (MinHash /
+    * SimHash / winnowing) miss near-identical records that differ by a
+    * few CHARACTER edits (typos, truncations, re-crawled titles); an
+    * edit-distance gate catches exactly those. Returns `(id_a, id_b,
+    * edit_distance)` for pairs whose normalized `keyTokens`-token prefix
+    * key is within `maxDist` Levenshtein edits.
+    *
+    * Candidates come from BLOCKING, the standard ER scale move: only
+    * records sharing a cheap block key (the key's first token) are
+    * compared, so candidate work is Σ block² — never N² — and blocks
+    * larger than `maxBlockSize` are dropped whole (a block that big is a
+    * stopword-grade key carrying no discriminating signal; the capped-
+    * LSH-bucket precedent). `levenshtein` is an integer builtin in both
+    * engines, so gated pairs certify bit-for-bit.
+    */
+  def fuzzyNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keyTokens: Int = 8,
+      maxDist: Int = 6,
+      maxBlockSize: Int = 200): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc_id"),
+        concat_ws(" ",
+          slice(graft.functions.TextFunctions.tokens(col(textCol)), 1, keyTokens))
+          .as("_key"))
+      .withColumn("_blk", element_at(split(col("_key"), " "), 1))
+    val capped = keyed
+      .withColumn("_bs", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))))
+      .where(col("_bs") <= maxBlockSize)
+    capped.select(col("doc_id").as("id_a"), col("_key").as("_ka"), col("_blk"))
+      .join(capped.select(col("doc_id").as("id_b"), col("_key").as("_kb"), col("_blk")),
+        Seq("_blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_ka"), col("_kb")).cast("long").as("edit_distance"))
+      .where(col("edit_distance") <= maxDist)
+  }
+
   /** MinHash signature: `numHashes` permutation-minima over word-`n`-gram
     * shingle hashes. Hash family h_j(x) = (a_j·x + b_j) mod p with
     * deterministic odd a_j, b_j; shingle base-hash via [[graft.functions.Sha60]]

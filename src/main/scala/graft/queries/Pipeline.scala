@@ -2494,6 +2494,107 @@ object Pipeline {
       .orderBy("ship_year", "ship_month")
   }
 
+  /** q158 — per-source distinct-shingle cardinality via deterministic
+    * HyperLogLog ([[Sketches.hllRegisters]]/[[Sketches.hllEstimate]],
+    * m = 64 over trigram shingles): the sketch answer next to the exact
+    * `count(distinct)` it approximates, so the report IS the estimate-
+    * quality audit (probed at sf0.01: exact 1 193–1 462 per source,
+    * raw estimates within the ~1.04/√64 HLL error band, n_zero = 0 —
+    * the regime where the raw estimator is the right one). Every
+    * register and both estimate floats are hash-certified against a
+    * from-scratch DuckDB recompute — possible because the rank uses
+    * `length(bin(rest))` integer arithmetic and the estimate fold is
+    * pinned to ascending-bucket order.
+    */
+  def hllCardinalityReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val sh = Tables(spark, dir).documents
+      .select(col("source"), explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(sh, Seq("source"), "sh", m = 64), Seq("source"), m = 64)
+    sh.groupBy("source")
+      .agg(countDistinct(col("sh")).as("exact_distinct"))
+      .join(est, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("hll_estimate"), col("n_zero"))
+      .orderBy("source")
+  }
+
+  /** q159 — fuzzy (edit-distance) duplicate pairs
+    * ([[Dedup.fuzzyNearDuplicates]]): docs whose 8-token normalized
+    * prefix keys are within 6 Levenshtein edits, candidates blocked on
+    * the key's first token (Σ block² work, max block 26 / Σ ≈ 9 k
+    * comparisons at sf0.01 — never N²). Probed: 4 233 candidates gate
+    * down to 25 pairs, and the distance distribution is bimodal (≤ 6 vs
+    * > 14), so the gate — not the blocking — determines the answer. The
+    * character-edit tier of the dedup ladder: these prefixes differ by
+    * word substitutions that shingle/MinHash similarity also sees, but
+    * the certified quantity here is the exact edit DISTANCE per pair,
+    * cross-engine because levenshtein is an integer builtin in both.
+    */
+  def fuzzyDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyNearDuplicates(Tables(spark, dir).documents, "doc_id", "text",
+      keyTokens = 8, maxDist = 6, maxBlockSize = 200)
+      .orderBy("id_a", "id_b")
+
+  /** q160 — bucketed CO-LOCATED join through the warehouse catalog
+    * ([[graft.catalog.WarehouseCatalog.saveBucketed]]): orders and
+    * lineitem slices land as tables bucketed+sorted 8-ways on their join
+    * keys, and the priority rollup joins the READ-BACK tables with a
+    * sort-merge hint — the bucketing metadata makes the join
+    * exchange-free (spec-asserted: SortMergeJoin, ZERO shuffle below it),
+    * which is the engine's replacement for the reference's BTREE join
+    * indexes and THE co-location lever at 100 TB: the shuffle is paid
+    * once at write time, then every subsequent join of the fact tables
+    * is a local zip of pre-sorted buckets. The oracle joins the original
+    * parquet, so the green row also certifies bucketed write+read
+    * fidelity end to end.
+    */
+  def bucketedColocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.WarehouseCatalog
+    val cat = new WarehouseCatalog(spark, scratchDir("graft_q160_"))
+    cat.createDatabases()
+    val t = Tables(spark, dir)
+    cat.saveBucketed("silver", "q160_orders",
+      t.orders.select("o_orderkey", "o_orderpriority"), Seq("o_orderkey"), numBuckets = 8)
+    cat.saveBucketed("silver", "q160_lineitem",
+      t.lineitem.select("l_orderkey", "l_quantity", "l_extendedprice"),
+      Seq("l_orderkey"), numBuckets = 8)
+    spark.table("graft_silver.q160_lineitem")
+      .join(spark.table("graft_silver.q160_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("decimal(38,4)").cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q161 — hierarchical subtotals via ROLLUP: revenue by region → nation
+    * → grand total in ONE aggregation pass (`rollup` + `grouping_id`),
+    * the reference's multi-query subtotal reports collapsed into a
+    * single plan: Spark expands the grouping sets and the partial
+    * aggregation stays map-side combined per set, so the fact table is
+    * scanned once however many subtotal levels the report carries.
+    * `grouping_id` disambiguates a genuine NULL key from a subtotal row
+    * — certified against DuckDB's standard-SQL GROUPING bitmask.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .join(t.orders, col("o_custkey") === col("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().cast("long").as("level"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("decimal(38,4)").cast("double").as("total_revenue"))
+      .orderBy(col("level"), col("r_name"), col("n_name"))
+  }
+
   /** q143 — cluster-scoped SemDeDup ([[Similarity.semDedup]]): the
     * embedding space is partitioned by the q39 seed centroids (vectors
     * 1..4) and τ = 0.45-similar pairs are pruned WITHIN clusters only —

@@ -121,4 +121,24 @@ class ExtensionsAndPerfSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE graft_silver CASCADE")
     }
   }
+
+  test("merge-hinted bucketed join is exchange-free WITHOUT touching broadcast conf (q160's shape)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket-h").toString
+    val cat = new WarehouseCatalog(spark, wh)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_silver LOCATION '$wh/silver.db'")
+    try {
+      val facts = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "q")
+      val dims = (1 to 100).map(i => (i.toLong, s"p${i % 5}")).toDF("k", "p")
+      cat.saveBucketed("silver", "facts_h", facts, Seq("k"), 4)
+      cat.saveBucketed("silver", "dims_h", dims, Seq("k"), 4)
+      // the hint (not a conf mutation) pins sort-merge even though the dim
+      // side is broadcast-sized — the query stays a pure plan declaration
+      val joined = spark.table("graft_silver.facts_h")
+        .join(spark.table("graft_silver.dims_h").hint("merge"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"hint must pin the merge strategy:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed merge join must not shuffle:\n$plan")
+    } finally spark.sql("DROP DATABASE graft_silver CASCADE")
+  }
 }

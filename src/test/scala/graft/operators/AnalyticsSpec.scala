@@ -108,4 +108,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(keyExchanges == 1,
       s"all stage windows must share one entity shuffle, got $keyExchanges:\n$plan")
   }
+
+  test("rollup emits detail, per-prefix subtotal, and grand-total rows with the GROUPING bitmask") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sales = Seq(
+      ("eu", "de", 10L), ("eu", "de", 5L), ("eu", "fr", 7L),
+      ("us", "us", 20L)
+    ).toDF("region", "nation", "amt")
+    val out = sales.rollup($"region", $"nation")
+      .agg(grouping_id().cast("long").as("level"), sum($"amt").as("total"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (Some("eu"), Some("de"), 0L, 15L),
+      (Some("eu"), Some("fr"), 0L, 7L),
+      (Some("us"), Some("us"), 0L, 20L),
+      (Some("eu"), None, 1L, 22L),       // region subtotal: low bit = nation rolled up
+      (Some("us"), None, 1L, 20L),
+      (None, None, 3L, 42L)),            // grand total: both bits set
+      s"got $out")
+  }
 }

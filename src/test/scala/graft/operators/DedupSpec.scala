@@ -423,4 +423,33 @@ class DedupSpec extends SparkSpec {
     // disjoint vocabularies never collide on a component: s3 pairs with nobody
     assert(!sim.keySet.exists { case (a, b) => a == "s3" || b == "s3" })
   }
+
+  test("fuzzyNearDuplicates: edit gate, first-token blocking, block cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark streaming guide for beginners"),
+      (2L, "spark streaming guide for beginers"),    // 1 deletion from doc 1
+      (3L, "spark batch processing overview text"),  // same block, far away
+      (4L, "flink streaming guide for beginners"),   // different first token: never compared
+      // same block, mutually > 6 edits apart; oversized at cap 2
+      (5L, "zzz aaaaaaaaaaaa bbbbbbbbbbbb"),
+      (6L, "zzz cccccccccccc dddddddddddd"),
+      (7L, "zzz eeeeeeeeeeee ffffffffffff")
+    ).toDF("doc_id", "text")
+    val out = Dedup.fuzzyNearDuplicates(docs, "doc_id", "text",
+      keyTokens = 8, maxDist = 6, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 2L)), s"only the typo pair survives the gate: $out")
+    assert(out((1L, 2L)) == 1L, "distance is the exact edit count")
+    // boundary: a pair AT the threshold passes, one past it fails
+    val d3 = Seq((1L, "a b"), (2L, "a xyz")).toDF("doc_id", "text")
+    assert(Dedup.fuzzyNearDuplicates(d3, "doc_id", "text", maxDist = 3).count() == 1)
+    assert(Dedup.fuzzyNearDuplicates(d3, "doc_id", "text", maxDist = 2).count() == 0)
+    // cap: the zzz block (3 docs) is dropped WHOLE at maxBlockSize = 2
+    val capped = Dedup.fuzzyNearDuplicates(docs, "doc_id", "text",
+      keyTokens = 8, maxDist = 100, maxBlockSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a >= 5L || b >= 5L },
+      s"stopword-grade blocks carry no signal and are dropped whole: $capped")
+  }
 }

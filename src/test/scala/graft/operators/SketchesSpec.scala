@@ -52,4 +52,52 @@ class SketchesSpec extends SparkSpec {
     assert(sk.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4))
     assert(sk.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 16L))
   }
+
+  private def hllValues(key: String, vs: Seq[String]) = {
+    import spark.implicits._
+    vs.map(v => (key, v)).toDF("k", "v")
+  }
+
+  test("HLL registers: exactly keys*m rows, ranks in range, duplicates are free") {
+    val regs = Sketches.hllRegisters(
+      hllValues("a", (1 to 200).map("v" + _)).unionByName(hllValues("b", Seq("x"))),
+      Seq("k"), "v", m = 16)
+    val rows = regs.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 2 * 16, "every key carries its full bucket spine")
+    assert(rows.forall { case (_, b, reg) => b >= 0 && b < 16 && reg >= 0 && reg <= 57 })
+    assert(rows.count { case (k, _, reg) => k == "b" && reg > 0 } == 1,
+      "a single value sets exactly one register")
+    val doubled = Sketches.hllRegisters(
+      hllValues("a", (1 to 200).map("v" + _) ++ (1 to 200).map("v" + _)),
+      Seq("k"), "v", m = 16).where($"k" === "a")
+    assert(doubled.collect().map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      rows.filter(_._1 == "a").map(t => (t._2, t._3)).toSet,
+      "registers depend on the distinct set only")
+  }
+
+  test("HLL merge: shard-merge == whole-corpus build; idempotent") {
+    val all = (1 to 300).map("item" + _)
+    val (left, right) = all.splitAt(157)
+    val whole = Sketches.hllRegisters(hllValues("k", all), Seq("k"), "v", m = 32)
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(hllValues("k", left), Seq("k"), "v", m = 32),
+      Sketches.hllRegisters(hllValues("k", right), Seq("k"), "v", m = 32), Seq("k"))
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(s(merged) == s(whole), "register-wise max over shards is exact")
+    assert(s(Sketches.hllMerge(whole, whole, Seq("k"))) == s(whole), "idempotent replay")
+  }
+
+  test("HLL estimate lands within the error band; n_zero counts empty registers") {
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(hllValues("k", (1 to 1000).map("u" + _)), Seq("k"), "v", m = 64),
+      Seq("k"), m = 64).collect().head
+    val e = est.getDouble(1)
+    assert(e > 600 && e < 1400, s"1000 distinct items must estimate near 1000, got $e")
+    // m=4: one value fills one bucket, three registers stay zero
+    val tiny = Sketches.hllEstimate(
+      Sketches.hllRegisters(hllValues("k", Seq("only")), Seq("k"), "v", m = 4),
+      Seq("k"), m = 4).collect().head
+    assert(tiny.getLong(2) == 3L)
+  }
 }
