@@ -179,6 +179,9 @@ object SparkEntry {
     "q159_fuzzy_dup_pairs" -> (Pipeline.fuzzyDupPairs _),
     "q160_bucketed_join" -> (Pipeline.bucketedColocatedJoin _),
     "q161_revenue_rollup" -> (Pipeline.revenueRollup _),
+    "q162_trailing_window" -> (Pipeline.trailingWindowActivity _),
+    "q163_balance_ranks" -> (Pipeline.segmentBalanceRanks _),
+    "q164_streaming_sliding_windows" -> (Pipeline.streamingSlidingCounts _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1544,6 +1547,37 @@ object SparkEntry {
         |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hopping windows: every event replicated into its 4 overlapping
+    // epoch-aligned windows by integer microsecond arithmetic
+    "q164_streaming_sliding_windows" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS m FROM events),
+        |w AS (
+        |  SELECT make_timestamp(m - m % 900000000 - k.k * 900000000) AS window_start,
+        |    event_type
+        |  FROM e, (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // time-RANGE frame: trailing 1-hour per-user window, inclusive
+    // bounds on both engines
+    "q162_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  max(value) OVER w AS max_value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // ranking family: singleton peer groups via the custkey tiebreak make
+    // percent_rank/cume_dist rational arithmetic engine-identical
+    "q163_balance_ranks" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume_d
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     // ROLLUP subtotals: region -> nation -> grand total in one pass;
     // GROUPING bitmask disambiguates subtotal rows from NULL keys
     "q161_revenue_rollup" ->

@@ -1515,6 +1515,35 @@ object Pipeline {
       .orderBy("user_id", "session_start")
   }
 
+  /** q164 — hopping-window streaming counts certified through the stream
+    * path ([[graft.streaming.EventStream.slidingCounts]]): 1-hour
+    * windows sliding every 15 minutes, so each event contributes to
+    * exactly 4 overlapping windows — the fan-out and the window-ALIGNMENT
+    * rule (starts on epoch-aligned slide boundaries) are both certified,
+    * because the oracle reconstructs every window start with integer
+    * microsecond arithmetic (`m − m mod slide − k·slide`) and counts per
+    * (window_start, event_type) from scratch. The sentinel rides its own
+    * `sentinel` event type so its far-future windows filter out of the
+    * sink without touching any real window's count.
+    */
+  def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val drops = timeOrderedEventDrops(
+      spark, Tables(spark, dir).events, k = 3, sentinelTypes = Seq("sentinel"))
+    val tmp = runSequencedDrops(spark, drops, "graft_q164_") { (stream, t) =>
+      EventStream.slidingCounts(stream)
+        .writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$t/windows")
+        .start()
+    }
+    spark.read.parquet(s"$tmp/windows")
+      .where(col("event_type") =!= "sentinel")
+      .orderBy("window_start", "event_type")
+  }
+
   /** q97 — streaming near-dup admission, certified through the STREAM path
     * itself (q64 certifies the batch twin of the same index probe): the
     * arriving docs (doc_id % 10 = 0, q64's delta split) are written as a
@@ -2492,6 +2521,51 @@ object Pipeline {
         sum(col("l_extendedprice").cast("decimal(12,2)"))
           .cast("decimal(38,4)").cast("double").as("sum_price"))
       .orderBy("ship_year", "ship_month")
+  }
+
+  /** q162 — time-RANGE window frames: for every event, the trailing
+    * 1-hour per-user activity (event count and max value) via a RANGE
+    * frame over the microsecond epoch (`rangeBetween(-3.6e9, 0)` on
+    * `unix_micros(ts)` — the DataFrame-API form of `RANGE BETWEEN
+    * INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`, bounds inclusive on
+    * both engines). The frame is VALUE-based, not row-based — the
+    * machinery the ROWS-frame running totals (q12) never exercise: peers
+    * enter and leave by timestamp distance, so burst detection works
+    * regardless of how many events land inside the hour. Count and max
+    * are order-free aggregates — no float fold to pin. One shuffle on
+    * user_id; the frame scan is a single ordered pass per partition.
+    */
+  def trailingWindowActivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        max(col("value")).over(w).as("max_value_1h"))
+      .orderBy("event_id")
+  }
+
+  /** q163 — the distribution-ranking window family (`ntile`,
+    * `percent_rank`, `cume_dist`) over customer balances within market
+    * segment: quartile assignment plus the two relative-position
+    * statistics, disambiguated with a custkey tiebreak so every peer
+    * group is a singleton and both engines' rational arithmetic
+    * (`(rank−1)/(n−1)`, `rows≤/n`) lands on identical doubles. These are
+    * the remaining SQL ranking functions the q12–q20 window tier didn't
+    * cover; all three share ONE segment shuffle and one ordered pass.
+    */
+  def segmentBalanceRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("balance_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume_d"))
+      .orderBy("c_custkey")
   }
 
   /** q158 — per-source distinct-shingle cardinality via deterministic

@@ -79,6 +79,28 @@ object EventStream {
         col("n_events"),
         col("total_value"))
 
+  /** Hopping (sliding) windowed counts — each event lands in
+    * `window/slide` overlapping windows (4 at the 1 h/15 m default), the
+    * smoothing a tumbling window can't give: a burst straddling a
+    * tumbling boundary splits across two buckets, while every hop that
+    * covers it sees it whole. Same watermark/append semantics as
+    * [[windowedCounts]]; state is `window/slide` times larger — the
+    * price of the overlap, still bounded by the watermark horizon.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, nEvents: Long)

@@ -109,6 +109,29 @@ class AnalyticsSpec extends SparkSpec {
       s"all stage windows must share one entity shuffle, got $keyExchanges:\n$plan")
   }
 
+  test("time-RANGE frame: peers enter and leave by timestamp distance, not row count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t0 = java.time.Instant.parse("2026-01-01T10:00:00Z")
+    def ts(m: Long) = java.sql.Timestamp.from(t0.plusSeconds(m * 60))
+    val ev = Seq((1L, ts(0)), (2L, ts(30)), (3L, ts(70)), (4L, ts(200)))
+      .toDF("event_id", "ts").withColumn("user_id", lit(7L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    val got = ev.select($"event_id", count(lit(1)).over(w).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // minute 70: event at 30 (40 ago) is in; event at 0 (70 ago) is OUT —
+    // a ROWS-2 frame would have counted it
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $got")
+    // boundary: exactly 60 minutes apart is INSIDE the inclusive bound
+    val edge = Seq((1L, ts(0)), (2L, ts(60))).toDF("event_id", "ts")
+      .withColumn("user_id", lit(1L))
+      .select($"event_id", count(lit(1)).over(w).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edge(2L) == 2L, "RANGE bounds are inclusive")
+  }
+
   test("rollup emits detail, per-prefix subtotal, and grand-total rows with the GROUPING bitmask") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

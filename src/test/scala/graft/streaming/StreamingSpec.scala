@@ -648,6 +648,31 @@ class StreamingSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("slidingCounts: each event lands in window/slide hops; straddling bursts stay whole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    val t0 = java.time.Instant.parse("2026-01-01T10:07:00Z") // NOT slide-aligned
+    def ts(m: Long) = java.sql.Timestamp.from(t0.plusSeconds(m * 60))
+    val drop1 = Seq((1L, ts(0), "click"), (2L, ts(1), "click"))
+      .toDF("event_id", "ts", "event_type")
+    val sentinel = Seq((-1L, ts(20000), "sentinel")).toDF("event_id", "ts", "event_type")
+    val stream = spark.readStream.schema(drop1.schema).parquet(dir)
+    val q = EventStream.slidingCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("slide")
+      .option("checkpointLocation", s"$dir-ck").start()
+    try Seq(drop1, sentinel, sentinel).foreach { d =>
+      d.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("slide").where($"event_type" === "click").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    // both events sit at 10:07/10:08 → the same 4 hour-long hops starting
+    // 09:15, 09:30, 09:45, 10:00 (epoch-aligned 15-minute boundaries)
+    val starts = Seq("09:15", "09:30", "09:45", "10:00")
+      .map(h => java.sql.Timestamp.from(java.time.Instant.parse(s"2026-01-01T$h:00Z")))
+    assert(got.keySet == starts.toSet, s"got ${got.keySet}")
+    assert(got.values.forall(_ == 2L), "the burst is whole in every covering hop")
+  }
+
   test("content-hash index refresh equals corpusIndex over the union") {
     val all = graft.core.Tables(spark, Sf0001).documents
     val corpus = all.where(col("doc_id") % 2 === 0)
