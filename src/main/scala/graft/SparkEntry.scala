@@ -182,6 +182,9 @@ object SparkEntry {
     "q162_trailing_window" -> (Pipeline.trailingWindowActivity _),
     "q163_balance_ranks" -> (Pipeline.segmentBalanceRanks _),
     "q164_streaming_sliding_windows" -> (Pipeline.streamingSlidingCounts _),
+    "q165_gap_fill_forward" -> (Pipeline.gapFillForward _),
+    "q166_shipping_cube" -> (Pipeline.shippingCube _),
+    "q167_cohort_set_ops" -> (Pipeline.customerYearSetOps _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1578,6 +1581,43 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // per-user calendar densify (generate_series == Spark sequence) +
+    // IGNORE NULLS forward carry; count coalesced to BIGINT zero
+    "q165_gap_fill_forward" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n, max(value) AS mx
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM d GROUP BY user_id),
+        |j AS (SELECT cal.user_id, cal.day, d.n, d.mx
+        |      FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day)
+        |SELECT user_id, day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |  last_value(mx IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_max
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    // CUBE margins: detail, per-year, per-flag, grand total — one pass,
+    // GROUPING bitmask separates margin NULLs from data NULLs
+    "q166_shipping_cube" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
+        |  CAST(GROUPING(year(l_shipdate), l_returnflag) AS BIGINT) AS level,
+        |  COUNT(*) AS n_items,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE (year(l_shipdate), l_returnflag)
+        |ORDER BY 3, 1, 2""".stripMargin,
+    // INTERSECT/EXCEPT carry SQL DISTINCT set semantics on both engines
+    "q167_cohort_set_ops" ->
+      """SELECT 'retained' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001)
+        |UNION ALL
+        |SELECT 'churned' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001)
+        |ORDER BY op, o_custkey""".stripMargin,
     // ROLLUP subtotals: region -> nation -> grand total in one pass;
     // GROUPING bitmask disambiguates subtotal rows from NULL keys
     "q161_revenue_rollup" ->

@@ -2669,6 +2669,85 @@ object Pipeline {
       .orderBy(col("level"), col("r_name"), col("n_name"))
   }
 
+  /** q165 — calendar gap-fill with forward carry: per-user daily activity
+    * densified to EVERY day in the user's own [first, last] span (the
+    * per-key calendar via `sequence` + `explode` — 57 missing days across
+    * 18 of the 20 users at sf0.01), zero-filled counts on the gap days,
+    * and the last OBSERVED daily max carried forward with
+    * `last(_, ignoreNulls).over(rowsBetween(unboundedPreceding, current))`
+    * — the IGNORE NULLS frame the q12–q17 window tier never touches. The
+    * calendar derives from the daily aggregate (≤ one row per key-day,
+    * already shuffled on user_id), so the densify join and the fill
+    * window REUSE that partitioning; the raw events table is scanned
+    * once. Spans are bounded by the retention horizon, so the explode
+    * fan-out per key is a constant, not data-sized.
+    */
+  def gapFillForward(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .where(col("user_id") < 20)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+    val cal = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("mx"), ignoreNulls = true).over(w).as("carried_max"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q166 — full cross-classification via CUBE: shipment volume and value
+    * by (ship_year × return flag), every marginal (per-year, per-flag)
+    * and the grand total in ONE aggregation pass — the 2ᵏ grouping-set
+    * companion to q161's hierarchical ROLLUP. Spark expands the four
+    * grouping sets BELOW the partial aggregate, so the 100 TB fact scan
+    * happens once and the map-side combine emits at most
+    * 4 × |year×flag| rows per task before the single shuffle.
+    * `grouping_id` (certified against DuckDB's standard GROUPING bitmask)
+    * is what makes the subtotal rows machine-consumable: a NULL year
+    * at level 0 would be data, at level 2 it's a margin.
+    */
+  def shippingCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_returnflag"), col("l_extendedprice"))
+      .cube(col("ship_year"), col("l_returnflag"))
+      .agg(
+        grouping_id().cast("long").as("level"),
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("decimal(38,4)").cast("double").as("sum_price"))
+      .orderBy(col("level"), col("ship_year"), col("l_returnflag"))
+
+  /** q167 — set operators INTERSECT / EXCEPT as cohort algebra: customers
+    * active in BOTH 1995 and 2001 (`intersect` → retained) next to those
+    * active in 1995 but gone by 2001 (`except` → churned). Both carry
+    * SQL's DISTINCT set semantics — multi-order customers collapse to one
+    * membership row — and Catalyst compiles them to aggregate-then-
+    * left-semi / left-anti joins on o_custkey, so each cohort is one
+    * column-pruned scan (orderdate + custkey only) plus one key shuffle;
+    * the year predicates are written as half-open RANGES on the raw
+    * timestamp — `year(col) === y` wraps the column and never reaches
+    * the reader, while the range form shows up in `PushedFilters` and
+    * prunes parquet row groups by min/max stats, which at 100 TB is the
+    * difference between scanning one year and scanning seven.
+    * Probed at sf0.01: 685 retained / 489 churned — both branches
+    * discriminate.
+    */
+  def customerYearSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def keys(y: Int) = o.where(
+        col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+    keys(1995).intersect(keys(2001)).withColumn("op", lit("retained"))
+      .unionByName(keys(1995).except(keys(2001)).withColumn("op", lit("churned")))
+      .orderBy("op", "o_custkey")
+  }
+
   /** q143 — cluster-scoped SemDeDup ([[Similarity.semDedup]]): the
     * embedding space is partitioned by the q39 seed centroids (vectors
     * 1..4) and τ = 0.45-similar pairs are pruned WITHIN clusters only —

@@ -153,4 +153,59 @@ class AnalyticsSpec extends SparkSpec {
       (None, None, 3L, 42L)),            // grand total: both bits set
       s"got $out")
   }
+
+  test("cube emits all four margins; the bitmask separates a margin NULL from a data NULL") {
+    import org.apache.spark.sql.functions._
+    val sales = Seq(
+      (Some("2024"), "A", 10L), (Some("2024"), "B", 5L),
+      (None: Option[String], "A", 7L) // genuine NULL key in the data
+    ).toDF("yr", "flag", "amt")
+    val out = sales.cube($"yr", $"flag")
+      .agg(grouping_id().cast("long").as("level"), sum($"amt").as("total"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+      .toSet
+    // detail row (None, A, level=0) is DATA; margin row (None, A, level=2)
+    // is the per-flag rollup — same key tuple, different bitmask
+    assert(out.contains((None, Some("A"), 0L, 7L)), s"data NULL lost: $out")
+    assert(out.contains((None, Some("A"), 2L, 17L)), s"flag margin lost: $out")
+    assert(out.contains((Some("2024"), None, 1L, 15L)), s"year margin lost: $out")
+    assert(out.contains((None, None, 3L, 22L)), s"grand total lost: $out")
+    assert(out.count(_._3 == 0L) == 3, s"detail rows: $out")
+  }
+
+  test("intersect/except are DISTINCT set ops: duplicates collapse, membership decides") {
+    val a = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val b = Seq(2L, 3L, 4L).toDF("k")
+    assert(a.intersect(b).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(a.except(b).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("gap-fill densifies each key to its own span, zero-fills, and carries the last observed value") {
+    import org.apache.spark.sql.functions._
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), 2L, 10.0),
+      (1L, Date.valueOf("2024-01-04"), 1L, 3.0),  // 2 gap days before it
+      (2L, Date.valueOf("2024-02-01"), 5L, 7.0)   // singleton span: no fill rows
+    ).toDF("user_id", "day", "n", "mx")
+    val cal = daily.groupBy("user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+      .rowsBetween(Long.MinValue, 0)
+    val out = cal.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day", coalesce($"n", lit(0L)).as("n"),
+        last($"mx", ignoreNulls = true).over(w).as("carried"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      (1L, "2024-01-01", 2L, 10.0),
+      (1L, "2024-01-02", 0L, 10.0), // zero-filled, carry from Jan 1
+      (1L, "2024-01-03", 0L, 10.0),
+      (1L, "2024-01-04", 1L, 3.0),  // fresh observation replaces the carry
+      (2L, "2024-02-01", 5L, 7.0)), // span never leaks past the key's own max
+      s"got $out")
+  }
 }
