@@ -185,6 +185,9 @@ object SparkEntry {
     "q165_gap_fill_forward" -> (Pipeline.gapFillForward _),
     "q166_shipping_cube" -> (Pipeline.shippingCube _),
     "q167_cohort_set_ops" -> (Pipeline.customerYearSetOps _),
+    "q168_triangle_clustering" -> (Pipeline.triangleCentrality _),
+    "q169_running_distinct" -> (Pipeline.runningDistinctTypes _),
+    "q170_bag_set_ops" -> (Pipeline.orderMultiplicitySetOps _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1581,6 +1584,29 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // naive canonical a<b<c three-way self-join — certifies the oriented
+    // wedge algorithm finds every triangle exactly once
+    "q168_triangle_clustering" -> triangleOracleSql,
+    // DuckDB's NATIVE count(DISTINCT) OVER certifies the first-occurrence
+    // flag + running-sum rewrite (Spark has no distinct window aggregate)
+    "q169_running_distinct" ->
+      """SELECT event_id, user_id,
+        |  count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_distinct_types
+        |FROM events ORDER BY event_id""".stripMargin,
+    // EXCEPT ALL / INTERSECT ALL carry multiset multiplicity on both engines
+    "q170_bag_set_ops" ->
+      """SELECT 'surplus' AS op, o_custkey, CAST(count(*) AS BIGINT) AS multiplicity FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001) GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'matched' AS op, o_custkey, CAST(count(*) AS BIGINT) AS multiplicity FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001) GROUP BY 1, 2
+        |ORDER BY op, o_custkey""".stripMargin,
     // per-user calendar densify (generate_series == Spark sequence) +
     // IGNORE NULLS forward carry; count coalesced to BIGINT zero
     "q165_gap_fill_forward" ->

@@ -93,4 +93,69 @@ object Graph {
     rank.join(odeg, Seq("u"))
       .select(col("u").as("node_id"), col("r").as("pr_score"), col("out_degree"))
   }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * UNDIRECTED graph given as canonical pairs (one row per unordered
+    * pair, `src < dst`) — the community-density signal on top of the dup
+    * pair generators: a near-dup cluster that is also triangle-dense is a
+    * template family, not a chain of pairwise coincidences.
+    *
+    * Algorithm: degree-ordered edge orientation. Every edge points from
+    * its lower-(degree, id) endpoint to the higher, wedges are built by
+    * self-joining oriented edges on their pivot, and a wedge closes iff
+    * the oriented edge between its two spokes exists — each triangle is
+    * found exactly once, at its lowest-order corner. The orientation is
+    * THE scale move: a hub of degree d contributes `C(d,2)` wedges when
+    * pivoted on, but after orientation every node's OUT-degree is
+    * O(√m) even on power-law graphs, so the wedge join is bounded where
+    * the naive pivot-on-every-corner join is quadratic in the hottest
+    * key. The spoke ordering compares `struct(degree, id)` carried on
+    * the oriented edges — no global rank window, nothing single-partition.
+    * The pair frame is localCheckpoint'ed once (pair generators arrive as
+    * expensive self-join plans; it is scanned three times here), then the
+    * work is three key-partitioned joins and two map-side-combined
+    * aggregations. The coefficient `2t / (d(d−1))` divides two exact
+    * BIGINTs once per node — no float fold to pin.
+    *
+    * Certified against a plain canonical three-way self-join oracle
+    * (q168) — equality proves the orientation finds every triangle
+    * exactly once.
+    */
+  def triangleCounts(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val p = pairs
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint()
+    val deg = p.select(col("a").as("u"))
+      .unionByName(p.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("degree"))
+    val withDeg = p
+      .join(deg.select(col("u").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("degree").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw")), Seq("src"))
+      .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+    val perNode = triangles.select(col("x").as("u"))
+      .unionByName(triangles.select(col("y").as("u")))
+      .unionByName(triangles.select(col("z").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("u"), "left")
+      .select(
+        col("u").as("node_id"),
+        col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -2748,6 +2748,78 @@ object Pipeline {
       .orderBy("op", "o_custkey")
   }
 
+  /** q168 — per-node triangle counts + local clustering coefficient
+    * ([[graft.operators.Graph.triangleCounts]], degree-ordered edge
+    * orientation) over the SAME cosine-threshold pair graph as q154's
+    * PageRank (vec_id < 500, τ = 0.25 — 2,818 edges, 907 triangles, 470
+    * of 500 nodes in at least one, probed at sf0.01). The oracle counts
+    * triangles the naive way — a canonical `a < b < c` three-way
+    * self-join — so the green row certifies that the oriented wedge
+    * algorithm finds every triangle exactly once; the two are the same
+    * answer but NOT the same join volume once a hub shows up.
+    */
+  def triangleCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CosineSimilarity.cosineFast
+    val e = Tables(spark, dir).embeddings.where(col("vec_id") < 500)
+    val pairs = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")))
+      .where(col("id_a") < col("id_b"))
+      .where(cosineFast(col("va"), col("vb")) >= 0.25)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Graph.triangleCounts(pairs, "id_a", "id_b")
+      .withColumnRenamed("node_id", "vec_id")
+      .orderBy("vec_id")
+  }
+
+  /** q169 — running DISTINCT count over a window: per user, how many
+    * distinct event types have been seen up to each event. Spark has no
+    * native `count(DISTINCT) OVER`, so this is the composition that
+    * scales: a first-occurrence flag (`row_number() == 1` over
+    * (user, type) by arrival) followed by a running sum of flags over
+    * (user) by arrival — two window passes, each a single ordered scan,
+    * with per-key state O(1) instead of the per-row distinct SET a naive
+    * implementation would carry. Arrival order is pinned by
+    * (ts, event_id) so ties cannot reorder across engines; the oracle is
+    * DuckDB's NATIVE `count(DISTINCT …) OVER` with the identical ROWS
+    * frame — the equality certifies the flag+sum rewrite.
+    */
+  def runningDistinctTypes(spark: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L).as("_new"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("_new")).over(wRun).as("n_distinct_types"))
+      .orderBy("event_id")
+  }
+
+  /** q170 — multiset (bag) set operators EXCEPT ALL / INTERSECT ALL:
+    * q167's cohort algebra with multiplicity preserved — a customer with
+    * 3 orders in 1995 and 1 in 2001 contributes 2 `surplus` rows and 1
+    * `matched` row, the per-occurrence accounting DISTINCT set ops erase
+    * (probed at sf0.01: 1,437 surplus vs 489 churned-distinct, 849
+    * matched vs 685 retained-distinct — multiplicity discriminates on
+    * both branches). Catalyst plans both as a count-pair aggregation on
+    * the key + a generate of `min/max`-adjusted replication — one shuffle
+    * per operand, never a row-by-row walk; the same pushed timestamp
+    * ranges as q167 prune the scans.
+    */
+  def orderMultiplicitySetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def keys(y: Int) = o.where(
+        col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+    keys(1995).exceptAll(keys(2001)).withColumn("op", lit("surplus"))
+      .unionByName(keys(1995).intersectAll(keys(2001)).withColumn("op", lit("matched")))
+      .groupBy("op", "o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("op", "o_custkey")
+  }
+
   /** q143 — cluster-scoped SemDeDup ([[Similarity.semDedup]]): the
     * embedding space is partitioned by the q39 seed centroids (vectors
     * 1..4) and τ = 0.45-similar pairs are pruned WITHIN clusters only —
