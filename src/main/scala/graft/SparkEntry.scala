@@ -2977,6 +2977,42 @@ object SparkEntry {
       |ORDER BY pr_rank""".stripMargin
   }
 
+  /** q168 oracle: NAIVE canonical triangle count — the same
+    * cosine-threshold pair CTE as [[pageRankOracleSql]] (q154), then a
+    * plain `a<b<c` three-way self-join over the canonical (lo,hi) pairs:
+    * (p1: a–b) ⋈ (p2: b–c) ⋈ (p3: a–c) enumerates every triangle exactly
+    * once because the pair list already stores each edge with
+    * `ia < ib`. Degrees come from the symmetrized edge list; the
+    * coefficient divides the two exact BIGINTs as doubles — identical
+    * arithmetic to [[graft.operators.Graph.triangleCounts]]. Equality
+    * against the oriented-wedge implementation certifies the orientation
+    * finds every triangle exactly once (and never twice).
+    */
+  private def triangleOracleSql: String =
+    s"""WITH p AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE a.vec_id < 500 AND b.vec_id < 500
+      |    AND ${cosineSql("a.embedding", "b.embedding")} >= CAST(0.25 AS DOUBLE)),
+      |e AS (SELECT ia AS u, ib AS v FROM p UNION ALL SELECT ib, ia FROM p),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY u),
+      |t AS (
+      |  SELECT p1.ia AS a, p1.ib AS b, p2.ib AS c
+      |  FROM p p1
+      |  JOIN p p2 ON p2.ia = p1.ib
+      |  JOIN p p3 ON p3.ia = p1.ia AND p3.ib = p2.ib),
+      |corners AS (
+      |  SELECT a AS u FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+      |tcnt AS (SELECT u, CAST(count(*) AS BIGINT) AS n_triangles FROM corners GROUP BY u)
+      |SELECT d.u AS vec_id, d.degree,
+      |  COALESCE(tc.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+      |  CASE WHEN d.degree >= 2
+      |    THEN CAST(COALESCE(tc.n_triangles, CAST(0 AS BIGINT)) * 2 AS DOUBLE)
+      |         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+      |    ELSE CAST(0 AS DOUBLE) END AS clustering
+      |FROM deg d LEFT JOIN tcnt tc ON d.u = tc.u
+      |ORDER BY vec_id""".stripMargin
+
   private def bpeOracleSql(n: Int): String =
     bpeCtes(n) + "\n" +
       (1 to n).map(k =>

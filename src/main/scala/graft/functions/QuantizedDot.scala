@@ -48,15 +48,22 @@ case class QuantizedDot(left: Expression, right: Expression)
     case _ => false
   }
 
+  /** Dimension mismatch and element nulls yield NULL, never a silently
+    * truncated score — the function is registered session-wide as SQL
+    * `quantized_dot`, so arbitrary inputs (e.g. arrays_zip padding when a
+    * vector is shorter than the calibration params) can reach it.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
     val arrB = b.asInstanceOf[ArrayData]
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    if (arrA.numElements() != arrB.numElements()) return null
+    val n = arrA.numElements()
     val leftInt = elemIsInt(left)
     val rightInt = elemIsInt(right)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
       val x = if (leftInt) arrA.getInt(i).toLong else arrA.getLong(i)
       val y = if (rightInt) arrB.getInt(i).toLong else arrB.getLong(i)
       acc += x * y
@@ -73,12 +80,17 @@ case class QuantizedDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((long) $a.$getA($i)) * ((long) $b.$getB($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((long) $a.$getA($i)) * ((long) $b.$getB($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -17,6 +17,17 @@ class EntrySpec extends SparkSpec {
       "oracles without queries")
   }
 
+  test("every oracle is non-trivial SQL (a dangling entry fails here, not at gate time)") {
+    val empties = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql == null || sql.trim.length < 20 => name
+    }
+    assert(empties.isEmpty, s"empty/trivial oracle SQL for: $empties")
+    val noSelect = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("SELECT") => name
+    }
+    assert(noSelect.isEmpty, s"oracle without SELECT for: $noSelect")
+  }
+
   test("streaming toBronze appends micro-batches exactly once via checkpoint") {
     import graft.streaming.EventStream
     val base = java.nio.file.Files.createTempDirectory("graft-tobronze")

@@ -45,4 +45,25 @@ class QuantizedDotSpec extends SparkSpec {
       Literal.create(Seq(1L), ArrayType(LongType)))
     assert(bad.checkInputDataTypes().isFailure)
   }
+
+  test("dimension mismatch and element nulls yield NULL, not a truncated score") {
+    QuantizedDot.register(spark)
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val mismatch = QuantizedDot(
+      Literal.create(Seq(1, 2, 3), ArrayType(IntegerType)),
+      Literal.create(Seq(1, 2), ArrayType(IntegerType)))
+    assert(mismatch.eval(null) == null, "length mismatch must be NULL")
+    val elemNull = QuantizedDot(
+      Literal.create(Seq[java.lang.Integer](1, null, 3), ArrayType(IntegerType, true)),
+      Literal.create(Seq[java.lang.Integer](1, 2, 3), ArrayType(IntegerType, true)))
+    assert(elemNull.eval(null) == null, "element null must be NULL")
+    // codegen path through SQL on a real DataFrame
+    val rows = spark.sql(
+      """SELECT quantized_dot(array(1, 2, 3), array(1, 2)) AS mis,
+        |       quantized_dot(array(1, CAST(NULL AS INT), 3), array(1, 2, 3)) AS en,
+        |       quantized_dot(array(1, 2, 3), array(1, 2, 3)) AS ok""".stripMargin).head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.getLong(2) == 14L)
+  }
 }
