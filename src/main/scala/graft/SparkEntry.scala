@@ -188,6 +188,15 @@ object SparkEntry {
     "q168_triangle_clustering" -> (Pipeline.triangleCentrality _),
     "q169_running_distinct" -> (Pipeline.runningDistinctTypes _),
     "q170_bag_set_ops" -> (Pipeline.orderMultiplicitySetOps _),
+    "q171_lsh_triangles" -> (Pipeline.lshTriangleCommunities _),
+    "q172_embedding_components" -> (Pipeline.embeddingComponents _),
+    "q173_scd2_dimension" -> (Pipeline.scdDimensionBuild _),
+    "q174_point_in_time_join" -> (Pipeline.purchaseStateAttribution _),
+    "q175_incremental_gold_refresh" -> (Pipeline.incrementalGoldRefresh _),
+    "q176_exact_outliers" -> (Pipeline.valueOutliers _),
+    "q177_markov_transitions" -> (Pipeline.eventTransitionMatrix _),
+    "q178_topn_other_rollup" -> (Pipeline.topNationsOtherRollup _),
+    "q179_grouping_sets" -> (Pipeline.shippingGroupingSets _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1587,6 +1596,8 @@ object SparkEntry {
     // naive canonical a<b<c three-way self-join — certifies the oriented
     // wedge algorithm finds every triangle exactly once
     "q168_triangle_clustering" -> triangleOracleSql,
+    "q171_lsh_triangles" -> lshTriangleOracleSql,
+    "q172_embedding_components" -> embeddingComponentsOracleSql,
     // DuckDB's NATIVE count(DISTINCT) OVER certifies the first-occurrence
     // flag + running-sum rewrite (Spark has no distinct window aggregate)
     "q169_running_distinct" ->
@@ -1607,6 +1618,111 @@ object SparkEntry {
         |  INTERSECT ALL
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001) GROUP BY 1, 2
         |ORDER BY op, o_custkey""".stripMargin,
+    // SCD2 build: no-op suppression (lag), then version intervals (lead);
+    // ordering pinned by (ts, event_id) on both engines
+    "q173_scd2_dimension" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id, event_type AS state
+        |  FROM events WHERE event_type <> 'purchase'),
+        |flt AS (
+        |  SELECT user_id, ts, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM src),
+        |v AS (SELECT user_id, ts, state FROM flt WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  state,
+        |  ts AS effective_from,
+        |  lead(ts) OVER w AS effective_to,
+        |  (lead(ts) OVER w) IS NULL AS is_current
+        |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |ORDER BY user_id, version""".stripMargin,
+    // point-in-time attribution: DuckDB's NATIVE ASOF LEFT JOIN against
+    // the recomputed version table certifies the union+window formulation
+    "q174_point_in_time_join" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id, event_type AS state
+        |  FROM events WHERE event_type <> 'purchase'),
+        |flt AS (
+        |  SELECT user_id, ts, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM src),
+        |v AS (SELECT user_id, ts, state FROM flt WHERE prev IS NULL OR prev <> state),
+        |ver AS (
+        |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, state,
+        |    ts AS effective_from, lead(ts) OVER w AS effective_to
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |f AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, f.value,
+        |  ver.version AS dim_version, ver.state, ver.effective_from, ver.effective_to
+        |FROM f ASOF LEFT JOIN ver
+        |  ON f.user_id = ver.user_id AND f.ts >= ver.effective_from
+        |ORDER BY f.event_id""".stripMargin,
+    // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
+    // the whole fact table from scratch
+    "q175_incremental_gold_refresh" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact-integer z-score: identical cross-multiplied HUGEINT test —
+    // no float enters the verdict on either engine
+    "q176_exact_outliers" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(value_cents) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(value_cents AS HUGEINT) * value_cents) AS HUGEINT) AS s2
+        |  FROM v GROUP BY event_type HAVING count(*) >= 2)
+        |SELECT v.event_id, v.event_type, v.value_cents,
+        |  CASE WHEN s.n * v.value_cents - s.s1 > 0 THEN 'high' ELSE 'low' END AS side
+        |FROM v JOIN s ON v.event_type = s.event_type
+        |WHERE (s.n * v.value_cents - s.s1) * (s.n * v.value_cents - s.s1) * (s.n - 1)
+        |    > 9 * s.n * (s.n * s.s2 - s.s1 * s.s1)
+        |ORDER BY v.event_id""".stripMargin,
+    // Markov transitions: BIGINT counts, one terminal BIGINT/BIGINT division
+    "q177_markov_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |    CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_transition
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    // top-N + OTHER: rank over the aggregated nation frame, regroup
+    "q178_topn_other_rollup" ->
+      """WITH rev AS (
+        |  SELECT n_name, COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_amt
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |rk AS (
+        |  SELECT rev.*, CAST(row_number() OVER (ORDER BY rev_amt DESC, n_name) AS BIGINT) AS rk
+        |  FROM rev)
+        |SELECT CASE WHEN rk <= 5 THEN n_name ELSE 'OTHER' END AS nation_group,
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |  CAST(CAST(CAST(sum(rev_amt) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  min(rk) AS group_rank
+        |FROM rk GROUP BY 1 ORDER BY group_rank""".stripMargin,
+    // asymmetric GROUPING SETS (both 1-D margins, no grand total);
+    // GROUPING bitmask convention shared with the q166 CUBE certification
+    "q179_grouping_sets" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
+        |  CAST(GROUPING(year(l_shipdate), l_returnflag) AS BIGINT) AS level,
+        |  COUNT(*) AS n_items,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((year(l_shipdate), l_returnflag), (year(l_shipdate)), (l_returnflag))
+        |ORDER BY 3, 1, 2""".stripMargin,
     // per-user calendar densify (generate_series == Spark sequence) +
     // IGNORE NULLS forward carry; count coalesced to BIGINT zero
     "q165_gap_fill_forward" ->
@@ -3107,6 +3223,88 @@ object SparkEntry {
         |      ${cosineSql("a.embedding", "b.embedding")} AS cosine_sim
         |    FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
         |  WHERE cosine_sim >= 0.25)""".stripMargin
+
+  /** Parameterized twin of [[embLshCtes]] for the graph-tier queries
+    * (q171/q172): the SAME hyperplane family (Sha60 sign matrix — plane p,
+    * dim i), plane count and cosine threshold as arguments. q171 densifies
+    * to 4 planes / τ = 0.1 so the pair graph actually has triangles;
+    * q172 keeps 8 planes / τ = 0.1 where components chain past direct
+    * edges (sizes up to 9 at max degree 5 — probed, transitivity is
+    * load-bearing). Ends with `epairs(id_a, id_b, cosine_sim)`.
+    */
+  private def embLshCtesAt(nPlanes: Int, minCosine: String): String =
+    s"""dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+      |planes AS (
+      |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
+      |    SELECT t.p, list_transform(range(0, dims.d), i ->
+      |      CASE WHEN CAST(('0x' || substring(sha256(CAST(t.p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |           THEN 1.0 ELSE -1.0 END) AS sgn
+      |    FROM range(0, $nPlanes) t(p), dims)),
+      |esigs AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, $nPlanes), p ->
+      |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
+      |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
+      |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+      |  FROM embeddings, planes),
+      |capped AS (
+      |  SELECT vec_id, embedding, sig FROM (
+      |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
+      |  WHERE bs <= 200),
+      |epairs AS (
+      |  SELECT id_a, id_b, cosine_sim FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      ${cosineSql("a.embedding", "b.embedding")} AS cosine_sim
+      |    FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+      |  WHERE cosine_sim >= CAST($minCosine AS DOUBLE))""".stripMargin
+
+  /** q171 oracle: [[triangleOracleSql]]'s naive canonical triangle join,
+    * but the pair source is the CERTIFIED LSH generator (q67's CTE family
+    * at 4 planes / τ = 0.1) instead of the bounded cosine cartesian — the
+    * green row makes "the graph tier composes with the dup pair
+    * generators" an executed fact, not a scaladoc claim. 2,596 pairs /
+    * 500 nodes / 3,802 triangles at sf0.01 (probed).
+    */
+  private def lshTriangleOracleSql: String =
+    "WITH " + embLshCtesAt(4, "0.1") + ",\n" +
+      s"""p AS (SELECT id_a AS ia, id_b AS ib FROM epairs),
+      |e AS (SELECT ia AS u, ib AS v FROM p UNION ALL SELECT ib, ia FROM p),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY u),
+      |t AS (
+      |  SELECT p1.ia AS a, p1.ib AS b, p2.ib AS c
+      |  FROM p p1
+      |  JOIN p p2 ON p2.ia = p1.ib
+      |  JOIN p p3 ON p3.ia = p1.ia AND p3.ib = p2.ib),
+      |corners AS (
+      |  SELECT a AS u FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+      |tcnt AS (SELECT u, CAST(count(*) AS BIGINT) AS n_triangles FROM corners GROUP BY u)
+      |SELECT d.u AS vec_id, d.degree,
+      |  COALESCE(tc.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+      |  CASE WHEN d.degree >= 2
+      |    THEN CAST(COALESCE(tc.n_triangles, CAST(0 AS BIGINT)) * 2 AS DOUBLE)
+      |         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+      |    ELSE CAST(0 AS DOUBLE) END AS clustering
+      |FROM deg d LEFT JOIN tcnt tc ON d.u = tc.u
+      |ORDER BY vec_id""".stripMargin
+
+  /** q172 oracle: recursive reachability closure over the 8-plane /
+    * τ = 0.1 LSH pair graph — `comp` assigns every paired vector the
+    * MINIMUM reachable id, exactly [[graft.operators.Dedup.duplicateClusters]]'
+    * contract, then component sizes join back. The same recursive-CTE
+    * pattern as the q52 MinHash cluster oracle, on the embedding graph.
+    */
+  private def embeddingComponentsOracleSql: String =
+    "WITH RECURSIVE " + embLshCtesAt(8, "0.1") + ",\n" +
+      s"""edges AS (SELECT id_a AS src, id_b AS dst FROM epairs UNION SELECT id_b, id_a FROM epairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |comp AS (SELECT id AS vec_id, MIN(r) AS component_id FROM reach GROUP BY id),
+      |sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size FROM comp GROUP BY component_id)
+      |SELECT c.vec_id, c.component_id, s.component_size
+      |FROM comp c JOIN sizes s ON c.component_id = s.component_id
+      |ORDER BY c.vec_id""".stripMargin
 
   /** Shared oracle CTE chain for q65/q66: the curation gate (quality score +
     * distinct-token ratio), PII masking, exact dedup, then the MinHash

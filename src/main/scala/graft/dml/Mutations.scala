@@ -255,4 +255,35 @@ object Mutations {
     // only after the swap is confirmed is the backup disposable
     fs.delete(oldPath, true)
   }
+
+  /** Incremental refresh of an ADDITIVE materialized aggregate: fold a
+    * delta's partial aggregate into the persisted state without touching
+    * the base facts — the gold-tier twin of the index-refresh loops
+    * (DocStream's content-hash/MinHash/embedding tiers), built on the
+    * same algebra: counts and sums are commutative monoids, so
+    * `agg(base ∪ delta) = merge(agg(base), agg(delta))` EXACTLY, and a
+    * daily refresh is delta-sized work instead of a 100 TB rescan.
+    * (AVG and other ratios derive from the folded sums at read time;
+    * non-additive aggregates — MIN/MAX under deletes, DISTINCT — need a
+    * different state and do NOT belong here.)
+    *
+    * Both inputs carry the same schema: `keys ++ measureCols`, where every
+    * measure is already a partial aggregate (a count or a sum — for exact
+    * money, the q03 decimal contract). One map-side-combined groupBy over
+    * |state| + |delta| rows — at steady state both are aggregate-sized,
+    * never fact-sized.
+    */
+  def foldAdditiveAggregate(
+      state: DataFrame,
+      deltaPartial: DataFrame,
+      keys: Seq[String],
+      measureCols: Seq[String]): DataFrame = {
+    val merged = state.select(state.columns.map(col): _*)
+      .unionByName(deltaPartial.select(state.columns.map(col): _*))
+    merged
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(measureCols.head)).as(measureCols.head),
+        measureCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
 }

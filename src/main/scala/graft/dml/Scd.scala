@@ -1,0 +1,112 @@
+package graft.dml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance — the warehouse-classic versioned
+  * dimension the reference's medallion model implies but never builds: its
+  * query layer exposes only latest-wins dedup (ROW_NUMBER latest-first,
+  * reference common_queries.py:48-99 `order_by_latest`) and bronze stamps a
+  * transient `_is_current` (reference medallion/bronze.py:106-114). SCD
+  * Type 2 keeps EVERY attribute version with
+  * its validity interval, so facts can join to the attribute value that
+  * was true WHEN THE FACT HAPPENED — the point-in-time semantics
+  * latest-wins joins silently get wrong.
+  *
+  * Scale shape: one window pass per stage over the change stream,
+  * partitioned by the dimension key — no self-join, no interval
+  * explosion. At 100 TB the change stream shuffles once on the key;
+  * version intervals derive from `lag`/`lead` within each key's ordered
+  * partition, and per-key state is one row of look-behind.
+  */
+object Scd {
+
+  /** Build an SCD Type 2 dimension from a change stream.
+    *
+    * Stages (each one keyed window pass, same partitioning — Catalyst
+    * plans a single Exchange):
+    *   1. no-op suppression: a change whose attribute equals the previous
+    *      change's attribute (per key, ordered by `(tsCol, tieBreak*)`)
+    *      opens no new version — the classic SCD2 rule that keeps
+    *      re-stated-but-unchanged source rows from fragmenting history;
+    *   2. versioning: surviving changes become versions with
+    *      `effective_from` = change ts, `effective_to` = next version's
+    *      ts (null while current), `version` = 1-based per-key ordinal,
+    *      `is_current` = last version flag.
+    *
+    * Intervals are half-open `[effective_from, effective_to)` — adjacent
+    * versions tile the key's timeline exactly, which is what makes the
+    * as-of formulation of [[pointInTimeJoin]] equal to the interval join.
+    *
+    * @param changes  change stream: one row per observed attribute state
+    * @param keyCol   dimension (business) key
+    * @param tsCol    change timestamp
+    * @param attrCol  the tracked attribute
+    * @param tieBreak extra ordering columns pinning same-timestamp changes
+    */
+  def scd2Build(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCol: String,
+      tieBreak: Seq[String]): DataFrame = {
+    val ord = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val wSeq = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val versions = changes
+      .select((Seq(keyCol, tsCol, attrCol) ++ tieBreak).distinct.map(col): _*)
+      .withColumn("_prev", lag(col(attrCol), 1).over(wSeq))
+      .where(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .select(col(keyCol), col(tsCol), col(attrCol))
+    val wVer = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    versions
+      .select(
+        col(keyCol),
+        row_number().over(wVer).cast("long").as("version"),
+        col(attrCol),
+        col(tsCol).as("effective_from"),
+        lead(col(tsCol), 1).over(wVer).as("effective_to"))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
+  /** Point-in-time join: each fact row picks the dimension version whose
+    * validity interval contains the fact timestamp.
+    *
+    * Implemented as a backward as-of join on `effective_from`
+    * ([[graft.operators.AsOfJoin.asofJoin]]'s union+window pass — one
+    * shuffle on the key, NO interval-overlap row explosion), then the
+    * half-open upper bound is CHECKED rather than assumed: a fact inside
+    * a complete SCD2 timeline always lands in the version whose
+    * `effective_to` is after (or null), so the residual filter drops
+    * nothing — but it turns a corrupted dimension (overlapping or gapped
+    * intervals) into missing rows instead of silently wrong attributes.
+    * Facts before the key's first version get a null version (left join
+    * semantics) and are kept.
+    *
+    * @param dim output of [[scd2Build]] for the same key
+    */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      factTsCol: String,
+      attrCol: String): DataFrame = {
+    val joined = graft.operators.AsOfJoin.asofJoin(
+      facts,
+      dim.withColumnRenamed("effective_from", "_dim_ts"),
+      keys = Seq(keyCol),
+      leftTsCol = factTsCol,
+      rightTsCol = "_dim_ts",
+      rightPayload = Seq("version", attrCol, "_dim_ts", "effective_to"))
+    joined
+      .where(col("asof").isNull ||
+        col("asof.effective_to").isNull ||
+        col(factTsCol) < col("asof.effective_to"))
+      .select(
+        facts.columns.map(col) ++ Seq(
+          col("asof.version").as("dim_version"),
+          col(s"asof.$attrCol").as(attrCol),
+          col("asof._dim_ts").as("effective_from"),
+          col("asof.effective_to").as("effective_to")): _*)
+  }
+}

@@ -216,6 +216,52 @@ object Analytics {
       .orderBy(col("stage_idx"))
   }
 
+  /** Exact per-group z-score outlier detection with NO floating-point in
+    * the decision: the k-sigma test
+    * `(x − μ)² > k²·σ²` (sample variance) cross-multiplies to
+    * `(n·x − Σx)² · (n−1)  >  k² · n · (n·Σx² − (Σx)²)` — every term an
+    * exact integer once values arrive as fixed-point longs (cents,
+    * micro-units), so the outlier SET is bit-identical across engines,
+    * partitionings, and fold orders, where a naive avg/stddev pipeline is
+    * hostage to float summation order. Arithmetic runs in decimal(38,0):
+    * with |x| ≤ 1e9 and n ≤ 1e12 every product stays within 38 digits.
+    *
+    * Scale shape: one map-side-combined groupBy to per-group
+    * (n, Σx, Σx²) — three numbers per group, mergeable, the same state a
+    * distributed variance always needs — then the stats frame (group-
+    * cardinality-sized, tiny) joins back broadcast and the test is a
+    * map-only filter on the fact scan. Two passes over the facts, zero
+    * fact shuffles.
+    *
+    * Returns the outlier rows: `idCols ++ keyCols ++ (valueCol, side)`
+    * where `side` is 'high'/'low' by the sign of `n·x − Σx`. Groups with
+    * n < 2 have no defined variance and emit nothing.
+    */
+  def exactOutliers(
+      df: DataFrame,
+      idCols: Seq[String],
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x19 = col(valueCol).cast("decimal(19,0)")
+    val stats = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(d38).as("_n"),
+        sum(col(valueCol).cast(d38)).cast(d38).as("_s1"),
+        sum(x19 * x19).cast(d38).as("_s2"))
+      .where(col("_n") >= 2)
+    val dev = col("_n") * col(valueCol).cast(d38) - col("_s1")
+    df.join(broadcast(stats), keyCols)
+      .where(dev * dev * (col("_n") - 1) >
+        lit(k.toLong * k) * col("_n") * (col("_n") * col("_s2") - col("_s1") * col("_s1")))
+      .select(
+        (idCols ++ keyCols).map(col) ++ Seq(
+          col(valueCol),
+          when(dev > 0, lit("high")).otherwise(lit("low")).as("side")): _*)
+  }
+
   private def dedupOrdered(df: DataFrame, keys: Seq[Column], ordered: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(ordered: _*)
     df.withColumn("_rn", row_number().over(w))

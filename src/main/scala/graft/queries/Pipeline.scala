@@ -2771,6 +2771,235 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** q171 — q168's triangle/clustering signal fed by the CERTIFIED LSH
+    * pair generator ([[Dedup.embeddingNearDuplicates]], q67's operator)
+    * instead of the bounded cosine cartesian: this is the composition the
+    * graph tier's scaladoc promises, executed — candidate pairs come from
+    * banded hyperplane buckets (capped, never all-pairs), and
+    * [[graft.operators.Graph.triangleCounts]] is pair-source-agnostic.
+    * Densified to 4 planes / τ = 0.1 so the graph actually has triangles
+    * (2,596 pairs / 500 nodes / 3,802 triangles at sf0.01 — probed; q67's
+    * production 8-plane τ = 0.25 graph is triangle-free at this SF). At
+    * 100 TB this chain is exactly the dedup-diagnostics path: LSH pairs →
+    * orientation → wedge join, every stage banded/capped/key-partitioned.
+    */
+  def lshTriangleCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDuplicates(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      minCosine = 0.1, nPlanes = 4, maxBucketSize = 200)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Graph.triangleCounts(pairs, "id_a", "id_b")
+      .withColumnRenamed("node_id", "vec_id")
+      .orderBy("vec_id")
+  }
+
+  /** q172 — connected components over the EMBEDDING pair graph
+    * ([[Dedup.duplicateClusters]] fed by [[Dedup.embeddingNearDuplicates]]
+    * at 8 planes / τ = 0.1): the semantic-community completion of the
+    * graph family — q52 certifies the same CC operator over MinHash
+    * pairs; this row certifies it over the hyperplane-LSH graph, where
+    * components chain PAST direct edges (sizes up to 9 at max degree 5,
+    * probed at sf0.01 — the pointer-jumping transitive closure is
+    * load-bearing, a pairs-only grouping cannot pass). Output is
+    * (vec_id, component_id = component minimum, component_size); the size
+    * join reuses the component_id shuffle.
+    */
+  def embeddingComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDuplicates(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      minCosine = 0.1, nPlanes = 8, maxBucketSize = 200)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, "cluster_id")
+      .select(col("doc_id").as("vec_id"),
+        col("cluster_id").as("component_id"), col("component_size"))
+      .orderBy("vec_id")
+  }
+
+  /** The q173/q174 change stream: every non-purchase event is an observed
+    * "engagement state" for its user — the SCD2 fixture where no-op
+    * suppression is load-bearing (8,019 changes → 6,066 versions at
+    * sf0.01, probed: ~25% of changes restate the previous state).
+    */
+  private def engagementChanges(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+
+  /** q173 — SCD Type 2 dimension build ([[graft.dml.Scd.scd2Build]]):
+    * the user-engagement change stream versioned into half-open validity
+    * intervals with no-op suppression, 1-based version ordinals, and an
+    * `is_current` flag — the warehouse-classic history table the
+    * reference's latest-wins views throw away. Two window passes over ONE
+    * key shuffle; per-key state is a single look-behind row, so the build
+    * streams at any scale. Ordering pinned by (ts, event_id) so
+    * same-timestamp changes cannot reorder across engines.
+    */
+  def scdDimensionBuild(spark: SparkSession, dir: String): DataFrame =
+    graft.dml.Scd.scd2Build(
+      engagementChanges(spark, dir),
+      keyCol = "user_id", tsCol = "ts", attrCol = "state",
+      tieBreak = Seq("event_id"))
+      .orderBy("user_id", "version")
+
+  /** q174 — point-in-time dimension join
+    * ([[graft.dml.Scd.pointInTimeJoin]]): every purchase event picks the
+    * engagement-state version that was valid AT PURCHASE TIME — the
+    * attribution a latest-wins join silently gets wrong for every fact
+    * that predates the key's newest version. Runs as the as-of
+    * union+window pass (one key shuffle, no interval-overlap explosion),
+    * with the half-open upper bound CHECKED against `effective_to`; the
+    * oracle is DuckDB's native `ASOF LEFT JOIN` over the recomputed
+    * version table, so both the interval tiling and the join semantics
+    * are certified. Purchases before a user's first observed state keep
+    * null attribution (left semantics).
+    */
+  def purchaseStateAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.dml.Scd.scd2Build(
+      engagementChanges(spark, dir), "user_id", "ts", "state", Seq("event_id"))
+    val facts = Tables(spark, dir).events
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.dml.Scd.pointInTimeJoin(facts, dim, "user_id", "ts", "state")
+      .orderBy("event_id")
+  }
+
+  /** q175 — incremental materialized-aggregate refresh
+    * ([[graft.dml.Mutations.foldAdditiveAggregate]]): the yearly
+    * revenue-by-status gold aggregate over orders BEFORE 2001 is
+    * persisted to parquet, and the 2001 delta folds into the READ-BACK
+    * state — counts and decimal sums are commutative monoids, so
+    * refresh ≡ full rebuild EXACTLY, certified because the oracle
+    * recomputes from the whole fact table from scratch. The gold-tier
+    * twin of the q127/q130/q142 index-refresh certifications: at 100 TB
+    * the daily refresh touches the delta and an aggregate-sized state,
+    * never the base facts. Both date predicates are raw timestamp
+    * ranges → `PushedFilters`.
+    */
+  def incrementalGoldRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val cut = lit("2001-01-01").cast("timestamp_ntz")
+    def partial(df: DataFrame): DataFrame = df.groupBy(
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("revenue"))
+    val tmp = scratchDir("graft_q175_")
+    partial(o.where(col("o_orderdate") < cut)).write.parquet(s"$tmp/state")
+    graft.dml.Mutations.foldAdditiveAggregate(
+        spark.read.parquet(s"$tmp/state"),
+        partial(o.where(col("o_orderdate") >= cut)),
+        keys = Seq("order_year", "o_orderstatus"),
+        measureCols = Seq("n_orders", "revenue"))
+      .select(col("order_year"), col("o_orderstatus"), col("n_orders"),
+        col("revenue").cast("decimal(38,4)").cast("double").as("revenue"))
+      .orderBy("order_year", "o_orderstatus")
+  }
+
+  /** q176 — exact-integer z-score outliers
+    * ([[Analytics.exactOutliers]]): purchase/event values at k = 3 sample
+    * standard deviations from their event-type mean, decided by the
+    * cross-multiplied integer test `(n·x−Σx)²(n−1) > k²n(nΣx²−(Σx)²)` —
+    * NO float in the verdict, so the outlier set is bit-identical across
+    * engines and partitionings (the oracle recomputes the same integers
+    * in HUGEINT). Values enter as cents (`round(value·100)` — exact for
+    * 2-decimal money). Probed at sf0.01: 188 outliers across the five
+    * event types, all 'high' sides populated (the value distribution is
+    * right-tailed).
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame =
+    Analytics.exactOutliers(
+      Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("value_cents")),
+      idCols = Seq("event_id"), keyCols = Seq("event_type"),
+      valueCol = "value_cents", k = 3)
+      .orderBy("event_id")
+
+  /** q177 — first-order Markov transition matrix over per-user event
+    * sequences: one lag window per user (ordered by (ts, event_id) —
+    * pinned), then a (prev, next) count aggregate; transition
+    * probabilities are exact BIGINT/BIGINT divisions taken once at the
+    * end (the shared-denominator window reuses the prev_type
+    * partitioning). The user-behavior profile behind funnel design —
+    * q118's funnel certifies one chosen path; this certifies the whole
+    * 5×5 transition structure. One key shuffle + one pair shuffle,
+    * fact-sized nothing retained.
+    */
+  def eventTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(wPrev).cast("double"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q178 — top-N + OTHER rollup: revenue by nation, top 5 named, the
+    * tail collapsed into one 'OTHER' row — the report shape every BI
+    * layer re-implements. The ranking window runs over the ALREADY
+    * AGGREGATED nation frame (25 rows — the unpartitioned window is
+    * bounded by the dimension's cardinality, never the facts), and the
+    * fact-side work is one join-aggregate with both dims broadcast.
+    * `group_rank` = min rank inside each output group keeps 'OTHER'
+    * ordered last without a second scan.
+    */
+  def topNationsOtherRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+    rev
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rev").desc, col("n_name"))).cast("long"))
+      .groupBy(when(col("rk") <= 5, col("n_name")).otherwise(lit("OTHER"))
+        .as("nation_group"))
+      .agg(
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("rev")).cast("decimal(38,4)").cast("double").as("revenue"),
+        min(col("rk")).as("group_rank"))
+      .orderBy("group_rank")
+  }
+
+  /** q179 — explicit GROUPING SETS: the asymmetric margin family
+    * {(year, flag), (year), (flag)} — per-year-per-flag detail plus BOTH
+    * one-dimensional margins and NO grand total, which neither ROLLUP
+    * (q161: no (flag) margin) nor CUBE (q166: forced grand total) can
+    * express. Same single-scan shape as its siblings: Spark expands the
+    * three sets BELOW the partial aggregate, `grouping_id` disambiguates
+    * margin NULLs from data NULLs.
+    */
+  def shippingGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_returnflag"), col("l_extendedprice"))
+      .groupingSets(
+        Seq(Seq(col("ship_year"), col("l_returnflag")),
+          Seq(col("ship_year")), Seq(col("l_returnflag"))),
+        col("ship_year"), col("l_returnflag"))
+      .agg(
+        grouping_id().cast("long").as("level"),
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("decimal(38,4)").cast("double").as("sum_price"))
+      .orderBy(col("level"), col("ship_year"), col("l_returnflag"))
+
   /** q169 — running DISTINCT count over a window: per user, how many
     * distinct event types have been seen up to each event. Spark has no
     * native `count(DISTINCT) OVER`, so this is the composition that

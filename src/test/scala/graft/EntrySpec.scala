@@ -28,6 +28,21 @@ class EntrySpec extends SparkSpec {
     assert(noSelect.isEmpty, s"oracle without SELECT for: $noSelect")
   }
 
+  test("graph tier composes with the LSH pair generator (q171/q172 shapes)") {
+    import graft.queries.Pipeline
+    val tri = Pipeline.lshTriangleCommunities(spark, Sf0001)
+    assert(tri.where(col("n_triangles") > 0).count() > 0,
+      "the densified 4-plane LSH graph must actually contain triangles")
+    val comp = Pipeline.embeddingComponents(spark, Sf0001).cache()
+    assert(comp.where(col("component_size") >= 3).count() > 0,
+      "components must chain past direct pairs (transitivity load-bearing)")
+    val notMin = comp.groupBy("component_id")
+      .agg(min(col("vec_id")).as("mn"))
+      .where(col("mn") =!= col("component_id")).count()
+    assert(notMin == 0, "component_id is the component minimum")
+    comp.unpersist()
+  }
+
   test("streaming toBronze appends micro-batches exactly once via checkpoint") {
     import graft.streaming.EventStream
     val base = java.nio.file.Files.createTempDirectory("graft-tobronze")

@@ -216,4 +216,22 @@ class MutationsSpec extends SparkSpec {
     val flags = twice.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(flags == Map(1L -> true, 2L -> true))
   }
+
+  test("foldAdditiveAggregate: fold(agg(base), agg(delta)) == agg(base ++ delta)") {
+    import spark.implicits._
+    val base = Seq((1L, "A", 10.0), (1L, "A", 5.0), (2L, "B", 7.0)).toDF("k", "s", "v")
+    val delta = Seq((1L, "A", 2.0), (3L, "C", 4.0)).toDF("k", "s", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("k", "s")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(12,2)")).as("amt"))
+    val folded = Mutations.foldAdditiveAggregate(
+        agg(base), agg(delta), keys = Seq("k", "s"), measureCols = Seq("n", "amt"))
+      .select(col("k"), col("s"), col("n"), col("amt").cast("decimal(12,2)").as("amt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDecimal(3))).toSet
+    val rebuilt = agg(base.unionByName(delta))
+      .select(col("k"), col("s"), col("n"), col("amt").cast("decimal(12,2)").as("amt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDecimal(3))).toSet
+    assert(folded == rebuilt, s"fold must equal rebuild exactly: $folded vs $rebuilt")
+    assert(rebuilt.exists(_._1 == 3L), "delta-only keys appear")
+    assert(rebuilt.exists(t => t._1 == 1L && t._3 == 3L), "shared keys merge counts")
+  }
 }

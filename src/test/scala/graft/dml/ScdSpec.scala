@@ -1,0 +1,68 @@
+package graft.dml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // key 1: gold → gold (no-op) → silver → gold; key 2: single version
+  private def changes = Seq(
+    (1L, ts("2026-01-01 00:00:00"), 10L, "gold"),
+    (1L, ts("2026-01-02 00:00:00"), 11L, "gold"),
+    (1L, ts("2026-01-03 00:00:00"), 12L, "silver"),
+    (1L, ts("2026-01-05 00:00:00"), 13L, "gold"),
+    (2L, ts("2026-01-04 00:00:00"), 14L, "bronze")
+  ).toDF("user_id", "ts", "event_id", "tier")
+
+  test("scd2Build: no-op suppression, 1-based versions, tiling intervals, is_current") {
+    val dim = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
+      .orderBy("user_id", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(dim.length == 4, "the Jan-02 gold restatement opens no version")
+    assert(dim(0) == ((1L, 1L, "gold", ts("2026-01-01 00:00:00"),
+      Some(ts("2026-01-03 00:00:00")), false)),
+      "version 1 closes at version 2's start, skipping the suppressed no-op")
+    assert(dim(1) == ((1L, 2L, "silver", ts("2026-01-03 00:00:00"),
+      Some(ts("2026-01-05 00:00:00")), false)))
+    assert(dim(2) == ((1L, 3L, "gold", ts("2026-01-05 00:00:00"), None, true)),
+      "the attribute may RETURN to an old value in a new version")
+    assert(dim(3) == ((2L, 1L, "bronze", ts("2026-01-04 00:00:00"), None, true)))
+  }
+
+  test("scd2Build: same-timestamp changes are pinned by the tie-break") {
+    val tied = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 2L, "b"),
+      (1L, ts("2026-01-01 00:00:00"), 1L, "a")
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val dim = Scd.scd2Build(tied, "user_id", "ts", "tier", Seq("event_id"))
+      .orderBy("version").collect()
+    assert(dim.map(_.getString(2)).toSeq == Seq("a", "b"),
+      "event_id order decides which same-ts change is version 1")
+  }
+
+  test("pointInTimeJoin: facts pick the version valid at their timestamp") {
+    val dim = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
+    val facts = Seq(
+      (100L, 1L, ts("2025-12-31 00:00:00")), // before any version
+      (101L, 1L, ts("2026-01-02 12:00:00")), // inside version 1 (gold)
+      (102L, 1L, ts("2026-01-03 00:00:00")), // AT version 2's start → silver
+      (103L, 1L, ts("2026-01-09 00:00:00")), // open current version → gold
+      (104L, 2L, ts("2026-01-06 00:00:00"))
+    ).toDF("fact_id", "user_id", "fts")
+    val out = Scd.pointInTimeJoin(facts, dim, "user_id", "fts", "tier")
+      .orderBy("fact_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4))))
+    assert(out(0) == ((100L, None, None)), "pre-history fact keeps null attribution")
+    assert(out(1) == ((101L, Some(1L), Some("gold"))))
+    assert(out(2) == ((102L, Some(2L), Some("silver"))),
+      "half-open intervals: a fact AT a boundary belongs to the newer version")
+    assert(out(3) == ((103L, Some(3L), Some("gold"))))
+    assert(out(4) == ((104L, Some(1L), Some("bronze"))))
+  }
+}

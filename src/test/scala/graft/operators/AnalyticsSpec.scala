@@ -208,4 +208,27 @@ class AnalyticsSpec extends SparkSpec {
       (2L, "2024-02-01", 5L, 7.0)), // span never leaks past the key's own max
       s"got $out")
   }
+
+  test("exactOutliers: hand-computed k-sigma sets, high and low sides, n<2 groups dropped") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // group hi: twenty 10s + one 100 -> only the 100 clears k=3
+    // group lo: twenty 100s + one 10 -> only the 10 clears k=3 (low side)
+    // group single: n=1 has no variance, never emits
+    val rows =
+      (1L to 20L).map(i => (i, "hi", 10L)) ++ Seq((21L, "hi", 100L)) ++
+      (31L to 50L).map(i => (i, "lo", 100L)) ++ Seq((51L, "lo", 10L)) ++
+      Seq((61L, "single", 7L))
+    val df = rows.toDF("id", "grp", "cents")
+    val out = Analytics.exactOutliers(df, Seq("id"), Seq("grp"), "cents", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(out == Set((21L, "hi", 100L, "high"), (51L, "lo", 10L, "low")), s"got $out")
+    // k=4 excludes both (hand-checked: z^2 = 400/21*20/21*... < 16)
+    val none = Analytics.exactOutliers(df, Seq("id"), Seq("grp"), "cents", k = 5)
+    assert(none.count() == 0)
+    // partition invariance: the verdict is integer arithmetic
+    val parts = Analytics.exactOutliers(df.repartition(7), Seq("id"), Seq("grp"), "cents", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(parts == out)
+  }
 }

@@ -44,6 +44,30 @@ class GraphSpec extends SparkSpec {
     assert(ck == base, "lineage checkpointing is a pure execution choice")
   }
 
+  test("triangleCounts: hand-computed triangle + pendant edge + isolated pair") {
+    // triangle 1-2-3; pendant 3-4; isolated pair 5-6
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val out = Graph.triangleCounts(pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 2.0 / 6.0)), "degree-3 corner: 2t/(d(d-1)) = 1/3")
+    assert(out(4L) == ((1L, 0L, 0.0)), "pendant has no triangle and coefficient 0")
+    assert(out(5L) == ((1L, 0L, 0.0)))
+    assert(out(6L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCounts: K4 counts each triangle once per corner; partition-invariant") {
+    // K4: C(4,3) = 4 triangles, every node in exactly 3, degree 3, coefficient 1
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
+    val base = Graph.triangleCounts(k4, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(base == (1L to 4L).map(n => (n, 3L, 3L, 1.0)).toSet)
+    val parts = Graph.triangleCounts(k4.repartition(5), "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(parts == base, "orientation must not depend on partitioning")
+  }
+
   test("pageRank: symmetric pair graph concentrates rank on the hub") {
     // star: hub 10 paired with 11..14, symmetrized
     val pairs = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L)).toDF("a", "b")
