@@ -197,6 +197,11 @@ object SparkEntry {
     "q177_markov_transitions" -> (Pipeline.eventTransitionMatrix _),
     "q178_topn_other_rollup" -> (Pipeline.topNationsOtherRollup _),
     "q179_grouping_sets" -> (Pipeline.shippingGroupingSets _),
+    "q180_rfm_segments" -> (Pipeline.rfmSegments _),
+    "q181_market_basket" -> (Pipeline.marketBasketLift _),
+    "q182_order_histogram" -> (Pipeline.orderTotalHistogram _),
+    "q183_mad_outliers" -> (Pipeline.madOutliers _),
+    "q184_abc_classification" -> (Pipeline.abcClassification _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1723,6 +1728,92 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((year(l_shipdate), l_returnflag), (year(l_shipdate)), (l_returnflag))
         |ORDER BY 3, 1, 2""".stripMargin,
+    // RFM quintiles: identical ntile bucket-fill semantics, ties pinned
+    "q180_rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-08-02') AS BIGINT) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT o_custkey, recency_days, frequency,
+        |    CAST(CAST(CAST(mon AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY mon ASC, o_custkey) AS BIGINT) AS m_score
+        |  FROM base)
+        |SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN f_score >= 4 THEN 'loyal'
+        |       WHEN m_score >= 4 THEN 'big_spender'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    // association rules: all-BIGINT support/frequency products, one
+    // terminal double division
+    "q181_market_basket" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM i),
+        |f AS (SELECT l_partkey, COUNT(*) AS nf FROM i GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+        |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.part_a, p.part_b, p.support,
+        |  CAST(p.support * (SELECT n_orders FROM n) AS DOUBLE)
+        |    / CAST(fa.nf * fb.nf AS DOUBLE) AS lift
+        |FROM p
+        |JOIN f fa ON fa.l_partkey = p.part_a
+        |JOIN f fb ON fb.l_partkey = p.part_b
+        |ORDER BY part_a, part_b""".stripMargin,
+    // equi-width histogram: floor division is IEEE-identical; share is
+    // the exact BIGINT/BIGINT double
+    "q182_order_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin_id, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM orders)
+        |SELECT bin_id, bin_id * 50000 AS bin_lo, (bin_id + 1) * 50000 AS bin_hi, n_orders,
+        |  CAST(n_orders AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE) AS share
+        |FROM b ORDER BY bin_id""".stripMargin,
+    // MAD outliers: integer cents -> every median/MAD an exact 0.5
+    // multiple (bit-stable interpolation, the q20 parity)
+    "q183_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(value_cents, 0.5) AS med FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT v.event_id, v.event_type, v.value_cents, med.med,
+        |    abs(v.value_cents - med.med) AS absdev
+        |  FROM v JOIN med ON v.event_type = med.event_type),
+        |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value_cents,
+        |  CASE WHEN CAST(d.value_cents AS DOUBLE) > d.med THEN 'high' ELSE 'low' END AS side
+        |FROM d JOIN mad ON d.event_type = mad.event_type
+        |WHERE d.absdev > 3.0 * mad.mad
+        |ORDER BY d.event_id""".stripMargin,
+    // ABC thresholds by exact decimal cross-multiplication inside width
+    // 18+2 so neither engine leaves exact decimals
+    "q184_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(revenue) AS total FROM rev),
+        |c AS (
+        |  SELECT l_partkey, revenue,
+        |    SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev)
+        |SELECT c.l_partkey,
+        |  CAST(CAST(CAST(c.revenue AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(CAST(CAST(c.cum AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS cum_revenue,
+        |  CASE WHEN CAST(c.cum AS DECIMAL(18,2)) * 5 <= CAST((SELECT total FROM t) AS DECIMAL(18,2)) * 4 THEN 'A'
+        |       WHEN CAST(c.cum AS DECIMAL(18,2)) * 20 <= CAST((SELECT total FROM t) AS DECIMAL(18,2)) * 19 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY l_partkey""".stripMargin,
     // per-user calendar densify (generate_series == Spark sequence) +
     // IGNORE NULLS forward carry; count coalesced to BIGINT zero
     "q165_gap_fill_forward" ->

@@ -262,6 +262,47 @@ object Analytics {
           when(dev > 0, lit("high")).otherwise(lit("low")).as("side")): _*)
   }
 
+  /** Globally-ordered running (prefix) sum WITHOUT a single-partition
+    * window: the scalable form of `sum(v) OVER (ORDER BY …)`, which Spark
+    * otherwise plans as one task holding the entire frame. Two-level, the
+    * same shape as Curation.tokenBudgetSample's budget scan:
+    * `repartitionByRange` buckets rows contiguously in sort order (bucket
+    * id = partition id, pinned by an eager persist so both consumers see
+    * ONE sampled boundary set), per-bucket totals aggregate in parallel, a
+    * tiny window over ≤`buckets` total rows computes each bucket's
+    * starting offset, and a per-bucket window adds offsets to in-bucket
+    * running sums — every window task sees ~1/`buckets` of the frame.
+    * The cum values are invariant to where the sampled boundaries fall
+    * because `sortCols` must be a TOTAL order (pass a tie-break column;
+    * with ties split across adjacent buckets the bucket order would
+    * otherwise be nondeterministic).
+    */
+  def orderedPrefixSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      cumCol: String,
+      buckets: Int = 64): DataFrame = {
+    val ranged = graft.core.Caching.eager(
+      df.repartitionByRange(buckets, sortCols: _*)
+        .withColumn("_bucket", spark_partition_id().cast("long")))
+    val offsets = ranged
+      .groupBy(col("_bucket"))
+      .agg(sum(col(valueCol)).as("_bt"))
+      .withColumn("_offset",
+        coalesce(
+          sum(col("_bt")).over(Window.orderBy(col("_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0)))
+      .select(col("_bucket"), col("_offset"))
+    val wIn = Window.partitionBy(col("_bucket")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsets), Seq("_bucket"))
+      .withColumn(cumCol, sum(col(valueCol)).over(wIn) + col("_offset"))
+      .drop("_bucket", "_offset")
+  }
+
   private def dedupOrdered(df: DataFrame, keys: Seq[Column], ordered: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(ordered: _*)
     df.withColumn("_rn", row_number().over(w))

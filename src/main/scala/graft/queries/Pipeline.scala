@@ -3000,6 +3000,171 @@ object Pipeline {
           .cast("decimal(38,4)").cast("double").as("sum_price"))
       .orderBy(col("level"), col("ship_year"), col("l_returnflag"))
 
+  /** q180 — RFM customer segmentation: the marketing-warehouse classic.
+    * One fact aggregation to per-customer (recency vs the fixed reference
+    * day after the data's last order, frequency, exact-decimal monetary),
+    * then quintile scores via `ntile(5)` and a pinned CASE ladder to named
+    * segments. The ntile windows run over the AGGREGATED customer frame
+    * (q178's convention: bounded by dimension cardinality; at 10⁹
+    * customers the quintile boundaries would come from percentile
+    * thresholds instead — the scores, not the mechanism, are the
+    * contract). Ties pinned by o_custkey so quintile assignment is
+    * deterministic on both engines.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit("2001-08-02").cast("date"),
+          max(col("o_orderdate")).cast("date")).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("_mon"))
+    def quint(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    base
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("_mon").cast("decimal(38,4)").cast("double").as("monetary"),
+        quint(Seq(col("recency_days").desc, col("o_custkey").asc)).as("r_score"),
+        quint(Seq(col("frequency").asc, col("o_custkey").asc)).as("f_score"),
+        quint(Seq(col("_mon").asc, col("o_custkey").asc)).as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          lit("champion"))
+          .when(col("f_score") >= 4, lit("loyal"))
+          .when(col("m_score") >= 4, lit("big_spender"))
+          .when(col("r_score") <= 2 && col("f_score") >= 3, lit("at_risk"))
+          .when(col("r_score") <= 2, lit("hibernating"))
+          .otherwise(lit("regular")))
+      .orderBy("o_custkey")
+  }
+
+  /** q181 — market-basket co-occurrence with lift: part pairs co-ordered
+    * in the same order, support counts, and
+    * `lift = N·sup(a,b) / (n(a)·n(b))` — association-rule mining's core
+    * statistic, exact because every factor is a BIGINT count and the one
+    * division happens in double at the end. The self-join is per-ORDER
+    * (baskets hold ≤13 distinct parts — probed), so candidate work is
+    * Σ basket² — basket-bounded, never corpus-quadratic; part frequencies
+    * attach by broadcast (part dimension) and the order total by the
+    * ScalarJoin constant-key broadcast. Support ≥ 2 keeps the certified
+    * output at the interesting rules (3,445 pairs at sf0.01, max 5).
+    */
+  def marketBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("_n_orders"))
+    val freq = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("_n"))
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+    graft.core.ScalarJoin.withScalars(
+      pairs
+        .join(broadcast(freq.select(col("l_partkey").as("part_a"), col("_n").as("_na"))),
+          Seq("part_a"))
+        .join(broadcast(freq.select(col("l_partkey").as("part_b"), col("_n").as("_nb"))),
+          Seq("part_b")),
+      nOrders)
+      .select(col("part_a"), col("part_b"), col("support"),
+        ((col("support") * col("_n_orders")).cast("double") /
+          (col("_na") * col("_nb")).cast("double")).as("lift"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /** q182 — fixed-width histogram with share-of-total: order totals in
+    * 50k-wide bins — one aggregation (the bin id is a map-side floor
+    * division, IEEE-identical across engines) plus the scalar total
+    * broadcast for the share; the share itself is the exact
+    * BIGINT/BIGINT double. The equi-width companion to q87's exact
+    * dyadic percentiles (equi-depth).
+    */
+  def orderTotalHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables(spark, dir).orders
+      .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bin_id"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    graft.core.ScalarJoin.withScalars(
+      binned,
+      Tables(spark, dir).orders.agg(count(lit(1)).as("_total")))
+      .select(col("bin_id"),
+        (col("bin_id") * 50000L).as("bin_lo"),
+        ((col("bin_id") + 1) * 50000L).as("bin_hi"),
+        col("n_orders"),
+        (col("n_orders").cast("double") / col("_total").cast("double")).as("share"))
+      .orderBy("bin_id")
+  }
+
+  /** q183 — robust (MAD) outlier detection: the median-based complement
+    * to q176's mean/σ test — immune to the very outliers it hunts
+    * (a single extreme value drags a mean but not a median). Per event
+    * type: median of cents values, then the median absolute deviation,
+    * then flag |x − med| > 3·MAD. Cross-engine exactness: cents are
+    * integers, so every median/MAD is an exact multiple of 0.5 —
+    * exactly representable doubles with bit-stable interpolation (the
+    * q20 PERCENTILE_CONT parity), and the comparison has no rounding.
+    * Two aggregation passes + a broadcast stats join; NOTE exact medians
+    * sort per group — at true scale the swap-in is approx_percentile
+    * with the same downstream shape. Probed at sf0.01: 1,154 outliers,
+    * all high-side (MAD is small on the tight body of a right-tailed
+    * distribution, so the robust test flags far MORE than q176's 188 —
+    * the two tests certify genuinely different verdicts on one column).
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+    val med = v.groupBy(col("event_type"))
+      .agg(percentile(col("value_cents"), lit(0.5)).as("_med"))
+    val dev = v.join(broadcast(med), Seq("event_type"))
+      .withColumn("_absdev", abs(col("value_cents") - col("_med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("_absdev"), lit(0.5)).as("_mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .where(col("_absdev") > lit(3.0) * col("_mad"))
+      .select(col("event_id"), col("event_type"), col("value_cents"),
+        when(col("value_cents").cast("double") > col("_med"), lit("high"))
+          .otherwise(lit("low")).as("side"))
+      .orderBy("event_id")
+  }
+
+  /** q184 — ABC (Pareto) classification over part revenue: rank parts by
+    * exact-decimal revenue, cumulative share thresholds at 80% / 95%
+    * decided by EXACT decimal cross-multiplication (`cum·5 ≤ total·4`,
+    * `cum·20 ≤ total·19` — no float share ever computed), class A/B/C per
+    * part. The running total comes from [[Analytics.orderedPrefixSum]] —
+    * the two-level ranged prefix sum, NOT a single-partition window, so
+    * the classification scales to a 10⁸-part dimension; ties pinned by
+    * part key.
+    */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir).lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("revenue"))
+    val withCum = Analytics.orderedPrefixSum(
+      rev, Seq(col("revenue").desc, col("l_partkey").asc),
+      valueCol = "revenue", cumCol = "cum_revenue", buckets = 16)
+    graft.core.ScalarJoin.withScalars(
+      withCum,
+      rev.agg(sum(col("revenue")).as("_total")))
+      .select(col("l_partkey"),
+        col("revenue").cast("decimal(38,4)").cast("double").as("revenue"),
+        col("cum_revenue").cast("decimal(38,4)").cast("double").as("cum_revenue"),
+        // decimal(18,2) keeps the ×20 cross-multiplication inside both
+        // engines' exact-decimal width (DuckDB errors past width 38
+        // instead of silently widening)
+        when(col("cum_revenue").cast("decimal(18,2)") * 5 <=
+            col("_total").cast("decimal(18,2)") * 4, lit("A"))
+          .when(col("cum_revenue").cast("decimal(18,2)") * 20 <=
+            col("_total").cast("decimal(18,2)") * 19, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+      .orderBy("l_partkey")
+  }
+
   /** q169 — running DISTINCT count over a window: per user, how many
     * distinct event types have been seen up to each event. Spark has no
     * native `count(DISTINCT) OVER`, so this is the composition that

@@ -231,4 +231,24 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
     assert(parts == out)
   }
+
+  test("orderedPrefixSum equals the single-partition window cumsum at any bucket count") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, ((i * 37) % 101).toDouble)).toDF("id", "v")
+      .select(col("id"), col("v").cast("decimal(12,2)").as("v"))
+    val naive = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(col("v").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum").cast("decimal(20,2)").as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    for (buckets <- Seq(1, 7, 64)) {
+      val two = Analytics.orderedPrefixSum(
+          df, Seq(col("v").desc, col("id").asc), "v", "cum", buckets)
+        .select(col("id"), col("cum").cast("decimal(20,2)").as("cum"))
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      assert(two == naive, s"bucket count $buckets must not change any cum value")
+    }
+  }
 }
