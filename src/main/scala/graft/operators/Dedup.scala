@@ -67,13 +67,20 @@ object Dedup {
       .withColumn("_bs", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))))
       .where(col("_bs") <= maxBlockSize)
+    // Two LOSSLESS gates before (and inside) the edit-distance kernel:
+    // levenshtein ≥ |len(a) − len(b)|, so the length band drops pairs a
+    // character count already rules out, and the THRESHOLDED kernel
+    // (levenshtein(a, b, k) — banded DP, O(len·k) not O(len²), -1 past k)
+    // abandons a row the moment its running distance exceeds `maxDist`.
+    // Neither changes the result set — only who pays for the rejection.
     capped.select(col("doc_id").as("id_a"), col("_key").as("_ka"), col("_blk"))
       .join(capped.select(col("doc_id").as("id_b"), col("_key").as("_kb"), col("_blk")),
         Seq("_blk"))
       .where(col("id_a") < col("id_b"))
+      .where(abs(length(col("_ka")) - length(col("_kb"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("_ka"), col("_kb")).cast("long").as("edit_distance"))
-      .where(col("edit_distance") <= maxDist)
+        levenshtein(col("_ka"), col("_kb"), maxDist).cast("long").as("edit_distance"))
+      .where(col("edit_distance") >= 0)
   }
 
   /** MinHash signature: `numHashes` permutation-minima over word-`n`-gram
