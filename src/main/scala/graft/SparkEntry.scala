@@ -202,6 +202,10 @@ object SparkEntry {
     "q182_order_histogram" -> (Pipeline.orderTotalHistogram _),
     "q183_mad_outliers" -> (Pipeline.madOutliers _),
     "q184_abc_classification" -> (Pipeline.abcClassification _),
+    "q185_json_props_rollup" -> (Pipeline.propsJsonRollup _),
+    "q186_activity_streaks" -> (Pipeline.activityStreaks _),
+    "q187_exact_correlation" -> (Pipeline.exactCorrelation _),
+    "q188_chi_square_cells" -> (Pipeline.eventDowContingency _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1814,6 +1818,71 @@ object SparkEntry {
         |       WHEN CAST(c.cum AS DECIMAL(18,2)) * 20 <= CAST((SELECT total FROM t) AS DECIMAL(18,2)) * 19 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM c ORDER BY l_partkey""".stripMargin,
+    // JSON path extraction == json_extract_string; null-propagating casts
+    "q185_json_props_rollup" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // gaps-and-islands: day − row_number() island key; longest streak,
+    // ties to the earliest start
+    "q186_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, COUNT(*) AS streak_days,
+        |    MIN(day) AS streak_start, MAX(day) AS streak_end
+        |  FROM isl GROUP BY user_id, grp),
+        |best AS (
+        |  SELECT streaks.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY streak_days DESC, streak_start ASC) AS rn
+        |  FROM streaks)
+        |SELECT user_id, streak_days, streak_start, streak_end
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // Pearson r from EXACT integer sufficient statistics; the three
+    // assembled integers parse to double via VARCHAR (q166 convention)
+    "q187_exact_correlation" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+        |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |    / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+        |       * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))) AS pearson_r
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // per-cell chi-square contributions: expected from exact BIGINT
+    // margins, square by multiplication (no libm pow), NO float total
+    "q188_chi_square_cells" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, COUNT(*) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(observed) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, SUM(observed) AS c FROM cells GROUP BY 1),
+        |n AS (SELECT SUM(observed) AS n FROM cells)
+        |SELECT cells.event_type, cells.dow, cells.observed,
+        |  CAST(rt.r * ct.c AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS expected,
+        |  (CAST(cells.observed AS DOUBLE) - CAST(rt.r * ct.c AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+        |    * (CAST(cells.observed AS DOUBLE) - CAST(rt.r * ct.c AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE))
+        |    / (CAST(rt.r * ct.c AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE)) AS chi_contrib
+        |FROM cells
+        |JOIN rt ON rt.event_type = cells.event_type
+        |JOIN ct ON ct.dow = cells.dow
+        |ORDER BY cells.event_type, cells.dow""".stripMargin,
     // per-user calendar densify (generate_series == Spark sequence) +
     // IGNORE NULLS forward carry; count coalesced to BIGINT zero
     "q165_gap_fill_forward" ->

@@ -3165,6 +3165,127 @@ object Pipeline {
       .orderBy("l_partkey")
   }
 
+  /** q185 — semi-structured property extraction + rollup: the events
+    * table's JSON `props` column parsed in place (`get_json_object` —
+    * codegen'd path traversal, no UDF) and aggregated per event type.
+    * The q43 JSONB-boundary certification covers serialize/deserialize;
+    * this covers the ANALYTICS-over-JSON path every event warehouse
+    * needs: extraction is map-side, the aggregate is one shuffle, and at
+    * 100 TB the right move is materializing the extracted column at
+    * bronze (this query IS that projection).
+    */
+  def propsJsonRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+
+  /** q186 — gaps-and-islands: each user's LONGEST consecutive-active-day
+    * streak — the canonical `date − row_number()` island key (consecutive
+    * days share a constant difference), grouped to streaks, then one
+    * dedup-latest-style window picks the longest (ties → earliest start,
+    * pinned). Complements q14, which reports the GAPS between activity;
+    * this reports the islands. Two windows + one aggregate, all
+    * partitioned by user — state is one row per (user, island).
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir).events
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("_grp", date_sub(col("day"),
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day")))))
+      .groupBy(col("user_id"), col("_grp"))
+      .agg(
+        count(lit(1)).as("streak_days"),
+        min(col("day")).as("streak_start"),
+        max(col("day")).as("streak_end"))
+    islands
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("streak_days").desc, col("streak_start").asc)))
+      .where(col("_rn") === 1)
+      .select(col("user_id"), col("streak_days"),
+        col("streak_start"), col("streak_end"))
+      .orderBy("user_id")
+  }
+
+  /** q187 — exact-sum Pearson correlation: `corr()` is a float fold and
+    * therefore partition-order-dependent; this computes the five
+    * sufficient statistics (Σx, Σy, Σx², Σxy, Σy²) as EXACT decimals
+    * (quantity is integral, price enters as cents), assembles
+    * `n·Σxy − Σx·Σy` and the two variance terms still in decimal(38,0),
+    * and only then converts the three exact integers to double for the
+    * final sqrt/divide — identical rounding on both engines (DuckDB via
+    * the VARCHAR parse, the q166 convention), so the correlation is
+    * bit-stable at ANY partitioning. One map-side-combined aggregate
+    * per flag; the moment-sketch shape every distributed correlation
+    * needs anyway.
+    */
+  def exactCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables(spark, dir).lineitem.select(
+      col("l_returnflag"),
+      col("l_quantity").cast("decimal(19,0)").as("x"),
+      round(col("l_extendedprice") * 100, 0).cast("decimal(19,0)").as("y"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"),
+        sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("y") * col("y")).cast(d38).as("syy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_items"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("pearson_r"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q188 — contingency table with per-cell χ² contributions: event type
+    * × day-of-week observed counts, expected counts under independence
+    * (`row_total·col_total/N` — exact BIGINTs, one double division), and
+    * each cell's `(o−e)²/e`. Emitting PER-CELL contributions instead of
+    * the χ² total is deliberate: every cell's arithmetic derives from
+    * exact integers through identical IEEE ops (bit-stable), while a
+    * 35-way float SUM would reintroduce the fold-order dependence this
+    * query family exists to avoid — the caller sums the column knowing
+    * its own tolerance. Margins attach by broadcast; one fact shuffle.
+    */
+  def eventDowContingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).events
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("observed")).as("_rt"))
+    val colTot = cells.groupBy(col("dow")).agg(sum(col("observed")).as("_ct"))
+    val expected = (col("_rt") * col("_ct")).cast("double") / col("_n").cast("double")
+    graft.core.ScalarJoin.withScalars(
+      cells
+        .join(broadcast(rowTot), Seq("event_type"))
+        .join(broadcast(colTot), Seq("dow")),
+      Tables(spark, dir).events.agg(count(lit(1)).as("_n")))
+      .select(col("event_type"), col("dow"), col("observed"),
+        expected.as("expected"),
+        // square by multiplication, not pow(): IEEE × is exactly
+        // specified; libm pow is not guaranteed last-ulp-identical
+        (((col("observed").cast("double") - expected) *
+          (col("observed").cast("double") - expected)) / expected)
+          .as("chi_contrib"))
+      .orderBy("event_type", "dow")
+  }
+
   /** q169 — running DISTINCT count over a window: per user, how many
     * distinct event types have been seen up to each event. Spark has no
     * native `count(DISTINCT) OVER`, so this is the composition that
