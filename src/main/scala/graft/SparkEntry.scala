@@ -206,6 +206,8 @@ object SparkEntry {
     "q186_activity_streaks" -> (Pipeline.activityStreaks _),
     "q187_exact_correlation" -> (Pipeline.exactCorrelation _),
     "q188_chi_square_cells" -> (Pipeline.eventDowContingency _),
+    "q189_approx_percentile_cert" -> (Pipeline.approxPercentileCertification _),
+    "q190_streaming_pit_enrichment" -> (Pipeline.streamingPitEnrichment _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1647,26 +1649,29 @@ object SparkEntry {
         |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |ORDER BY user_id, version""".stripMargin,
     // point-in-time attribution: DuckDB's NATIVE ASOF LEFT JOIN against
-    // the recomputed version table certifies the union+window formulation
-    "q174_point_in_time_join" ->
-      """WITH src AS (
-        |  SELECT user_id, ts, event_id, event_type AS state
-        |  FROM events WHERE event_type <> 'purchase'),
-        |flt AS (
-        |  SELECT user_id, ts, state,
-        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM src),
-        |v AS (SELECT user_id, ts, state FROM flt WHERE prev IS NULL OR prev <> state),
-        |ver AS (
-        |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, state,
-        |    ts AS effective_from, lead(ts) OVER w AS effective_to
-        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |f AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
-        |SELECT f.event_id, f.user_id, f.ts, f.value,
-        |  ver.version AS dim_version, ver.state, ver.effective_from, ver.effective_to
-        |FROM f ASOF LEFT JOIN ver
-        |  ON f.user_id = ver.user_id AND f.ts >= ver.effective_from
-        |ORDER BY f.event_id""".stripMargin,
+    // the recomputed version table certifies the union+window formulation.
+    // SHARED VERBATIM by q190 (the same join run through the stream path —
+    // stream-static enrichment must equal the batch backfill exactly).
+    "q174_point_in_time_join" -> pitJoinOracleSql,
+    "q190_streaming_pit_enrichment" -> pitJoinOracleSql,
+    // approx_percentile rank-error certification: exact quartiles hash
+    // bit-for-bit (dyadic interpolation on integer cents); approx_ok is
+    // Spark-computed, the oracle asserts TRUE
+    "q189_approx_percentile_cert" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |q AS (
+        |  SELECT event_type,
+        |    quantile_cont(cents, 0.25) AS q25,
+        |    quantile_cont(cents, 0.5) AS q50,
+        |    quantile_cont(cents, 0.75) AS q75
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, CAST(0.25 AS DOUBLE) AS pctile, q25 AS exact_value, TRUE AS approx_ok FROM q
+        |UNION ALL
+        |SELECT event_type, CAST(0.5 AS DOUBLE), q50, TRUE FROM q
+        |UNION ALL
+        |SELECT event_type, CAST(0.75 AS DOUBLE), q75, TRUE FROM q
+        |ORDER BY event_type, pctile""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->
@@ -3252,6 +3257,31 @@ object SparkEntry {
       |FROM r$iterations r JOIN odeg o ON r.u = o.u
       |ORDER BY pr_rank""".stripMargin
   }
+
+  /** Shared q174/q190 oracle: the SCD2 version table recomputed from
+    * scratch, point-in-time-joined to purchases with DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — batch operator (q174) and the stream-static
+    * enrichment path (q190) must both equal it exactly.
+    */
+  private def pitJoinOracleSql: String =
+    """WITH src AS (
+      |  SELECT user_id, ts, event_id, event_type AS state
+      |  FROM events WHERE event_type <> 'purchase'),
+      |flt AS (
+      |  SELECT user_id, ts, state,
+      |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM src),
+      |v AS (SELECT user_id, ts, state FROM flt WHERE prev IS NULL OR prev <> state),
+      |ver AS (
+      |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, state,
+      |    ts AS effective_from, lead(ts) OVER w AS effective_to
+      |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |f AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts, f.value,
+      |  ver.version AS dim_version, ver.state, ver.effective_from, ver.effective_to
+      |FROM f ASOF LEFT JOIN ver
+      |  ON f.user_id = ver.user_id AND f.ts >= ver.effective_from
+      |ORDER BY f.event_id""".stripMargin
 
   /** q168 oracle: NAIVE canonical triangle count — the same
     * cosine-threshold pair CTE as [[pageRankOracleSql]] (q154), then a

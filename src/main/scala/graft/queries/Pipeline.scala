@@ -3253,6 +3253,93 @@ object Pipeline {
       .orderBy("l_returnflag")
   }
 
+  /** q189 — approx-percentile ERROR-BOUND certification: at 100 TB exact
+    * percentiles (a per-group sort) give way to `approx_percentile`
+    * (GK sketch, mergeable, one pass) — this query certifies that swap is
+    * safe by computing BOTH and checking the sketch's rank-error contract
+    * with an exact integer rank count. Quartiles only (p ∈ {.25,.5,.75}):
+    * on integer cents every interpolated exact quartile is
+    * `lo + {0,.25,.5,.75}·(hi−lo)` — dyadic fractions, exactly
+    * representable, so the exact values hash bit-for-bit regardless of
+    * either engine's interpolation formula. The `approx_ok` flag is
+    * Spark-computed (rank of the sketch's answer within n/accuracy ± 1 of
+    * the target rank) and the oracle emits literal TRUE — a sketch
+    * violating its bound fails the row. Probed at sf0.01: all 15
+    * (type × quartile) rows certify.
+    */
+  def approxPercentileCertification(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val v = Tables(spark, dir).events
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val stats = v.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("_n"),
+        percentile(col("cents"), array(lit(0.25), lit(0.5), lit(0.75))).as("_ex"),
+        approx_percentile(col("cents"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(acc)).as("_ap"))
+      .select(col("event_type"), col("_n"),
+        posexplode(arrays_zip(col("_ex"), col("_ap"))))
+      .select(col("event_type"), col("_n"),
+        (element_at(array(lit(0.25), lit(0.5), lit(0.75)), col("pos") + 1))
+          .as("pctile"),
+        col("col._ex").as("exact_value"),
+        col("col._ap").as("_approx"))
+    val ranks = stats.alias("s")
+      .join(v.alias("f"), col("s.event_type") === col("f.event_type"))
+      .groupBy(col("s.event_type").as("event_type"), col("s.pctile").as("pctile"),
+        col("s._n").as("_n"), col("s.exact_value").as("exact_value"),
+        col("s._approx").as("_approx"))
+      .agg(
+        sum(when(col("f.cents") <= col("s._approx"), 1L).otherwise(0L)).as("_le"),
+        sum(when(col("f.cents") < col("s._approx"), 1L).otherwise(0L)).as("_lt"))
+    ranks
+      .select(col("event_type"), col("pctile"), col("exact_value"),
+        // target rank p·n; sketch contract: within n/accuracy (+1 slack
+        // for the floor/interpolation convention)
+        ((col("_le").cast("double") >=
+            col("pctile") * col("_n").cast("double") - col("_n").cast("double") / acc - 1) &&
+          (col("_lt").cast("double") <=
+            col("pctile") * col("_n").cast("double") + col("_n").cast("double") / acc + 1))
+          .as("approx_ok"))
+      .orderBy("event_type", "pctile")
+  }
+
+  /** q190 — STREAMING point-in-time enrichment
+    * ([[graft.streaming.EventStream.pointInTimeEnrich]]): q174's
+    * attribution run through the stream path — purchase events replayed
+    * in three event-time-ordered drops, each micro-batch stream-static-
+    * joined (stateless; dimension re-broadcast per batch) against the
+    * batch-built SCD2 engagement dimension. The converged sink must equal
+    * the batch point-in-time join EXACTLY, so q190 shares q174's oracle
+    * verbatim — the certification that in-stream enrichment and the
+    * batch backfill produce the same table, which is the property that
+    * lets a pipeline mix both.
+    */
+  def streamingPitEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    val dim = graft.dml.Scd.scd2Build(
+      engagementChanges(spark, dir), "user_id", "ts", "state", Seq("event_id"))
+    val purchases = Tables(spark, dir).events
+      .where(col("event_type") === "purchase")
+    val drops = timeOrderedEventDrops(spark, purchases, k = 3,
+      sentinelTypes = Seq("purchase"))
+    val tmp = runSequencedDrops(spark, drops, "graft_q190_") { (stream, t) =>
+      EventStream.pointInTimeEnrich(
+        stream.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        dim)
+        .writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$t/enriched")
+        .start()
+    }
+    spark.read.parquet(s"$tmp/enriched")
+      .where(col("user_id") =!= -1L)
+      .orderBy("event_id")
+  }
+
   /** q188 — contingency table with per-cell χ² contributions: event type
     * × day-of-week observed counts, expected counts under independence
     * (`row_total·col_total/N` — exact BIGINTs, one double division), and

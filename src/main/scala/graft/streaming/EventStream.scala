@@ -201,6 +201,34 @@ object EventStream {
         col("purchase_id"), col("purchase_value"))
   }
 
+  /** Stream-static POINT-IN-TIME dimension enrichment: each streaming fact
+    * joins the SCD2 version ([[graft.dml.Scd.scd2Build]] output) whose
+    * half-open validity interval contains the fact's event time — the
+    * streaming twin of [[graft.dml.Scd.pointInTimeJoin]]. Stream-static
+    * joins are STATELESS (no watermark, no join state): the dimension is
+    * re-read/re-broadcast per micro-batch, which is also what makes a
+    * mid-day dimension refresh visible to the next batch — the
+    * operational reason to enrich in-stream instead of re-running a batch
+    * join. The equi-key (`user_id`) keeps the plan a BroadcastHashJoin
+    * with the interval bounds as residual predicates; the dimension's
+    * byte size is the recurring per-batch cost (the q147 quantization
+    * narrative — keep dims slim). Left-outer: pre-history facts keep null
+    * attribution, matching the batch operator exactly.
+    */
+  def pointInTimeEnrich(stream: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim.select(col("user_id").as("_dim_key"), col("version"),
+      col("state"), col("effective_from"), col("effective_to"))
+    stream.join(d,
+      stream("user_id") === col("_dim_key") &&
+        stream("ts") >= col("effective_from") &&
+        (col("effective_to").isNull || stream("ts") < col("effective_to")),
+      "left_outer")
+      .select(stream("event_id"), stream("user_id"), stream("ts"),
+        stream("value"),
+        col("version").as("dim_version"), col("state"),
+        col("effective_from"), col("effective_to"))
+  }
+
   /** Native `session_window` streaming aggregation — the built-in twin of
     * the custom-state [[sessionize]]: 30-minute-gap sessions per user with
     * windows that MERGE as bridging events arrive (two open sessions
