@@ -3050,8 +3050,11 @@ object Pipeline {
     * output at the interesting rules (3,445 pairs at sf0.01, max 5).
     */
   def marketBasketLift(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // four consumers (two pair sides, frequencies, order total) — eager
+    // persist so the scan+distinct shuffle runs once, not four times
+    val items = graft.core.Caching.eager(
+      Tables(spark, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
     val nOrders = items.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("_n_orders"))
     val freq = items.groupBy(col("l_partkey"))
