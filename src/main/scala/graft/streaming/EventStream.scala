@@ -205,11 +205,14 @@ object EventStream {
     * joins the SCD2 version ([[graft.dml.Scd.scd2Build]] output) whose
     * half-open validity interval contains the fact's event time — the
     * streaming twin of [[graft.dml.Scd.pointInTimeJoin]]. Stream-static
-    * joins are STATELESS (no watermark, no join state): the dimension is
-    * re-read/re-broadcast per micro-batch, which is also what makes a
-    * mid-day dimension refresh visible to the next batch — the
-    * operational reason to enrich in-stream instead of re-running a batch
-    * join. The equi-key (`user_id`) keeps the plan a BroadcastHashJoin
+    * joins are STATELESS (no watermark, no join state): the dimension's
+    * FILES are re-read/re-broadcast every micro-batch — but its file
+    * LISTING is pinned when the query plans (spec-pinned: an overwrite
+    * under a running query fails the batch with FILE_NOT_EXIST, it does
+    * not refresh), so THIS form is for dimensions that are stable over
+    * the query's lifetime; a dimension that refreshes mid-stream needs
+    * [[pointInTimeEnrichRefreshing]], which re-plans the read per batch.
+    * The equi-key (`user_id`) keeps the plan a BroadcastHashJoin
     * with the interval bounds as residual predicates; the dimension's
     * byte size is the recurring per-batch cost (the q147 quantization
     * narrative — keep dims slim). Left-outer: pre-history facts keep null
@@ -228,6 +231,34 @@ object EventStream {
         col("version").as("dim_version"), col("state"),
         col("effective_from"), col("effective_to"))
   }
+
+  /** [[pointInTimeEnrich]] for a dimension that REFRESHES while the query
+    * runs: `foreachBatch` re-creates the dimension DataFrame from
+    * `dimPath` per micro-batch, so each batch plans against the CURRENT
+    * file listing — a mid-day SCD2 rebuild (new versions closing old
+    * intervals) lands on the very next batch, which is the operational
+    * reason to enrich in-stream rather than re-run a batch join. The sink
+    * follows [[toBronze]]'s exactly-once discipline: each batch lands in
+    * its own `_batch_id` partition via dynamic partition overwrite, so a
+    * retried batch REPLACES itself (foreachBatch alone is at-least-once).
+    */
+  def pointInTimeEnrichRefreshing(
+      stream: DataFrame,
+      dimPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        pointInTimeEnrich(batch, batch.sparkSession.read.parquet(dimPath))
+          .withColumn("_batch_id", lit(batchId))
+          .write
+          .partitionBy("_batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outPath)
+      }
+      .start()
 
   /** Native `session_window` streaming aggregation — the built-in twin of
     * the custom-state [[sessionize]]: 30-minute-gap sessions per user with

@@ -683,4 +683,34 @@ class StreamingSpec extends SparkSpec {
     assert(refreshed == rebuilt)
     assert(refreshed.nonEmpty)
   }
+
+  test("pointInTimeEnrichRefreshing: a mid-stream dimension rebuild lands on the next batch") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    val dropDir = s"$base/drops"; new java.io.File(dropDir).mkdirs()
+    val dimPath = s"$base/dim"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeDim(state: String): Unit = Seq(
+        (7L, 1L, state, ts("2026-01-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("user_id", "version", "state", "effective_from", "effective_to")
+      .write.mode("overwrite").parquet(dimPath)
+    writeDim("bronze")
+    val facts = Seq(
+      (1L, 7L, ts("2026-01-02 00:00:00"), 1.0),
+      (2L, 7L, ts("2026-01-03 00:00:00"), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val stream = spark.readStream.schema(facts.schema).parquet(dropDir)
+    val q = EventStream.pointInTimeEnrichRefreshing(
+      stream, dimPath, s"$base/out", s"$base/ck")
+    facts.where(col("event_id") === 1L).coalesce(1).write.mode("append").parquet(dropDir)
+    q.processAllAvailable()
+    writeDim("gold") // dimension rebuild BETWEEN micro-batches
+    facts.where(col("event_id") === 2L).coalesce(1).write.mode("append").parquet(dropDir)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$base/out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("state")).toMap
+    assert(out == Map(1L -> "bronze", 2L -> "gold"),
+      s"batch 2 must plan against the refreshed dimension, got $out")
+  }
 }
