@@ -208,6 +208,9 @@ object SparkEntry {
     "q188_chi_square_cells" -> (Pipeline.eventDowContingency _),
     "q189_approx_percentile_cert" -> (Pipeline.approxPercentileCertification _),
     "q190_streaming_pit_enrichment" -> (Pipeline.streamingPitEnrichment _),
+    "q191_state_dwell" -> (Pipeline.stateDwellReport _),
+    "q192_pivot_roundtrip" -> (Pipeline.pivotRoundtrip _),
+    "q193_ordered_string_agg" -> (Pipeline.regionNationList _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1672,6 +1675,40 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_type, CAST(0.75 AS DOUBLE), q75, TRUE FROM q
         |ORDER BY event_type, pctile""".stripMargin,
+    // dwell = exact integer-µs interval lengths over the recomputed SCD2
+    // version table; avg is the terminal BIGINT/BIGINT double
+    "q191_state_dwell" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id, event_type AS state
+        |  FROM events WHERE event_type <> 'purchase'),
+        |flt AS (
+        |  SELECT user_id, ts, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM src),
+        |v AS (SELECT user_id, ts, state FROM flt WHERE prev IS NULL OR prev <> state),
+        |ver AS (
+        |  SELECT user_id, state, ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to
+        |  FROM v),
+        |d AS (
+        |  SELECT state, epoch_us(effective_to) - epoch_us(effective_from) AS dwell_us
+        |  FROM ver WHERE effective_to IS NOT NULL)
+        |SELECT state, COUNT(*) AS n_closed_versions,
+        |  CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+        |  CAST(CAST(SUM(dwell_us) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_dwell_us
+        |FROM d GROUP BY state ORDER BY state""".stripMargin,
+    // the unpivoted roundtrip must equal the DIRECT long-form aggregate
+    "q192_pivot_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // LISTAGG with pinned order: DuckDB's native ordered string_agg vs
+    // Spark's array_sort(collect_list) composition
+    "q193_ordered_string_agg" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

@@ -3343,6 +3343,76 @@ object Pipeline {
       .orderBy("event_id")
   }
 
+  /** q191 — time-in-state (dwell) report over the SCD2 dimension: for
+    * every CLOSED version, dwell = `effective_to − effective_from` in
+    * exact integer microseconds, rolled up per state — the duration
+    * analytics an SCD2 history exists to answer (how long do users sit
+    * in each engagement state?) and the reason latest-wins tables can't.
+    * Average dwell is the terminal exact-BIGINT/BIGINT double division.
+    * One aggregate over the (already key-shuffled) dimension build.
+    */
+  def stateDwellReport(spark: SparkSession, dir: String): DataFrame =
+    graft.dml.Scd.scd2Build(
+      engagementChanges(spark, dir), "user_id", "ts", "state", Seq("event_id"))
+      .where(col("effective_to").isNotNull)
+      .select(col("state"),
+        (unix_micros(col("effective_to")) - unix_micros(col("effective_from")))
+          .as("dwell_us"))
+      .groupBy(col("state"))
+      .agg(
+        count(lit(1)).as("n_closed_versions"),
+        sum(col("dwell_us")).as("total_dwell_us"))
+      .withColumn("avg_dwell_us",
+        col("total_dwell_us").cast("double") /
+          col("n_closed_versions").cast("double"))
+      .orderBy("state")
+
+  /** q192 — pivot∘unpivot roundtrip: q11's wide status×priority revenue
+    * frame melted back to long form with `unpivot` (Spark 3.4+'s native
+    * melt — one Expand node, no join, no shuffle beyond the pivot's own)
+    * and certified equal to the DIRECT long-form aggregate the oracle
+    * computes — the identity that proves the wide↔long pair is lossless
+    * (absent cells surface as nulls and are dropped, matching the direct
+    * aggregate's key set). Pivot (q11) and unpivot are inverse report
+    * transforms; a warehouse needs both directions.
+    */
+  def pivotRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val wide = Analytics.pivotTable(
+      Tables(spark, dir).orders,
+      rowKeys = Seq("o_orderstatus"),
+      pivotCol = "o_orderpriority",
+      pivotValues = priorities,
+      agg = sum(col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)").cast("double"))
+    wide.unpivot(
+        Array(col("o_orderstatus")),
+        priorities.map(col).toArray,
+        "o_orderpriority", "total_price")
+      .where(col("total_price").isNotNull)
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** q193 — ordered string aggregation (LISTAGG/string_agg): nations per
+    * region as a comma-joined, name-ordered list. Spark has no ordered
+    * aggregate, so the deterministic composition is
+    * `array_join(array_sort(collect_list(...)))` — the sort happens
+    * INSIDE each group's collected array (25 names max — dimension-
+    * bounded), never as a global sort; collect_list's arrival
+    * nondeterminism is neutralized before the join. Certified against
+    * DuckDB's native `string_agg(x, ',' ORDER BY x)`.
+    */
+  def regionNationList(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+  }
+
   /** q188 — contingency table with per-cell χ² contributions: event type
     * × day-of-week observed counts, expected counts under independence
     * (`row_total·col_total/N` — exact BIGINTs, one double division), and
