@@ -3417,21 +3417,23 @@ object SparkEntry {
     * q130's fixture extends the embeddings table with re-fetch copies, so
     * the signature construction takes its source like [[lshPrefixCtes]].
     */
-  private def embSigCtesFrom(src: String): String =
+  private def embSigCtesFromPlanes(src: String, nPlanes: Int): String =
     s"""dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM $src LIMIT 1),
       |planes AS (
       |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
       |    SELECT t.p, list_transform(range(0, dims.d), i ->
       |      CASE WHEN CAST(('0x' || substring(sha256(CAST(t.p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
       |           THEN 1.0 ELSE -1.0 END) AS sgn
-      |    FROM range(0, 8) t(p), dims)),
+      |    FROM range(0, $nPlanes) t(p), dims)),
       |esigs AS (
       |  SELECT vec_id, embedding,
-      |    CAST(list_sum(list_transform(range(0, 8), p ->
+      |    CAST(list_sum(list_transform(range(0, $nPlanes), p ->
       |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
       |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
       |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
       |  FROM $src, planes)""".stripMargin
+
+  private def embSigCtesFrom(src: String): String = embSigCtesFromPlanes(src, 8)
 
   private val embSigCtes: String = embSigCtesFrom("embeddings")
 
@@ -3460,21 +3462,8 @@ object SparkEntry {
     * load-bearing). Ends with `epairs(id_a, id_b, cosine_sim)`.
     */
   private def embLshCtesAt(nPlanes: Int, minCosine: String): String =
-    s"""dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
-      |planes AS (
-      |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
-      |    SELECT t.p, list_transform(range(0, dims.d), i ->
-      |      CASE WHEN CAST(('0x' || substring(sha256(CAST(t.p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
-      |           THEN 1.0 ELSE -1.0 END) AS sgn
-      |    FROM range(0, $nPlanes) t(p), dims)),
-      |esigs AS (
-      |  SELECT vec_id, embedding,
-      |    CAST(list_sum(list_transform(range(0, $nPlanes), p ->
-      |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
-      |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
-      |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-      |  FROM embeddings, planes),
-      |capped AS (
+    embSigCtesFromPlanes("embeddings", nPlanes) + ",\n" +
+      s"""capped AS (
       |  SELECT vec_id, embedding, sig FROM (
       |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
       |  WHERE bs <= 200),

@@ -278,8 +278,8 @@ object Mutations {
       deltaPartial: DataFrame,
       keys: Seq[String],
       measureCols: Seq[String]): DataFrame = {
-    val merged = state.select(state.columns.map(col): _*)
-      .unionByName(deltaPartial.select(state.columns.map(col): _*))
+    require(measureCols.nonEmpty, "foldAdditiveAggregate needs at least one measure column")
+    val merged = state.unionByName(deltaPartial.select(state.columns.map(col): _*))
     merged
       .groupBy(keys.map(col): _*)
       .agg(

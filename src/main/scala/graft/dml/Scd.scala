@@ -55,10 +55,16 @@ object Scd {
     val wSeq = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     val versions = changes
       .select((Seq(keyCol, tsCol, attrCol) ++ tieBreak).distinct.map(col): _*)
+      // null-SAFE inequality: a change TO (or FROM) a null attribute is a
+      // real transition — `=!=` would evaluate to null and swallow it
       .withColumn("_prev", lag(col(attrCol), 1).over(wSeq))
-      .where(col("_prev").isNull || col("_prev") =!= col(attrCol))
-      .select(col(keyCol), col(tsCol), col(attrCol))
-    val wVer = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+      .withColumn("_first", lag(lit(1), 1).over(wSeq).isNull)
+      .where(col("_first") || !(col("_prev") <=> col(attrCol)))
+    // the versioning window carries the SAME tie-break as suppression:
+    // two surviving changes at one timestamp would otherwise get
+    // nondeterministic version order / is_current (they still tile as a
+    // zero-length [t, t) version — degenerate but deterministic)
+    val wVer = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     versions
       .select(
         col(keyCol),

@@ -223,14 +223,22 @@ object Analytics {
     * exact integer once values arrive as fixed-point longs (cents,
     * micro-units), so the outlier SET is bit-identical across engines,
     * partitionings, and fold orders, where a naive avg/stddev pipeline is
-    * hostage to float summation order. Arithmetic runs in decimal(38,0):
-    * with |x| ≤ 1e9 and n ≤ 1e12 every product stays within 38 digits.
+    * hostage to float summation order. Arithmetic runs in decimal(38,0)
+    * on SHIFTED values: both sides of the test are invariant under
+    * `x → x − c`, so values enter as offsets from their group MINIMUM and
+    * every product scales with the group's SPREAD R, not its absolute
+    * magnitude. Binding term k²·n·(n·Σx'²) ≲ k²·n³·R², so the honest
+    * envelope at k = 3 is n³·R² ≤ 10³⁷ — e.g. n ≤ 10⁸ rows at spread
+    * R ≤ 10⁶ fixed-point units, or n ≤ 10⁹ at R ≤ 3·10⁴. Exceeding it
+    * fails loudly under ANSI (decimal overflow), never silently; the
+    * unshifted form binds on |x|'s absolute magnitude and dies orders of
+    * magnitude earlier.
     *
-    * Scale shape: one map-side-combined groupBy to per-group
-    * (n, Σx, Σx²) — three numbers per group, mergeable, the same state a
-    * distributed variance always needs — then the stats frame (group-
-    * cardinality-sized, tiny) joins back broadcast and the test is a
-    * map-only filter on the fact scan. Two passes over the facts, zero
+    * Scale shape: one map-side-combined groupBy for the anchors, one for
+    * the shifted (n, Σx', Σx'²) — three numbers per group, mergeable, the
+    * same state a distributed variance always needs — then both tiny
+    * group-cardinality frames join back broadcast and the test is a
+    * map-only filter on the fact scan. Three passes over the facts, zero
     * fact shuffles.
     *
     * Returns the outlier rows: `idCols ++ keyCols ++ (valueCol, side)`
@@ -244,16 +252,22 @@ object Analytics {
       valueCol: String,
       k: Int): DataFrame = {
     val d38 = "decimal(38,0)"
-    val x19 = col(valueCol).cast("decimal(19,0)")
-    val stats = df
+    // pass 1: per-group anchor (any per-group constant works; min keeps
+    // shifted values non-negative)
+    val anchors = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(valueCol)).as("_mn"))
+    val shifted = df.join(broadcast(anchors), keyCols)
+      .withColumn("_x", (col(valueCol) - col("_mn")).cast("decimal(19,0)"))
+    // pass 2: sufficient statistics of the SHIFTED values
+    val stats = shifted
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).cast(d38).as("_n"),
-        sum(col(valueCol).cast(d38)).cast(d38).as("_s1"),
-        sum(x19 * x19).cast(d38).as("_s2"))
+        sum(col("_x").cast(d38)).cast(d38).as("_s1"),
+        sum(col("_x") * col("_x")).cast(d38).as("_s2"))
       .where(col("_n") >= 2)
-    val dev = col("_n") * col(valueCol).cast(d38) - col("_s1")
-    df.join(broadcast(stats), keyCols)
+    val dev = col("_n") * col("_x").cast(d38) - col("_s1")
+    shifted.join(broadcast(stats), keyCols)
       .where(dev * dev * (col("_n") - 1) >
         lit(k.toLong * k) * col("_n") * (col("_n") * col("_s2") - col("_s1") * col("_s1")))
       .select(

@@ -3123,8 +3123,11 @@ object Pipeline {
         round(col("value") * 100, 0).cast("long").as("value_cents"))
     val med = v.groupBy(col("event_type"))
       .agg(percentile(col("value_cents"), lit(0.5)).as("_med"))
-    val dev = v.join(broadcast(med), Seq("event_type"))
-      .withColumn("_absdev", abs(col("value_cents") - col("_med")))
+    // two consumers (MAD aggregate + the final join) — eager persist so
+    // the events scan and the median join run once (the q181 discipline)
+    val dev = graft.core.Caching.eager(
+      v.join(broadcast(med), Seq("event_type"))
+        .withColumn("_absdev", abs(col("value_cents") - col("_med"))))
     val mad = dev.groupBy(col("event_type"))
       .agg(percentile(col("_absdev"), lit(0.5)).as("_mad"))
     dev.join(broadcast(mad), Seq("event_type"))

@@ -45,6 +45,21 @@ class ScdSpec extends SparkSpec {
       "event_id order decides which same-ts change is version 1")
   }
 
+  test("scd2Build: a null attribute is a real state — transitions to and from it version") {
+    val withNull = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 1L, Some("gold")),
+      (1L, ts("2026-01-02 00:00:00"), 2L, None), // attribute becomes unknown
+      (1L, ts("2026-01-03 00:00:00"), 3L, None), // adjacent null restatement: no-op
+      (1L, ts("2026-01-04 00:00:00"), 4L, Some("gold"))
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val dim = Scd.scd2Build(withNull, "user_id", "ts", "tier", Seq("event_id"))
+      .orderBy("version").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2))))
+    assert(dim.toSeq == Seq(
+      (1L, Some("gold")), (2L, None), (3L, Some("gold"))),
+      s"null transitions must open/close versions (null-safe compare), got ${dim.toSeq}")
+  }
+
   test("pointInTimeJoin: facts pick the version valid at their timestamp") {
     val dim = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
     val facts = Seq(

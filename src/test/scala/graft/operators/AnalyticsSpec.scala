@@ -223,7 +223,8 @@ class AnalyticsSpec extends SparkSpec {
     val out = Analytics.exactOutliers(df, Seq("id"), Seq("grp"), "cents", k = 3)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
     assert(out == Set((21L, "hi", 100L, "high"), (51L, "lo", 10L, "low")), s"got $out")
-    // k=4 excludes both (hand-checked: z^2 = 400/21*20/21*... < 16)
+    // k=5 excludes both (hi group: LHS (21·100−300)²·20 = 6.48e7 vs
+    // RHS 25·21·162000 = 8.5e7; note k=4 would still flag — RHS 5.44e7)
     val none = Analytics.exactOutliers(df, Seq("id"), Seq("grp"), "cents", k = 5)
     assert(none.count() == 0)
     // partition invariance: the verdict is integer arithmetic
