@@ -211,6 +211,8 @@ object SparkEntry {
     "q191_state_dwell" -> (Pipeline.stateDwellReport _),
     "q192_pivot_roundtrip" -> (Pipeline.pivotRoundtrip _),
     "q193_ordered_string_agg" -> (Pipeline.regionNationList _),
+    "q194_discrete_quantiles" -> (Pipeline.discreteQuantiles _),
+    "q195_value_mode" -> (Pipeline.valueMode _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1709,6 +1711,34 @@ object SparkEntry {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // DISC quantiles: both engines compute the rank target with the SAME
+    // integer formula — no double 0.9 near an integer boundary
+    "q194_discrete_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, value_cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value_cents, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM v)
+        |SELECT event_type, pctile, value_cents
+        |FROM r JOIN (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) ps(pctile, num, den)
+        |  ON rn = (num * n + den - 1) // den
+        |ORDER BY event_type, pctile""".stripMargin,
+    // mode with the tie rule PINNED (count desc, value asc) — DuckDB's
+    // native mode() leaves ties unspecified
+    "q195_value_mode" ->
+      """WITH f AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |    COUNT(*) AS n_occurrences
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT f.*, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_occurrences DESC, value_cents ASC) AS rn
+        |  FROM f)
+        |SELECT event_type, value_cents AS mode_cents, n_occurrences
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

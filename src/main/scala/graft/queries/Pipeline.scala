@@ -3416,6 +3416,60 @@ object Pipeline {
       .orderBy("r_name")
   }
 
+  /** q194 — exact DISCRETE quantiles (the value AT rank ⌈p·n⌉, never an
+    * interpolated one — the convention regulators and SLA reports want,
+    * complementing q20/q189's CONT family). Rank targets are computed in
+    * INTEGER division (`⌈p·n⌉ = (p_num·n + p_den−1) div p_den`): the
+    * naive `ceil(0.9 · n)` puts an inexact double 0.9 next to an exact
+    * integer and ceils the wrong way whenever 9n/10 is whole — both
+    * engines use the same integer formula, so the hazard never exists.
+    * One ordered window per group (ties pinned by event_id), rank-filter
+    * against the three targets.
+    */
+  def discreteQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_cents").asc, col("event_id").asc)
+    val ranked = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))).cast("long"))
+    // no join at all: each row emits the labels whose integer rank target
+    // it hits (`div`, not `/` — Column./ on longs is DOUBLE division) —
+    // a 3-row rank-target join would plan as a nested loop (no equi-keys)
+    val labels = array(
+      when(expr("rn = (n + 1) div 2"), lit("p50")),
+      when(expr("rn = (9 * n + 9) div 10"), lit("p90")),
+      when(expr("rn = (99 * n + 99) div 100"), lit("p99")))
+    ranked
+      .withColumn("pctile", explode(filter(labels, x => x.isNotNull)))
+      .select(col("event_type"), col("pctile"), col("value_cents"))
+      .orderBy("event_type", "pctile")
+  }
+
+  /** q195 — deterministic MODE (most frequent value) per group: value
+    * frequencies, then one dedup-latest-style window picking max count
+    * with ties to the SMALLEST value — the tie rule that makes mode
+    * well-defined cross-engine (DuckDB's native `mode()` leaves ties
+    * unspecified, so the oracle pins the same count-desc/value-asc rank
+    * explicitly). Two shuffles: (group, value) counts, then the
+    * per-group pick.
+    */
+  def valueMode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+      .groupBy(col("event_type"), col("value_cents"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("n_occurrences").desc, col("value_cents").asc)))
+      .where(col("_rn") === 1)
+      .select(col("event_type"), col("value_cents").as("mode_cents"),
+        col("n_occurrences"))
+      .orderBy("event_type")
+
   /** q188 — contingency table with per-cell χ² contributions: event type
     * × day-of-week observed counts, expected counts under independence
     * (`row_total·col_total/N` — exact BIGINTs, one double division), and
