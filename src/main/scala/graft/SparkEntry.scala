@@ -213,6 +213,7 @@ object SparkEntry {
     "q193_ordered_string_agg" -> (Pipeline.regionNationList _),
     "q194_discrete_quantiles" -> (Pipeline.discreteQuantiles _),
     "q195_value_mode" -> (Pipeline.valueMode _),
+    "q196_yoy_growth" -> (Pipeline.yearOverYearGrowth _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1711,6 +1712,27 @@ object SparkEntry {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // YoY: calendar-offset lag with an explicit year-1 guard (a gap year
+    // yields null growth); exact-decimal deltas parse to double via the
+    // VARCHAR convention
+    "q196_yoy_growth" ->
+      """WITH y AS (
+        |  SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT y.*,
+        |    lag(order_year) OVER w AS prev_year,
+        |    lag(rev) OVER w AS prev_rev
+        |  FROM y WINDOW w AS (PARTITION BY o_orderpriority ORDER BY order_year))
+        |SELECT o_orderpriority, order_year,
+        |  CAST(CAST(CAST(rev AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CASE WHEN prev_year = order_year - 1
+        |    THEN CAST(CAST(CAST(rev - prev_rev AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) END AS yoy_delta,
+        |  CASE WHEN prev_year = order_year - 1
+        |    THEN CAST(CAST(CAST(rev - prev_rev AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+        |         / CAST(CAST(CAST(prev_rev AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) END AS yoy_growth
+        |FROM l ORDER BY o_orderpriority, order_year""".stripMargin,
     // DISC quantiles: both engines compute the rank target with the SAME
     // integer formula — no double 0.9 near an integer boundary
     "q194_discrete_quantiles" ->

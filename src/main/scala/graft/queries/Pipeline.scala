@@ -3470,6 +3470,39 @@ object Pipeline {
         col("n_occurrences"))
       .orderBy("event_type")
 
+  /** q196 — year-over-year growth: yearly revenue per order priority with
+    * each year's delta and growth rate against the SAME priority one year
+    * earlier — the report every finance warehouse runs. Computed with a
+    * lag window over the (priority, year) AGGREGATE (25 × 7 rows —
+    * dimension-bounded, the q178 convention; q13's lag certifies the
+    * row-adjacent form, this certifies the calendar-offset form where a
+    * MISSING year must yield null growth, not the previous row's):
+    * `lag` over years only matches year−1 via an explicit guard. Growth
+    * is the terminal exact-decimal-difference / exact-decimal division in
+    * double.
+    */
+  def yearOverYearGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("order_year"))
+    yearly
+      .withColumn("_prev_year", lag(col("order_year"), 1).over(w))
+      .withColumn("_prev_rev", lag(col("rev"), 1).over(w))
+      .select(col("o_orderpriority"), col("order_year"),
+        col("rev").cast("decimal(38,4)").cast("double").as("revenue"),
+        // a gap year breaks the chain: growth only vs year−1 exactly
+        when(col("_prev_year") === col("order_year") - 1,
+          (col("rev") - col("_prev_rev")).cast("decimal(38,4)").cast("double"))
+          .as("yoy_delta"),
+        when(col("_prev_year") === col("order_year") - 1,
+          (col("rev") - col("_prev_rev")).cast("decimal(38,4)").cast("double") /
+            col("_prev_rev").cast("decimal(38,4)").cast("double"))
+          .as("yoy_growth"))
+      .orderBy("o_orderpriority", "order_year")
+  }
+
   /** q188 — contingency table with per-cell χ² contributions: event type
     * × day-of-week observed counts, expected counts under independence
     * (`row_total·col_total/N` — exact BIGINTs, one double division), and
