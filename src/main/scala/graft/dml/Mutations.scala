@@ -272,6 +272,13 @@ object Mutations {
     * money, the q03 decimal contract). One map-side-combined groupBy over
     * |state| + |delta| rows — at steady state both are aggregate-sized,
     * never fact-sized.
+    *
+    * Every folded measure is cast BACK to the state column's exact data
+    * type: `sum(decimal(12,2))` widens to decimal(22,2) and would widen
+    * again on every refresh cycle, drifting the persisted parquet schema
+    * for downstream readers — the state schema is the contract, so the
+    * caller must size each measure's precision to hold the running total
+    * (an overflowing fold is a mis-declared state, not a wider one).
     */
   def foldAdditiveAggregate(
       state: DataFrame,
@@ -279,11 +286,14 @@ object Mutations {
       keys: Seq[String],
       measureCols: Seq[String]): DataFrame = {
     require(measureCols.nonEmpty, "foldAdditiveAggregate needs at least one measure column")
+    val stateType = state.schema.fields.map(f => f.name -> f.dataType).toMap
     val merged = state.unionByName(deltaPartial.select(state.columns.map(col): _*))
     merged
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col(measureCols.head)).as(measureCols.head),
         measureCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .select(keys.map(col) ++
+        measureCols.map(c => col(c).cast(stateType(c)).as(c)): _*)
   }
 }

@@ -75,6 +75,98 @@ object Scd {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** Incremental SCD2 maintenance: fold a batch of NEW changes into an
+    * existing dimension — close current versions whose attribute moved,
+    * append the new versions, leave closed history untouched — without
+    * rebuilding from the full change history. The daily-warehouse path
+    * (the `_is_current` maintenance contract the reference's bronze layer
+    * stamps per load, reference medallion/bronze.py:106-114), and the
+    * dimension twin of [[Mutations.foldAdditiveAggregate]]'s
+    * fold ≡ rebuild algebra: `scd2Apply(scd2Build(old), new)` equals
+    * `scd2Build(old ∪ new)` EXACTLY (certified, q198).
+    *
+    * No-op suppression crosses the batch boundary: each key's CURRENT
+    * version participates in the suppression window as a pseudo-change at
+    * its `effective_from`, so a delta row restating the key's current
+    * attribute opens no version — and a later delta row that moves the
+    * attribute still compares against the right predecessor. Version
+    * ordinals continue from the key's current maximum; keys new to the
+    * dimension start at 1.
+    *
+    * Contract: delta changes must not predate their key's current
+    * `effective_from` (ties are legal and tie-broken). A late-arriving
+    * change belongs in a rebuild — folding it in place would have to
+    * rewrite closed history, which is exactly what this operator promises
+    * not to touch.
+    *
+    * Scale shape: one key-partitioned window pass over
+    * (current versions ∪ delta) — both delta-day-sized at steady state,
+    * NEVER the full change history — one delta-sized aggregate for the
+    * close-out timestamps, and one key join against the dimension. The
+    * dimension's closed versions stream through untouched.
+    */
+  def scd2Apply(
+      dim: DataFrame,
+      delta: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCol: String,
+      tieBreak: Seq[String]): DataFrame = {
+    val dimCols = Seq(keyCol, "version", attrCol, "effective_from", "effective_to", "is_current")
+    val tbTypes = tieBreak.map(c => delta.schema(c).dataType)
+    val cur = dim.where(col("is_current"))
+    // suppression input: the key's current state as a pseudo-change (sorts
+    // before any delta row at its timestamp via _origin), then the delta
+    val curSide = cur.select(
+      Seq(col(keyCol), col("effective_from").as(tsCol),
+        col(attrCol), lit(0).as("_origin")) ++
+        tieBreak.zip(tbTypes).map { case (c, t) => lit(null).cast(t).as(c) }: _*)
+    val deltaSide = delta.select(
+      Seq(col(keyCol), col(tsCol), col(attrCol), lit(1).as("_origin")) ++
+        tieBreak.map(col): _*)
+    val ord = (col(tsCol) +: col("_origin") +: tieBreak.map(col)).map(_.asc)
+    val wSeq = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val survivors = curSide.unionByName(deltaSide)
+      .withColumn("_prev", lag(col(attrCol), 1).over(wSeq))
+      .withColumn("_first", lag(lit(1), 1).over(wSeq).isNull)
+      .where(col("_first") || !(col("_prev") <=> col(attrCol)))
+      .where(col("_origin") === 1)
+    // new versions: ordinals continue from the key's current version
+    val ordNew = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val wVer = Window.partitionBy(col(keyCol)).orderBy(ordNew: _*)
+    val newVers = survivors
+      .select(
+        col(keyCol),
+        row_number().over(wVer).cast("long").as("_rn"),
+        col(attrCol),
+        col(tsCol).as("effective_from"),
+        lead(col(tsCol), 1).over(wVer).as("effective_to"))
+      .join(cur.select(col(keyCol), col("version").as("_base_ver")), Seq(keyCol), "left")
+      .select(
+        col(keyCol),
+        (coalesce(col("_base_ver"), lit(0L)) + col("_rn")).as("version"),
+        col(attrCol),
+        col("effective_from"),
+        col("effective_to"))
+      .withColumn("is_current", col("effective_to").isNull)
+    // close-out: a key with appended versions closes its current version at
+    // the first new effective_from (a half-open [from, close) interval —
+    // zero-length when the delta moves the attribute at the same instant)
+    val closeAt = newVers.groupBy(col(keyCol))
+      .agg(min(col("effective_from")).as("_close_ts"))
+    val updated = dim.join(closeAt, Seq(keyCol), "left")
+      .select(
+        col(keyCol),
+        col("version"),
+        col(attrCol),
+        col("effective_from"),
+        when(col("is_current") && col("_close_ts").isNotNull, col("_close_ts"))
+          .otherwise(col("effective_to")).as("effective_to"),
+        (col("is_current") && col("_close_ts").isNull).as("is_current"))
+    updated.select(dimCols.map(col): _*)
+      .unionByName(newVers.select(dimCols.map(col): _*))
+  }
+
   /** Point-in-time join: each fact row picks the dimension version whose
     * validity interval contains the fact timestamp.
     *
@@ -88,6 +180,13 @@ object Scd {
     * intervals) into missing rows instead of silently wrong attributes.
     * Facts before the key's first version get a null version (left join
     * semantics) and are kept.
+    *
+    * Same-timestamp versions — [[scd2Build]] legally emits zero-length
+    * `[t, t)` versions when two changes share a timestamp — are resolved
+    * deterministically: the as-of pick is tie-broken by `version`
+    * descending-preference (the HIGHEST version at the shared
+    * `effective_from` wins), so a fact at `t` lands in the open successor
+    * version, never in a zero-length one the residual filter would drop.
     *
     * @param dim output of [[scd2Build]] for the same key
     */
@@ -103,7 +202,8 @@ object Scd {
       keys = Seq(keyCol),
       leftTsCol = factTsCol,
       rightTsCol = "_dim_ts",
-      rightPayload = Seq("version", attrCol, "_dim_ts", "effective_to"))
+      rightPayload = Seq("version", attrCol, "_dim_ts", "effective_to"),
+      rightOrdCols = Seq("version"))
     joined
       .where(col("asof").isNull ||
         col("asof.effective_to").isNull ||

@@ -236,10 +236,13 @@ object Analytics {
     *
     * Scale shape: one map-side-combined groupBy for the anchors, one for
     * the shifted (n, Σx', Σx'²) — three numbers per group, mergeable, the
-    * same state a distributed variance always needs — then both tiny
-    * group-cardinality frames join back broadcast and the test is a
-    * map-only filter on the fact scan. Three passes over the facts, zero
-    * fact shuffles.
+    * same state a distributed variance always needs — then both
+    * group-cardinality frames join back on the key. The joins carry NO
+    * forced broadcast hint: with low-cardinality groups Spark/AQE
+    * broadcasts them and the test is a map-only filter on the fact scan
+    * (the q176 plan); with 10⁸-cardinality keys a forced broadcast would
+    * OOM the driver, and AQE's size-based choice degrades gracefully to a
+    * shuffle join instead — the rfmSegments cardinality-caveat discipline.
     *
     * Returns the outlier rows: `idCols ++ keyCols ++ (valueCol, side)`
     * where `side` is 'high'/'low' by the sign of `n·x − Σx`. Groups with
@@ -256,7 +259,7 @@ object Analytics {
     // shifted values non-negative)
     val anchors = df.groupBy(keyCols.map(col): _*)
       .agg(min(col(valueCol)).as("_mn"))
-    val shifted = df.join(broadcast(anchors), keyCols)
+    val shifted = df.join(anchors, keyCols)
       .withColumn("_x", (col(valueCol) - col("_mn")).cast("decimal(19,0)"))
     // pass 2: sufficient statistics of the SHIFTED values
     val stats = shifted
@@ -267,7 +270,7 @@ object Analytics {
         sum(col("_x") * col("_x")).cast(d38).as("_s2"))
       .where(col("_n") >= 2)
     val dev = col("_n") * col("_x").cast(d38) - col("_s1")
-    shifted.join(broadcast(stats), keyCols)
+    shifted.join(stats, keyCols)
       .where(dev * dev * (col("_n") - 1) >
         lit(k.toLong * k) * col("_n") * (col("_n") * col("_s2") - col("_s1") * col("_s1")))
       .select(
@@ -314,6 +317,56 @@ object Analytics {
     ranged
       .join(broadcast(offsets), Seq("_bucket"))
       .withColumn(cumCol, sum(col(valueCol)).over(wIn) + col("_offset"))
+      .drop("_bucket", "_offset")
+  }
+
+  /** Per-group ordered rank + group size WITHOUT sorting any fact-sized
+    * frame under a low-cardinality window: the scalable form of
+    * `row_number() OVER (PARTITION BY g ORDER BY …)` when `g` has few
+    * values — which Spark otherwise plans as one task sorting ~1/|g| of
+    * the entire table. Two-level, the [[orderedPrefixSum]] discipline
+    * applied to ranks: `repartitionByRange` on `(group ++ sort)` buckets
+    * rows contiguously in (group, sort) order (bucket id = partition id,
+    * pinned by the eager persist so every consumer sees ONE sampled
+    * boundary set), per-(group, bucket) counts aggregate in parallel, a
+    * tiny window over ≤|groups|·`buckets` count rows computes each
+    * bucket's per-group starting offset AND the group total, and the
+    * in-bucket `row_number` runs under a window partitioned by
+    * (group, bucket) — every window task sees ~1/`buckets` of the frame.
+    * Ranks are boundary-invariant because `sortCols` must be a TOTAL
+    * order within each group (pass a tie-break column): equal full keys
+    * never split across adjacent buckets, and with a total order there
+    * are no equal full keys.
+    *
+    * Returns `df ++ (rankCol: 1-based rank within group, countCol: group
+    * size)`, both BIGINT.
+    */
+  def groupedOrderedRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      rankCol: String,
+      countCol: String,
+      buckets: Int = 64): DataFrame = {
+    val gc = groupCols.map(col)
+    val ranged = graft.core.Caching.eager(
+      df.repartitionByRange(buckets, gc ++ sortCols: _*)
+        .withColumn("_bucket", spark_partition_id().cast("long")))
+    val wOff = Window.partitionBy(gc: _*).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = ranged
+      .groupBy(gc :+ col("_bucket"): _*)
+      .agg(count(lit(1)).as("_bc"))
+      .select(gc ++ Seq(
+        col("_bucket"),
+        coalesce(sum(col("_bc")).over(wOff), lit(0L)).as("_offset"),
+        sum(col("_bc")).over(wTot).as(countCol)): _*)
+    val wIn = Window.partitionBy(gc :+ col("_bucket"): _*).orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offsets), groupCols :+ "_bucket")
+      .withColumn(rankCol, col("_offset") + row_number().over(wIn).cast("long"))
       .drop("_bucket", "_offset")
   }
 

@@ -16,14 +16,20 @@ import org.apache.spark.sql.functions._
   * inclusive. One shuffle on the key, no row explosion, cost O((|L|+|R|)
   * log) per key partition. Skew follows key activity like any keyed window.
   *
-  * Right-side rows that share (key, ts) are ambiguous — pre-dedup the right
-  * side (e.g. latest event id wins) to keep the result deterministic.
+  * Right-side rows that share (key, ts) are ambiguous unless `rightOrdCols`
+  * pins them: among equal-timestamp right rows the one GREATEST under
+  * `rightOrdCols` ascending wins (it sorts last, and `last(_, ignoreNulls)`
+  * reads the running latest). With no tie-break, pre-dedup the right side
+  * (e.g. latest event id wins) to keep the result deterministic.
   */
 object AsOfJoin {
 
   /** Left as-of join. Returns every left column plus an `asof` struct of
     * `rightPayload` columns (null when the key has no right row at or before
     * the left timestamp).
+    *
+    * @param rightOrdCols right-side columns ordering equal-timestamp right
+    *                     rows (ascending; the greatest wins the as-of pick)
     */
   def asofJoin(
       left: DataFrame,
@@ -31,8 +37,10 @@ object AsOfJoin {
       keys: Seq[String],
       leftTsCol: String,
       rightTsCol: String,
-      rightPayload: Seq[String]): DataFrame = {
-    val reserved = Seq("_ts", "_m", "_l", "_r", "asof")
+      rightPayload: Seq[String],
+      rightOrdCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("_ts", "_m", "_l", "_r", "asof") ++
+      rightOrdCols.indices.map(i => s"_tb$i")
     require(
       !(left.columns ++ right.columns).exists(reserved.contains),
       s"asofJoin reserves column names ${reserved.mkString(", ")}")
@@ -40,12 +48,14 @@ object AsOfJoin {
     val rStruct = struct(rightPayload.map(col): _*)
     val lType = left.select(lStruct.as("_l")).schema("_l").dataType
     val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    val tbTypes = rightOrdCols.map(c => right.schema(c).dataType)
     val lSide = left.select(
       keys.map(col) ++ Seq(
         col(leftTsCol).as("_ts"),
         lit(1).as("_m"),
         lStruct.as("_l"),
-        lit(null).cast(rType).as("_r")): _*)
+        lit(null).cast(rType).as("_r")) ++
+        tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"_tb$i") }: _*)
     // a right row with a null timestamp or null key can never be "at or
     // before" anything (SQL ASOF: ts >= NULL is false, NULL keys never
     // equal) — without this filter, nulls-first ordering would make a
@@ -59,10 +69,16 @@ object AsOfJoin {
           col(rightTsCol).as("_ts"),
           lit(0).as("_m"),
           lit(null).cast(lType).as("_l"),
-          rStruct.as("_r")): _*)
+          rStruct.as("_r")) ++
+        rightOrdCols.zipWithIndex.map { case (c, i) => col(c).as(s"_tb$i") }: _*)
+    // tie-break AFTER (_ts, _m): among right rows at one timestamp, the
+    // greatest rightOrdCols row sorts last and wins; left rows still sort
+    // after every right row at their timestamp (all their _tb are null and
+    // _m=1 dominates), so the inclusive-match semantics are unchanged
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_m"))
+      .orderBy(col("_ts") +: col("_m") +:
+        rightOrdCols.indices.map(i => col(s"_tb$i")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))

@@ -94,6 +94,63 @@ object Graph {
       .select(col("u").as("node_id"), col("r").as("pr_score"), col("out_degree"))
   }
 
+  /** k-core decomposition by iterative peeling over an UNDIRECTED graph
+    * given as canonical pairs (`src < dst`): repeatedly remove every node
+    * whose degree is below `k` until none remains — the surviving
+    * subgraph is the k-core, the density filter dedup triage wants on
+    * top of the pair generators (a near-dup COMMUNITY every member of
+    * which touches ≥ k others is a template family; a loose chain of
+    * pairwise hits is not).
+    *
+    * Each peel round is one map-side-combined degree aggregate and two
+    * anti-joins against the (node-sized) sub-k set; the edge frame only
+    * SHRINKS, and `localCheckpoint` truncates the growing lineage every
+    * round (the PageRank/BPE bounded-iteration discipline — a multi-day
+    * loop would parquet-checkpoint instead). Driver state per round is
+    * one count (the peel-set size). Peeling provably converges — every
+    * round removes ≥ 1 node or stops — and the round count is the
+    * graph's peel depth, typically ≪ `maxIter`; the operator converges
+    * early or throws (loudly, never a silent partial core) if
+    * `maxIter` rounds were not enough.
+    *
+    * Returns surviving nodes: `(node_id, core_degree)` — the degree
+    * WITHIN the k-core, ≥ k by construction.
+    */
+  def kCore(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val p = pairs.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    var e = p.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(p.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val bad = e.groupBy("u").agg(count(lit(1)).as("_d"))
+        .where(col("_d") < k)
+        .select(col("u").as("_bad"))
+        .localCheckpoint()
+      if (bad.isEmpty) converged = true
+      else {
+        e = e
+          .join(bad.select(col("_bad").as("u")), Seq("u"), "left_anti")
+          .join(bad.select(col("_bad").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIter peel rounds — raise maxIter")
+    e.groupBy("u").agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("node_id"), col("core_degree"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * UNDIRECTED graph given as canonical pairs (one row per unordered
     * pair, `src < dst`) — the community-density signal on top of the dup

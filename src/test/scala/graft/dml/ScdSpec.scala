@@ -60,6 +60,61 @@ class ScdSpec extends SparkSpec {
       s"null transitions must open/close versions (null-safe compare), got ${dim.toSeq}")
   }
 
+  test("scd2Apply ≡ scd2Build on the full stream, at every split point") {
+    // fold ≡ rebuild across EVERY boundary of the fixture — covers: delta
+    // restating the current attribute (opens no version), delta moving it
+    // (closes current, version ordinal continues), keys untouched by the
+    // delta, keys new in the delta, and an empty delta
+    val full = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
+      .orderBy("user_id", "version").collect().toSeq
+    val allTs = changes.select("ts").distinct()
+      .collect().map(_.getTimestamp(0)).sortBy(_.getTime)
+    for (cut <- allTs :+ ts("2027-01-01 00:00:00")) {
+      val base = Scd.scd2Build(changes.where(col("ts") < lit(cut)),
+        "user_id", "ts", "tier", Seq("event_id"))
+      val applied = Scd.scd2Apply(base, changes.where(col("ts") >= lit(cut)),
+          "user_id", "ts", "tier", Seq("event_id"))
+        .orderBy("user_id", "version").collect().toSeq
+      assert(applied == full, s"apply ≠ rebuild at cut $cut")
+    }
+  }
+
+  test("scd2Apply: a delta restating every current state is a no-op") {
+    val base = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
+    val restate = Seq(
+      (1L, ts("2026-02-01 00:00:00"), 20L, "gold"),   // current tier of key 1
+      (2L, ts("2026-02-01 00:00:00"), 21L, "bronze")  // current tier of key 2
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val applied = Scd.scd2Apply(base, restate, "user_id", "ts", "tier", Seq("event_id"))
+      .orderBy("user_id", "version").collect().toSeq
+    val unchanged = base.orderBy("user_id", "version").collect().toSeq
+    assert(applied == unchanged,
+      "restated current state must open no version and close nothing")
+  }
+
+  test("pointInTimeJoin: zero-length [t,t) versions never swallow facts (tie-safe as-of)") {
+    // two surviving changes at ONE timestamp produce a legal zero-length
+    // version 1 [t,t) and an open version 2 [t,∞); a fact at exactly t (and
+    // any fact after) must land in the SUCCESSOR, never be dropped by the
+    // residual factTs < effective_to filter picking the degenerate version
+    val tied = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2026-01-01 00:00:00"), 2L, "b")
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val dim = Scd.scd2Build(tied, "user_id", "ts", "tier", Seq("event_id"))
+    val facts = Seq(
+      (100L, 1L, ts("2026-01-01 00:00:00")), // AT the shared boundary
+      (101L, 1L, ts("2026-01-02 00:00:00"))  // strictly after
+    ).toDF("fact_id", "user_id", "fts")
+    val out = Scd.pointInTimeJoin(facts, dim, "user_id", "fts", "tier")
+      .orderBy("fact_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    assert(out.length == 2, "left-join guarantee: no fact row may vanish")
+    assert(out(0) == ((100L, 2L, "b")),
+      "a fact at the shared timestamp belongs to the open successor version")
+    assert(out(1) == ((101L, 2L, "b")))
+  }
+
   test("pointInTimeJoin: facts pick the version valid at their timestamp") {
     val dim = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
     val facts = Seq(

@@ -252,4 +252,27 @@ class AnalyticsSpec extends SparkSpec {
       assert(two == naive, s"bucket count $buckets must not change any cum value")
     }
   }
+
+  test("groupedOrderedRank equals the per-group window rank at any bucket count") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups × uneven sizes, duplicate values (tie-break on id required)
+    val df = (1L to 400L)
+      .map(i => (i, s"g${i % 3}", (i * 37) % 19))
+      .toDF("id", "grp", "v")
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").asc, col("id").asc)
+    val naive = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("grp"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    for (buckets <- Seq(1, 5, 32)) {
+      val two = Analytics.groupedOrderedRank(
+          df, Seq("grp"), Seq(col("v").asc, col("id").asc), "rn", "n", buckets)
+        .select("id", "rn", "n")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(two == naive, s"bucket count $buckets must not change any (rank, n)")
+    }
+  }
 }
