@@ -214,6 +214,9 @@ object SparkEntry {
     "q194_discrete_quantiles" -> (Pipeline.discreteQuantiles _),
     "q195_value_mode" -> (Pipeline.valueMode _),
     "q196_yoy_growth" -> (Pipeline.yearOverYearGrowth _),
+    "q197_mad_outliers_approx" -> (Pipeline.madOutliersApproxCert _),
+    "q198_scd2_incremental_apply" -> (Pipeline.scdIncrementalApply _),
+    "q199_image_decode" -> (Pipeline.imageDecodeStats _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1636,24 +1639,10 @@ object SparkEntry {
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001) GROUP BY 1, 2
         |ORDER BY op, o_custkey""".stripMargin,
     // SCD2 build: no-op suppression (lag), then version intervals (lead);
-    // ordering pinned by (ts, event_id) on both engines
-    "q173_scd2_dimension" ->
-      """WITH src AS (
-        |  SELECT user_id, ts, event_id, event_type AS state
-        |  FROM events WHERE event_type <> 'purchase'),
-        |flt AS (
-        |  SELECT user_id, ts, state,
-        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM src),
-        |v AS (SELECT user_id, ts, state FROM flt WHERE prev IS NULL OR prev <> state)
-        |SELECT user_id,
-        |  CAST(row_number() OVER w AS BIGINT) AS version,
-        |  state,
-        |  ts AS effective_from,
-        |  lead(ts) OVER w AS effective_to,
-        |  (lead(ts) OVER w) IS NULL AS is_current
-        |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        |ORDER BY user_id, version""".stripMargin,
+    // ordering pinned by (ts, event_id) on both engines. SHARED VERBATIM by
+    // q198 (incremental scd2Apply must equal the full rebuild exactly).
+    "q173_scd2_dimension" -> scd2BuildOracleSql,
+    "q198_scd2_incremental_apply" -> scd2BuildOracleSql,
     // point-in-time attribution: DuckDB's NATIVE ASOF LEFT JOIN against
     // the recomputed version table certifies the union+window formulation.
     // SHARED VERBATIM by q190 (the same join run through the stream path —
@@ -1685,13 +1674,13 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id, event_type AS state
         |  FROM events WHERE event_type <> 'purchase'),
         |flt AS (
-        |  SELECT user_id, ts, state,
+        |  SELECT user_id, ts, event_id, state,
         |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM src),
-        |v AS (SELECT user_id, ts, state FROM flt WHERE prev IS NULL OR prev <> state),
+        |v AS (SELECT user_id, ts, event_id, state FROM flt WHERE prev IS NULL OR prev <> state),
         |ver AS (
         |  SELECT user_id, state, ts AS effective_from,
-        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
         |  FROM v),
         |d AS (
         |  SELECT state, epoch_us(effective_to) - epoch_us(effective_from) AS dwell_us
@@ -1761,6 +1750,39 @@ object SparkEntry {
         |  FROM f)
         |SELECT event_type, value_cents AS mode_cents, n_occurrences
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // approx-MAD swap-in certification: exact flag counts hash-match the
+    // DuckDB recomputation; the sketch rank-error and flag-set-difference
+    // verdicts are Spark-computed, oracle-asserted TRUE (the q189
+    // convention — DuckDB cannot replay Spark's sketch)
+    "q197_mad_outliers_approx" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT v.event_type, abs(CAST(cents AS DOUBLE) - med) AS ad
+        |  FROM v JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_flags_exact,
+        |  TRUE AS med_rank_ok, TRUE AS mad_rank_ok, TRUE AS flags_match_ok
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
+    // REAL PNG decode certification: the oracle predicts width/height and
+    // per-channel pixel SUMS arithmetically from doc_id (closed-form fixture
+    // pixels) — a hash match proves javax.imageio's encode → decode
+    // roundtrip returned every pixel exactly
+    "q199_image_decode" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (SELECT d, 8 + d % 9 AS w, 8 + d % 7 AS h FROM ids)
+        |SELECT d AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, CAST(h - 1 AS INTEGER)), y ->
+        |    list_transform(generate_series(0, CAST(w - 1 AS INTEGER)), x -> (d + x + y) % 256)))) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, CAST(h - 1 AS INTEGER)), y ->
+        |    list_transform(generate_series(0, CAST(w - 1 AS INTEGER)), x -> (2 * d + 3 * x + 5 * y) % 256)))) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, CAST(h - 1 AS INTEGER)), y ->
+        |    list_transform(generate_series(0, CAST(w - 1 AS INTEGER)), x -> (7 * d + 11 * x + 13 * y) % 256)))) AS BIGINT) AS b_sum
+        |FROM dims ORDER BY media_id""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->
@@ -3347,6 +3369,29 @@ object SparkEntry {
       |ORDER BY pr_rank""".stripMargin
   }
 
+  /** Shared q173/q198 oracle: the SCD2 dimension recomputed from the FULL
+    * change stream from scratch — the batch build (q173) and the
+    * incremental apply over a Jan-21 split (q198) must both equal it
+    * exactly (fold ≡ rebuild for the versioned dimension).
+    */
+  private def scd2BuildOracleSql: String =
+    """WITH src AS (
+      |  SELECT user_id, ts, event_id, event_type AS state
+      |  FROM events WHERE event_type <> 'purchase'),
+      |flt AS (
+      |  SELECT user_id, ts, event_id, state,
+      |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM src),
+      |v AS (SELECT user_id, ts, event_id, state FROM flt WHERE prev IS NULL OR prev <> state)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  state,
+      |  ts AS effective_from,
+      |  lead(ts) OVER w AS effective_to,
+      |  (lead(ts) OVER w) IS NULL AS is_current
+      |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   /** Shared q174/q190 oracle: the SCD2 version table recomputed from
     * scratch, point-in-time-joined to purchases with DuckDB's NATIVE
     * `ASOF LEFT JOIN` — batch operator (q174) and the stream-static
@@ -3357,14 +3402,14 @@ object SparkEntry {
       |  SELECT user_id, ts, event_id, event_type AS state
       |  FROM events WHERE event_type <> 'purchase'),
       |flt AS (
-      |  SELECT user_id, ts, state,
+      |  SELECT user_id, ts, event_id, state,
       |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |  FROM src),
-      |v AS (SELECT user_id, ts, state FROM flt WHERE prev IS NULL OR prev <> state),
+      |v AS (SELECT user_id, ts, event_id, state FROM flt WHERE prev IS NULL OR prev <> state),
       |ver AS (
       |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, state,
       |    ts AS effective_from, lead(ts) OVER w AS effective_to
-      |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |f AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
       |SELECT f.event_id, f.user_id, f.ts, f.value,
       |  ver.version AS dim_version, ver.state, ver.effective_from, ver.effective_to

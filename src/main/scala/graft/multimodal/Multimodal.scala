@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batched feature extraction.
   *
-  * The decode step is STUBBED (this environment ships no image/audio codecs):
-  * `decodeImageStub` derives deterministic fake features from the bytes.
-  * Everything around it — the schema, the per-partition batched processing
-  * shape, the partitioning story — is real: swap the stub for a JNI/codec
-  * call and nothing else changes.
+  * IMAGE decode is REAL: [[decodePng]]/[[imagePixelStats]] run
+  * `javax.imageio.ImageIO` (JDK-public, no external codec) over actual PNG
+  * bytes — encode → decode roundtrips are certified against a closed-form
+  * pixel oracle (q199). Audio/video decode remains STUBBED (this
+  * environment ships no media codecs beyond the JDK): `decodeImageStub`
+  * derives deterministic fake features from the bytes so those pipeline
+  * shapes stay testable end-to-end; swap it for a JNI/codec call and
+  * nothing else changes.
   *
   * Scale: media blobs dominate row size, so feature extraction uses
   * `mapPartitions` (one decoder init per partition, the Scala analog of a
@@ -143,6 +146,117 @@ object Multimodal {
         }
       }
     spark.createDataFrame(out, frameSchema)
+  }
+
+  /** Encode a width×height RGB image as real PNG bytes via
+    * `javax.imageio` — the executor-side encoder for deterministic image
+    * fixtures (and the re-encode half a real resize would use). Pure
+    * function of `pixel`, so an encode → [[decodePng]] roundtrip is
+    * oracle-predictable: PNG is lossless and TYPE_INT_RGB carries the
+    * exact 8-bit channels through.
+    */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode: parse PNG/JPEG/GIF/BMP bytes with
+    * `javax.imageio.ImageIO` and return (width, height, Σr, Σg, Σb) —
+    * dimension metadata plus exact per-channel pixel sums (the integer
+    * form of channel means: no float fold to pin). None when the bytes
+    * are not a decodable image.
+    */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some((img.getWidth, img.getHeight, rs, gs, bs))
+    }
+  }
+
+  val pixelStatSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("r_sum", LongType, nullable = true),
+    StructField("g_sum", LongType, nullable = true),
+    StructField("b_sum", LongType, nullable = true)))
+
+  /** Batched REAL decode over a media frame: every image row's content is
+    * parsed by `javax.imageio` (one decoder context per partition — the
+    * same `mapPartitions` batching as [[extractFeatures]]); undecodable or
+    * null blobs yield null stats instead of failing the partition. Blob
+    * dropped at the source; only fixed-width stats flow downstream.
+    */
+  def imagePixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "image")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Option(r.getAs[Array[Byte]](1)).flatMap(decodePng) match {
+            case Some((w, h, rs, gs, bs)) => Row(id, w, h, rs, gs, bs)
+            case None => Row(id, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, pixelStatSchema)
+  }
+
+  /** Deterministic REAL-PNG media fixture from the documents table: every
+    * `doc_id % 3 = 0` document becomes an image whose dimensions and
+    * pixels are closed-form in the id — `w = 8 + d mod 9`,
+    * `h = 8 + d mod 7`, channel values `(d + x + y)`, `(2d + 3x + 5y)`,
+    * `(7d + 11x + 13y)` mod 256 — so a SQL oracle can predict every
+    * decoded statistic without decoding anything. Encoding runs in the
+    * executors ([[encodePng]]), one codec context per partition.
+    */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      .where(col("doc_id") % 3 === 0)
+      .select("doc_id")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val w = (8 + d % 9).toInt
+          val h = (8 + d % 7).toInt
+          val png = encodePng(w, h, (x, y) => (
+            ((d + x + y) % 256).toInt,
+            ((2 * d + 3 * x + 5 * y) % 256).toInt,
+            ((7 * d + 11 * x + 13 * y) % 256).toInt))
+          Row(d, "image", png, "image/png", s"synthetic://png/$d")
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
   }
 
   /** Build a media table from the documents table (text bytes as stand-in

@@ -247,12 +247,18 @@ object Quantize {
           codesCol(col(vecCol), params), qLit).as("qscore"))
       .orderBy(col("qscore").desc, col(idCol))
       .limit(k)
-    broadcast(picked)
-      .join(base.select(col(idCol), col(vecCol)), Seq(idCol))
+    // rank the k winners BEFORE the fetch-back join: the global window then
+    // provably runs over the k-row limit output (plan-audited), not over a
+    // joined frame whose bound only follows from the unique-key argument
+    val ranked = picked
       .select(
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("qscore").desc, col(idCol))).cast("long").as("q_rank"),
-        col(idCol), col("qscore"),
+        col(idCol), col("qscore"))
+    broadcast(ranked)
+      .join(base.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(
+        col("q_rank"), col(idCol), col("qscore"),
         cosineFast(col(vecCol), qVec).as("cosine_sim"))
       .orderBy(col("q_rank"))
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -767,6 +767,28 @@ object Pipeline {
     Multimodal.sampleFrames(media, maxFrames = 7)
       .select(col("media_id"), col("frame_index"), col("frame_sha256"))
       .orderBy(col("media_id"), col("frame_index"))
+  }
+
+  /** q199 — REAL image decode ([[graft.multimodal.Multimodal.decodePng]]):
+    * every third document becomes an ACTUAL PNG (executor-side
+    * `javax.imageio` encode of closed-form pixels), and the decode path
+    * parses those bytes back — `ImageIO.read`, per-pixel channel
+    * extraction — emitting (width, height, Σr, Σg, Σb). The oracle
+    * predicts every statistic arithmetically from the doc_id WITHOUT
+    * decoding anything, so a hash match proves the encode → decode
+    * roundtrip is pixel-exact: the codec gap the multimodal tier carried
+    * since round 1 (stub decode), closed with JDK-public code. Integer
+    * channel SUMS, not float means — nothing to pin. All map-side: one
+    * codec context per partition, blobs never shuffle.
+    */
+  def imageDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.imagePixelStats(
+        Multimodal.pngMediaFromDocuments(Tables(spark, dir).documents))
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("r_sum"), col("g_sum"), col("b_sum"))
+      .orderBy("media_id")
   }
 
   // ---------------------------------------------------------------- vectors
@@ -2845,6 +2867,34 @@ object Pipeline {
       tieBreak = Seq("event_id"))
       .orderBy("user_id", "version")
 
+  /** q198 — INCREMENTAL SCD2 maintenance ([[graft.dml.Scd.scd2Apply]]):
+    * the engagement dimension is built from changes BEFORE Jan 21 only,
+    * then the final ten days fold in as a delta — close the moved keys'
+    * current versions, append the new ones, renumber nothing — and the
+    * result must equal [[scdDimensionBuild]]'s full rebuild EXACTLY, so
+    * this row shares q173's oracle VERBATIM (the q175 fold ≡ rebuild
+    * pattern applied to the versioned dimension; reference context: the
+    * `_is_current` maintenance contract, reference medallion/
+    * bronze.py:106-114). No-op suppression crossing the batch boundary is
+    * load-bearing: delta rows restating a key's current state must open
+    * no version, or the apply fragments history the rebuild never had.
+    * At 100 TB the daily fold touches the delta and the current-version
+    * slice, never the full change history.
+    */
+  def scdIncrementalApply(spark: SparkSession, dir: String): DataFrame = {
+    val changes = engagementChanges(spark, dir)
+    val cut = lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    val base = graft.dml.Scd.scd2Build(
+      changes.where(col("ts") < cut),
+      keyCol = "user_id", tsCol = "ts", attrCol = "state",
+      tieBreak = Seq("event_id"))
+    graft.dml.Scd.scd2Apply(
+      base, changes.where(col("ts") >= cut),
+      keyCol = "user_id", tsCol = "ts", attrCol = "state",
+      tieBreak = Seq("event_id"))
+      .orderBy("user_id", "version")
+  }
+
   /** q174 — point-in-time dimension join
     * ([[graft.dml.Scd.pointInTimeJoin]]): every purchase event picks the
     * engagement-state version that was valid AT PURCHASE TIME — the
@@ -3112,7 +3162,9 @@ object Pipeline {
     * q20 PERCENTILE_CONT parity), and the comparison has no rounding.
     * Two aggregation passes + a broadcast stats join; NOTE exact medians
     * sort per group — at true scale the swap-in is approx_percentile
-    * with the same downstream shape. Probed at sf0.01: 1,154 outliers,
+    * with the same downstream shape, and q197 CERTIFIES that swap-in
+    * (sketch rank-error bounds on both statistics plus a bounded
+    * flag-set difference). Probed at sf0.01: 1,154 outliers,
     * all high-side (MAD is small on the tight body of a right-tailed
     * distribution, so the robust test flags far MORE than q176's 188 —
     * the two tests certify genuinely different verdicts on one column).
@@ -3136,6 +3188,74 @@ object Pipeline {
         when(col("value_cents").cast("double") > col("_med"), lit("high"))
           .otherwise(lit("low")).as("side"))
       .orderBy("event_id")
+  }
+
+  /** q197 — the approx-MAD swap-in CERTIFIED (q183's documented 100 TB
+    * path, executed): MAD outlier detection with BOTH statistics from
+    * `approx_percentile` sketches (mergeable, bounded buffers — no
+    * per-group value-multiset materialization), certified against the
+    * exact path three ways per event type:
+    *   - `med_rank_ok` / `mad_rank_ok` — the q189 sketch contract: the
+    *     approx median's RANK in the value (resp. absolute-deviation)
+    *     distribution is within `n/accuracy` (+1 interpolation slack) of
+    *     the n/2 target;
+    *   - `flags_match_ok` — the flag-set SYMMETRIC DIFFERENCE between the
+    *     approx and exact verdicts is ≤ max(5, 0.5%·n): only rows whose
+    *     deviation falls in the narrow band between the two thresholds
+    *     can flip, an empirical acceptance band for this corpus at
+    *     accuracy 10⁴ (probed at sf0.01; integer cross-multiplied —
+    *     `200·symdiff ≤ max(1000, n)` — no float in the verdict).
+    * `n_flags_exact` hash-matches the DuckDB exact recomputation; the
+    * booleans are Spark-verified, oracle-asserted TRUE (the q189
+    * convention — DuckDB cannot replay Spark's sketch). The approx
+    * chain inside this query IS the production shape: two sketch
+    * aggregations + broadcast joins, no exact-median group sort.
+    */
+  def madOutliersApproxCert(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val v = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val stats = v.groupBy(col("event_type"))
+      .agg(
+        percentile(col("cents"), lit(0.5)).as("_med_e"),
+        approx_percentile(col("cents"), lit(0.5), lit(acc)).as("_med_a"))
+    // two consumers (MAD sketches + the final verdict scan) — the q183
+    // eager-persist discipline
+    val dev = graft.core.Caching.eager(
+      v.join(broadcast(stats), Seq("event_type"))
+        .withColumn("_ade", abs(col("cents").cast("double") - col("_med_e")))
+        .withColumn("_ada", abs(col("cents") - col("_med_a"))))
+    val mads = dev.groupBy(col("event_type"))
+      .agg(
+        percentile(col("_ade"), lit(0.5)).as("_mad_e"),
+        approx_percentile(col("_ada"), lit(0.5), lit(acc)).as("_mad_a"))
+    val cert = dev.join(broadcast(mads), Seq("event_type"))
+      .withColumn("_fe", col("_ade") > lit(3.0) * col("_mad_e"))
+      .withColumn("_fa", col("_ada") > lit(3) * col("_mad_a"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("_fe"), 1L).otherwise(0L)).as("n_flags_exact"),
+        sum(when(col("_fe") =!= col("_fa"), 1L).otherwise(0L)).as("_symdiff"),
+        sum(when(col("cents") <= col("_med_a"), 1L).otherwise(0L)).as("_le_med"),
+        sum(when(col("cents") < col("_med_a"), 1L).otherwise(0L)).as("_lt_med"),
+        sum(when(col("_ada") <= col("_mad_a"), 1L).otherwise(0L)).as("_le_mad"),
+        sum(when(col("_ada") < col("_mad_a"), 1L).otherwise(0L)).as("_lt_mad"))
+    def rankOk(le: Column, lt: Column, n: Column): Column =
+      (le.cast("double") >=
+        lit(0.5) * n.cast("double") - n.cast("double") / acc - 1) &&
+      (lt.cast("double") <=
+        lit(0.5) * n.cast("double") + n.cast("double") / acc + 1)
+    cert.select(
+        col("event_type"),
+        col("n_events"),
+        col("n_flags_exact"),
+        rankOk(col("_le_med"), col("_lt_med"), col("n_events")).as("med_rank_ok"),
+        rankOk(col("_le_mad"), col("_lt_mad"), col("n_events")).as("mad_rank_ok"),
+        (col("_symdiff") * 200 <= greatest(lit(1000L), col("n_events")))
+          .as("flags_match_ok"))
+      .orderBy("event_type")
   }
 
   /** q184 — ABC (Pareto) classification over part revenue: rank parts by
@@ -3423,18 +3543,22 @@ object Pipeline {
     * naive `ceil(0.9 · n)` puts an inexact double 0.9 next to an exact
     * integer and ceils the wrong way whenever 9n/10 is whole — both
     * engines use the same integer formula, so the hazard never exists.
-    * One ordered window per group (ties pinned by event_id), rank-filter
-    * against the three targets.
+    * Ranks come from [[Analytics.groupedOrderedRank]] — the two-level
+    * ranged pass (ties pinned by event_id), NOT a window partitioned by
+    * the low-cardinality `event_type` alone: that shape sorts ~1/|types|
+    * of the whole fact table in ONE task and is the single-partition-
+    * window scale-killer this operator family exists to avoid
+    * (PlanAuditSpec's sort-shape guard fails it). Rank-filter against
+    * the three targets is map-side.
     */
   def discreteQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value_cents").asc, col("event_id").asc)
-    val ranked = Tables(spark, dir).events
-      .select(col("event_id"), col("event_type"),
-        round(col("value") * 100, 0).cast("long").as("value_cents"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1))
-        .over(Window.partitionBy(col("event_type"))).cast("long"))
+    val ranked = Analytics.groupedOrderedRank(
+      Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("value_cents")),
+      groupCols = Seq("event_type"),
+      sortCols = Seq(col("value_cents").asc, col("event_id").asc),
+      rankCol = "rn", countCol = "n", buckets = 32)
     // no join at all: each row emits the labels whose integer rank target
     // it hits (`div`, not `/` — Column./ on longs is DOUBLE division) —
     // a 3-row rank-target join would plan as a nested loop (no equi-keys)

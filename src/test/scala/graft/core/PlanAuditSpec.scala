@@ -30,6 +30,90 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"quadratic join shapes found:\n${offenders.mkString("\n")}")
   }
 
+  test("no window sorts a fact-sized frame under a low-cardinality-only partition key") {
+    // The single-partition-window scale-killer: row_number()/rank() OVER
+    // (PARTITION BY <few-valued column> ORDER BY …) on an UNAGGREGATED fact
+    // frame makes one task sort ~1/|values| of the entire table. The scalable
+    // forms are Analytics.groupedOrderedRank / orderedPrefixSum (two-level
+    // ranged passes). This guard walks every query's physical plan: a Window
+    // whose partition key references ONLY low-cardinality columns (or nothing
+    // — a global window) is legal only if every path below it to a fact scan
+    // passes through an aggregate first (i.e. the frame is aggregate-sized).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+    // A frame is "aggregate-sized" (legal under any window) when every path
+    // from the window down to a fact scan passes a BOUNDING node first:
+    // an aggregate, a limit/top-k (TakeOrderedAndProject, GlobalLimit), or
+    // a partial WindowGroupLimit (the literal-rank-bound pushdown q56/q89
+    // deliberately plan: each task prunes to k rows per key map-side, so
+    // the window never sorts a fact-sized partition).
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec}
+
+    // few-valued columns across the testdata tables (incl. their renames)
+    val lowCard = Set(
+      "event_type", "o_orderpriority", "o_orderstatus", "c_mktsegment",
+      "r_name", "l_returnflag", "l_linestatus", "media_type", "state",
+      "side", "pctile", "source", "lang", "quality_tier")
+    val factFiles = Seq(
+      "events.parquet", "lineitem.parquet", "orders.parquet",
+      "documents.parquet", "embeddings.parquet", "customer.parquet",
+      "part.parquet", "supplier.parquet")
+    // deliberate exceptions, each with a documented scale caveat:
+    //  - q163 certifies ntile/percent_rank/cume_dist semantics themselves over
+    //    customer per mktsegment (the ranking-function parity row);
+    //  - q180's RFM ntile windows carry the same documented cardinality caveat
+    //    (scaladoc: quantile windows per segment are the certified-at-SF form).
+    val allowed = Set("q163_balance_ranks", "q180_rfm_segments")
+
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def factScanWithoutAgg(p0: SparkPlan): Boolean = unwrap(p0) match {
+      case _: BaseAggregateExec => false
+      case _: TakeOrderedAndProjectExec => false
+      case _: GlobalLimitExec => false
+      case _: CollectLimitExec => false
+      case _: WindowGroupLimitExec => false
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths
+          .exists(rp => factFiles.exists(f => rp.toString.contains(f)))
+      case im: InMemoryTableScanExec => factScanWithoutAgg(im.relation.cachedPlan)
+      case _: ReusedExchangeExec => false // points at an already-audited subtree
+      case other => other.children.exists(factScanWithoutAgg)
+    }
+    def offendingWindows(p0: SparkPlan): Seq[String] = {
+      val p = unwrap(p0)
+      val here = p match {
+        case w: WindowExec
+            if w.partitionSpec.flatMap(_.references.toSeq).map(_.name)
+              .forall(lowCard.contains) && factScanWithoutAgg(w.child) =>
+          Seq(s"Window(partitionBy=${w.partitionSpec.mkString(",")})")
+        case _ => Nil
+      }
+      val below = p match {
+        case im: InMemoryTableScanExec => offendingWindows(im.relation.cachedPlan)
+        case other => other.children.flatMap(offendingWindows)
+      }
+      here ++ below
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => allowed(name) }
+      .flatMap { case (name, fn) =>
+        offendingWindows(fn(spark, Sf0001).queryExecution.executedPlan)
+          .map(w => s"$name: $w")
+      }
+    assert(offenders.isEmpty,
+      s"fact-sized sorts under low-cardinality windows:\n${offenders.mkString("\n")}")
+  }
+
   test("q67's bucket cap is ids-first: no window over the LSH signature") {
     // A window over `sig` would shuffle a degenerate mega-bucket's full
     // VECTORS into a single task's window buffer before the cap filter
