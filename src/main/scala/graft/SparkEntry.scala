@@ -217,6 +217,7 @@ object SparkEntry {
     "q197_mad_outliers_approx" -> (Pipeline.madOutliersApproxCert _),
     "q198_scd2_incremental_apply" -> (Pipeline.scdIncrementalApply _),
     "q199_image_decode" -> (Pipeline.imageDecodeStats _),
+    "q200_lsh_kcore" -> (Pipeline.lshKCore _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1783,6 +1784,9 @@ object SparkEntry {
         |  CAST(list_sum(flatten(list_transform(generate_series(0, CAST(h - 1 AS INTEGER)), y ->
         |    list_transform(generate_series(0, CAST(w - 1 AS INTEGER)), x -> (7 * d + 11 * x + 13 * y) % 256)))) AS BIGINT) AS b_sum
         |FROM dims ORDER BY media_id""".stripMargin,
+    // k-core by unrolled peeling (fixpoint: any depth ≥ the true peel depth
+    // is exact; Spark pins maxIter to the same unroll and throws past it)
+    "q200_lsh_kcore" -> lshKCoreOracleSql,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->
@@ -3618,6 +3622,35 @@ object SparkEntry {
       |SELECT c.vec_id, c.component_id, s.component_size
       |FROM comp c JOIN sizes s ON c.component_id = s.component_id
       |ORDER BY c.vec_id""".stripMargin
+
+  /** q200 oracle: the 8-core by UNROLLED peeling over the 4-plane / τ = 0.1
+    * LSH pair graph — 32 generated peel rounds (each: sub-8-degree node set,
+    * then the edge set minus those nodes on either endpoint). Peeling is a
+    * monotone fixpoint, so any unroll depth ≥ the graph's true peel depth
+    * (11 at sf0.01, probed) yields exactly the k-core; the Spark side pins
+    * `maxIter` to the same 32 and THROWS beyond it, so the two engines can
+    * only ever agree or fail loudly — never silently diverge.
+    */
+  private def lshKCoreOracleSql: String = {
+    val k = 8
+    val rounds = 32
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and e_i
+    // references e_{i-1} three times (directly + twice via b_i) — an
+    // inlined chain expands 3^rounds references to the base parquet
+    val peels = (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) < $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u NOT IN (SELECT u FROM b$i) AND v NOT IN (SELECT u FROM b$i))""".stripMargin
+    }.mkString(",\n")
+    "WITH " + embLshCtesAt(4, "0.1") + ",\n" +
+      s"""e0 AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM epairs
+         |  UNION ALL SELECT id_b, id_a FROM epairs),
+         |""".stripMargin + peels + s"""
+         |SELECT u AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM e$rounds GROUP BY u ORDER BY vec_id""".stripMargin
+  }
 
   /** Shared oracle CTE chain for q65/q66: the curation gate (quality score +
     * distinct-token ratio), PII masking, exact dedup, then the MinHash

@@ -2840,6 +2840,32 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** q200 — k-core decomposition ([[graft.operators.Graph.kCore]]) over
+    * the certified LSH pair graph (q171's 4-plane / τ = 0.1 generator):
+    * peel every node of degree < 8 until the remaining subgraph is the
+    * 8-core — the density triage on top of the dup-pair generators that
+    * separates template FAMILIES (every member touches ≥ 8 others) from
+    * loose chains of pairwise hits, which triangles (q171, local density)
+    * and components (q172, mere connectivity) both miss. Probed at
+    * sf0.01: 2,596 pairs / 500 nodes peel to a 188-node 8-core in 11
+    * rounds. `maxIter` is pinned to the SAME 32 rounds the oracle
+    * unrolls: peeling is a monotone fixpoint (extra rounds are no-ops on
+    * a converged graph), so either both engines reach the identical core
+    * or the Spark side throws loudly — a deeper-than-32 graph can never
+    * silently hash-mismatch. Each round is one map-side-combined degree
+    * aggregate plus two anti-joins against the (node-sized) peel set over
+    * a strictly shrinking edge frame.
+    */
+  def lshKCore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDuplicates(
+      Tables(spark, dir).embeddings, "vec_id", "embedding",
+      minCosine = 0.1, nPlanes = 4, maxBucketSize = 200)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Graph.kCore(pairs, "id_a", "id_b", k = 8, maxIter = 32)
+      .withColumnRenamed("node_id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   /** The q173/q174 change stream: every non-purchase event is an observed
     * "engagement state" for its user — the SCD2 fixture where no-op
     * suppression is load-bearing (8,019 changes → 6,066 versions at

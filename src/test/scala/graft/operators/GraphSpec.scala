@@ -77,4 +77,34 @@ class GraphSpec extends SparkSpec {
     assert(out.head.getLong(0) == 10L, "the hub outranks every leaf")
     assert(out.tail.map(_.getLong(1)).distinct.length == 1, "leaves tie exactly")
   }
+
+  test("kCore: cascading peel — removing one leaf drags the chain below k") {
+    // K4 on {1,2,3,4} plus a pendant chain 4–5, 5–6: the 2-core is exactly
+    // the K4 (6 is degree-1 → peeled; then 5 drops to degree-1 → peeled;
+    // 4 keeps degree 3). Two rounds of peeling are REQUIRED — a single
+    // degree filter would keep node 5.
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core = Graph.kCore(pairs, "a", "b", k = 2)
+      .orderBy($"node_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      s"2-core must be the K4 with in-core degrees 3, got ${core.toSeq}")
+  }
+
+  test("kCore: empty core and the loud non-convergence contract") {
+    // a 6-cycle has uniform degree 2: its 3-core is EMPTY (one peel round
+    // removes everything at once — convergence on an empty edge set)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 6L))
+      .toDF("a", "b")
+    assert(Graph.kCore(cycle, "a", "b", k = 3).isEmpty, "3-core of a 6-cycle is empty")
+    // the K4+chain fixture needs 2 peel rounds for k=2 — maxIter=1 must
+    // throw, never return a partial core silently
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Graph.kCore(pairs, "a", "b", k = 2, maxIter = 1).count()
+    }
+  }
 }
