@@ -218,6 +218,11 @@ object SparkEntry {
     "q198_scd2_incremental_apply" -> (Pipeline.scdIncrementalApply _),
     "q199_image_decode" -> (Pipeline.imageDecodeStats _),
     "q200_lsh_kcore" -> (Pipeline.lshKCore _),
+    "q201_funnel" -> (Pipeline.funnelSteps _),
+    "q202_approx_distinct" -> (Pipeline.approxDistinctCert _),
+    "q203_retention_matrix" -> (Pipeline.retentionTriangle _),
+    "q204_forward_asof" -> (Pipeline.nextPurchaseAttribution _),
+    "q205_session_windows" -> (Pipeline.batchSessionWindows _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1787,6 +1792,108 @@ object SparkEntry {
     // k-core by unrolled peeling (fixpoint: any depth ≥ the true peel depth
     // is exact; Spark pins maxIter to the same unroll and throws past it)
     "q200_lsh_kcore" -> lshKCoreOracleSql,
+    // ordered funnel: chained earliest-at-or-after CTEs; pct is a terminal
+    // BIGINT/BIGINT double division on both engines
+    "q201_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.u
+        |  WHERE e.event_type = 'view' AND e.ts >= s0.t GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+        |n AS (SELECT
+        |  (SELECT count(*) FROM s0) AS n0, (SELECT count(*) FROM s1) AS n1,
+        |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_index, 'signup' AS step_name,
+        |    n0 AS n_users, CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS pct_of_first FROM n
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'view', n1,
+        |    CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'click', n2,
+        |    CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n
+        |  UNION ALL SELECT CAST(4 AS BIGINT), 'purchase', n3,
+        |    CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n)
+        |ORDER BY step_index""".stripMargin,
+    // exact distinct hash-matched; the HLL++ ±10% verdict is Spark-computed,
+    // oracle-asserted TRUE (the q189/q197 convention)
+    "q202_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // daily retention triangle: first-event cohort day, distinct active
+    // (user, offset) cells, pct as terminal double division
+    "q203_retention_matrix" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS pd
+        |  FROM events),
+        |c AS (SELECT user_id, min(pd) AS cohort FROM p GROUP BY 1),
+        |m AS (SELECT DISTINCT p.user_id, c.cohort, p.pd - c.cohort AS offs
+        |      FROM p JOIN c USING (user_id)),
+        |cells AS (SELECT cohort, offs, CAST(count(*) AS BIGINT) AS n_active
+        |          FROM m GROUP BY 1, 2),
+        |sz AS (SELECT cohort, n_active AS cohort_size FROM cells WHERE offs = 0)
+        |SELECT cohort AS cohort_period, offs AS period_offset, n_active,
+        |  cohort_size,
+        |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention_pct
+        |FROM cells JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin,
+    // forward as-of: min next-purchase ts per error, then the smallest
+    // event_id among purchases AT that ts (the Spark rightOrdCols pin)
+    "q204_forward_asof" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |pur AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |nx AS (
+        |  SELECT e.event_id AS eid, min(p.ts) AS pts
+        |  FROM err e JOIN pur p ON e.user_id = p.user_id AND p.ts >= e.ts
+        |  GROUP BY 1),
+        |pick AS (
+        |  SELECT n.eid, n.pts, min(p.event_id) AS pid
+        |  FROM nx n
+        |  JOIN err e ON e.event_id = n.eid
+        |  JOIN pur p ON p.user_id = e.user_id AND p.ts = n.pts
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  k.pid AS next_purchase_id, k.pts AS next_purchase_ts,
+        |  epoch_us(k.pts) - epoch_us(e.ts) AS us_to_purchase,
+        |  p2.cents AS purchase_cents
+        |FROM err e
+        |LEFT JOIN pick k ON k.eid = e.event_id
+        |LEFT JOIN pur p2 ON p2.event_id = k.pid
+        |ORDER BY e.event_id""".stripMargin,
+    // batch session windows vs gap-islands: a gap of EXACTLY the 6-hour
+    // threshold starts a new session on both engines (Spark session_window
+    // merges only on strict overlap → the flag is diff >= gap, not >)
+    "q205_session_windows" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

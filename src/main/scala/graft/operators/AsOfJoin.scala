@@ -85,4 +85,70 @@ object AsOfJoin {
       .where(col("_m") === 1)
       .select(left.columns.map(c => col(s"_l.$c").as(c)) :+ col("_asof").as("asof"): _*)
   }
+
+  /** FORWARD left as-of join: each left row picks the EARLIEST right row of
+    * the same key with `right.ts >= left.ts` (inclusive) — the "next event
+    * after" direction [[asofJoin]]'s latest-at-or-before cannot express by
+    * flipping arguments (both sides keep their own roles: every left row
+    * survives, right payload rides along). Same union + per-key ordered
+    * window shape and cost; the frame just looks FORWARD
+    * (`currentRow .. unboundedFollowing`, `first(_, ignoreNulls)`).
+    *
+    * Tie rules, mirrored from the backward join: at one timestamp, left
+    * rows sort BEFORE right rows (so an equal-timestamp right row IS an
+    * inclusive match), and among equal-timestamp right rows the SMALLEST
+    * under `rightOrdCols` ascending wins (it sorts first and
+    * `first(_, ignoreNulls)` reads the next value forward). With no
+    * tie-break, pre-dedup the right side for determinism.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayload: Seq[String],
+      rightOrdCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("_ts", "_m", "_l", "_r", "asof") ++
+      rightOrdCols.indices.map(i => s"_tb$i")
+    require(
+      !(left.columns ++ right.columns).exists(reserved.contains),
+      s"asofJoinForward reserves column names ${reserved.mkString(", ")}")
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct.as("_l")).schema("_l").dataType
+    val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    val tbTypes = rightOrdCols.map(c => right.schema(c).dataType)
+    // left sorts BEFORE right at an equal timestamp (_m 0 < 1): the right
+    // row is inside the forward frame, so >= is inclusive
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTsCol).as("_ts"),
+        lit(0).as("_m"),
+        lStruct.as("_l"),
+        lit(null).cast(rType).as("_r")) ++
+        tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"_tb$i") }: _*)
+    // null right timestamps/keys can never be "at or after" anything; and
+    // nulls-last ordering would otherwise still park them harmlessly at the
+    // frame end — filtered anyway to keep the two directions symmetric
+    val rSide = right
+      .where(col(rightTsCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTsCol).as("_ts"),
+          lit(1).as("_m"),
+          lit(null).cast(lType).as("_l"),
+          rStruct.as("_r")) ++
+        rightOrdCols.zipWithIndex.map { case (c, i) => col(c).as(s"_tb$i") }: _*)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts") +: col("_m") +:
+        rightOrdCols.indices.map(i => col(s"_tb$i")): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lSide.unionByName(rSide)
+      .withColumn("_asof", first(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_m") === 0)
+      .select(left.columns.map(c => col(s"_l.$c").as(c)) :+ col("_asof").as("asof"): _*)
+  }
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral (event-sequence) analytics: ordered funnels and cohort
+  * retention — the product-analytics layer over the events stream that the
+  * reference's cohort/window queries (`sql/common_queries.py`, cohort
+  * retention and lag/lead families) gesture at but never compose into
+  * multi-step user journeys.
+  *
+  * Both operators shuffle the fact stream ON THE USER KEY exactly once and
+  * do every sequential step inside that partitioning (chained unbounded
+  * window aggregates share one Exchange), so at 100 TB the work distributes
+  * by user with no fact-sized re-shuffle per step.
+  */
+object Behavior {
+
+  /** Ordered multi-step funnel: a user reaches step i at the EARLIEST event
+    * of type `steps(i)` at-or-after their step i−1 timestamp (step 0: their
+    * earliest `steps(0)` event). Emits one row per step:
+    * `(step_index 1-based BIGINT, step_name, n_users BIGINT,
+    * pct_of_first DOUBLE)` — the conversion share is a terminal
+    * BIGINT/BIGINT division, the only float in the result.
+    *
+    * Scale shape: the fact stream is filtered to the step types (predicate
+    * reaches the scan), shuffled ONCE by user, and each step's reach
+    * timestamp is a chained unbounded `min(when(...))` window over that one
+    * Exchange — step i's condition references step i−1's window column, so
+    * the per-user sequential fold runs without a per-step join or re-shuffle.
+    * The per-user frame then collapses to one row and the step counts are a
+    * single map-side-combined aggregate; the final explode to step rows is
+    * over a 1×|steps| frame.
+    *
+    * Steps must be distinct event types; a row can satisfy only its own
+    * step's type, so `>=` (at-or-after) never lets one event count twice.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct event types")
+    val w = Window.partitionBy(col(userCol))
+    var df = events
+      .where(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(tsCol), col(typeCol))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tsCol) >= col(s"_s${i - 1}")
+      df = df.withColumn(s"_s$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val perUser = df.groupBy(col(userCol))
+      .agg(
+        min(col("_s0")).as("_s0"),
+        steps.indices.tail.map(i => min(col(s"_s$i")).as(s"_s$i")): _*)
+    val counts = perUser.select(
+      steps.indices.map(i =>
+        sum(when(col(s"_s$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i")): _*)
+    val stackArgs = steps.zipWithIndex.map { case (st, i) =>
+      s"CAST(${i + 1} AS BIGINT), '$st', _n$i"
+    }.mkString(", ")
+    counts
+      .select(col("_n0"),
+        expr(s"stack(${steps.size}, $stackArgs) AS (step_index, step_name, n_users)"))
+      .select(
+        col("step_index"),
+        col("step_name"),
+        col("n_users"),
+        (col("n_users") / col("_n0")).as("pct_of_first"))
+  }
+
+  /** Cohort retention matrix: users are cohorted by the period of their
+    * FIRST event (`floor(days since epochStart / periodDays)`), and each
+    * later event marks its user active at offset
+    * `activity period − cohort period`. Emits one row per populated
+    * `(cohort_period, period_offset)` cell:
+    * `(cohort_period BIGINT, period_offset BIGINT, n_active BIGINT,
+    * cohort_size BIGINT, retention_pct DOUBLE)` — offset 0 always has
+    * `n_active = cohort_size`, and the pct is a terminal BIGINT/BIGINT
+    * division.
+    *
+    * Scale shape: the cohort period rides a per-user unbounded window min
+    * on the user shuffle (not a join back to a first-event aggregate); the
+    * (user, cohort, offset) dedup is one partially-aggregated exchange on
+    * fact-sized input, and the cell aggregate collapses map-side-combined
+    * to the matrix, which is period²-bounded — dimension-sized, never
+    * fact-sized. Counting distinct users per cell is exact without
+    * per-cell distinct state because the dedup runs BEFORE the cell
+    * aggregate.
+    */
+  def retentionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      epochStart: String,
+      periodDays: Int): DataFrame = {
+    require(periodDays >= 1, "periodDays must be positive")
+    val w = Window.partitionBy(col(userCol))
+    val period = floor(
+      datediff(to_date(col(tsCol)), to_date(lit(epochStart))) / periodDays)
+      .cast("long")
+    val marked = events
+      .select(col(userCol), period.as("_p"))
+      .withColumn("_cohort", min(col("_p")).over(w))
+      .select(col(userCol), col("_cohort"),
+        (col("_p") - col("_cohort")).as("_offset"))
+      .distinct()
+    val cells = marked.groupBy(col("_cohort"), col("_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.where(col("_offset") === 0)
+      .select(col("_cohort"), col("n_active").as("cohort_size"))
+    cells.join(sizes, Seq("_cohort"))
+      .select(
+        col("_cohort").as("cohort_period"),
+        col("_offset").as("period_offset"),
+        col("n_active"),
+        col("cohort_size"),
+        (col("n_active") / col("cohort_size")).as("retention_pct"))
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Analytics, Curation, Dedup, Quantize, Retrieval, Similarity, Sketches, Tokenizer}
+import graft.operators.{Analytics, Behavior, Curation, Dedup, Quantize, Retrieval, Similarity, Sketches, Tokenizer}
 import graft.lineage.Lineage
 
 /** LLM-training-data pipeline operators (dedup, text analysis, similarity
@@ -2865,6 +2865,122 @@ object Pipeline {
       .withColumnRenamed("node_id", "vec_id")
       .orderBy("vec_id")
   }
+
+  /** q201 — ordered four-step funnel ([[graft.operators.Behavior.funnel]]):
+    * signup → view → click → purchase, each step reached at the user's
+    * earliest qualifying event at-or-after the previous step — the
+    * multi-step user-journey composition the reference's cohort queries
+    * stop short of. One fact shuffle on user_id; each step's reach
+    * timestamp is a chained unbounded window min over that single
+    * Exchange (no per-step join), and the step counts collapse to a
+    * 1×|steps| frame before the explode to rows. `pct_of_first` is the
+    * only float: a terminal BIGINT/BIGINT division.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(
+      Tables(spark, dir).events, "user_id", "ts", "event_type",
+      steps = Seq("signup", "view", "click", "purchase"))
+      .orderBy("step_index")
+
+  /** q202 — approx_count_distinct CERTIFIED (the q189/q197 convention
+    * applied to COUNT DISTINCT): per event type, the exact distinct user
+    * count (hash-matched by the oracle) next to Spark's HLL++ sketch at
+    * rsd = 0.02, with `approx_ok` asserting the estimate lands within
+    * ±10% (5 × rsd) by integer cross-multiplication — Spark-verified,
+    * oracle-asserted TRUE (DuckDB cannot replay Spark's HLL++). The
+    * certified swap-in for the 100 TB regime where exact distinct counts
+    * force a per-key value shuffle and the mergeable fixed-size sketch
+    * does not.
+    */
+  def approxDistinctCert(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("_apx"))
+      .select(
+        col("event_type"),
+        col("n_exact"),
+        (abs(col("_apx") - col("n_exact")) * 10 <= col("n_exact")).as("approx_ok"))
+      .orderBy("event_type")
+
+  /** q203 — daily cohort retention matrix
+    * ([[graft.operators.Behavior.retentionMatrix]]): users cohorted by
+    * first-event DAY (epoch 2024-01-01), each cell counting users from
+    * cohort day c active at day offset o — the triangle the reference's
+    * cohort period index (q15) feeds but never assembles. Daily periods
+    * are the fixture-discriminating choice: weekly cohorts collapse this
+    * corpus to a single cohort (every user's first event lands in week 0,
+    * probed), while days split it 134/16 across two cohorts and 59 cells,
+    * so the cohort arithmetic is actually exercised. Offset-0 cells are
+    * the cohort sizes by construction; `retention_pct` is a terminal
+    * BIGINT/BIGINT division. The matrix is periods²-bounded —
+    * dimension-sized however large the fact stream.
+    */
+  def retentionTriangle(spark: SparkSession, dir: String): DataFrame =
+    Behavior.retentionMatrix(
+      Tables(spark, dir).events, "user_id", "ts",
+      epochStart = "2024-01-01", periodDays = 1)
+      .orderBy("cohort_period", "period_offset")
+
+  /** q204 — FORWARD as-of join
+    * ([[graft.operators.AsOfJoin.asofJoinForward]]): every error event
+    * attributed to the user's NEXT purchase at-or-after it — the
+    * time-to-conversion direction the backward join cannot express.
+    * Equal-timestamp purchases are pinned by event_id ascending (the
+    * smallest wins), mirrored in the oracle's min-over-min recomputation;
+    * errors with no later purchase keep a null attribution (left-join
+    * guarantee). Same one-shuffle union+window shape as q174, frame
+    * looking forward.
+    */
+  def nextPurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("_p_ts"),
+        col("event_id").as("_p_id"),
+        round(col("value") * 100, 0).cast("long").as("_p_cents"))
+    graft.operators.AsOfJoin.asofJoinForward(
+      errors, purchases,
+      keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "_p_ts",
+      rightPayload = Seq("_p_id", "_p_ts", "_p_cents"),
+      rightOrdCols = Seq("_p_id"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("asof._p_id").as("next_purchase_id"),
+        col("asof._p_ts").as("next_purchase_ts"),
+        (unix_micros(col("asof._p_ts")) - unix_micros(col("ts")))
+          .as("us_to_purchase"),
+        col("asof._p_cents").as("purchase_cents"))
+      .orderBy("event_id")
+  }
+
+  /** q205 — BATCH session windows: native `session_window(ts, gap)` in a
+    * batch groupBy — the batch twin of q157's streaming session
+    * aggregation, certified against a DuckDB gap-islands recomputation.
+    * Boundary semantics pinned on both engines: a gap of EXACTLY 6 hours
+    * starts a new session (Spark merges only on strict overlap, so the
+    * oracle's new-session flag is `diff >= gap`, not `>`). Emitted per
+    * session: first/last event timestamps, event count, and the exact
+    * integer-µs span. One shuffle on user_id; session assembly is
+    * per-key ordered merging inside the aggregate.
+    */
+  def batchSessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("_sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(
+        col("user_id"),
+        col("session_start"),
+        col("session_end"),
+        col("n_events"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("span_us"))
+      .orderBy("user_id", "session_start")
 
   /** The q173/q174 change stream: every non-purchase event is an observed
     * "engagement state" for its user — the SCD2 fixture where no-op

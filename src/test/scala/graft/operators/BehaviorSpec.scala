@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: order matters — out-of-order steps do not count") {
+    // u1 completes signup→view→click; u2 has a view BEFORE its signup (the
+    // pre-signup view must not reach step 2, and with no later view the
+    // funnel stops); u3 never signs up (reaches nothing)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "view"),
+      (1L, ts("2024-01-01 12:00:00"), "click"),
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click"))
+      .orderBy("step_index").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "signup", 2L), (2L, "view", 1L), (3L, "click", 1L)),
+      s"only u1 passes view/click; u2's pre-signup view must not count, got ${out.toSeq}")
+  }
+
+  test("funnel: an equal-timestamp next-step event counts (at-or-after)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view"))
+      .orderBy("step_index").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(1L, 1L), "ts >= prev-step ts is inclusive")
+  }
+
+  test("funnel: pct_of_first is the exact integer ratio") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 10:00:00"), "a"),
+      (3L, ts("2024-01-01 10:00:00"), "a"),
+      (4L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(ev, "user_id", "ts", "event_type", Seq("a", "b"))
+      .orderBy("step_index").collect().map(_.getDouble(3))
+    assert(out.toSeq == Seq(1.0, 0.25))
+  }
+
+  test("retentionMatrix: hand-built two-cohort triangle") {
+    // cohort 0: u1 (active periods 0,1,2), u2 (0 only)
+    // cohort 1: u3 (active periods 1,2 → offsets 0,1)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-02 08:00:00")), (3L, ts("2024-01-03 23:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.retentionMatrix(ev, "user_id", "ts", "2024-01-01", 1)
+      .orderBy("cohort_period", "period_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 2L), (0L, 1L, 1L, 2L), (0L, 2L, 1L, 2L),
+      (1L, 0L, 1L, 1L), (1L, 1L, 1L, 1L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("retentionMatrix: repeat activity in one period counts a user once") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 08:00:00")), (1L, ts("2024-01-02 21:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.retentionMatrix(ev, "user_id", "ts", "2024-01-01", 1)
+      .orderBy("period_offset").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L), (1L, 1L)),
+      "two same-day events must not double-count the user in a cell")
+  }
+}

@@ -102,4 +102,39 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.count() == 200)
     assert(out.select("id").distinct().count() == 200)
   }
+
+  test("asofJoinForward picks the earliest right row at-or-after, null when none") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 11:30:00")),
+      (3L, 20L, ts("2024-01-01 09:00:00")) // user 20 has no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:30:00"), 1.0), // before every left ts
+      (101L, 10L, ts("2024-01-01 10:00:00"), 2.0), // equal ts -> inclusive
+      (102L, 10L, ts("2024-01-01 11:00:00"), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin
+      .asofJoinForward(left, right, Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select(col("event_id"), col("asof.event_id").as("match_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(1L).contains(101L), "equal timestamp matches (inclusive)")
+    assert(out(2L).isEmpty, "no later right row -> null match (never looks back)")
+    assert(out(3L).isEmpty, "no right row -> null match")
+  }
+
+  test("asofJoinForward ties: smallest rightOrdCols row at one timestamp wins") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (102L, 10L, ts("2024-01-01 11:00:00")),
+      (101L, 10L, ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin
+      .asofJoinForward(left, right, Seq("user_id"), "ts", "ts", Seq("event_id"),
+        rightOrdCols = Seq("event_id"))
+      .select(col("asof.event_id")).collect()
+    assert(out.head.getLong(0) == 101L,
+      "among equal-timestamp right rows the smallest tie-break value wins")
+  }
 }
