@@ -223,6 +223,8 @@ object SparkEntry {
     "q203_retention_matrix" -> (Pipeline.retentionTriangle _),
     "q204_forward_asof" -> (Pipeline.nextPurchaseAttribution _),
     "q205_session_windows" -> (Pipeline.batchSessionWindows _),
+    "q206_trimmed_mean" -> (Pipeline.trimmedMean _),
+    "q207_rolling_active_users" -> (Pipeline.rollingActiveUsers _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1894,6 +1896,39 @@ object SparkEntry {
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // exact trimmed mean: identical integer rank/trim formulas (n div 10),
+    // ties pinned by event_id; one terminal BIGINT/BIGINT double division
+    "q206_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM v)
+        |SELECT event_type,
+        |  max(n) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(cents) AS BIGINT) AS trimmed_sum_cents,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS trimmed_mean_cents
+        |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // rolling distinct: brute-force day-stab recomputation — quadratic in
+    // DuckDB, which is exactly the shape the Spark operator avoids
+    "q207_rolling_active_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(0, (SELECT max(d) FROM a))) AS BIGINT) AS day)
+        |SELECT day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM days LEFT JOIN a ON a.d BETWEEN day - 6 AND day
+        |GROUP BY day ORDER BY day""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

@@ -122,4 +122,61 @@ object Behavior {
         col("cohort_size"),
         (col("n_active") / col("cohort_size")).as("retention_pct"))
   }
+
+  /** Rolling `windowDays`-day DISTINCT user count per day — the rolling
+    * COUNT DISTINCT Spark has no native window for, decomposed so NOTHING
+    * fact-sized is ever held in window state: a user active on day `a`
+    * covers days `[a, a+w−1]`; per user, overlapping coverage intervals
+    * merge into islands (ascending-day `lag` split: a new island starts
+    * when the gap exceeds `w−1`, so no day is covered twice by one user);
+    * each island becomes a `+1` delta at its start and a `−1` after its
+    * end, and the daily counts are the running sum of per-day net deltas
+    * over a generated calendar.
+    *
+    * Scale shape: one (user, day) dedup shuffle, one per-user lag window
+    * on the same key, one day-keyed delta aggregate — all fact-shuffles on
+    * high-cardinality keys — and the ONLY ordered global pass runs over
+    * the CALENDAR (days-since-epoch cardinality: thousands of rows for
+    * years of data), built by `sequence`+`explode` from a 1-row max
+    * aggregate. A windowed `approx_count_distinct` holds sketch state per
+    * day; this is its exact counterpart at dimension-bounded cost.
+    *
+    * Emits `(day BIGINT, n_active BIGINT)` for every day 0..max active
+    * day — days where no user was active in the trailing window emit 0.
+    */
+  def rollingDistinctUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      epochStart: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val day = datediff(to_date(col(tsCol)), to_date(lit(epochStart))).cast("long")
+    val active = events.select(col(userCol).as("_u"), day.as("_d")).distinct()
+    val wU = Window.partitionBy(col("_u")).orderBy(col("_d"))
+    val wRun = Window.partitionBy(col("_u")).orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = active
+      .withColumn("_new",
+        when(lag(col("_d"), 1).over(wU).isNull ||
+          col("_d") - lag(col("_d"), 1).over(wU) > windowDays - 1, 1L)
+          .otherwise(0L))
+      .withColumn("_iid", sum(col("_new")).over(wRun))
+      .groupBy(col("_u"), col("_iid"))
+      .agg(
+        min(col("_d")).as("_start"),
+        (max(col("_d")) + (windowDays - 1)).as("_end"))
+    val deltas = islands.select(col("_start").as("_day"), lit(1L).as("_delta"))
+      .unionByName(islands.select((col("_end") + 1).as("_day"), lit(-1L).as("_delta")))
+      .groupBy(col("_day"))
+      .agg(sum(col("_delta")).as("_net"))
+    val calendar = active.agg(max(col("_d")).as("_mx"))
+      .select(explode(sequence(lit(0L), col("_mx"))).as("_day"))
+    val wDay = Window.orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(deltas, Seq("_day"), "left")
+      .select(col("_day"), coalesce(col("_net"), lit(0L)).as("_net"))
+      .withColumn("n_active", sum(col("_net")).over(wDay))
+      .select(col("_day").as("day"), col("n_active"))
+  }
 }

@@ -2982,6 +2982,56 @@ object Pipeline {
           .as("span_us"))
       .orderBy("user_id", "session_start")
 
+  /** q206 — exact 10% trimmed mean per event type, ranked by
+    * [[Analytics.groupedOrderedRank]]: drop the bottom and top `n div 10`
+    * values by exact rank (ties pinned by event_id), then average the
+    * middle exactly — integer cents sum over BIGINT count, one terminal
+    * double division. The robust-mean complement of q183's MAD (which
+    * flags rows; this SUMMARIZES robustly), with the trim targets computed
+    * by the same integer-division formula on both engines (a double
+    * `0.1·n` reintroduces the q194 ceil hazard). The rank pass is the
+    * two-level ranged shape — no fact-sized sort under the 5-value
+    * event_type window (PlanAuditSpec's guard enforces it).
+    */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Analytics.groupedOrderedRank(
+      Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+      groupCols = Seq("event_type"),
+      sortCols = Seq(col("cents").asc, col("event_id").asc),
+      rankCol = "rn", countCol = "n", buckets = 32)
+    val trim = expr("n div 10")
+    ranked
+      .where(col("rn") > trim && col("rn") <= col("n") - trim)
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("cents")).as("trimmed_sum_cents"))
+      .withColumn("trimmed_mean_cents",
+        col("trimmed_sum_cents") / col("n_kept"))
+      .orderBy("event_type")
+  }
+
+  /** q207 — rolling 7-day DISTINCT active users per day
+    * ([[graft.operators.Behavior.rollingDistinctUsers]]): the rolling
+    * COUNT DISTINCT no native window expresses, decomposed into per-user
+    * coverage islands → ±1 interval deltas → a running sum over the
+    * CALENDAR dimension, so the only ordered global pass touches
+    * days-since-epoch rows (31 here; thousands for years of data at
+    * 100 TB) while every fact-sized stage shuffles on user or day keys.
+    * The oracle is the brute-force day×activity stab
+    * (`count(DISTINCT) .. BETWEEN day−6 AND day`) — quadratic for DuckDB
+    * at sf0.01, which is exactly the shape the operator exists to avoid.
+    * All-integer output.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    Behavior.rollingDistinctUsers(
+      Tables(spark, dir).events, "user_id", "ts",
+      epochStart = "2024-01-01", windowDays = 7)
+      .orderBy("day")
+
   /** The q173/q174 change stream: every non-purchase event is an observed
     * "engagement state" for its user — the SCD2 fixture where no-op
     * suppression is load-bearing (8,019 changes → 6,066 versions at

@@ -71,6 +71,34 @@ class BehaviorSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("rollingDistinctUsers: island merge, disjoint re-entry, and zero days") {
+    // u1 active days 0 and 3 (one merged coverage island [0,9] for w=7... no:
+    // [0,6] ∪ [3,9] = [0,9], ONE island); u2 active day 1 and day 12 — gap 11
+    // > 6, TWO islands [1,7] and [12,18]; days 8..11 must count u1 only on
+    // 8..9 and NOBODY on 10..11
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-04 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00")), (2L, ts("2024-01-13 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.rollingDistinctUsers(ev, "user_id", "ts", "2024-01-01", 7)
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = Map(
+      0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 2L,
+      7L -> 2L, 8L -> 1L, 9L -> 1L, 10L -> 0L, 11L -> 0L, 12L -> 1L)
+    assert(out == expect, s"got ${out.toSeq.sortBy(_._1)}")
+  }
+
+  test("rollingDistinctUsers: same-day repeats never double-count within a window") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 20:00:00")),
+      (1L, ts("2024-01-02 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.rollingDistinctUsers(ev, "user_id", "ts", "2024-01-01", 7)
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall(_._2 == 1L),
+      s"overlapping coverage of one user must count once, got ${out.toSeq}")
+  }
+
   test("retentionMatrix: repeat activity in one period counts a user once") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),
