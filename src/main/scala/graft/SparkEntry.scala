@@ -225,6 +225,8 @@ object SparkEntry {
     "q205_session_windows" -> (Pipeline.batchSessionWindows _),
     "q206_trimmed_mean" -> (Pipeline.trimmedMean _),
     "q207_rolling_active_users" -> (Pipeline.rollingActiveUsers _),
+    "q208_rank_sum_test" -> (Pipeline.rankSumTest _),
+    "q209_equidepth_histogram" -> (Pipeline.equiDepthHistogram _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1929,6 +1931,50 @@ object SparkEntry {
         |SELECT day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
         |FROM days LEFT JOIN a ON a.d BETWEEN day - 6 AND day
         |GROUP BY day ORDER BY day""".stripMargin,
+    // exact Mann–Whitney: doubled tie-averaged ranks keep everything BIGINT;
+    // identical rank/U algebra on both engines, no float in the statistic
+    "q208_rank_sum_test" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |pv AS (
+        |  SELECT cents,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp
+        |  FROM v GROUP BY 1),
+        |r AS (
+        |  SELECT cents, c, cp,
+        |    CAST(coalesce(SUM(c) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS smaller
+        |  FROM pv),
+        |agg AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS n_purchase,
+        |    CAST(SUM(c - cp) AS BIGINT) AS n_click,
+        |    CAST(SUM(cp * (2 * (smaller + 1) + c - 1)) AS BIGINT) AS two_r1
+        |  FROM r)
+        |SELECT n_purchase, n_click, two_r1,
+        |  two_r1 - n_purchase * (n_purchase + 1) AS two_u1,
+        |  n_purchase * n_click AS two_mean_u,
+        |  (two_r1 - n_purchase * (n_purchase + 1)) > n_purchase * n_click
+        |    AS purchase_shifted_high
+        |FROM agg""".stripMargin,
+    // equi-depth histogram: identical integer bin formula ((rn-1)*8 div n),
+    // ties pinned by event_id; boundaries are exact integer cents
+    "q209_equidepth_histogram" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM v)
+        |SELECT event_type, ((rn - 1) * 8) // n AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->
@@ -3765,16 +3811,17 @@ object SparkEntry {
       |FROM comp c JOIN sizes s ON c.component_id = s.component_id
       |ORDER BY c.vec_id""".stripMargin
 
-  /** q200 oracle: the 8-core by UNROLLED peeling over the 4-plane / τ = 0.1
-    * LSH pair graph — 32 generated peel rounds (each: sub-8-degree node set,
+  /** q200 oracle: the 3-core by UNROLLED peeling over the 8-plane / τ = 0.1
+    * LSH pair graph — 32 generated peel rounds (each: sub-k-degree node set,
     * then the edge set minus those nodes on either endpoint). Peeling is a
     * monotone fixpoint, so any unroll depth ≥ the graph's true peel depth
-    * (11 at sf0.01, probed) yields exactly the k-core; the Spark side pins
+    * (4 at sf0.01, 2 at sf1, probed) yields exactly the k-core; the Spark
+    * side pins
     * `maxIter` to the same 32 and THROWS beyond it, so the two engines can
     * only ever agree or fail loudly — never silently diverge.
     */
   private def lshKCoreOracleSql: String = {
-    val k = 8
+    val k = 3
     val rounds = 32
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and e_i
     // references e_{i-1} three times (directly + twice via b_i) — an
@@ -3785,7 +3832,7 @@ object SparkEntry {
          |  SELECT u, v FROM e${i - 1}
          |  WHERE u NOT IN (SELECT u FROM b$i) AND v NOT IN (SELECT u FROM b$i))""".stripMargin
     }.mkString(",\n")
-    "WITH " + embLshCtesAt(4, "0.1") + ",\n" +
+    "WITH " + embLshCtesAt(8, "0.1") + ",\n" +
       s"""e0 AS MATERIALIZED (
          |  SELECT id_a AS u, id_b AS v FROM epairs
          |  UNION ALL SELECT id_b, id_a FROM epairs),

@@ -2841,27 +2841,32 @@ object Pipeline {
   }
 
   /** q200 — k-core decomposition ([[graft.operators.Graph.kCore]]) over
-    * the certified LSH pair graph (q171's 4-plane / τ = 0.1 generator):
-    * peel every node of degree < 8 until the remaining subgraph is the
-    * 8-core — the density triage on top of the dup-pair generators that
-    * separates template FAMILIES (every member touches ≥ 8 others) from
+    * the certified LSH pair graph (q172's 8-plane / τ = 0.1 generator):
+    * peel every node of degree < 3 until the remaining subgraph is the
+    * 3-core — the density triage on top of the dup-pair generators that
+    * separates template FAMILIES (every member touches ≥ k others) from
     * loose chains of pairwise hits, which triangles (q171, local density)
-    * and components (q172, mere connectivity) both miss. Probed at
-    * sf0.01: 2,596 pairs / 500 nodes peel to a 188-node 8-core in 11
-    * rounds. `maxIter` is pinned to the SAME 32 rounds the oracle
-    * unrolls: peeling is a monotone fixpoint (extra rounds are no-ops on
-    * a converged graph), so either both engines reach the identical core
-    * or the Spark side throws loudly — a deeper-than-32 graph can never
-    * silently hash-mismatch. Each round is one map-side-combined degree
-    * aggregate plus two anti-joins against the (node-sized) peel set over
-    * a strictly shrinking edge frame.
+    * and components (q172, mere connectivity) both miss. The 8-plane
+    * generator is the scale-honest choice: the 4-plane graph's 16 buckets
+    * all blow the 200-vector cap at sf1 and the pair set empties, while
+    * 8 planes stay populated at BOTH scales (probed: 255 pairs / 305
+    * nodes → a 13-node 3-core at peel depth 4 at sf0.01 — the cascade is
+    * load-bearing, a single degree filter keeps more — and 543k pairs →
+    * a 17,275-node core at sf1). `maxIter` is pinned to the SAME 32
+    * rounds the oracle unrolls: peeling is a monotone fixpoint (extra
+    * rounds are no-ops on a converged graph), so either both engines
+    * reach the identical core or the Spark side throws loudly — a
+    * deeper-than-32 graph can never silently hash-mismatch. Each round
+    * is one map-side-combined degree aggregate plus two anti-joins
+    * against the (node-sized) peel set over a strictly shrinking edge
+    * frame.
     */
   def lshKCore(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.embeddingNearDuplicates(
       Tables(spark, dir).embeddings, "vec_id", "embedding",
-      minCosine = 0.1, nPlanes = 4, maxBucketSize = 200)
+      minCosine = 0.1, nPlanes = 8, maxBucketSize = 200)
       .select(col("id_a"), col("id_b"))
-    graft.operators.Graph.kCore(pairs, "id_a", "id_b", k = 8, maxIter = 32)
+    graft.operators.Graph.kCore(pairs, "id_a", "id_b", k = 3, maxIter = 32)
       .withColumnRenamed("node_id", "vec_id")
       .orderBy("vec_id")
   }
@@ -3031,6 +3036,75 @@ object Pipeline {
       Tables(spark, dir).events, "user_id", "ts",
       epochStart = "2024-01-01", windowDays = 7)
       .orderBy("day")
+
+  /** q208 — exact Mann–Whitney rank-sum (U) statistic comparing the
+    * purchase vs click value distributions, ALL-INTEGER: tie-averaged
+    * ranks are carried doubled (`2·avgrank = 2·(smaller+1) + ties − 1`,
+    * always integral), so `two_r1 = 2·ΣR₁` and
+    * `two_u1 = two_r1 − n₁(n₁+1)` are exact BIGINTs and the
+    * location-shift verdict is an integer comparison against
+    * `2·E[U] = n₁·n₂` — no float enters the statistic on either engine
+    * (the q176/q187 exact-statistics discipline applied to a
+    * nonparametric test). Scale shape: one map-side-combined per-value
+    * aggregate (value-dimension-bounded), a prefix sum over the ORDERED
+    * VALUE DIMENSION (aggregate-sized, guard-legal), one scalar fold —
+    * the fact table is never sorted.
+    */
+  def rankSumTest(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).events
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val perValue = v.groupBy(col("cents"))
+      .agg(
+        count(lit(1)).as("_c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("_cp"))
+    val wVal = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perValue
+      .withColumn("_smaller", coalesce(sum(col("_c")).over(wVal), lit(0L)))
+    ranked.agg(
+        sum(col("_cp")).as("n_purchase"),
+        sum(col("_c") - col("_cp")).as("n_click"),
+        sum(col("_cp") * (lit(2L) * (col("_smaller") + 1L) + col("_c") - 1L))
+          .as("two_r1"))
+      .select(
+        col("n_purchase"), col("n_click"),
+        col("two_r1"),
+        (col("two_r1") - col("n_purchase") * (col("n_purchase") + 1L))
+          .as("two_u1"),
+        (col("n_purchase") * col("n_click")).as("two_mean_u"))
+      .withColumn("purchase_shifted_high",
+        col("two_u1") > col("two_mean_u"))
+  }
+
+  /** q209 — exact equi-depth (quantile) histogram per event type: bin
+    * `(rn−1)·8 div n` from [[Analytics.groupedOrderedRank]]'s exact ranks
+    * (ties pinned by event_id), so every bin holds n div 8 ± 1 rows by
+    * construction and the CONTENT is the bin boundaries — exact min/max
+    * cents per bin, the equi-depth complement of q182's equi-width bins.
+    * Identical integer bin formula on both engines; no quantile
+    * interpolation anywhere (bins come from ranks, not cut points). The
+    * rank pass is the two-level ranged shape — no fact-sized sort under
+    * the 5-value event_type window.
+    */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Analytics.groupedOrderedRank(
+      Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+      groupCols = Seq("event_type"),
+      sortCols = Seq(col("cents").asc, col("event_id").asc),
+      rankCol = "rn", countCol = "n", buckets = 32)
+    ranked
+      .withColumn("bin", expr("((rn - 1) * 8) div n"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy("event_type", "bin")
+  }
 
   /** The q173/q174 change stream: every non-purchase event is an observed
     * "engagement state" for its user — the SCD2 fixture where no-op
