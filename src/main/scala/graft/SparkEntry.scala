@@ -227,6 +227,7 @@ object SparkEntry {
     "q207_rolling_active_users" -> (Pipeline.rollingActiveUsers _),
     "q208_rank_sum_test" -> (Pipeline.rankSumTest _),
     "q209_equidepth_histogram" -> (Pipeline.equiDepthHistogram _),
+    "q210_streaming_scd2_maintenance" -> (Pipeline.streamingScdMaintenance _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1653,6 +1654,7 @@ object SparkEntry {
     // q198 (incremental scd2Apply must equal the full rebuild exactly).
     "q173_scd2_dimension" -> scd2BuildOracleSql,
     "q198_scd2_incremental_apply" -> scd2BuildOracleSql,
+    "q210_streaming_scd2_maintenance" -> scd2BuildOracleSql,
     // point-in-time attribution: DuckDB's NATIVE ASOF LEFT JOIN against
     // the recomputed version table certifies the union+window formulation.
     // SHARED VERBATIM by q190 (the same join run through the stream path —
@@ -3561,10 +3563,11 @@ object SparkEntry {
       |ORDER BY pr_rank""".stripMargin
   }
 
-  /** Shared q173/q198 oracle: the SCD2 dimension recomputed from the FULL
-    * change stream from scratch — the batch build (q173) and the
-    * incremental apply over a Jan-21 split (q198) must both equal it
-    * exactly (fold ≡ rebuild for the versioned dimension).
+  /** Shared q173/q198/q210 oracle: the SCD2 dimension recomputed from the
+    * FULL change stream from scratch — the batch build (q173), the
+    * incremental apply over a Jan-21 split (q198), and the per-micro-batch
+    * streaming fold (q210) must ALL equal it exactly (fold ≡ rebuild for
+    * the versioned dimension, batch and stream).
     */
   private def scd2BuildOracleSql: String =
     """WITH src AS (

@@ -3732,6 +3732,66 @@ object Pipeline {
       .orderBy("event_id")
   }
 
+  /** q210 — STREAMING SCD2 maintenance ([[graft.dml.Scd.scd2Apply]]
+    * through the stream path): the engagement change stream replayed in
+    * three event-time-ordered drops; each micro-batch folds into a
+    * PARQUET-PERSISTED dimension — `scd2Build` on the first batch,
+    * `scd2Apply` on every later one, always reading the PREVIOUS
+    * batch's durable state (the q142/q175 read-back discipline). The
+    * converged dimension must equal the from-scratch batch rebuild
+    * EXACTLY, so q210 shares q173's oracle VERBATIM — q198 certified
+    * fold ≡ rebuild at ONE split point; this run certifies it through
+    * the streaming machinery with per-batch durability. State writes are
+    * VERSIONED BY BATCH ID (each batch reads the latest version strictly
+    * below its own id and overwrites its own), so a foreachBatch retry
+    * recomputes an identical version instead of double-applying —
+    * exactly-once by idempotent replacement. Batch boundaries are
+    * microsecond-range cuts, so same-timestamp changes never straddle
+    * batches and the apply contract (no delta predates its key's current
+    * version) holds by construction.
+    */
+  def streamingScdMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val changesEv = Tables(spark, dir).events
+      .where(col("event_type") =!= "purchase")
+    val drops = timeOrderedEventDrops(spark, changesEv, k = 3,
+      sentinelTypes = Seq("signup"))
+    val tmp = runSequencedDrops(spark, drops, "graft_q210_") { (stream, t) =>
+      val stateDir = s"$t/dimstate"
+      new java.io.File(stateDir).mkdirs()
+      stream.writeStream
+        .option("checkpointLocation", s"$t/checkpoint")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            val sp = batch.sparkSession
+            val delta = batch
+              .where(col("user_id") =!= -1L && col("event_type") =!= "purchase")
+              .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type").as("state"))
+            val prev = new java.io.File(stateDir).list().toSeq
+              .filter(_.startsWith("v")).map(_.drop(1).toLong)
+              .filter(_ < batchId).sorted.lastOption
+            (prev, delta.isEmpty) match {
+              case (None, true) => // no state yet and nothing to fold
+              case (None, false) =>
+                graft.dml.Scd
+                  .scd2Build(delta, "user_id", "ts", "state", Seq("event_id"))
+                  .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+              case (Some(p), _) =>
+                graft.dml.Scd
+                  .scd2Apply(sp.read.parquet(s"$stateDir/v$p"), delta,
+                    "user_id", "ts", "state", Seq("event_id"))
+                  .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+            }
+        }
+        .start()
+    }
+    val last = new java.io.File(s"$tmp/dimstate").list().toSeq
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).max
+    spark.read.parquet(s"$tmp/dimstate/v$last")
+      .orderBy("user_id", "version")
+  }
+
   /** q191 — time-in-state (dwell) report over the SCD2 dimension: for
     * every CLOSED version, dwell = `effective_to − effective_from` in
     * exact integer microseconds, rolled up per state — the duration
