@@ -228,6 +228,8 @@ object SparkEntry {
     "q208_rank_sum_test" -> (Pipeline.rankSumTest _),
     "q209_equidepth_histogram" -> (Pipeline.equiDepthHistogram _),
     "q210_streaming_scd2_maintenance" -> (Pipeline.streamingScdMaintenance _),
+    "q211_interval_overlap_join" -> (Pipeline.stateSessionOverlap _),
+    "q212_feature_scaling" -> (Pipeline.featureScaling _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -1977,6 +1979,69 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  min(cents) AS lo_cents, max(cents) AS hi_cents
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // keyed interval-overlap join: SCD2 versions x 6h sessions per user,
+    // half-open on both sides (session closed end promoted by +1 us);
+    // exact integer-us overlap lengths
+    "q211_interval_overlap_join" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id, event_type AS state
+        |  FROM events WHERE event_type <> 'purchase'),
+        |flt AS (
+        |  SELECT user_id, ts, event_id, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM src),
+        |v AS (SELECT user_id, ts, event_id, state FROM flt
+        |      WHERE prev IS NULL OR prev <> state),
+        |ver AS (
+        |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+        |    state, ts AS effective_from, lead(ts) OVER w AS effective_to
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 1 microsecond AS send_excl,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT ver.user_id, ver.version, ver.state,
+        |  sess.session_start, sess.n_events,
+        |  epoch_us(least(coalesce(ver.effective_to, TIMESTAMP '9999-01-01'),
+        |                 sess.send_excl)) -
+        |    epoch_us(greatest(ver.effective_from, sess.session_start)) AS overlap_us
+        |FROM ver JOIN sess ON ver.user_id = sess.user_id
+        |  AND ver.effective_from < sess.send_excl
+        |  AND (ver.effective_to IS NULL OR sess.session_start < ver.effective_to)
+        |ORDER BY 1, 2, 4""".stripMargin,
+    // feature scaling: exact integer min/max + dyadic quartiles on integer
+    // cents -> each scaled double is one IEEE division of exact numbers;
+    // degenerate groups null, never Inf/NaN
+    "q212_feature_scaling" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, min(cents) AS mn, max(cents) AS mx,
+        |    quantile_cont(cents, 0.25) AS q1,
+        |    quantile_cont(cents, 0.5) AS med,
+        |    quantile_cont(cents, 0.75) AS q3
+        |  FROM v GROUP BY 1)
+        |SELECT event_id, v.event_type, cents,
+        |  CASE WHEN mx > mn THEN
+        |    CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END AS minmax_scaled,
+        |  CASE WHEN q3 > q1 THEN
+        |    (CAST(cents AS DOUBLE) - med) / (q3 - q1) END AS robust_scaled
+        |FROM v JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

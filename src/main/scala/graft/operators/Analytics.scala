@@ -370,6 +370,44 @@ object Analytics {
       .drop("_bucket", "_offset")
   }
 
+  /** Per-group feature scaling for training pipelines: min-max
+    * (`(x−min)/(max−min)`) and robust (`(x−median)/IQR`) normalization of
+    * an INTEGER value column, with every statistic exact so the scaled
+    * doubles are bit-identical across engines and partitionings: min/max
+    * are integers, and quartiles of integers interpolate at dyadic
+    * fractions (exact 0.25-multiples — the q87/q189 discipline), so each
+    * scaled value is ONE IEEE division of two exact numbers. Degenerate
+    * groups (zero range / zero IQR) yield null for that scaling rather
+    * than ±Inf/NaN.
+    *
+    * Scale shape: one map-side-combined stats aggregate per group
+    * (exact percentiles hold a per-group value multiset — the certified
+    * swap-in at extreme cardinality is `approx_percentile`, q197's
+    * pattern), broadcast back, scaling map-side on the fact scan.
+    */
+  def featureScale(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(
+        min(v).as("_mn"),
+        max(v).as("_mx"),
+        expr(s"percentile($valueCol, 0.25)").as("_q1"),
+        expr(s"percentile($valueCol, 0.5)").as("_med"),
+        expr(s"percentile($valueCol, 0.75)").as("_q3"))
+    df.join(broadcast(stats), keyCols)
+      .withColumn("minmax_scaled",
+        when(col("_mx") > col("_mn"),
+          (v - col("_mn")).cast("double") /
+            (col("_mx") - col("_mn")).cast("double")))
+      .withColumn("robust_scaled",
+        when(col("_q3") > col("_q1"),
+          (v.cast("double") - col("_med")) / (col("_q3") - col("_q1"))))
+      .drop("_mn", "_mx", "_q1", "_med", "_q3")
+  }
+
   private def dedupOrdered(df: DataFrame, keys: Seq[Column], ordered: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(ordered: _*)
     df.withColumn("_rn", row_number().over(w))

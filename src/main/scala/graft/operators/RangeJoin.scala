@@ -40,4 +40,44 @@ object RangeJoin {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_chunk")
   }
+
+  /** KEYED interval-OVERLAP join (Allen-style): match every left interval
+    * to every right interval of the same key that overlaps it, both sides
+    * HALF-OPEN `[start, end)`. A null left/right end means an open
+    * (unbounded-right) interval. Emits the joined rows plus the exact
+    * overlap bounds (`overlap_start`, `overlap_end` — `overlap_end` null
+    * only when BOTH sides are open).
+    *
+    * This is interval×interval — a different operator from
+    * [[intervalJoin]]'s point-in-interval — and the keyed form is the
+    * scale-honest one: the join is a plain EQUI join on the key with the
+    * overlap test as a residual predicate, so it shuffles once on the key
+    * and never plans a nested loop (keys with few intervals each — the
+    * SCD2-dimension × session-table case — cost per key is
+    * |L_k|·|R_k|, both dimension-bounded). A keyless overlap join would
+    * need [[intervalJoin]]'s chunking; refuse rather than silently
+    * cartesian.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String): DataFrame = {
+    require(keys.nonEmpty,
+      "overlapJoin requires join keys — a keyless interval overlap needs chunking (see intervalJoin)")
+    val overlaps =
+      (col(rEnd).isNull || col(lStart) < col(rEnd)) &&
+        (col(lEnd).isNull || col(rStart) < col(lEnd))
+    val oStart = greatest(col(lStart), col(rStart))
+    val oEnd = when(col(lEnd).isNull, col(rEnd))
+      .when(col(rEnd).isNull, col(lEnd))
+      .otherwise(least(col(lEnd), col(rEnd)))
+    left.join(right, keys)
+      .where(overlaps)
+      .withColumn("overlap_start", oStart)
+      .withColumn("overlap_end", oEnd)
+  }
 }

@@ -3792,6 +3792,65 @@ object Pipeline {
       .orderBy("user_id", "version")
   }
 
+  /** q211 — keyed interval-OVERLAP join
+    * ([[graft.operators.RangeJoin.overlapJoin]]): the SCD2 engagement
+    * intervals crossed with the 6-hour session windows per user — which
+    * engagement states was each session conducted under, with the EXACT
+    * µs overlap per (version, session) pair. Interval×interval is the
+    * temporal-alignment operator point-in-interval (q174) and
+    * point-in-time (q162) cannot express; the keyed form is an EQUI join
+    * on user_id with the overlap test residual — one key shuffle, never
+    * a nested loop, per-key cost |versions_k|·|sessions_k| (both
+    * dimension-bounded per user). Sessions are half-open at
+    * `last event + 1 µs`; open (current) versions overlap everything
+    * after their start. All-integer overlap lengths.
+    */
+  def stateSessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.dml.Scd.scd2Build(
+      engagementChanges(spark, dir), "user_id", "ts", "state", Seq("event_id"))
+      .select(col("user_id"), col("version"), col("state"),
+        col("effective_from"), col("effective_to"))
+    val sessions = Tables(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("_sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        timestamp_micros(unix_micros(col("session_end")) + 1)
+          .cast("timestamp_ntz").as("_send_excl"))
+    graft.operators.RangeJoin.overlapJoin(
+      dim, sessions, keys = Seq("user_id"),
+      lStart = "effective_from", lEnd = "effective_to",
+      rStart = "session_start", rEnd = "_send_excl")
+      .select(
+        col("user_id"), col("version"), col("state"),
+        col("session_start"), col("n_events"),
+        (unix_micros(col("overlap_end")) - unix_micros(col("overlap_start")))
+          .as("overlap_us"))
+      .orderBy("user_id", "version", "session_start")
+  }
+
+  /** q212 — per-type feature scaling ([[Analytics.featureScale]]):
+    * min-max and robust (median/IQR) normalization of event value cents,
+    * the standard feature-preparation step before model training — with
+    * the exact-statistics discipline making the scaled DOUBLES
+    * hash-safe: integer min/max, dyadic-fraction quartiles on integer
+    * cents (exact 0.25-multiples), so every output is one IEEE division
+    * of two exact numbers, bit-identical across engines and
+    * partitionings. Stats broadcast; scaling is map-side on the fact
+    * scan. Degenerate groups yield null, never ±Inf/NaN.
+    */
+  def featureScaling(spark: SparkSession, dir: String): DataFrame =
+    Analytics.featureScale(
+      Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+      keyCols = Seq("event_type"), valueCol = "cents")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("minmax_scaled"), col("robust_scaled"))
+      .orderBy("event_id")
+
   /** q191 — time-in-state (dwell) report over the SCD2 dimension: for
     * every CLOSED version, dwell = `effective_to − effective_from` in
     * exact integer microseconds, rolled up per state — the duration

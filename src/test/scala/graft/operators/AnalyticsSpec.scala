@@ -253,6 +253,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("featureScale: hand-computed scalings; degenerate groups yield null") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // group a: values 0,10,20,30 -> q1=7.5, med=15, q3=22.5, IQR=15
+    // group b: constant 5 -> both scalings degenerate
+    val df = Seq(
+      (1L, "a", 0L), (2L, "a", 10L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L), (6L, "b", 5L)
+    ).toDF("id", "g", "v")
+    val out = Analytics.featureScale(df, Seq("g"), "v")
+      .select("id", "minmax_scaled", "robust_scaled")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out(0) == ((1L, Some(0.0), Some(-1.0))))            // (0-15)/15
+    assert(out(1) == ((2L, Some(10.0 / 30.0), Some(-5.0 / 15.0))))
+    assert(out(3) == ((4L, Some(1.0), Some(1.0))))             // (30-15)/15
+    assert(out(4)._2.isEmpty && out(4)._3.isEmpty,
+      "zero range and zero IQR must scale to null, not Inf/NaN")
+  }
+
   test("groupedOrderedRank equals the per-group window rank at any bucket count") {
     import spark.implicits._
     import graft.operators.Analytics

@@ -124,6 +124,41 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(3L).isEmpty, "no right row -> null match")
   }
 
+  test("overlapJoin: half-open semantics, open intervals, exact bounds") {
+    // left intervals per key 1: [0,10), [10,20), [30,∞)
+    val left = Seq(
+      (1L, 0L, Some(10L)), (1L, 10L, Some(20L)), (1L, 30L, None),
+      (2L, 0L, Some(5L))
+    ).toDF("k", "ls", "le")
+    // right: [5,12) overlaps the first two; [20,30) touches [10,20) at 20
+    // (NO overlap — half-open) and [30,∞) at 30 (no overlap either);
+    // [35,40) overlaps only the open interval
+    val right = Seq(
+      (1L, 5L, Some(12L)), (1L, 20L, Some(30L)), (1L, 35L, Some(40L))
+    ).toDF("k", "rs", "re")
+    val out = RangeJoin.overlapJoin(left, right, Seq("k"), "ls", "le", "rs", "re")
+      .select(col("ls"), col("rs"), col("overlap_start"), col("overlap_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (0L, 5L, 5L, 10L),    // [0,10) ∩ [5,12) = [5,10)
+      (10L, 5L, 10L, 12L),  // [10,20) ∩ [5,12) = [10,12)
+      (30L, 35L, 35L, 40L)  // open left ∩ [35,40) = [35,40)
+    ), s"got ${out.toSeq}")
+  }
+
+  test("overlapJoin: both-open overlap has a null end; keyless refused") {
+    val left = Seq((1L, 0L, Option.empty[Long])).toDF("k", "ls", "le")
+    val right = Seq((1L, 5L, Option.empty[Long])).toDF("k", "rs", "re")
+    val out = RangeJoin.overlapJoin(left, right, Seq("k"), "ls", "le", "rs", "re")
+      .select(col("overlap_start"), col("overlap_end")).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 5L && out.head.isNullAt(1),
+      "open ∩ open starts at the later start and stays open")
+    intercept[IllegalArgumentException] {
+      RangeJoin.overlapJoin(left, right, Seq.empty, "ls", "le", "rs", "re")
+    }
+  }
+
   test("asofJoinForward ties: smallest rightOrdCols row at one timestamp wins") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq(
