@@ -230,6 +230,7 @@ object SparkEntry {
     "q210_streaming_scd2_maintenance" -> (Pipeline.streamingScdMaintenance _),
     "q211_interval_overlap_join" -> (Pipeline.stateSessionOverlap _),
     "q212_feature_scaling" -> (Pipeline.featureScaling _),
+    "q213_snapshot_diff" -> (Pipeline.dimensionSnapshotDiff _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2042,6 +2043,37 @@ object SparkEntry {
         |    (CAST(cents AS DOUBLE) - med) / (q3 - q1) END AS robust_scaled
         |FROM v JOIN st USING (event_type)
         |ORDER BY event_id""".stripMargin,
+    // snapshot diff: two as-of interval filters over the recomputed SCD2
+    // version table, FULL JOIN, classify; REMOVED is structurally
+    // impossible for an SCD2 build and the oracle would expose one
+    "q213_snapshot_diff" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id, event_type AS state
+        |  FROM events WHERE event_type <> 'purchase'),
+        |flt AS (
+        |  SELECT user_id, ts, event_id, state,
+        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM src),
+        |v AS (SELECT user_id, ts, event_id, state FROM flt
+        |      WHERE prev IS NULL OR prev <> state),
+        |ver AS (
+        |  SELECT user_id, state, ts AS effective_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+        |  FROM v),
+        |b AS (SELECT user_id, state AS state_before FROM ver
+        |      WHERE effective_from <= TIMESTAMP '2024-01-02 00:00:00'
+        |        AND (effective_to IS NULL OR effective_to > TIMESTAMP '2024-01-02 00:00:00')),
+        |a AS (SELECT user_id, state AS state_after FROM ver
+        |      WHERE effective_from <= TIMESTAMP '2024-01-20 00:00:00'
+        |        AND (effective_to IS NULL OR effective_to > TIMESTAMP '2024-01-20 00:00:00'))
+        |SELECT coalesce(b.user_id, a.user_id) AS user_id,
+        |  state_before, state_after,
+        |  CASE WHEN state_before IS NULL THEN 'ADDED'
+        |       WHEN state_after IS NULL THEN 'REMOVED'
+        |       WHEN state_before <> state_after THEN 'CHANGED'
+        |       ELSE 'UNCHANGED' END AS op
+        |FROM b FULL JOIN a ON b.user_id = a.user_id
+        |ORDER BY 1""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

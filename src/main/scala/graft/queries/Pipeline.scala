@@ -3851,6 +3851,40 @@ object Pipeline {
         col("minmax_scaled"), col("robust_scaled"))
       .orderBy("event_id")
 
+  /** q213 — dimension SNAPSHOT DIFF: the SCD2 engagement dimension
+    * evaluated as-of Jan 2 and as-of Jan 20, full-outer-joined per key
+    * and classified ADDED / CHANGED / UNCHANGED — "what moved between two
+    * dates", the audit question version history exists to answer and a
+    * latest-wins table cannot (REMOVED is structurally impossible for an
+    * SCD2 build — versions close, keys never vanish — and the oracle
+    * would expose one if the operator ever fabricated it). Each as-of
+    * snapshot is a map-side interval filter over the SAME eager-persisted
+    * dimension build (two consumers, one build — the q183 discipline);
+    * the diff is one key join over user-dimension-sized frames. Jan 2 is
+    * the discriminating first date: 23 ADDED / 94 CHANGED / 33 UNCHANGED
+    * at sf0.01 (probed) — a later date has every user already present
+    * and the ADDED branch untested.
+    */
+  def dimensionSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.core.Caching.eager(graft.dml.Scd.scd2Build(
+      engagementChanges(spark, dir), "user_id", "ts", "state", Seq("event_id")))
+    def asOf(d: String) = dim
+      .where(col("effective_from") <= lit(d).cast("timestamp_ntz") &&
+        (col("effective_to").isNull ||
+          col("effective_to") > lit(d).cast("timestamp_ntz")))
+      .select(col("user_id"), col("state"))
+    val before = asOf("2024-01-02 00:00:00").withColumnRenamed("state", "state_before")
+    val after = asOf("2024-01-20 00:00:00").withColumnRenamed("state", "state_after")
+    before.join(after, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"), col("state_before"), col("state_after"),
+        when(col("state_before").isNull, "ADDED")
+          .when(col("state_after").isNull, "REMOVED")
+          .when(col("state_before") =!= col("state_after"), "CHANGED")
+          .otherwise("UNCHANGED").as("op"))
+      .orderBy("user_id")
+  }
+
   /** q191 — time-in-state (dwell) report over the SCD2 dimension: for
     * every CLOSED version, dwell = `effective_to − effective_from` in
     * exact integer microseconds, rolled up per state — the duration
