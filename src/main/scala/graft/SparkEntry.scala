@@ -1685,15 +1685,8 @@ object SparkEntry {
     // dwell = exact integer-µs interval lengths over the recomputed SCD2
     // version table; avg is the terminal BIGINT/BIGINT double
     "q191_state_dwell" ->
-      """WITH src AS (
-        |  SELECT user_id, ts, event_id, event_type AS state
-        |  FROM events WHERE event_type <> 'purchase'),
-        |flt AS (
-        |  SELECT user_id, ts, event_id, state,
-        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM src),
-        |v AS (SELECT user_id, ts, event_id, state FROM flt WHERE prev IS NULL OR prev <> state),
-        |ver AS (
+      ("WITH " + scd2SuppressionCtes + ",\n" +
+      """ver AS (
         |  SELECT user_id, state, ts AS effective_from,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
         |  FROM v),
@@ -1703,7 +1696,7 @@ object SparkEntry {
         |SELECT state, COUNT(*) AS n_closed_versions,
         |  CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
         |  CAST(CAST(SUM(dwell_us) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_dwell_us
-        |FROM d GROUP BY state ORDER BY state""".stripMargin,
+        |FROM d GROUP BY state ORDER BY state""".stripMargin),
     // the unpivoted roundtrip must equal the DIRECT long-form aggregate
     "q192_pivot_roundtrip" ->
       """SELECT o_orderstatus, o_orderpriority,
@@ -1984,16 +1977,8 @@ object SparkEntry {
     // half-open on both sides (session closed end promoted by +1 us);
     // exact integer-us overlap lengths
     "q211_interval_overlap_join" ->
-      """WITH src AS (
-        |  SELECT user_id, ts, event_id, event_type AS state
-        |  FROM events WHERE event_type <> 'purchase'),
-        |flt AS (
-        |  SELECT user_id, ts, event_id, state,
-        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM src),
-        |v AS (SELECT user_id, ts, event_id, state FROM flt
-        |      WHERE prev IS NULL OR prev <> state),
-        |ver AS (
+      ("WITH " + scd2SuppressionCtes + ",\n" +
+      """ver AS (
         |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
         |    state, ts AS effective_from, lead(ts) OVER w AS effective_to
         |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -2021,7 +2006,7 @@ object SparkEntry {
         |FROM ver JOIN sess ON ver.user_id = sess.user_id
         |  AND ver.effective_from < sess.send_excl
         |  AND (ver.effective_to IS NULL OR sess.session_start < ver.effective_to)
-        |ORDER BY 1, 2, 4""".stripMargin,
+        |ORDER BY 1, 2, 4""".stripMargin),
     // feature scaling: exact integer min/max + dyadic quartiles on integer
     // cents -> each scaled double is one IEEE division of exact numbers;
     // degenerate groups null, never Inf/NaN
@@ -2047,16 +2032,8 @@ object SparkEntry {
     // version table, FULL JOIN, classify; REMOVED is structurally
     // impossible for an SCD2 build and the oracle would expose one
     "q213_snapshot_diff" ->
-      """WITH src AS (
-        |  SELECT user_id, ts, event_id, event_type AS state
-        |  FROM events WHERE event_type <> 'purchase'),
-        |flt AS (
-        |  SELECT user_id, ts, event_id, state,
-        |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM src),
-        |v AS (SELECT user_id, ts, event_id, state FROM flt
-        |      WHERE prev IS NULL OR prev <> state),
-        |ver AS (
+      ("WITH " + scd2SuppressionCtes + ",\n" +
+      """ver AS (
         |  SELECT user_id, state, ts AS effective_from,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
         |  FROM v),
@@ -2073,7 +2050,7 @@ object SparkEntry {
         |       WHEN state_before <> state_after THEN 'CHANGED'
         |       ELSE 'UNCHANGED' END AS op
         |FROM b FULL JOIN a ON b.user_id = a.user_id
-        |ORDER BY 1""".stripMargin,
+        |ORDER BY 1""".stripMargin),
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->
@@ -3660,6 +3637,23 @@ object SparkEntry {
       |ORDER BY pr_rank""".stripMargin
   }
 
+  /** Shared SCD2 suppression CTE prefix (src → flt → v): the
+    * no-op-suppressed change stream EVERY SCD2 oracle builds on; the
+    * (ts, event_id) tie-break matches `Scd.scd2Build`. One copy — the five
+    * oracle families (build/apply/stream, PIT/stream-PIT, dwell, overlap,
+    * snapshot diff) cannot drift from each other.
+    */
+  private def scd2SuppressionCtes: String =
+    """src AS (
+      |  SELECT user_id, ts, event_id, event_type AS state
+      |  FROM events WHERE event_type <> 'purchase'),
+      |flt AS (
+      |  SELECT user_id, ts, event_id, state,
+      |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM src),
+      |v AS (SELECT user_id, ts, event_id, state FROM flt
+      |      WHERE prev IS NULL OR prev <> state)""".stripMargin
+
   /** Shared q173/q198/q210 oracle: the SCD2 dimension recomputed from the
     * FULL change stream from scratch — the batch build (q173), the
     * incremental apply over a Jan-21 split (q198), and the per-micro-batch
@@ -3667,15 +3661,8 @@ object SparkEntry {
     * the versioned dimension, batch and stream).
     */
   private def scd2BuildOracleSql: String =
-    """WITH src AS (
-      |  SELECT user_id, ts, event_id, event_type AS state
-      |  FROM events WHERE event_type <> 'purchase'),
-      |flt AS (
-      |  SELECT user_id, ts, event_id, state,
-      |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      |  FROM src),
-      |v AS (SELECT user_id, ts, event_id, state FROM flt WHERE prev IS NULL OR prev <> state)
-      |SELECT user_id,
+    "WITH " + scd2SuppressionCtes + "\n" +
+      """SELECT user_id,
       |  CAST(row_number() OVER w AS BIGINT) AS version,
       |  state,
       |  ts AS effective_from,
@@ -3690,15 +3677,8 @@ object SparkEntry {
     * enrichment path (q190) must both equal it exactly.
     */
   private def pitJoinOracleSql: String =
-    """WITH src AS (
-      |  SELECT user_id, ts, event_id, event_type AS state
-      |  FROM events WHERE event_type <> 'purchase'),
-      |flt AS (
-      |  SELECT user_id, ts, event_id, state,
-      |    lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      |  FROM src),
-      |v AS (SELECT user_id, ts, event_id, state FROM flt WHERE prev IS NULL OR prev <> state),
-      |ver AS (
+    "WITH " + scd2SuppressionCtes + ",\n" +
+      """ver AS (
       |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, state,
       |    ts AS effective_from, lead(ts) OVER w AS effective_to
       |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

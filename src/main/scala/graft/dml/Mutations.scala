@@ -288,12 +288,23 @@ object Mutations {
     require(measureCols.nonEmpty, "foldAdditiveAggregate needs at least one measure column")
     val stateType = state.schema.fields.map(f => f.name -> f.dataType).toMap
     val merged = state.unionByName(deltaPartial.select(state.columns.map(col): _*))
+    // narrowing an overflowing running total would yield a silent NULL
+    // under non-ANSI casts and destroy the persisted state — detect the
+    // wide-sum-present/narrow-cast-null combination and fail loudly
+    def narrowed(c: String) = {
+      val wide = col(c)
+      // try_cast, not cast: null-on-overflow regardless of ANSI mode, so
+      // the guard below owns the failure with an actionable message
+      val attempt = wide.try_cast(stateType(c).sql)
+      when(wide.isNotNull && attempt.isNull,
+        raise_error(lit(s"foldAdditiveAggregate: running total overflows the state type of '$c' — widen the declared measure")))
+        .otherwise(attempt).as(c)
+    }
     merged
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col(measureCols.head)).as(measureCols.head),
         measureCols.tail.map(c => sum(col(c)).as(c)): _*)
-      .select(keys.map(col) ++
-        measureCols.map(c => col(c).cast(stateType(c)).as(c)): _*)
+      .select(keys.map(col) ++ measureCols.map(narrowed): _*)
   }
 }

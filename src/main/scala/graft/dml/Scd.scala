@@ -154,13 +154,24 @@ object Scd {
     // zero-length when the delta moves the attribute at the same instant)
     val closeAt = newVers.groupBy(col(keyCol))
       .agg(min(col("effective_from")).as("_close_ts"))
+    // a delta that PREDATES its key's current version violates the
+    // documented contract (late arrivals belong in a rebuild) — the
+    // violation is visible right here for free, so fail loudly instead of
+    // persisting a negative interval over closed history
+    val closeTs = when(
+      col("is_current") && col("_close_ts") < col("effective_from"),
+      raise_error(concat(
+        lit("scd2Apply: delta predates the current version for key "),
+        col(keyCol).cast("string"),
+        lit(" (late arrival — rebuild instead)"))))
+      .otherwise(col("_close_ts"))
     val updated = dim.join(closeAt, Seq(keyCol), "left")
       .select(
         col(keyCol),
         col("version"),
         col(attrCol),
         col("effective_from"),
-        when(col("is_current") && col("_close_ts").isNotNull, col("_close_ts"))
+        when(col("is_current") && col("_close_ts").isNotNull, closeTs)
           .otherwise(col("effective_to")).as("effective_to"),
         (col("is_current") && col("_close_ts").isNull).as("is_current"))
     updated.select(dimCols.map(col): _*)

@@ -394,9 +394,9 @@ object Analytics {
       .agg(
         min(v).as("_mn"),
         max(v).as("_mx"),
-        expr(s"percentile($valueCol, 0.25)").as("_q1"),
-        expr(s"percentile($valueCol, 0.5)").as("_med"),
-        expr(s"percentile($valueCol, 0.75)").as("_q3"))
+        percentile(v, lit(0.25)).as("_q1"),
+        percentile(v, lit(0.5)).as("_med"),
+        percentile(v, lit(0.75)).as("_q3"))
     df.join(broadcast(stats), keyCols)
       .withColumn("minmax_scaled",
         when(col("_mx") > col("_mn"),

@@ -61,17 +61,21 @@ object Behavior {
     val counts = perUser.select(
       steps.indices.map(i =>
         sum(when(col(s"_s$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i")): _*)
-    val stackArgs = steps.zipWithIndex.map { case (st, i) =>
-      s"CAST(${i + 1} AS BIGINT), '$st', _n$i"
-    }.mkString(", ")
+    // literal structs, not a stack() SQL string: step names are DATA (event
+    // type values) and must never be spliced into parsed SQL
+    val stepRows = array(steps.zipWithIndex.map { case (st, i) =>
+      struct(
+        lit((i + 1).toLong).as("step_index"),
+        lit(st).as("step_name"),
+        col(s"_n$i").as("n_users"))
+    }: _*)
     counts
-      .select(col("_n0"),
-        expr(s"stack(${steps.size}, $stackArgs) AS (step_index, step_name, n_users)"))
+      .select(col("_n0"), explode(stepRows).as("_s"))
       .select(
-        col("step_index"),
-        col("step_name"),
-        col("n_users"),
-        (col("n_users") / col("_n0")).as("pct_of_first"))
+        col("_s.step_index").as("step_index"),
+        col("_s.step_name").as("step_name"),
+        col("_s.n_users").as("n_users"),
+        (col("_s.n_users") / col("_n0")).as("pct_of_first"))
   }
 
   /** Cohort retention matrix: users are cohorted by the period of their
@@ -170,8 +174,15 @@ object Behavior {
       .unionByName(islands.select((col("_end") + 1).as("_day"), lit(-1L).as("_delta")))
       .groupBy(col("_day"))
       .agg(sum(col("_delta")).as("_net"))
-    val calendar = active.agg(max(col("_d")).as("_mx"))
-      .select(explode(sequence(lit(0L), col("_mx"))).as("_day"))
+    // pre-epoch events would put +1 deltas on negative days the 0-based
+    // calendar silently drops (leaving their -1s to drive counts NEGATIVE)
+    // — fail loudly instead; the check rides the same 1-row bounds
+    // aggregate the calendar needs anyway
+    val calendar = active.agg(min(col("_d")).as("_mn"), max(col("_d")).as("_mx"))
+      .select(explode(sequence(lit(0L),
+        when(col("_mn") < 0, raise_error(concat(
+          lit("rollingDistinctUsers: events predate epochStart (min day "),
+          col("_mn").cast("string"), lit(")")))).otherwise(col("_mx")))).as("_day"))
     val wDay = Window.orderBy(col("_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     calendar.join(deltas, Seq("_day"), "left")

@@ -127,26 +127,29 @@ object Graph {
     var e = p.select(col("a").as("u"), col("b").as("v"))
       .unionByName(p.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
+    // the empty-peel-set CHECK is free (it does not count against maxIter):
+    // a graph of peel depth d converges with maxIter = d, matching the
+    // oracle's unroll depth exactly — no off-by-one between the engines
     var converged = false
     var round = 0
-    while (!converged && round < maxIter) {
+    while (!converged) {
       val bad = e.groupBy("u").agg(count(lit(1)).as("_d"))
         .where(col("_d") < k)
         .select(col("u").as("_bad"))
         .localCheckpoint()
       if (bad.isEmpty) converged = true
       else {
+        if (round >= maxIter)
+          throw new IllegalStateException(
+            s"kCore did not converge in $maxIter peel rounds — raise maxIter")
         e = e
           .join(bad.select(col("_bad").as("u")), Seq("u"), "left_anti")
           .join(bad.select(col("_bad").as("v")), Seq("v"), "left_anti")
           .select(col("u"), col("v"))
           .localCheckpoint()
+        round += 1
       }
-      round += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"kCore did not converge in $maxIter peel rounds — raise maxIter")
     e.groupBy("u").agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("node_id"), col("core_degree"))
   }

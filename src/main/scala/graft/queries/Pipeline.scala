@@ -2972,12 +2972,7 @@ object Pipeline {
     * per-key ordered merging inside the aggregate.
     */
   def batchSessionWindows(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events
-      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("_sw"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"))
+    sessionFrame(spark, dir)
       .select(
         col("user_id"),
         col("session_start"),
@@ -2986,6 +2981,19 @@ object Pipeline {
         (unix_micros(col("session_end")) - unix_micros(col("session_start")))
           .as("span_us"))
       .orderBy("user_id", "session_start")
+
+  /** The ONE 6-hour session definition (native `session_window` in batch
+    * groupBy) shared by q205 and q211 — a gap-rule change lands in both
+    * certifications or neither.
+    */
+  private def sessionFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("_sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select("user_id", "session_start", "session_end", "n_events")
 
   /** q206 — exact 10% trimmed mean per event type, ranked by
     * [[Analytics.groupedOrderedRank]]: drop the bottom and top `n div 10`
@@ -2999,13 +3007,7 @@ object Pipeline {
     * event_type window (PlanAuditSpec's guard enforces it).
     */
   def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = Analytics.groupedOrderedRank(
-      Tables(spark, dir).events
-        .select(col("event_id"), col("event_type"),
-          round(col("value") * 100, 0).cast("long").as("cents")),
-      groupCols = Seq("event_type"),
-      sortCols = Seq(col("cents").asc, col("event_id").asc),
-      rankCol = "rn", countCol = "n", buckets = 32)
+    val ranked = rankedCentsByType(spark, dir)
     val trim = expr("n div 10")
     ranked
       .where(col("rn") > trim && col("rn") <= col("n") - trim)
@@ -3088,15 +3090,8 @@ object Pipeline {
     * rank pass is the two-level ranged shape — no fact-sized sort under
     * the 5-value event_type window.
     */
-  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = Analytics.groupedOrderedRank(
-      Tables(spark, dir).events
-        .select(col("event_id"), col("event_type"),
-          round(col("value") * 100, 0).cast("long").as("cents")),
-      groupCols = Seq("event_type"),
-      sortCols = Seq(col("cents").asc, col("event_id").asc),
-      rankCol = "rn", countCol = "n", buckets = 32)
-    ranked
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame =
+    rankedCentsByType(spark, dir)
       .withColumn("bin", expr("((rn - 1) * 8) div n"))
       .groupBy(col("event_type"), col("bin"))
       .agg(
@@ -3104,7 +3099,18 @@ object Pipeline {
         min(col("cents")).as("lo_cents"),
         max(col("cents")).as("hi_cents"))
       .orderBy("event_type", "bin")
-  }
+
+  /** The ONE exact per-type cents ranking (groupedOrderedRank, ties pinned
+    * by event_id, 32 range buckets) shared by q206 and q209.
+    */
+  private def rankedCentsByType(spark: SparkSession, dir: String): DataFrame =
+    Analytics.groupedOrderedRank(
+      Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+      groupCols = Seq("event_type"),
+      sortCols = Seq(col("cents").asc, col("event_id").asc),
+      rankCol = "rn", countCol = "n", buckets = 32)
 
   /** The q173/q174 change stream: every non-purchase event is an observed
     * "engagement state" for its user — the SCD2 fixture where no-op
@@ -3810,12 +3816,7 @@ object Pipeline {
       engagementChanges(spark, dir), "user_id", "ts", "state", Seq("event_id"))
       .select(col("user_id"), col("version"), col("state"),
         col("effective_from"), col("effective_to"))
-    val sessions = Tables(spark, dir).events
-      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("_sw"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"))
+    val sessions = sessionFrame(spark, dir)
       .select(col("user_id"), col("session_start"), col("n_events"),
         timestamp_micros(unix_micros(col("session_end")) + 1)
           .cast("timestamp_ntz").as("_send_excl"))

@@ -10,6 +10,17 @@ import graft.{SparkEntry, SparkSpec}
   */
 class PlanAuditSpec extends SparkSpec {
 
+  // One executed plan per query, shared by every sweeping audit below:
+  // INVOKING a query function is not free — the stream-path queries run
+  // their whole foreachBatch pipeline eagerly before returning the
+  // read-back frame — so each audit re-running all 200+ functions would
+  // pay the multi-second streaming cost once PER TEST.
+  private lazy val executedPlans
+      : Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, Sf0001).queryExecution.executedPlan
+    }
+
   test("no query plans a cartesian product or an unintended nested-loop join") {
     // q38 is the ONLY allowed nested-loop join in the contract: the exact
     // embedding-near-dup oracle twin, a deliberate pairwise pass over a
@@ -19,8 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     // funnel counts) attach via core.ScalarJoin's non-foldable constant
     // key, so they plan as BroadcastHashJoin and need no whitelist entry.
     val allowedNestedLoop = Set("q38_embedding_neardup")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, Sf0001).queryExecution.executedPlan.toString
+    val offenders = executedPlans.flatMap { case (name, p) =>
+      val plan = p.toString
       val cartesian = plan.contains("CartesianProduct")
       val nestedLoop = plan.contains("BroadcastNestedLoopJoin") && !allowedNestedLoop(name)
       if (cartesian || nestedLoop)
@@ -86,7 +97,10 @@ class PlanAuditSpec extends SparkSpec {
         s.relation.location.rootPaths
           .exists(rp => factFiles.exists(f => rp.toString.contains(f)))
       case im: InMemoryTableScanExec => factScanWithoutAgg(im.relation.cachedPlan)
-      case _: ReusedExchangeExec => false // points at an already-audited subtree
+      // a ReusedExchange can sit under a window whose ORIGINAL exchange is
+      // not itself below any window — resolve the reuse target and audit
+      // the real subtree instead of assuming it was covered elsewhere
+      case re: ReusedExchangeExec => factScanWithoutAgg(re.child)
       case other => other.children.exists(factScanWithoutAgg)
     }
     def offendingWindows(p0: SparkPlan): Seq[String] = {
@@ -104,11 +118,10 @@ class PlanAuditSpec extends SparkSpec {
       }
       here ++ below
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val offenders = executedPlans
       .filterNot { case (name, _) => allowed(name) }
-      .flatMap { case (name, fn) =>
-        offendingWindows(fn(spark, Sf0001).queryExecution.executedPlan)
-          .map(w => s"$name: $w")
+      .flatMap { case (name, p) =>
+        offendingWindows(p).map(w => s"$name: $w")
       }
     assert(offenders.isEmpty,
       s"fact-sized sorts under low-cardinality windows:\n${offenders.mkString("\n")}")

@@ -234,4 +234,27 @@ class MutationsSpec extends SparkSpec {
     assert(rebuilt.exists(_._1 == 3L), "delta-only keys appear")
     assert(rebuilt.exists(t => t._1 == 1L && t._3 == 3L), "shared keys merge counts")
   }
+
+  test("foldAdditiveAggregate: schema stays fixed across folds; overflow fails loudly") {
+    import spark.implicits._
+    // the DECLARED state schema is decimal(6,2) — sum() widens internally,
+    // the fold must narrow back (or refuse loudly)
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(6,2)")).cast("decimal(6,2)").as("amt"))
+    val base = agg(Seq((1L, 10.0)).toDF("k", "v"))
+    val d1 = agg(Seq((1L, 5.0)).toDF("k", "v"))
+    val once = Mutations.foldAdditiveAggregate(base, d1, Seq("k"), Seq("amt"))
+    assert(once.schema("amt").dataType == base.schema("amt").dataType,
+      "the persisted state schema must not widen per refresh cycle")
+    val twice = Mutations.foldAdditiveAggregate(once, d1, Seq("k"), Seq("amt"))
+    assert(twice.schema("amt").dataType == base.schema("amt").dataType)
+    // decimal(6,2) caps at 9999.99 — a fold that overflows the declared
+    // state type must THROW, never write a silent NULL into durable state
+    val big = agg(Seq((1L, 9000.0)).toDF("k", "v"))
+    val boom = intercept[Exception] {
+      Mutations.foldAdditiveAggregate(big, big, Seq("k"), Seq("amt")).collect()
+    }
+    assert(boom.getMessage.contains("overflows the state type"),
+      s"expected the loud overflow guard, got: ${boom.getMessage}")
+  }
 }

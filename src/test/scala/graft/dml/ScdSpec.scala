@@ -92,6 +92,20 @@ class ScdSpec extends SparkSpec {
       "restated current state must open no version and close nothing")
   }
 
+  test("scd2Apply: a late-arriving delta fails loudly instead of corrupting history") {
+    val base = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
+    // key 1's current version opens after 2026-01-01; a delta BEFORE it
+    // violates the no-late-arrival contract -> raise, never a negative
+    // interval over closed history
+    val late = Seq((1L, ts("2020-01-01 00:00:00"), 99L, "zzz"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val boom = intercept[Exception] {
+      Scd.scd2Apply(base, late, "user_id", "ts", "tier", Seq("event_id")).collect()
+    }
+    assert(boom.getMessage.contains("predates the current version"),
+      s"expected the late-arrival guard, got: ${boom.getMessage}")
+  }
+
   test("pointInTimeJoin: zero-length [t,t) versions never swallow facts (tie-safe as-of)") {
     // two surviving changes at ONE timestamp produce a legal zero-length
     // version 1 [t,t) and an open version 2 [t,∞); a fact at exactly t (and

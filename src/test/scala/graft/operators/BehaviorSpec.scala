@@ -99,6 +99,18 @@ class BehaviorSpec extends SparkSpec {
       s"overlapping coverage of one user must count once, got ${out.toSeq}")
   }
 
+  test("rollingDistinctUsers: pre-epoch events fail loudly, never undercount") {
+    val ev = Seq(
+      (1L, ts("2023-12-30 10:00:00")), // before the declared epoch
+      (2L, ts("2024-01-05 10:00:00"))
+    ).toDF("user_id", "ts")
+    val boom = intercept[Exception] {
+      Behavior.rollingDistinctUsers(ev, "user_id", "ts", "2024-01-01", 7).collect()
+    }
+    assert(boom.getMessage.contains("predate epochStart"),
+      s"expected the pre-epoch guard, got: ${boom.getMessage}")
+  }
+
   test("retentionMatrix: repeat activity in one period counts a user once") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),
