@@ -231,6 +231,8 @@ object SparkEntry {
     "q211_interval_overlap_join" -> (Pipeline.stateSessionOverlap _),
     "q212_feature_scaling" -> (Pipeline.featureScaling _),
     "q213_snapshot_diff" -> (Pipeline.dimensionSnapshotDiff _),
+    "q214_image_resize" -> (Pipeline.imageResizeStats _),
+    "q215_funnel_latency" -> (Pipeline.funnelLatency _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2051,6 +2053,55 @@ object SparkEntry {
         |       ELSE 'UNCHANGED' END AS op
         |FROM b FULL JOIN a ON b.user_id = a.user_id
         |ORDER BY 1""".stripMargin),
+    // real resize chain: the oracle names every resized pixel via the SAME
+    // integer-division sampling formula (srcX = x'*w // 8) and sums channels
+    // arithmetically -- a hash match proves decode -> resample -> encode ->
+    // decode returned every pixel exactly
+    "q214_image_resize" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (SELECT d, 8 + d % 9 AS w, 8 + d % 7 AS h FROM ids),
+        |px AS (
+        |  SELECT d,
+        |    flatten(list_transform(generate_series(0, 7), y2 ->
+        |      list_transform(generate_series(0, 7), x2 ->
+        |        [(d + (x2 * w) // 8 + (y2 * h) // 8) % 256,
+        |         (2 * d + 3 * ((x2 * w) // 8) + 5 * ((y2 * h) // 8)) % 256,
+        |         (7 * d + 11 * ((x2 * w) // 8) + 13 * ((y2 * h) // 8)) % 256]))) AS ps
+        |  FROM dims)
+        |SELECT d AS media_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(ps, p -> p[1])) AS BIGINT) AS r_sum,
+        |  CAST(list_sum(list_transform(ps, p -> p[2])) AS BIGINT) AS g_sum,
+        |  CAST(list_sum(list_transform(ps, p -> p[3])) AS BIGINT) AS b_sum
+        |FROM px ORDER BY media_id""".stripMargin,
+    // funnel latency: same chained reach CTEs as q201; exact integer-us
+    // deltas, dyadic quartiles (exact 0.25-multiples on integers)
+    "q215_funnel_latency" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.u
+        |  WHERE e.event_type = 'view' AND e.ts >= s0.t GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+        |lat AS (
+        |  SELECT epoch_us(s3.t) - epoch_us(s0.t) AS us_to_convert
+        |  FROM s3 JOIN s0 ON s3.u = s0.u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(us_to_convert) AS min_us,
+        |  quantile_cont(us_to_convert, 0.25) AS q1_us,
+        |  quantile_cont(us_to_convert, 0.5) AS med_us,
+        |  quantile_cont(us_to_convert, 0.75) AS q3_us,
+        |  max(us_to_convert) AS max_us
+        |FROM lat""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

@@ -90,6 +90,53 @@ object Multimodal {
     digest ++ s"${w}x$h".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** REAL nearest-neighbor resize: decode with `javax.imageio`, resample
+    * with the sampling arithmetic PINNED to integer division
+    * (`srcX = x'·w div w'` — floor semantics, no float rounding mode to
+    * disagree on), re-encode PNG. Pinning the formula is what makes the
+    * whole decode → transform → encode → decode chain ORACLE-PREDICTABLE:
+    * an arithmetic oracle can name every output pixel without running any
+    * codec. None when the bytes are not a decodable image.
+    */
+  def resizeNearest(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      Some(encodePng(w2, h2, (x2, y2) => {
+        val rgb = img.getRGB(x2 * w / w2, y2 * h / h2)
+        ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      }))
+    }
+  }
+
+  /** [[resizeImages]] with the REAL codec path ([[resizeNearest]]):
+    * image rows are decoded, resampled, and re-encoded per partition (one
+    * codec context per partition); undecodable image bytes yield a null
+    * content instead of failing the partition. Non-image rows pass
+    * through untouched.
+    */
+  def resizeImagesReal(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .select("media_id", "media_type", "content", "mime_type", "source_uri")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mtype = r.getString(1)
+          if (mtype != "image") Row(r.getLong(0), mtype, r.get(2), r.get(3), r.get(4))
+          else {
+            val resized = Option(r.getAs[Array[Byte]](2))
+              .flatMap(resizeNearest(_, w, h)).orNull
+            val uri = Option(r.getString(4)).map(_ + s"?resized=${w}x$h").orNull
+            Row(r.getLong(0), mtype, resized, r.get(3), uri)
+          }
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
   /** Resize every image row to `w`×`h` (non-image rows pass through
     * untouched). Same `mediaSchema` out as in — resize composes with any
     * other media stage.

@@ -42,22 +42,7 @@ object Behavior {
       tsCol: String,
       typeCol: String,
       steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct == steps, "funnel steps must be distinct event types")
-    val w = Window.partitionBy(col(userCol))
-    var df = events
-      .where(col(typeCol).isin(steps: _*))
-      .select(col(userCol), col(tsCol), col(typeCol))
-    steps.zipWithIndex.foreach { case (st, i) =>
-      val cond =
-        if (i == 0) col(typeCol) === st
-        else col(typeCol) === st && col(tsCol) >= col(s"_s${i - 1}")
-      df = df.withColumn(s"_s$i", min(when(cond, col(tsCol))).over(w))
-    }
-    val perUser = df.groupBy(col(userCol))
-      .agg(
-        min(col("_s0")).as("_s0"),
-        steps.indices.tail.map(i => min(col(s"_s$i")).as(s"_s$i")): _*)
+    val perUser = funnelUserTimes(events, userCol, tsCol, typeCol, steps)
     val counts = perUser.select(
       steps.indices.map(i =>
         sum(when(col(s"_s$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i")): _*)
@@ -76,6 +61,36 @@ object Behavior {
         col("_s.step_name").as("step_name"),
         col("_s.n_users").as("n_users"),
         (col("_s.n_users") / col("_n0")).as("pct_of_first"))
+  }
+
+  /** The per-user step-reach frame behind [[funnel]] — one row per user
+    * with columns `_s0.._s{k-1}`: the timestamp the user reached each step
+    * (null = never). Exposed so downstream latency/attribution analyses
+    * reuse the same reach semantics the counts certify. Same one-shuffle
+    * chained-window shape.
+    */
+  def funnelUserTimes(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct event types")
+    val w = Window.partitionBy(col(userCol))
+    var df = events
+      .where(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(tsCol), col(typeCol))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val cond =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tsCol) >= col(s"_s${i - 1}")
+      df = df.withColumn(s"_s$i", min(when(cond, col(tsCol))).over(w))
+    }
+    df.groupBy(col(userCol))
+      .agg(
+        min(col("_s0")).as("_s0"),
+        steps.indices.tail.map(i => min(col(s"_s$i")).as(s"_s$i")): _*)
   }
 
   /** Cohort retention matrix: users are cohorted by the period of their

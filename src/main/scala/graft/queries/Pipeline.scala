@@ -791,6 +791,29 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** q214 — REAL image resize
+    * ([[graft.multimodal.Multimodal.resizeNearest]]): the full
+    * decode → nearest-neighbor resample → PNG re-encode → decode chain
+    * over the q199 fixture images, every stage a real `javax.imageio`
+    * codec call — and still hash-certified, because the sampling
+    * arithmetic is pinned to integer division (`srcX = x'·w div 8`), so
+    * the oracle predicts every resized pixel (and therefore the
+    * per-channel sums of the 8×8 outputs) arithmetically from doc_id
+    * without touching a codec. Width 8..16 → 8 and height 8..14 → 8
+    * cover down-, up-, and identity sampling in one run. All map-side;
+    * blobs never shuffle.
+    */
+  def imageResizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.imagePixelStats(
+        Multimodal.resizeImagesReal(
+          Multimodal.pngMediaFromDocuments(Tables(spark, dir).documents), 8, 8))
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("r_sum"), col("g_sum"), col("b_sum"))
+      .orderBy("media_id")
+  }
+
   // ---------------------------------------------------------------- vectors
 
   /** The q39/q83/q92 deterministic centroid seed: vectors 1..4 collected as
@@ -3038,6 +3061,33 @@ object Pipeline {
       Tables(spark, dir).events, "user_id", "ts",
       epochStart = "2024-01-01", windowDays = 7)
       .orderBy("day")
+
+  /** q215 — funnel conversion latency
+    * ([[graft.operators.Behavior.funnelUserTimes]]): for every user who
+    * COMPLETED q201's signup→view→click→purchase funnel, the exact
+    * integer-µs time from first signup to the converting purchase, then
+    * count / min / exact dyadic quartiles / max — the "how fast do they
+    * convert" question the step counts can't answer, sharing the exact
+    * reach semantics q201 certifies (same operator core). Quartiles on
+    * integer µs interpolate at exact 0.25-multiples (the q87/q189
+    * discipline), so the doubles hash-match. The latency frame is
+    * user-dimension-sized; the final aggregate is one row.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val times = Behavior.funnelUserTimes(
+      Tables(spark, dir).events, "user_id", "ts", "event_type",
+      steps = Seq("signup", "view", "click", "purchase"))
+    times.where(col("_s3").isNotNull)
+      .select((unix_micros(col("_s3")) - unix_micros(col("_s0")))
+        .as("us_to_convert"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        min(col("us_to_convert")).as("min_us"),
+        percentile(col("us_to_convert"), lit(0.25)).as("q1_us"),
+        percentile(col("us_to_convert"), lit(0.5)).as("med_us"),
+        percentile(col("us_to_convert"), lit(0.75)).as("q3_us"),
+        max(col("us_to_convert")).as("max_us"))
+  }
 
   /** q208 — exact Mann–Whitney rank-sum (U) statistic comparing the
     * purchase vs click value distributions, ALL-INTEGER: tie-averaged
