@@ -233,6 +233,7 @@ object SparkEntry {
     "q213_snapshot_diff" -> (Pipeline.dimensionSnapshotDiff _),
     "q214_image_resize" -> (Pipeline.imageResizeStats _),
     "q215_funnel_latency" -> (Pipeline.funnelLatency _),
+    "q216_skyline" -> (Pipeline.priceQuantitySkyline _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2102,6 +2103,26 @@ object SparkEntry {
         |  quantile_cont(us_to_convert, 0.75) AS q3_us,
         |  max(us_to_convert) AS max_us
         |FROM lat""".stripMargin,
+    // skyline: same dominance algebra recomputed independently (per-x min,
+    // suffix-min over quantity DESC, strict frontier test); all-integer
+    "q216_skyline" ->
+      """WITH p AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT qty, price_cents, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM p GROUP BY 1, 2),
+        |perx AS (SELECT qty, min(price_cents) AS miny FROM pairs GROUP BY 1),
+        |f AS (
+        |  SELECT qty, miny,
+        |    min(miny) OVER (ORDER BY qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_right
+        |  FROM perx)
+        |SELECT pairs.qty AS qty, pairs.price_cents, pairs.n_rows
+        |FROM pairs JOIN f ON pairs.qty = f.qty AND pairs.price_cents = f.miny
+        |WHERE best_right IS NULL OR f.miny < best_right
+        |ORDER BY 1""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

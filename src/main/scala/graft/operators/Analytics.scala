@@ -408,6 +408,40 @@ object Analytics {
       .drop("_mn", "_mx", "_q1", "_med", "_q3")
   }
 
+  /** 2-D skyline (Pareto frontier): the distinct `(x, y)` pairs not
+    * DOMINATED by any other — `(x', y')` dominates `(x, y)` when
+    * `x' ≥ x ∧ y' ≤ y` with at least one strict (maximize `x`, minimize
+    * `y`). The classic OLAP operator Spark has no native form of,
+    * decomposed so nothing fact-sized sorts: one map-side-combined
+    * `min(y)` per distinct `x`, a suffix-min over the x-DIMENSION
+    * (`x` must be low-cardinality — qty levels, ratings, tiers; the
+    * global ordered pass is |distinct x| rows, and the scaladoc contract
+    * is the same dimension-bounded caveat as every global window here),
+    * then the frontier test is a broadcast join + map-side filter on the
+    * aggregated pair frame.
+    *
+    * A pair survives iff `y = min(y at x)` AND `y < min(y at any x' > x)`
+    * — strictly better than everything to the right, tied-or-equal pairs
+    * at the same x collapse to the distinct pair. Returns
+    * `(x, y, n_rows)` frontier points with their multiplicity.
+    */
+  def skyline2D(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val pairs = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n_rows"))
+    val perX = pairs.groupBy(col(xCol)).agg(min(col(yCol)).as("_miny"))
+    val wSuffix = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierX = perX
+      .withColumn("_best_right", min(col("_miny")).over(wSuffix))
+      .where(col("_best_right").isNull || col("_miny") < col("_best_right"))
+      .select(col(xCol), col("_miny"))
+    pairs.join(broadcast(frontierX), Seq(xCol))
+      .where(col(yCol) === col("_miny"))
+      .select(col(xCol), col(yCol), col("n_rows"))
+  }
+
   private def dedupOrdered(df: DataFrame, keys: Seq[Column], ordered: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(ordered: _*)
     df.withColumn("_rn", row_number().over(w))

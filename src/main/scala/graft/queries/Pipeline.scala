@@ -3089,6 +3089,23 @@ object Pipeline {
         max(col("us_to_convert")).as("max_us"))
   }
 
+  /** q216 — 2-D skyline ([[Analytics.skyline2D]]): the Pareto frontier of
+    * lineitems maximizing quantity while minimizing price — the classic
+    * "no other line ships more for less" OLAP operator Spark has no
+    * native form of. The frontier math runs entirely on the
+    * (qty, price) pair aggregate: min price per quantity level, one
+    * suffix-min pass over the 50-value QUANTITY DIMENSION, broadcast
+    * frontier filter — the fact table is scanned once and never sorted.
+    * All-integer dominance; frontier points carry their multiplicity.
+    */
+  def priceQuantitySkyline(spark: SparkSession, dir: String): DataFrame =
+    Analytics.skyline2D(
+      Tables(spark, dir).lineitem
+        .select(col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents")),
+      xCol = "qty", yCol = "price_cents")
+      .orderBy("qty")
+
   /** q208 — exact Mann–Whitney rank-sum (U) statistic comparing the
     * purchase vs click value distributions, ALL-INTEGER: tie-averaged
     * ranks are carried doubled (`2·avgrank = 2·(smaller+1) + ties − 1`,

@@ -275,6 +275,40 @@ class AnalyticsSpec extends SparkSpec {
       "zero range and zero IQR must scale to null, not Inf/NaN")
   }
 
+  test("skyline2D: hand-built frontier with ties, duplicates, and strict dominance") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // maximize x, minimize y. points:
+    //  (1,5)x2      frontier (nothing with x>=1 has y<=5 strictly better? (2,3) dominates: x 2>1, y 3<5 -> NO, dominated)
+    //  (2,3)        dominated by (3,3)? x 3>2, y 3<=3, one strict -> dominated
+    //  (3,3)        frontier? (4,4): y 4>3 no; (3,3) vs itself no; -> frontier
+    //  (3,7)        dominated by (3,3) (same x, smaller y)
+    //  (4,4)        frontier (max x among y<=4? (3,3) has smaller x -> no dominator with x>=4)
+    val df = Seq(
+      (1L, 5L), (1L, 5L), (2L, 3L), (3L, 3L), (3L, 7L), (4L, 4L)
+    ).toDF("x", "y")
+    val out = Analytics.skyline2D(df, "x", "y")
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 3L, 1L), (4L, 4L, 1L)),
+      s"frontier must be {(3,3),(4,4)} — equal-y right neighbors dominate " +
+        s"((2,3) falls to (3,3)), same-x worse points fall, got ${out.toSeq}")
+  }
+
+  test("skyline2D: duplicates of a frontier point carry their multiplicity") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val df = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)).toDF("x", "y")
+    val out = Analytics.skyline2D(df, "x", "y")
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 1L, 1L)),
+      s"(1,2) is dominated by (2,1) on both axes, got ${out.toSeq}")
+    val df2 = Seq((1L, 1L), (1L, 1L), (2L, 2L)).toDF("x", "y")
+    val out2 = Analytics.skyline2D(df2, "x", "y")
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 1L)),
+      s"incomparable points both survive; multiplicity rides along, got ${out2.toSeq}")
+  }
+
   test("groupedOrderedRank equals the per-group window rank at any bucket count") {
     import spark.implicits._
     import graft.operators.Analytics
