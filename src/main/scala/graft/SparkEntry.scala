@@ -234,6 +234,7 @@ object SparkEntry {
     "q214_image_resize" -> (Pipeline.imageResizeStats _),
     "q215_funnel_latency" -> (Pipeline.funnelLatency _),
     "q216_skyline" -> (Pipeline.priceQuantitySkyline _),
+    "q217_penny_proration" -> (Pipeline.pennyProration _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2123,6 +2124,35 @@ object SparkEntry {
         |FROM pairs JOIN f ON pairs.qty = f.qty AND pairs.price_cents = f.miny
         |WHERE best_right IS NULL OR f.miny < best_right
         |ORDER BY 1""".stripMargin,
+    // largest-remainder proration: identical integer div/mod algebra and
+    // the same (remainder desc, linenumber) penny ranking on both engines
+    "q217_penny_proration" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS target
+        |  FROM orders),
+        |j AS (
+        |  SELECT l_orderkey, l_linenumber, qty, target,
+        |    SUM(qty) OVER (PARTITION BY l_orderkey) AS sumqty
+        |  FROM li JOIN o ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (target * qty) // sumqty AS base,
+        |    (target * qty) % sumqty AS rem,
+        |    target - SUM((target * qty) // sumqty)
+        |      OVER (PARTITION BY l_orderkey) AS leftover
+        |  FROM j),
+        |r AS (
+        |  SELECT l_orderkey, l_linenumber, base, leftover,
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber) AS BIGINT) AS rn
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber,
+        |  base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS alloc_cents
+        |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

@@ -3106,6 +3106,43 @@ object Pipeline {
       xCol = "qty", yCol = "price_cents")
       .orderBy("qty")
 
+  /** q217 — penny-exact PRORATION (largest-remainder / Hamilton
+    * apportionment): each order's total allocated across its lineitems
+    * proportional to quantity, in integer cents that sum EXACTLY to the
+    * order total — the allocation problem every financial rollup hits
+    * (floor division under-allocates; naive rounding over- or
+    * under-shoots; float shares don't reconcile at all). Base share
+    * `target·qty div Σqty` per line, then the leftover
+    * `target − Σbase < n_lines` pennies go to the largest remainders
+    * (`target·qty mod Σqty` desc, line number pinning ties). Every
+    * window partitions by the high-cardinality order key — one order-key
+    * shuffle, all arithmetic BIGINT, reconciliation certified by the
+    * hash match itself.
+    */
+  def pennyProration(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+    val ord = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("_target"))
+    val wOrd = Window.partitionBy(col("l_orderkey"))
+    val wRank = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("_rem").desc, col("l_linenumber").asc)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("_sumqty", sum(col("qty")).over(wOrd))
+      .withColumn("_base", expr("(_target * qty) div _sumqty"))
+      .withColumn("_rem", expr("(_target * qty) % _sumqty"))
+      .withColumn("_leftover", col("_target") - sum(col("_base")).over(wOrd))
+      .withColumn("_rn", row_number().over(wRank).cast("long"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("_base") +
+          when(col("_rn") <= col("_leftover"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** q208 — exact Mann–Whitney rank-sum (U) statistic comparing the
     * purchase vs click value distributions, ALL-INTEGER: tie-averaged
     * ranks are carried doubled (`2·avgrank = 2·(smaller+1) + ties − 1`,
