@@ -2128,8 +2128,9 @@ object SparkEntry {
     // the same (remainder desc, linenumber) penny ranking on both engines
     "q217_penny_proration" ->
       """WITH li AS (
-        |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
-        |  FROM lineitem),
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
         |o AS (
         |  SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS target

@@ -3114,15 +3114,20 @@ object Pipeline {
     * under-shoots; float shares don't reconcile at all). Base share
     * `target·qty div Σqty` per line, then the leftover
     * `target − Σbase < n_lines` pennies go to the largest remainders
-    * (`target·qty mod Σqty` desc, line number pinning ties). Every
-    * window partitions by the high-cardinality order key — one order-key
-    * shuffle, all arithmetic BIGINT, reconciliation certified by the
-    * hash match itself.
+    * (`target·qty mod Σqty` desc, line number pinning ties). The
+    * allocation unit is the (order, line number) pair — quantities
+    * pre-aggregate per line, which both defines the business grain AND
+    * makes the penny ranking a TOTAL order (the scaled fixture carries
+    * duplicate line numbers within an order; without the pre-aggregate
+    * the tie-break is incomplete and the penny lands nondeterministically
+    * — caught at sf1, 9,735/6M rows). Every window partitions by the
+    * high-cardinality order key — one order-key shuffle, all arithmetic
+    * BIGINT, reconciliation certified by the hash match itself.
     */
   def pennyProration(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
     val ord = Tables(spark, dir).orders
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100, 0).cast("long").as("_target"))
