@@ -235,6 +235,8 @@ object SparkEntry {
     "q215_funnel_latency" -> (Pipeline.funnelLatency _),
     "q216_skyline" -> (Pipeline.priceQuantitySkyline _),
     "q217_penny_proration" -> (Pipeline.pennyProration _),
+    "q218_weighted_median" -> (Pipeline.weightedMedianPrice _),
+    "q219_revenue_gini" -> (Pipeline.revenueGini _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2154,6 +2156,48 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber,
         |  base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS alloc_cents
         |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // weighted median: per-(flag, price) weight aggregate, per-flag
+    // cumulative weights, min price with 2*cum >= total -- all integer
+    "q218_weighted_median" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, price_cents, w,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+        |  FROM p)
+        |SELECT l_returnflag, max(total) AS total_qty,
+        |  min(price_cents) AS weighted_median_cents
+        |FROM c WHERE cum * 2 >= total GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact Gini: ranks tie-pinned by custkey; numerator/denominator in
+    // HUGEINT, parsed to double via the q187 VARCHAR convention
+    "q219_revenue_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c_mktsegment, c_custkey, rev
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, rev,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY rev, c_custkey) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM j),
+        |a AS (
+        |  SELECT c_mktsegment, max(n) AS n_customers,
+        |    SUM(CAST(rev AS HUGEINT)) AS sx,
+        |    SUM(CAST(i * rev AS HUGEINT)) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n_customers,
+        |  CAST(CAST(2 * six - (n_customers + 1) * sx AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(CAST(n_customers AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS gini
+        |FROM a ORDER BY 1""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

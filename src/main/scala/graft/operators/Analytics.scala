@@ -320,6 +320,50 @@ object Analytics {
       .drop("_bucket", "_offset")
   }
 
+  /** Per-GROUP ordered running sum — [[orderedPrefixSum]] with a
+    * low-cardinality group dimension, the same two-level ranged shape as
+    * [[groupedOrderedRank]]: range-partition on (group ++ sort) pins
+    * contiguous buckets (eager persist → one sampled boundary set),
+    * per-(group, bucket) subtotals aggregate in parallel, a tiny window
+    * over ≤|groups|·`buckets` rows yields each bucket's per-group
+    * starting offset and the group total, and the in-bucket cumulative
+    * window sees ~1/`buckets` of the frame. `sortCols` must totally
+    * order within each group for boundary-invariant cums.
+    *
+    * Returns `df ++ (cumCol: running sum within group, totalCol: group
+    * total)`.
+    */
+  def groupedOrderedPrefixSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: String,
+      cumCol: String,
+      totalCol: String,
+      buckets: Int = 64): DataFrame = {
+    val gc = groupCols.map(col)
+    val ranged = graft.core.Caching.eager(
+      df.repartitionByRange(buckets, gc ++ sortCols: _*)
+        .withColumn("_bucket", spark_partition_id().cast("long")))
+    val wOff = Window.partitionBy(gc: _*).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = ranged
+      .groupBy(gc :+ col("_bucket"): _*)
+      .agg(sum(col(valueCol)).as("_bt"))
+      .select(gc ++ Seq(
+        col("_bucket"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_offset"),
+        sum(col("_bt")).over(wTot).as(totalCol)): _*)
+    val wIn = Window.partitionBy(gc :+ col("_bucket"): _*).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsets), groupCols :+ "_bucket")
+      .withColumn(cumCol, sum(col(valueCol)).over(wIn) + col("_offset"))
+      .drop("_bucket", "_offset")
+  }
+
   /** Per-group ordered rank + group size WITHOUT sorting any fact-sized
     * frame under a low-cardinality window: the scalable form of
     * `row_number() OVER (PARTITION BY g ORDER BY …)` when `g` has few

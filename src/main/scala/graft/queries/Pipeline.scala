@@ -3148,6 +3148,74 @@ object Pipeline {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** q218 — exact WEIGHTED median ([[Analytics.groupedOrderedPrefixSum]]):
+    * per return flag, the smallest price whose cumulative QUANTITY weight
+    * reaches half the total — the weighted percentile Spark has no native
+    * form of, computed without sorting anything fact-sized: weights
+    * pre-aggregate per (flag, price), the cumulative pass is the
+    * two-level ranged prefix sum over that value-dimension frame, and
+    * the median pick is `min(price) where 2·cum ≥ total` — integer
+    * cross-multiplication, no halves, no interpolation to pin.
+    */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    Analytics.groupedOrderedPrefixSum(
+      pairs, groupCols = Seq("l_returnflag"),
+      sortCols = Seq(col("price_cents").asc),
+      valueCol = "w", cumCol = "cum_w", totalCol = "total_qty", buckets = 32)
+      .where(col("cum_w") * 2 >= col("total_qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("total_qty")).as("total_qty"),
+        min(col("price_cents")).as("weighted_median_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q219 — exact Gini coefficient of customer revenue per market
+    * segment: `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` over revenues ranked
+    * ascending (ties pinned by custkey) — numerator and denominator
+    * assembled in EXACT decimal(38,0) (Σ i·xᵢ overflows BIGINT at scale)
+    * and parsed to double through the q187 VARCHAR convention, so the one
+    * terminal division is bit-identical across engines. Ranks come from
+    * [[Analytics.groupedOrderedRank]] (5-segment dimension — the
+    * two-level pass, no fact-sized segment sort); revenue is the exact
+    * cents sum per ordering customer.
+    */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = Analytics.groupedOrderedRank(
+      rev.select(col("c_mktsegment"), col("c_custkey"), col("rev")),
+      groupCols = Seq("c_mktsegment"),
+      sortCols = Seq(col("rev").asc, col("c_custkey").asc),
+      rankCol = "i", countCol = "n", buckets = 32)
+    ranked
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max(col("n")).as("n_customers"),
+        sum(col("rev").cast(d38)).as("_sx"),
+        sum((col("i") * col("rev")).cast(d38)).as("_six"))
+      .select(
+        col("c_mktsegment"),
+        col("n_customers"),
+        (
+          (lit(2).cast(d38) * col("_six") -
+            (col("n_customers") + 1).cast(d38) * col("_sx"))
+            .cast("string").cast("double") /
+          (col("n_customers").cast(d38) * col("_sx"))
+            .cast("string").cast("double")
+        ).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
   /** q208 — exact Mann–Whitney rank-sum (U) statistic comparing the
     * purchase vs click value distributions, ALL-INTEGER: tie-averaged
     * ranks are carried doubled (`2·avgrank = 2·(smaller+1) + ties − 1`,

@@ -275,6 +275,27 @@ class AnalyticsSpec extends SparkSpec {
       "zero range and zero IQR must scale to null, not Inf/NaN")
   }
 
+  test("groupedOrderedPrefixSum equals the per-group window cumsum at any bucket count") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 300L).map(i => (i, s"g${i % 4}", (i * 13) % 23)).toDF("id", "g", "w")
+    val wCum = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+    val naive = df
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    for (buckets <- Seq(1, 5, 32)) {
+      val two = Analytics.groupedOrderedPrefixSum(
+          df, Seq("g"), Seq(col("id").asc), "w", "cum", "tot", buckets)
+        .select("id", "cum", "tot")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(two == naive, s"bucket count $buckets must not change any (cum, tot)")
+    }
+  }
+
   test("skyline2D: hand-built frontier with ties, duplicates, and strict dominance") {
     import spark.implicits._
     import graft.operators.Analytics
