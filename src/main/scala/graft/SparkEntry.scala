@@ -237,6 +237,7 @@ object SparkEntry {
     "q217_penny_proration" -> (Pipeline.pennyProration _),
     "q218_weighted_median" -> (Pipeline.weightedMedianPrice _),
     "q219_revenue_gini" -> (Pipeline.revenueGini _),
+    "q220_rank_shift" -> (Pipeline.rankShiftReport _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2198,6 +2199,25 @@ object SparkEntry {
         |  CAST(CAST(2 * six - (n_customers + 1) * sx AS VARCHAR) AS DOUBLE) /
         |    CAST(CAST(CAST(n_customers AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS gini
         |FROM a ORDER BY 1""".stripMargin,
+    // rank shift: identical per-year exact-revenue ranks (ties pinned by
+    // custkey), inner join across years, top-20 climbers
+    "q220_rank_shift" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT yr, o_custkey,
+        |    CAST(row_number() OVER (PARTITION BY yr
+        |      ORDER BY rev DESC, o_custkey) AS BIGINT) AS rnk
+        |  FROM rev)
+        |SELECT a.o_custkey, a.rnk AS rank_1996, b.rnk AS rank_1997,
+        |  a.rnk - b.rnk AS rank_gain
+        |FROM r a JOIN r b ON a.o_custkey = b.o_custkey
+        |WHERE a.yr = 1996 AND b.yr = 1997
+        |ORDER BY rank_gain DESC, a.o_custkey LIMIT 20""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

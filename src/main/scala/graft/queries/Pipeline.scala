@@ -3216,6 +3216,37 @@ object Pipeline {
       .orderBy("c_mktsegment")
   }
 
+  /** q220 — year-over-year RANK SHIFT: customers ranked by exact revenue
+    * within 1996 and 1997 (dense ranks would hide ties; row_number ties
+    * pinned by custkey), inner-joined across the years, biggest climbers
+    * first — the "most improved" leaderboard BI loves, with every rank
+    * and delta an exact integer. Ranks per year ride
+    * [[Analytics.groupedOrderedRank]] (2-value year dimension over the
+    * customer-aggregate frame — the two-level pass, honest at a 10⁸
+    * customer dimension); top-20 by (delta desc, custkey) is a bounded
+    * TakeOrdered.
+    */
+  def rankShiftReport(spark: SparkSession, dir: String): DataFrame = {
+    val byYear = Tables(spark, dir).orders
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+    val ranked = Analytics.groupedOrderedRank(
+      byYear, groupCols = Seq("yr"),
+      sortCols = Seq(col("rev").desc, col("o_custkey").asc),
+      rankCol = "rnk", countCol = "n", buckets = 32)
+    val r96 = ranked.where(col("yr") === 1996)
+      .select(col("o_custkey"), col("rnk").as("rank_1996"))
+    val r97 = ranked.where(col("yr") === 1997)
+      .select(col("o_custkey"), col("rnk").as("rank_1997"))
+    r96.join(r97, "o_custkey")
+      .select(col("o_custkey"), col("rank_1996"), col("rank_1997"),
+        (col("rank_1996") - col("rank_1997")).as("rank_gain"))
+      .orderBy(col("rank_gain").desc, col("o_custkey").asc)
+      .limit(20)
+  }
+
   /** q208 — exact Mann–Whitney rank-sum (U) statistic comparing the
     * purchase vs click value distributions, ALL-INTEGER: tie-averaged
     * ranks are carried doubled (`2·avgrank = 2·(smaller+1) + ties − 1`,
