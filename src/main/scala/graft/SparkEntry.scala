@@ -1804,22 +1804,8 @@ object SparkEntry {
     // ordered funnel: chained earliest-at-or-after CTEs; pct is a terminal
     // BIGINT/BIGINT double division on both engines
     "q201_funnel" ->
-      """WITH s0 AS (
-        |  SELECT user_id AS u, min(ts) AS t FROM events
-        |  WHERE event_type = 'signup' GROUP BY 1),
-        |s1 AS (
-        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-        |  JOIN s0 ON e.user_id = s0.u
-        |  WHERE e.event_type = 'view' AND e.ts >= s0.t GROUP BY 1),
-        |s2 AS (
-        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-        |  JOIN s1 ON e.user_id = s1.u
-        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
-        |s3 AS (
-        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-        |  JOIN s2 ON e.user_id = s2.u
-        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
-        |n AS (SELECT
+      ("WITH " + funnelReachCtes + ",\n" +
+      """n AS (SELECT
         |  (SELECT count(*) FROM s0) AS n0, (SELECT count(*) FROM s1) AS n1,
         |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
         |SELECT * FROM (
@@ -1831,7 +1817,7 @@ object SparkEntry {
         |    CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n
         |  UNION ALL SELECT CAST(4 AS BIGINT), 'purchase', n3,
         |    CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n)
-        |ORDER BY step_index""".stripMargin,
+        |ORDER BY step_index""".stripMargin),
     // exact distinct hash-matched; the HLL++ ±10% verdict is Spark-computed,
     // oracle-asserted TRUE (the q189/q197 convention)
     "q202_approx_distinct" ->
@@ -2067,14 +2053,14 @@ object SparkEntry {
         |dims AS (SELECT d, 8 + d % 9 AS w, 8 + d % 7 AS h FROM ids),
         |px AS (
         |  SELECT d,
-        |    flatten(list_transform(generate_series(0, 7), y2 ->
-        |      list_transform(generate_series(0, 7), x2 ->
-        |        [(d + (x2 * w) // 8 + (y2 * h) // 8) % 256,
-        |         (2 * d + 3 * ((x2 * w) // 8) + 5 * ((y2 * h) // 8)) % 256,
-        |         (7 * d + 11 * ((x2 * w) // 8) + 13 * ((y2 * h) // 8)) % 256]))) AS ps
+        |    flatten(list_transform(generate_series(0, 11), y2 ->
+        |      list_transform(generate_series(0, 11), x2 ->
+        |        [(d + (x2 * w) // 12 + (y2 * h) // 12) % 256,
+        |         (2 * d + 3 * ((x2 * w) // 12) + 5 * ((y2 * h) // 12)) % 256,
+        |         (7 * d + 11 * ((x2 * w) // 12) + 13 * ((y2 * h) // 12)) % 256]))) AS ps
         |  FROM dims)
         |SELECT d AS media_id,
-        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(12 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
         |  CAST(list_sum(list_transform(ps, p -> p[1])) AS BIGINT) AS r_sum,
         |  CAST(list_sum(list_transform(ps, p -> p[2])) AS BIGINT) AS g_sum,
         |  CAST(list_sum(list_transform(ps, p -> p[3])) AS BIGINT) AS b_sum
@@ -2082,22 +2068,8 @@ object SparkEntry {
     // funnel latency: same chained reach CTEs as q201; exact integer-us
     // deltas, dyadic quartiles (exact 0.25-multiples on integers)
     "q215_funnel_latency" ->
-      """WITH s0 AS (
-        |  SELECT user_id AS u, min(ts) AS t FROM events
-        |  WHERE event_type = 'signup' GROUP BY 1),
-        |s1 AS (
-        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-        |  JOIN s0 ON e.user_id = s0.u
-        |  WHERE e.event_type = 'view' AND e.ts >= s0.t GROUP BY 1),
-        |s2 AS (
-        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-        |  JOIN s1 ON e.user_id = s1.u
-        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
-        |s3 AS (
-        |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-        |  JOIN s2 ON e.user_id = s2.u
-        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
-        |lat AS (
+      ("WITH " + funnelReachCtes + ",\n" +
+      """lat AS (
         |  SELECT epoch_us(s3.t) - epoch_us(s0.t) AS us_to_convert
         |  FROM s3 JOIN s0 ON s3.u = s0.u)
         |SELECT CAST(count(*) AS BIGINT) AS n_converted,
@@ -2106,7 +2078,7 @@ object SparkEntry {
         |  quantile_cont(us_to_convert, 0.5) AS med_us,
         |  quantile_cont(us_to_convert, 0.75) AS q3_us,
         |  max(us_to_convert) AS max_us
-        |FROM lat""".stripMargin,
+        |FROM lat""".stripMargin),
     // skyline: same dominance algebra recomputed independently (per-x min,
     // suffix-min over quantity DESC, strict frontier test); all-integer
     "q216_skyline" ->
@@ -3803,6 +3775,29 @@ object SparkEntry {
       |FROM r$iterations r JOIN odeg o ON r.u = o.u
       |ORDER BY pr_rank""".stripMargin
   }
+
+  /** Shared q201/q215 funnel reach CTEs (s0..s3): the chained
+    * earliest-at-or-after step timestamps both the count certification and
+    * the latency certification build on — one copy, matching the shared
+    * Scala core (`Behavior.funnelUserTimes`), so the reach rule cannot
+    * drift between the two oracles.
+    */
+  private def funnelReachCtes: String =
+    """s0 AS (
+      |  SELECT user_id AS u, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s1 AS (
+      |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      |  JOIN s0 ON e.user_id = s0.u
+      |  WHERE e.event_type = 'view' AND e.ts >= s0.t GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.u
+      |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.u
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)""".stripMargin
 
   /** Shared SCD2 suppression CTE prefix (src → flt → v): the
     * no-op-suppressed change stream EVERY SCD2 oracle builds on; the

@@ -288,6 +288,17 @@ object Mutations {
     require(measureCols.nonEmpty, "foldAdditiveAggregate needs at least one measure column")
     val stateType = state.schema.fields.map(f => f.name -> f.dataType).toMap
     val merged = state.unionByName(deltaPartial.select(state.columns.map(col): _*))
+    // integral measures accumulate in decimal(38,0): a BIGINT sum() keeps
+    // the BIGINT type, so near Long.MaxValue it either wraps silently
+    // (ANSI off) or throws its own opaque error — widening first lets the
+    // guard below own the failure; decimals already widen in sum(),
+    // doubles have no overflow to guard
+    def wideSum(c: String) = stateType(c) match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      case _ => sum(col(c))
+    }
     // narrowing an overflowing running total would yield a silent NULL
     // under non-ANSI casts and destroy the persisted state — detect the
     // wide-sum-present/narrow-cast-null combination and fail loudly
@@ -303,8 +314,8 @@ object Mutations {
     merged
       .groupBy(keys.map(col): _*)
       .agg(
-        sum(col(measureCols.head)).as(measureCols.head),
-        measureCols.tail.map(c => sum(col(c)).as(c)): _*)
+        wideSum(measureCols.head).as(measureCols.head),
+        measureCols.tail.map(c => wideSum(c).as(c)): _*)
       .select(keys.map(col) ++ measureCols.map(narrowed): _*)
   }
 }

@@ -796,18 +796,21 @@ object Pipeline {
     * decode → nearest-neighbor resample → PNG re-encode → decode chain
     * over the q199 fixture images, every stage a real `javax.imageio`
     * codec call — and still hash-certified, because the sampling
-    * arithmetic is pinned to integer division (`srcX = x'·w div 8`), so
+    * arithmetic is pinned to integer division (`srcX = x'·w div 12`), so
     * the oracle predicts every resized pixel (and therefore the
-    * per-channel sums of the 8×8 outputs) arithmetically from doc_id
-    * without touching a codec. Width 8..16 → 8 and height 8..14 → 8
-    * cover down-, up-, and identity sampling in one run. All map-side;
-    * blobs never shuffle.
+    * per-channel sums of the 12×12 outputs) arithmetically from doc_id
+    * without touching a codec. The 12×12 target is load-bearing for
+    * coverage: widths 8..16 and heights 8..14 straddle it, so ONE run
+    * exercises down-sampling (w > 12: source pixels skipped), UP-sampling
+    * (w < 12: source pixels repeated), and identity (w = 12) — an 8×8
+    * target would never execute the repeat branch. All map-side; blobs
+    * never shuffle.
     */
   def imageResizeStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     Multimodal.imagePixelStats(
         Multimodal.resizeImagesReal(
-          Multimodal.pngMediaFromDocuments(Tables(spark, dir).documents), 8, 8))
+          Multimodal.pngMediaFromDocuments(Tables(spark, dir).documents), 12, 12))
       .select(col("media_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("r_sum"), col("g_sum"), col("b_sum"))
@@ -3176,8 +3179,9 @@ object Pipeline {
 
   /** q219 — exact Gini coefficient of customer revenue per market
     * segment: `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` over revenues ranked
-    * ascending (ties pinned by custkey) — numerator and denominator
-    * assembled in EXACT decimal(38,0) (Σ i·xᵢ overflows BIGINT at scale)
+    * ascending (ties pinned by custkey) — every product and sum in the
+    * numerator/denominator assembled in EXACT decimal(38,0) (both the
+    * per-term i·xᵢ and its sum overflow BIGINT at a 10⁸-customer scale)
     * and parsed to double through the q187 VARCHAR convention, so the one
     * terminal division is bit-identical across engines. Ranks come from
     * [[Analytics.groupedOrderedRank]] (5-segment dimension — the
@@ -3202,7 +3206,7 @@ object Pipeline {
       .agg(
         max(col("n")).as("n_customers"),
         sum(col("rev").cast(d38)).as("_sx"),
-        sum((col("i") * col("rev")).cast(d38)).as("_six"))
+        sum(col("i").cast(d38) * col("rev").cast(d38)).as("_six"))
       .select(
         col("c_mktsegment"),
         col("n_customers"),

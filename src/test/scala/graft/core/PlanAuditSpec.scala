@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, Sf0001).queryExecution.executedPlan
     }
+  private lazy val planByName = executedPlans.toMap
 
   test("no query plans a cartesian product or an unintended nested-loop join") {
     // q38 is the ONLY allowed nested-loop join in the contract: the exact
@@ -131,9 +132,7 @@ class PlanAuditSpec extends SparkSpec {
     // A window over `sig` would shuffle a degenerate mega-bucket's full
     // VECTORS into a single task's window buffer before the cap filter
     // drops them; the cap must come from an ids-only groupBy + semi-join.
-    val plan =
-      SparkEntry.queries("q67_embedding_neardup_lsh")(spark, Sf0001)
-        .queryExecution.executedPlan.toString
+    val plan = planByName("q67_embedding_neardup_lsh").toString
     assert(!plan.contains("Window"), s"q67 plans a Window over sig:\n$plan")
   }
 
@@ -149,9 +148,7 @@ class PlanAuditSpec extends SparkSpec {
       "q64_incremental_dedup", "q65_curation_pipeline", "q66_curation_funnel",
       "q84_winnowing_neardup", "q91_incremental_winnowing", "q95_incremental_simhash")
     val offenders = bucketQueries.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, Sf0001)
-        .queryExecution.executedPlan.toString
-      if (plan.contains("collect_list")) Some(name) else None
+      if (planByName(name).toString.contains("collect_list")) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"unbounded collect_list in bucket pipelines: ${offenders.mkString(", ")}")
