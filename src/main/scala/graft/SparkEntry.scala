@@ -238,6 +238,7 @@ object SparkEntry {
     "q218_weighted_median" -> (Pipeline.weightedMedianPrice _),
     "q219_revenue_gini" -> (Pipeline.revenueGini _),
     "q220_rank_shift" -> (Pipeline.rankShiftReport _),
+    "q221_cluster_labels" -> (Pipeline.clusterLabels _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2190,6 +2191,34 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.o_custkey = b.o_custkey
         |WHERE a.yr = 1996 AND b.yr = 1997
         |ORDER BY rank_gain DESC, a.o_custkey LIMIT 20""".stripMargin,
+    // c-TF-IDF cluster labels: exact BIGINT doc-frequency counts, ONE
+    // double division per lift, ties pinned by term; shares the q52
+    // cluster CTE chain verbatim
+    "q221_cluster_labels" ->
+      (dupClusterCtes +
+        """, lblt AS (
+          |  SELECT c.cluster_id, d.doc_id,
+          |    unnest(list_distinct(string_split(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'), ' '))) AS term
+          |  FROM documents d JOIN comp c USING (doc_id)),
+          |ct AS (SELECT cluster_id, term, CAST(count(*) AS BIGINT) AS n_ct
+          |       FROM lblt GROUP BY 1, 2),
+          |nt AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM lblt GROUP BY 1),
+          |nc AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_c FROM comp GROUP BY 1),
+          |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM comp),
+          |scored AS (
+          |  SELECT ct.cluster_id, ct.term, ct.n_ct,
+          |    CAST(ct.n_ct * n_total AS DOUBLE) /
+          |      CAST(nc.n_c * nt.n_t AS DOUBLE) AS lift
+          |  FROM ct JOIN nt USING (term) JOIN nc USING (cluster_id), ntot
+          |  WHERE ct.n_ct >= 2),
+          |r AS (
+          |  SELECT cluster_id, term, n_ct, lift,
+          |    CAST(row_number() OVER (PARTITION BY cluster_id
+          |      ORDER BY lift DESC, term) AS BIGINT) AS term_rank
+          |  FROM scored)
+          |SELECT cluster_id, term_rank, term, n_ct AS n_docs_with_term, lift
+          |FROM r WHERE term_rank <= 3
+          |ORDER BY cluster_id, term_rank""".stripMargin),
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

@@ -235,6 +235,50 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q221 — CLUSTER LABELING (c-TF-IDF style) over the q52 near-dup
+    * clusters: the top-3 most DISTINCTIVE terms per cluster by document-
+    * frequency lift — `(n_ct/n_c)/(n_t/N)`, how over-represented the term
+    * is in the cluster vs the clustered corpus — the "what IS this
+    * template family" explainability step a dedup rollout needs before
+    * anyone deletes a cluster. Exactness discipline: all four counts are
+    * exact BIGINTs, the lift is ONE double division of two integer
+    * products (deterministic on both engines), ranking ties pinned by
+    * term; terms must appear in ≥ 2 cluster docs (a single-doc term
+    * explains a document, not a family). Scale shape: term presence
+    * explodes from DISTINCT per-doc token sets (doc-bounded), the three
+    * count aggregates are map-side-combined, N attaches via the
+    * ScalarJoin constant-key broadcast, and the top-3 window partitions
+    * by the high-cardinality cluster id.
+    */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val pairs = Dedup.minhashNearDuplicates(d, "doc_id", "text",
+      numHashes = 16, numBands = 4, shingleN = 1, minJaccard = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val toks = d.join(clusters, "doc_id")
+      .select(col("cluster_id"), col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    val ct = toks.groupBy(col("cluster_id"), col("term"))
+      .agg(count(lit(1)).as("n_ct"))
+    val nt = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val nc = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_c"))
+    val bigN = clusters.agg(count(lit(1)).as("n_total"))
+    val scored = graft.core.ScalarJoin.withScalars(
+        ct.join(nt, "term").join(nc, "cluster_id"), bigN)
+      .where(col("n_ct") >= 2)
+      .withColumn("lift",
+        (col("n_ct") * col("n_total")).cast("double") /
+          (col("n_c") * col("n_t")).cast("double"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("lift").desc, col("term").asc)
+    scored
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .where(col("term_rank") <= 3)
+      .select(col("cluster_id"), col("term_rank"), col("term"),
+        col("n_ct").as("n_docs_with_term"), col("lift"))
+      .orderBy("cluster_id", "term_rank")
+  }
+
   /** q96 — dedup-savings report over the q52 clusters: per cluster size,
     * clusters / documents dropped / tokens saved by canonical-per-cluster
     * dedup — the ROI diagnostic behind a dedup rollout.
