@@ -239,6 +239,7 @@ object SparkEntry {
     "q219_revenue_gini" -> (Pipeline.revenueGini _),
     "q220_rank_shift" -> (Pipeline.rankShiftReport _),
     "q221_cluster_labels" -> (Pipeline.clusterLabels _),
+    "q222_activity_spikes" -> (Pipeline.activitySpikes _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2219,6 +2220,23 @@ object SparkEntry {
           |SELECT cluster_id, term_rank, term, n_ct AS n_docs_with_term, lift
           |FROM r WHERE term_rank <= 3
           |ORDER BY cluster_id, term_rank""".stripMargin),
+    // spike detection: 20*n > 3*sum7 cross-multiplied (no float ratio);
+    // RANGE frame over day values, partial trailing windows verdict null
+    "q222_activity_spikes" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, n_events,
+        |    CAST(SUM(n_events) OVER w AS BIGINT) AS sum7,
+        |    CAST(COUNT(n_events) OVER w AS BIGINT) AS n7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n_events,
+        |  CASE WHEN n7 = 7 THEN sum7 END AS trailing7_sum,
+        |  CASE WHEN n7 = 7 THEN n_events * 20 > sum7 * 3 END AS is_spike
+        |FROM t ORDER BY day""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

@@ -3295,6 +3295,39 @@ object Pipeline {
       .limit(20)
   }
 
+  /** q222 — activity SPIKE detection with an all-integer verdict: a day
+    * is a spike when its EVENT count exceeds the trailing 7-day average
+    * by more than 5% — tested as `20·n > 3·sum7`
+    * (`n > (21/20)·(sum7/7)` cross-multiplied), so no float ratio ever
+    * exists on either engine (the q176/q184 exact-verdict discipline
+    * applied to time-series monitoring). Event counts, not distinct
+    * users, are the discriminating series: every user is active every
+    * day in this corpus, so a user-count spike can never fire, while
+    * daily event counts swing ±8% and 3 of 23 full-window days fire at
+    * sf0.01 (probed — both verdicts populated). The trailing frame is a
+    * RANGE over day VALUES (calendar-honest: an empty day is absent,
+    * not skipped over), and a day with fewer than 7 trailing
+    * observations emits a null verdict instead of comparing against a
+    * partial window. The trailing window runs over the DAY DIMENSION
+    * (30 rows here, thousands at years of data).
+    */
+  def activitySpikes(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day")).rangeBetween(-7, -1)
+    daily
+      .withColumn("_sum7", sum(col("n_events")).over(w))
+      .withColumn("_n7", count(col("n_events")).over(w))
+      .select(
+        col("day"), col("n_events"),
+        when(col("_n7") === 7, col("_sum7")).as("trailing7_sum"),
+        when(col("_n7") === 7,
+          col("n_events") * 20 > col("_sum7") * 3).as("is_spike"))
+      .orderBy("day")
+  }
+
   /** q208 — exact Mann–Whitney rank-sum (U) statistic comparing the
     * purchase vs click value distributions, ALL-INTEGER: tie-averaged
     * ranks are carried doubled (`2·avgrank = 2·(smaller+1) + ties − 1`,
