@@ -3304,7 +3304,10 @@ object Pipeline {
     * users, are the discriminating series: every user is active every
     * day in this corpus, so a user-count spike can never fire, while
     * daily event counts swing ±8% and 3 of 23 full-window days fire at
-    * sf0.01 (probed — both verdicts populated). The trailing frame is a
+    * sf0.01 (probed — both verdicts populated). At sf1 NO day fires —
+    * Poisson noise shrinks ~√100× at 100× volume, honest behavior for a
+    * relative threshold (the verdict column still hash-matches; the
+    * sf0.01 gate is where the True branch is exercised). The trailing frame is a
     * RANGE over day VALUES (calendar-honest: an empty day is absent,
     * not skipped over), and a day with fewer than 7 trailing
     * observations emits a null verdict instead of comparing against a
