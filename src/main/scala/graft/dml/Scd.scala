@@ -83,7 +83,8 @@ object Scd {
     * stamps per load, reference medallion/bronze.py:106-114), and the
     * dimension twin of [[Mutations.foldAdditiveAggregate]]'s
     * fold ≡ rebuild algebra: `scd2Apply(scd2Build(old), new)` equals
-    * `scd2Build(old ∪ new)` EXACTLY (certified, q198).
+    * `scd2Build(old ∪ new)` EXACTLY for every delta that strictly
+    * postdates its key's current version (certified, q198).
     *
     * No-op suppression crosses the batch boundary: each key's CURRENT
     * version participates in the suppression window as a pseudo-change at
@@ -93,11 +94,17 @@ object Scd {
     * ordinals continue from the key's current maximum; keys new to the
     * dimension start at 1.
     *
-    * Contract: delta changes must not predate their key's current
-    * `effective_from` (ties are legal and tie-broken). A late-arriving
-    * change belongs in a rebuild — folding it in place would have to
-    * rewrite closed history, which is exactly what this operator promises
-    * not to touch.
+    * Contract: a delta that CHANGES a key already in the dimension must
+    * strictly postdate that key's current `effective_from`. Late arrivals
+    * belong in a rebuild — folding one in place would have to rewrite
+    * closed history, which is exactly what this operator promises not to
+    * touch. An EQUAL-timestamp delta that moves the attribute is rejected
+    * just as loudly: its position in a rebuild depends on the originating
+    * change's tie-break columns, which the dimension no longer carries, so
+    * exact rebuild-equality is unknowable — only a restatement (suppressed,
+    * so it changes nothing on either path) is legal at the tie. Same-ts
+    * delta rows among THEMSELVES still tie-break fine: both engines order
+    * them by `tieBreak`, which the delta does carry.
     *
     * Scale shape: one key-partitioned window pass over
     * (current versions ∪ delta) — both delta-day-sized at steady state,
@@ -154,16 +161,20 @@ object Scd {
     // zero-length when the delta moves the attribute at the same instant)
     val closeAt = newVers.groupBy(col(keyCol))
       .agg(min(col("effective_from")).as("_close_ts"))
-    // a delta that PREDATES its key's current version violates the
-    // documented contract (late arrivals belong in a rebuild) — the
-    // violation is visible right here for free, so fail loudly instead of
-    // persisting a negative interval over closed history
+    // a delta that does not STRICTLY postdate its key's current version
+    // violates the documented contract — the violation is visible right
+    // here for free, so fail loudly instead of persisting a negative
+    // interval over closed history (strictly earlier) or a version whose
+    // rebuild position is unknowable (equal ts: the originating change's
+    // tie-break is not in the dimension, so apply and rebuild could order
+    // the two changes differently). Suppressed equal-ts restatements never
+    // reach this guard — they open no version, so closeAt has no row.
     val closeTs = when(
-      col("is_current") && col("_close_ts") < col("effective_from"),
+      col("is_current") && col("_close_ts") <= col("effective_from"),
       raise_error(concat(
-        lit("scd2Apply: delta predates the current version for key "),
+        lit("scd2Apply: delta does not strictly postdate the current version for key "),
         col(keyCol).cast("string"),
-        lit(" (late arrival — rebuild instead)"))))
+        lit(" (late or tied arrival — rebuild instead)"))))
       .otherwise(col("_close_ts"))
     val updated = dim.join(closeAt, Seq(keyCol), "left")
       .select(

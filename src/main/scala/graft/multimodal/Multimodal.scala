@@ -114,8 +114,12 @@ object Multimodal {
   /** [[resizeImages]] with the REAL codec path ([[resizeNearest]]):
     * image rows are decoded, resampled, and re-encoded per partition (one
     * codec context per partition); undecodable image bytes yield a null
-    * content instead of failing the partition. Non-image rows pass
-    * through untouched.
+    * content AND a null mime_type instead of failing the partition.
+    * Non-image rows pass through untouched. The re-encode always emits
+    * PNG, so a successfully-resized row's `mime_type` becomes
+    * `image/png` whatever the input codec was — carrying the original
+    * mime over PNG bytes would be a metadata lie for any non-PNG input
+    * (the round-13 advice finding).
     */
   def resizeImagesReal(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
@@ -129,8 +133,9 @@ object Multimodal {
           else {
             val resized = Option(r.getAs[Array[Byte]](2))
               .flatMap(resizeNearest(_, w, h)).orNull
+            val mime = if (resized == null) null else "image/png"
             val uri = Option(r.getString(4)).map(_ + s"?resized=${w}x$h").orNull
-            Row(r.getLong(0), mtype, resized, r.get(3), uri)
+            Row(r.getLong(0), mtype, resized, mime, uri)
           }
         }
       }

@@ -123,7 +123,20 @@ object Graph {
       k: Int,
       maxIter: Int = 30): DataFrame = {
     require(k >= 1, "k must be positive")
-    val p = pairs.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    // the 'canonical pairs' contract is ENFORCED, not trusted: a self-loop
+    // or reversed pair raises loudly, and duplicate pairs are collapsed —
+    // either would silently double-count degrees and certify a too-large
+    // core, the one failure mode worse than throwing. Both checks are
+    // edge-bounded, one pass, next to nothing beside the peel loop.
+    val p = pairs
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .select(
+        when(col("a") >= col("b"), raise_error(concat(
+          lit("kCore: input must be canonical pairs (src < dst, no self-loops), got ("),
+          col("a").cast("string"), lit(", "), col("b").cast("string"), lit(")"))))
+          .otherwise(col("a")).as("a"),
+        col("b"))
+      .distinct()
     var e = p.select(col("a").as("u"), col("b").as("v"))
       .unionByName(p.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()

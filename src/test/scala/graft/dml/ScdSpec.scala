@@ -102,8 +102,40 @@ class ScdSpec extends SparkSpec {
     val boom = intercept[Exception] {
       Scd.scd2Apply(base, late, "user_id", "ts", "tier", Seq("event_id")).collect()
     }
-    assert(boom.getMessage.contains("predates the current version"),
+    assert(boom.getMessage.contains("strictly postdate the current version"),
       s"expected the late-arrival guard, got: ${boom.getMessage}")
+  }
+
+  test("scd2Apply: an equal-ts delta that MOVES the attribute fails loudly") {
+    // key 1's current version opens 2026-01-05; a delta at exactly that
+    // instant with a different attribute is ambiguous — its rebuild
+    // position depends on the originating change's tie-break, which the
+    // dimension no longer carries — so the guard rejects it instead of
+    // silently picking a side (the round-13 advice finding: with a
+    // strict-< guard, a tied delta whose event_id sorted BEFORE the
+    // originating change made apply != rebuild)
+    val base = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
+    val tied = Seq((1L, ts("2026-01-05 00:00:00"), 5L, "platinum"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val boom = intercept[Exception] {
+      Scd.scd2Apply(base, tied, "user_id", "ts", "tier", Seq("event_id")).collect()
+    }
+    assert(boom.getMessage.contains("strictly postdate the current version"),
+      s"expected the tied-arrival guard, got: ${boom.getMessage}")
+  }
+
+  test("scd2Apply: an equal-ts RESTATEMENT is still a legal no-op") {
+    // restating the current attribute at the current effective_from is
+    // suppressed on both the apply and rebuild paths, so it stays legal
+    // under the tightened guard (no version opens -> no close-out row ->
+    // the guard never sees it)
+    val base = Scd.scd2Build(changes, "user_id", "ts", "tier", Seq("event_id"))
+    val restate = Seq((1L, ts("2026-01-05 00:00:00"), 99L, "gold"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val applied = Scd.scd2Apply(base, restate, "user_id", "ts", "tier", Seq("event_id"))
+      .orderBy("user_id", "version").collect().toSeq
+    assert(applied == base.orderBy("user_id", "version").collect().toSeq,
+      "a tied restatement must change nothing")
   }
 
   test("pointInTimeJoin: zero-length [t,t) versions never swallow facts (tie-safe as-of)") {

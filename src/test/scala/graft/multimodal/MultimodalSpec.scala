@@ -44,8 +44,12 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(Multimodal.decodePng(out(1L).getAs[Array[Byte]](2)).get._1 == 4,
       "decodable images come back resized")
+    assert(out(1L).getString(3) == "image/png",
+      "re-encoded rows must carry the re-encode codec's mime, not the input's")
     assert(out(2L).isNullAt(2),
       "undecodable image bytes must yield null content, not fail the partition")
+    assert(out(2L).isNullAt(3),
+      "null content must not keep a mime_type claiming decodable bytes")
     assert(out(3L).getAs[Array[Byte]](2).toSeq == Seq[Byte](9, 9) &&
       out(3L).getString(4) == "s://c",
       "non-image rows pass through untouched (content and uri)")

@@ -107,4 +107,26 @@ class GraphSpec extends SparkSpec {
       Graph.kCore(pairs, "a", "b", k = 2, maxIter = 1).count()
     }
   }
+
+  test("kCore: the canonical-pairs contract is enforced, not trusted") {
+    // duplicate pairs collapse instead of double-counting degrees: with the
+    // duplicated edge counted twice, node 5 would have degree 2 and the
+    // triangle {3,4,5} plus the duplicate would survive a k=2 peel wrongly
+    // sized; collapsed, the 2-core is exactly the triangle with degree 2
+    val dup = Seq((3L, 4L), (3L, 4L), (3L, 5L), (4L, 5L), (1L, 5L))
+      .toDF("a", "b")
+    val core = Graph.kCore(dup, "a", "b", k = 2)
+      .orderBy($"node_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSeq == Seq((3L, 2L), (4L, 2L), (5L, 2L)),
+      s"duplicate pairs must collapse before degree counting, got ${core.toSeq}")
+    // a self-loop (or reversed pair) raises loudly — a silent
+    // double-counted degree is the failure mode the operator promises not
+    // to have
+    val loop = Seq((1L, 2L), (2L, 2L)).toDF("a", "b")
+    val boom = intercept[Exception] {
+      Graph.kCore(loop, "a", "b", k = 1).count()
+    }
+    assert(boom.getMessage.contains("canonical pairs"),
+      s"expected the canonical-pairs guard, got: ${boom.getMessage}")
+  }
 }
