@@ -2102,7 +2102,14 @@ object SparkEntry {
         |WHERE best_right IS NULL OR f.miny < best_right
         |ORDER BY 1""".stripMargin,
     // largest-remainder proration: identical integer div/mod algebra and
-    // the same (remainder desc, linenumber) penny ranking on both engines
+    // the same (remainder desc, linenumber) penny ranking on both engines.
+    // Integer division is PINNED rather than spelled `//`: base is
+    // (t*q - (t*q % s)) / s — the numerator is exactly divisible, both it
+    // and the quotient are far below 2^53, so the one float division is
+    // IEEE-exact and the BIGINT cast lossless on every DuckDB version;
+    // `//`'s flooring behavior never enters (round-13 advice: q217 was the
+    // one driver-red row, and `//` was the only engine-version-sensitive
+    // operator in its algebra)
     "q217_penny_proration" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber,
@@ -2118,9 +2125,9 @@ object SparkEntry {
         |  FROM li JOIN o ON l_orderkey = o_orderkey),
         |b AS (
         |  SELECT l_orderkey, l_linenumber,
-        |    (target * qty) // sumqty AS base,
+        |    CAST((target * qty - ((target * qty) % sumqty)) / sumqty AS BIGINT) AS base,
         |    (target * qty) % sumqty AS rem,
-        |    target - SUM((target * qty) // sumqty)
+        |    target - SUM(CAST((target * qty - ((target * qty) % sumqty)) / sumqty AS BIGINT))
         |      OVER (PARTITION BY l_orderkey) AS leftover
         |  FROM j),
         |r AS (

@@ -43,6 +43,37 @@ class EntrySpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("q217: penny rank is a total order and the result is partitioning-invariant") {
+    import graft.queries.Pipeline
+    // totality: the allocation grain (orderkey, linenumber) is unique after
+    // the business-grain pre-aggregate, so (rem desc, linenumber) strictly
+    // orders every order's lines — the sf1 lesson (duplicate line numbers
+    // made the penny land nondeterministically) pinned as an invariant
+    val res = Pipeline.pennyProration(spark, Sf0001)
+    val rows = res.collect().toSeq
+    val keys = res.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(keys == rows.length,
+      "the allocation grain must be unique — the penny rank is total only then")
+    // reconciliation: per-order pennies sum EXACTLY to the order total
+    val bad = res.groupBy("l_orderkey")
+      .agg(sum("alloc_cents").as("alloc"))
+      .join(spark.read.parquet(s"$Sf0001/orders.parquet")
+          .select(col("o_orderkey").as("l_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("target")),
+        Seq("l_orderkey"))
+      .where(col("alloc") =!= col("target")).count()
+    assert(bad == 0, "largest-remainder allocation must reconcile to the cent")
+    // determinism: the same result under a different shuffle partitioning —
+    // a hash flake under the driver's partitioning can only be engine-version
+    // skew, never plan nondeterminism
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val rows7 = Pipeline.pennyProration(spark, Sf0001).collect().toSeq
+      assert(rows7 == rows, "q217 must be bit-identical under any partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("streaming toBronze appends micro-batches exactly once via checkpoint") {
     import graft.streaming.EventStream
     val base = java.nio.file.Files.createTempDirectory("graft-tobronze")
