@@ -4020,6 +4020,47 @@ object SparkEntry {
 
   private def embSigCtesFrom(src: String): String = embSigCtesFromPlanes(src, 8)
 
+  /** [[embSigCtesFromPlanes]] with the plane count TUNED to the corpus the
+    * way [[graft.operators.Dedup.tunePlanes]] tunes it — `min p ∈ [2,53]
+    * with cap·2^p ≥ count(*)`, plus one slack plane — as pure integer SQL
+    * (`cap * (1::BIGINT << p) >= n`, no float log2 whose boundary rounding
+    * could diverge between engines). The plane-signs and signature CTEs
+    * are identical to the static variant; they just read `np` from the
+    * tuning CTE instead of a compiled-in literal.
+    */
+  private def embSigCtesTuned(src: String, cap: Int): String =
+    s"""nplanes AS MATERIALIZED (
+      |  SELECT CAST(MIN(p) + 1 AS INTEGER) AS np FROM range(2, 54) t(p)
+      |  WHERE $cap * (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) >= (SELECT count(*) FROM $src)),
+      |dims AS (SELECT CAST(len(embedding) AS INTEGER) AS d FROM $src LIMIT 1),
+      |planes AS (
+      |  SELECT list(sgn ORDER BY p) AS allsigns FROM (
+      |    SELECT t.p, list_transform(range(0, dims.d), i ->
+      |      CASE WHEN CAST(('0x' || substring(sha256(CAST(t.p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |           THEN 1.0 ELSE -1.0 END) AS sgn
+      |    FROM range(0, 62) t(p), dims, nplanes WHERE t.p < nplanes.np)),
+      |esigs AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, CAST(np AS BIGINT)), p ->
+      |      CASE WHEN list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, allsigns[CAST(p AS INTEGER)+1]),
+      |             z -> CAST(z[1] AS DOUBLE) * z[2])), (a, b) -> a + b) >= 0.0
+      |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+      |  FROM $src, planes, nplanes)""".stripMargin
+
+  /** [[embLshCtesAt]] with the tuned plane count ([[embSigCtesTuned]]). */
+  private def embLshCtesTuned(cap: Int, minCosine: String): String =
+    embSigCtesTuned("embeddings", cap) + ",\n" +
+      s"""capped AS (
+      |  SELECT vec_id, embedding, sig FROM (
+      |    SELECT vec_id, embedding, sig, count(*) OVER (PARTITION BY sig) AS bs FROM esigs)
+      |  WHERE bs <= $cap),
+      |epairs AS (
+      |  SELECT id_a, id_b, cosine_sim FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      ${cosineSql("a.embedding", "b.embedding")} AS cosine_sim
+      |    FROM capped a JOIN capped b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+      |  WHERE cosine_sim >= CAST($minCosine AS DOUBLE))""".stripMargin
+
   private val embSigCtes: String = embSigCtesFrom("embeddings")
 
   /** Continuation of [[embSigCtes]] for q67/q68: bucket cap 200 and
@@ -4061,13 +4102,15 @@ object SparkEntry {
 
   /** q171 oracle: [[triangleOracleSql]]'s naive canonical triangle join,
     * but the pair source is the CERTIFIED LSH generator (q67's CTE family
-    * at 4 planes / τ = 0.1) instead of the bounded cosine cartesian — the
-    * green row makes "the graph tier composes with the dup pair
-    * generators" an executed fact, not a scaladoc claim. 2,596 pairs /
-    * 500 nodes / 3,802 triangles at sf0.01 (probed).
+    * at τ = 0.1 with the plane count TUNED by the same integer scan as
+    * [[graft.operators.Dedup.tunePlanes]]) instead of the bounded cosine
+    * cartesian — the green row makes "the graph tier composes with the
+    * dup pair generators" an executed fact, not a scaladoc claim, at a
+    * plane count that stays non-vacuous as the corpus grows (the fixed
+    * 4-plane version was empty at sf1 — every bucket over the cap).
     */
   private def lshTriangleOracleSql: String =
-    "WITH " + embLshCtesAt(4, "0.1") + ",\n" +
+    "WITH " + embLshCtesTuned(200, "0.1") + ",\n" +
       s"""p AS (SELECT id_a AS ia, id_b AS ib FROM epairs),
       |e AS (SELECT ia AS u, ib AS v FROM p UNION ALL SELECT ib, ia FROM p),
       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY u),

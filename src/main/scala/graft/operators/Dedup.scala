@@ -577,6 +577,28 @@ object Dedup {
     best
   }
 
+  /** Choose a hyperplane count for embedding LSH so buckets stay under the
+    * cap as the corpus grows: the smallest `p` with
+    * `maxBucketSize · 2^p ≥ corpusSize` (expected occupancy at or under the
+    * cap if buckets split evenly), plus ONE slack plane because hyperplane
+    * buckets never split evenly — near-dup-heavy corpora collapse buckets,
+    * and a mega-bucket over the cap is DISCARDED, not processed. A fixed
+    * plane count is the scale bug this exists for: the round-13 4-plane
+    * graph was fine at 500 vectors and EMPTY at 20,000 (all 16 buckets blew
+    * the 200 cap — every vector discarded, a vacuously green query).
+    * All-integer (`cap << p` vs a float `ceil(log2(n/cap))`) so an oracle
+    * can reproduce the choice bit-exactly with no log-boundary risk.
+    */
+  def tunePlanes(corpusSize: Long, maxBucketSize: Int, minPlanes: Int = 2): Int = {
+    require(corpusSize >= 0 && maxBucketSize > 0 && minPlanes >= 1 && minPlanes <= 53)
+    // the scan stops at p = 53 so cap·2^p stays inside BIGINT for any cap
+    // up to ~1000 (the oracle runs the same scan in BIGINT SQL) — 2^53
+    // buckets is past any corpus this tunes for
+    var p = minPlanes
+    while (p < 53 && (maxBucketSize.toLong << p) < corpusSize) p += 1
+    p + 1
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 votes from
     * each token's [[graft.functions.Sha60]] hash bit b; the fingerprint sets
     * bit b when the vote is positive (the base hash is 60-bit, so bits 60–63

@@ -2869,16 +2869,26 @@ object Pipeline {
     * graph tier's scaladoc promises, executed — candidate pairs come from
     * banded hyperplane buckets (capped, never all-pairs), and
     * [[graft.operators.Graph.triangleCounts]] is pair-source-agnostic.
-    * Densified to 4 planes / τ = 0.1 so the graph actually has triangles
-    * (2,596 pairs / 500 nodes / 3,802 triangles at sf0.01 — probed; q67's
-    * production 8-plane τ = 0.25 graph is triangle-free at this SF). At
-    * 100 TB this chain is exactly the dedup-diagnostics path: LSH pairs →
-    * orientation → wedge join, every stage banded/capped/key-partitioned.
+    * The plane count is TUNED to the corpus ([[Dedup.tunePlanes]] — one
+    * count aggregate, then the smallest plane set whose expected bucket
+    * occupancy clears the 200 cap, plus one slack plane): the round-13
+    * fixed-4-plane version was the canonical vacuous-at-scale bug — fine
+    * at 500 vectors, EMPTY at 20,000 because all 16 buckets blew the cap
+    * and every vector was discarded. Tuned: 3 planes / 4,746 pairs /
+    * 11,618 triangles at sf0.01; 8 planes / 543k pairs / 11.6M triangles
+    * on 17,316 nodes at sf1 (probed and oracle-verified at both). The
+    * oracle reproduces the
+    * tuning with the same integer `cap·2^p ≥ n` scan, so the engines
+    * can't silently disagree on the plane count. At 100 TB this chain is
+    * exactly the dedup-diagnostics path: LSH pairs → orientation → wedge
+    * join, every stage banded/capped/key-partitioned.
     */
   def lshTriangleCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val planes = Dedup.tunePlanes(emb.count(), maxBucketSize = 200)
     val pairs = Dedup.embeddingNearDuplicates(
-      Tables(spark, dir).embeddings, "vec_id", "embedding",
-      minCosine = 0.1, nPlanes = 4, maxBucketSize = 200)
+      emb, "vec_id", "embedding",
+      minCosine = 0.1, nPlanes = planes, maxBucketSize = 200)
       .select(col("id_a"), col("id_b"))
     graft.operators.Graph.triangleCounts(pairs, "id_a", "id_b")
       .withColumnRenamed("node_id", "vec_id")

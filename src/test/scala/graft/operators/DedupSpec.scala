@@ -177,6 +177,20 @@ class DedupSpec extends SparkSpec {
     assert((b, r) == ((4, 4)), s"threshold(4,4)=0.707 is nearest 0.7, got ($b,$r)")
   }
 
+  test("tunePlanes grows the plane count with the corpus (never a vacuous cap-out)") {
+    // the round-13 bug shape: 4 fixed planes were fine at 500 vectors and
+    // empty at 20,000 — tuned, both fixture scales get populated buckets
+    assert(Dedup.tunePlanes(500, 200) == 3, "sf0.01 fixture: 2+1 planes")
+    assert(Dedup.tunePlanes(2000, 200) == 5, "sf0.1 fixture")
+    assert(Dedup.tunePlanes(20000, 200) == 8,
+      "sf1 fixture: matches the probed-populated 8-plane graph")
+    // monotone in corpus size, floor at minPlanes+1, integer-exact at the
+    // power-of-two boundary (no float log2 rounding on either engine)
+    assert(Dedup.tunePlanes(0, 200) == 3 && Dedup.tunePlanes(1, 200) == 3)
+    assert(Dedup.tunePlanes(200L << 5, 200) == 6, "exact boundary: cap*2^5 = n")
+    assert(Dedup.tunePlanes((200L << 5) + 1, 200) == 7, "one past the boundary")
+  }
+
   test("exactIncrement drops delta docs whose content exists in the corpus") {
     val corpus = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
     val delta = Seq(
