@@ -2227,7 +2227,8 @@ object SparkEntry {
           |SELECT cluster_id, term_rank, term, n_ct AS n_docs_with_term, lift
           |FROM r WHERE term_rank <= 3
           |ORDER BY cluster_id, term_rank""".stripMargin),
-    // spike detection: 20*n > 3*sum7 cross-multiplied (no float ratio);
+    // spike detection: 280*n > 41*sum7 cross-multiplied (no float ratio;
+    // the 2.5% margin fires BOTH branches at every gate scale — probed);
     // RANGE frame over day values, partial trailing windows verdict null
     "q222_activity_spikes" ->
       """WITH daily AS (
@@ -2242,7 +2243,7 @@ object SparkEntry {
         |  WINDOW w AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT day, n_events,
         |  CASE WHEN n7 = 7 THEN sum7 END AS trailing7_sum,
-        |  CASE WHEN n7 = 7 THEN n_events * 20 > sum7 * 3 END AS is_spike
+        |  CASE WHEN n7 = 7 THEN n_events * 280 > sum7 * 41 END AS is_spike
         |FROM t ORDER BY day""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch

@@ -3307,22 +3307,24 @@ object Pipeline {
 
   /** q222 — activity SPIKE detection with an all-integer verdict: a day
     * is a spike when its EVENT count exceeds the trailing 7-day average
-    * by more than 5% — tested as `20·n > 3·sum7`
-    * (`n > (21/20)·(sum7/7)` cross-multiplied), so no float ratio ever
+    * by more than 2.5% — tested as `280·n > 41·sum7`
+    * (`7n/sum7 > 41/40` cross-multiplied), so no float ratio ever
     * exists on either engine (the q176/q184 exact-verdict discipline
     * applied to time-series monitoring). Event counts, not distinct
     * users, are the discriminating series: every user is active every
-    * day in this corpus, so a user-count spike can never fire, while
-    * daily event counts swing ±8% and 3 of 23 full-window days fire at
-    * sf0.01 (probed — both verdicts populated). At sf1 NO day fires —
-    * Poisson noise shrinks ~√100× at 100× volume, honest behavior for a
-    * relative threshold (the verdict column still hash-matches; the
-    * sf0.01 gate is where the True branch is exercised). The trailing frame is a
-    * RANGE over day VALUES (calendar-honest: an empty day is absent,
-    * not skipped over), and a day with fewer than 7 trailing
-    * observations emits a null verdict instead of comparing against a
-    * partial window. The trailing window runs over the DAY DIMENSION
-    * (30 rows here, thousands at years of data).
+    * day in this corpus, so a user-count spike can never fire. The
+    * 2.5% margin is the q213 cut-date discipline applied to a
+    * threshold: BOTH verdict branches fire at EVERY gate scale
+    * (probed spike/quiet days over the 23 full-window days: 8/15 at
+    * sf0.001, 7/16 at sf0.01, 4/19 at sf0.1 and at the 20k-user sf1
+    * fixture — the round-13 5% margin was all-quiet past sf0.1
+    * because relative Poisson noise shrinks ~√100× at 100× volume,
+    * leaving the True branch untested exactly where it matters). The
+    * trailing frame is a RANGE over day VALUES (calendar-honest: an
+    * empty day is absent, not skipped over), and a day with fewer than
+    * 7 trailing observations emits a null verdict instead of comparing
+    * against a partial window. The trailing window runs over the DAY
+    * DIMENSION (30 rows here, thousands at years of data).
     */
   def activitySpikes(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir).events
@@ -3337,7 +3339,7 @@ object Pipeline {
         col("day"), col("n_events"),
         when(col("_n7") === 7, col("_sum7")).as("trailing7_sum"),
         when(col("_n7") === 7,
-          col("n_events") * 20 > col("_sum7") * 3).as("is_spike"))
+          col("n_events") * 280 > col("_sum7") * 41).as("is_spike"))
       .orderBy("day")
   }
 
