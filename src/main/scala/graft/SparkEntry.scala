@@ -200,7 +200,7 @@ object SparkEntry {
     "q180_rfm_segments" -> (Pipeline.rfmSegments _),
     "q181_market_basket" -> (Pipeline.marketBasketLift _),
     "q182_order_histogram" -> (Pipeline.orderTotalHistogram _),
-    "q183_mad_outliers" -> (Pipeline.madOutliers _),
+    "q183_mad_outliers" -> ((s, d) => Pipeline.madOutliers(s, d)),
     "q184_abc_classification" -> (Pipeline.abcClassification _),
     "q185_json_props_rollup" -> (Pipeline.propsJsonRollup _),
     "q186_activity_streaks" -> (Pipeline.activityStreaks _),
@@ -930,8 +930,8 @@ object SparkEntry {
           |reach AS (
           |  SELECT src AS id, src AS r FROM edges
           |  UNION
-          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-          |comp AS (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+          |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON reach.id = e.src WHERE reach.r < e.dst),
+          |comp AS MATERIALIZED (SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
           |FROM embeddings
           |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> cluster_id)
@@ -1384,8 +1384,8 @@ object SparkEntry {
           |reach AS (
           |  SELECT src AS id, src AS r FROM edges
           |  UNION
-          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-          |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON reach.id = e.src WHERE reach.r < e.dst),
+          |comp AS MATERIALIZED (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
           |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
           |        FROM comp GROUP BY cluster_id)
           |SELECT a2.doc_id, doc.source,
@@ -3288,8 +3288,8 @@ object SparkEntry {
           |reach AS (
           |  SELECT src AS id, src AS r FROM edges
           |  UNION
-          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-          |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+          |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON reach.id = e.src WHERE reach.r < e.dst),
+          |comp AS MATERIALIZED (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
           |SELECT c.doc_id, c.cluster_id, s.cluster_size
           |FROM comp c
           |JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
@@ -4144,8 +4144,8 @@ object SparkEntry {
       |reach AS (
       |  SELECT src AS id, src AS r FROM edges
       |  UNION
-      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-      |comp AS (SELECT id AS vec_id, MIN(r) AS component_id FROM reach GROUP BY id),
+      |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON reach.id = e.src WHERE reach.r < e.dst),
+      |comp AS MATERIALIZED (SELECT id AS vec_id, MIN(r) AS component_id FROM reach GROUP BY id),
       |sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size FROM comp GROUP BY component_id)
       |SELECT c.vec_id, c.component_id, s.component_size
       |FROM comp c JOIN sizes s ON c.component_id = s.component_id
@@ -4417,6 +4417,18 @@ object SparkEntry {
     * candidate pairs, jaccard-verified duplicate pairs, and the recursive
     * connected-components closure (`comp(doc_id, cluster_id)`), mirroring
     * [[graft.operators.Dedup.duplicateClusters]].
+    *
+    * The closure is PRUNED to min-monotone label propagation: a candidate
+    * label `r` only propagates across an edge to a node GREATER than `r`
+    * (`WHERE reach.r < e.dst`). The component minimum `m` is smaller than
+    * every other member, so it propagates along every path unimpeded and
+    * still reaches every node — `MIN(r)` per id is provably unchanged —
+    * while labels that are not the minimum stop early instead of
+    * enumerating the full reachable set. On the 20k-doc corpus this cut
+    * the closure from 26.9M rows / 273 s to interactive (the full
+    * transitive closure is quadratic in the giant component; every
+    * cluster-chain oracle shares this recursion). `comp` is MATERIALIZED:
+    * consumers reference it 2–3 times and DuckDB inlines plain CTEs.
     */
   private val lshClusterCtes: String =
     """buckets AS (
@@ -4438,8 +4450,8 @@ object SparkEntry {
       |reach AS (
       |  SELECT src AS id, src AS r FROM edges
       |  UNION
-      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-      |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+      |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON reach.id = e.src WHERE reach.r < e.dst),
+      |comp AS MATERIALIZED (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   private val dupClusterCtes: String =
     "WITH RECURSIVE " + lshPrefixCtes("documents") + ",\n" + lshClusterCtes + "\n"

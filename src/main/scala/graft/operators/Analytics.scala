@@ -414,6 +414,69 @@ object Analytics {
       .drop("_bucket", "_offset")
   }
 
+  /** EXACT per-group percentiles WITHOUT the per-group value multiset:
+    * the scale-safe twin of Spark's `percentile` aggregate, whose buffer
+    * is O(group size) and therefore a fact-scale OOM hazard (PlanAuditSpec
+    * guards exactly that shape). Here the fact frame collapses to the
+    * VALUE DIMENSION first — one map-side-combined `(group, value) → cnt`
+    * aggregate — the cumulative pass runs over that aggregate-sized frame
+    * (guard-legal; at extreme value cardinality the q218 two-level
+    * ranged prefix sum is the drop-in), and each requested percentile is
+    * picked by RANK: with `r = p·(n−1)`, the flanking order statistics
+    * are `min(value | cum ≥ ⌊r⌋+1)` and `min(value | cum ≥ ⌊r⌋+2)` inside
+    * ONE final aggregate, then linear interpolation `lo + (hi−lo)·(r−⌊r⌋)`
+    * reproduces `percentile`'s result (bit-equality spec-pinned against
+    * the built-in, including non-dyadic p and ties). Also emits
+    * `n_rows` / `min_value` / `max_value` for free — they come out of the
+    * same passes.
+    *
+    * Returns one row per group: groupCols, n_rows, min_value, max_value,
+    * then one double column per `(name, p)` in `ps`.
+    */
+  def exactPercentilesByValue(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val keys = groupCols.map(col)
+    val counts = df
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = counts
+      .withColumn("_cum", sum(col("_cnt")).over(wCum))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+    val pieces: Seq[Column] =
+      Seq(max(col("_n")).as("n_rows"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value")) ++
+        ps.flatMap { case (nm, p) =>
+          val fl = floor(lit(p) * (col("_n") - 1).cast("double"))
+          Seq(
+            min(when(col("_cum") >= fl + 1, col(valueCol))).as(s"_lo_$nm"),
+            min(when(col("_cum") >= fl + 2, col(valueCol))).as(s"_hi_$nm"))
+        }
+    val stats = cum.groupBy(keys: _*).agg(pieces.head, pieces.tail: _*)
+    ps.foldLeft(stats) { case (d, (nm, p)) =>
+      val r = lit(p) * (col("n_rows") - 1).cast("double")
+      // Spark's Percentile interpolates as
+      //   (higher − position)·lower + (position − lower)·higher
+      // NOT lower + frac·(higher − lower): the two differ by an ulp on
+      // non-dyadic positions, and this operator promises BIT equality
+      // (property-spec-pinned against the built-in)
+      d.withColumn(nm,
+        when(ceil(r) === floor(r), col(s"_lo_$nm").cast("double"))
+          .otherwise(
+            (ceil(r) - r) * col(s"_lo_$nm").cast("double") +
+              (r - floor(r)) * col(s"_hi_$nm").cast("double")))
+        .drop(s"_lo_$nm", s"_hi_$nm")
+    }
+  }
+
   /** Per-group feature scaling for training pipelines: min-max
     * (`(x−min)/(max−min)`) and robust (`(x−median)/IQR`) normalization of
     * an INTEGER value column, with every statistic exact so the scaled
@@ -424,23 +487,20 @@ object Analytics {
     * groups (zero range / zero IQR) yield null for that scaling rather
     * than ±Inf/NaN.
     *
-    * Scale shape: one map-side-combined stats aggregate per group
-    * (exact percentiles hold a per-group value multiset — the certified
-    * swap-in at extreme cardinality is `approx_percentile`, q197's
-    * pattern), broadcast back, scaling map-side on the fact scan.
+    * Scale shape: the stats come from [[exactPercentilesByValue]] — the
+    * value-dimension pass, NO per-group value multiset — broadcast back,
+    * scaling map-side on the fact scan.
     */
   def featureScale(
       df: DataFrame,
       keyCols: Seq[String],
       valueCol: String): DataFrame = {
     val v = col(valueCol)
-    val stats = df.groupBy(keyCols.map(col): _*)
-      .agg(
-        min(v).as("_mn"),
-        max(v).as("_mx"),
-        percentile(v, lit(0.25)).as("_q1"),
-        percentile(v, lit(0.5)).as("_med"),
-        percentile(v, lit(0.75)).as("_q3"))
+    val stats = exactPercentilesByValue(df, keyCols, valueCol,
+      Seq("_q1" -> 0.25, "_med" -> 0.5, "_q3" -> 0.75))
+      .select(keyCols.map(col) ++ Seq(
+        col("min_value").as("_mn"), col("max_value").as("_mx"),
+        col("_q1"), col("_med"), col("_q3")): _*)
     df.join(broadcast(stats), keyCols)
       .withColumn("minmax_scaled",
         when(col("_mx") > col("_mn"),

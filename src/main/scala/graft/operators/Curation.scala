@@ -1162,18 +1162,23 @@ object Curation {
       df: DataFrame,
       textCol: String,
       sourceCol: String): DataFrame =
-    df.select(
-        col(sourceCol).as("source"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        min(col("n_tokens")).as("min_tokens"),
-        expr("percentile(n_tokens, 0.25)").as("p25"),
-        expr("percentile(n_tokens, 0.5)").as("p50"),
-        expr("percentile(n_tokens, 0.75)").as("p75"),
-        expr("percentile(n_tokens, 0.875)").as("p875"),
-        max(col("n_tokens")).as("max_tokens"))
+    // exact percentiles WITHOUT a per-source value multiset: token counts
+    // collapse to the (source, n_tokens) value dimension first and the
+    // order statistics are rank-picked there (Analytics
+    // .exactPercentilesByValue — bit-equal to the percentile() aggregate,
+    // minus its O(group) buffer)
+    graft.operators.Analytics.exactPercentilesByValue(
+        df.select(
+          col(sourceCol).as("source"),
+          tokenCount(col(textCol)).cast("long").as("n_tokens")),
+        Seq("source"), "n_tokens",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p875" -> 0.875))
+      .select(
+        col("source"),
+        col("n_rows").as("n_docs"),
+        col("min_value").as("min_tokens"),
+        col("p25"), col("p50"), col("p75"), col("p875"),
+        col("max_value").as("max_tokens"))
 
   /** Truncation-impact report: per source and per candidate sequence-length
     * cap, the tokens retained (Σ min(n_tokens, cap)) and documents that

@@ -1243,9 +1243,26 @@ object Pipeline {
         dir = scratchDirs.poll()
       }
     }))
+  /** Scratch base: a RAM-backed filesystem when one exists (stream
+    * checkpoint commits fsync offset/commit/state files every micro-batch;
+    * on the bench host that disk latency was pure fixed overhead across
+    * the whole streaming tier), the system temp dir otherwise, either way
+    * overridable via SPARK_GRAFT_SCRATCH. Certification scratch only —
+    * drops, checkpoints, sinks whose lifetime is one query; a production
+    * deployment points checkpointLocation at durable storage and never
+    * sees this path.
+    */
+  private lazy val scratchBase: Option[java.nio.file.Path] =
+    sys.env.get("SPARK_GRAFT_SCRATCH")
+      .orElse(Some("/dev/shm").filter(p => java.nio.file.Files.isWritable(java.nio.file.Paths.get(p))))
+      .map(java.nio.file.Paths.get(_))
+
   private def scratchDir(prefix: String): String = {
     scratchHook
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val dir = scratchBase match {
+      case Some(base) => java.nio.file.Files.createTempDirectory(base, prefix)
+      case None       => java.nio.file.Files.createTempDirectory(prefix)
+    }
     scratchDirs.add(dir)
     dir.toString
   }
@@ -3744,20 +3761,33 @@ object Pipeline {
     * all high-side (MAD is small on the tight body of a right-tailed
     * distribution, so the robust test flags far MORE than q176's 188 —
     * the two tests certify genuinely different verdicts on one column).
+    *
+    * `exactMedians` is the strategy flag: true (the contract row — the
+    * DuckDB oracle computes exact medians) buffers each group's value
+    * multiset, which is fine at fixture scale and ALLOWLISTED in
+    * PlanAuditSpec's exact-percentile guard; false swaps both statistics
+    * to `approx_percentile`'s bounded mergeable sketch — the 100 TB
+    * deployment path, whose error envelope on this exact query shape
+    * q197 certifies (rank bounds on both statistics + a bounded flag-set
+    * symmetric difference).
     */
-  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+  def madOutliers(
+      spark: SparkSession, dir: String, exactMedians: Boolean = true): DataFrame = {
+    def med(c: org.apache.spark.sql.Column) =
+      if (exactMedians) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(10000)).cast("double")
     val v = Tables(spark, dir).events
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100, 0).cast("long").as("value_cents"))
-    val med = v.groupBy(col("event_type"))
-      .agg(percentile(col("value_cents"), lit(0.5)).as("_med"))
+    val medDf = v.groupBy(col("event_type"))
+      .agg(med(col("value_cents")).as("_med"))
     // two consumers (MAD aggregate + the final join) — eager persist so
     // the events scan and the median join run once (the q181 discipline)
     val dev = graft.core.Caching.eager(
-      v.join(broadcast(med), Seq("event_type"))
+      v.join(broadcast(medDf), Seq("event_type"))
         .withColumn("_absdev", abs(col("value_cents") - col("_med"))))
     val mad = dev.groupBy(col("event_type"))
-      .agg(percentile(col("_absdev"), lit(0.5)).as("_mad"))
+      .agg(med(col("_absdev")).as("_mad"))
     dev.join(broadcast(mad), Seq("event_type"))
       .where(col("_absdev") > lit(3.0) * col("_mad"))
       .select(col("event_id"), col("event_type"), col("value_cents"),

@@ -43,6 +43,23 @@ class EntrySpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("madOutliers strategy flag: the approx path runs the sketch, same schema") {
+    import graft.queries.Pipeline
+    val exact = Pipeline.madOutliers(spark, Sf0001)
+    val approx = Pipeline.madOutliers(spark, Sf0001, exactMedians = false)
+    assert(approx.schema == exact.schema, "both strategies share one output contract")
+    // the scale path must not plan the exact value-multiset aggregate
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile") &&
+      "(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      "exactMedians=false must swap BOTH statistics to the bounded sketch")
+    // q197 certifies the flag-set envelope at the contract level; here just
+    // pin that the sketch path produces a sane, non-empty verdict set
+    val (ne, na) = (exact.count(), approx.count())
+    assert(na > 0 && math.abs(ne - na) <= math.max(5L, ne / 20),
+      s"approx flag count $na should track exact $ne")
+  }
+
   test("q217: penny rank is a total order and the result is partitioning-invariant") {
     import graft.queries.Pipeline
     // totality: the allocation grain (orderkey, linenumber) is unique after

@@ -31,6 +31,42 @@ class PropertySpec extends SparkSpec {
   private val pairsGen: Gen[List[(Long, String)]] =
     Gen.listOfN(6, Gen.zip(Gen.chooseNum(1L, 8L), Gen.alphaNumStr.map(_.take(6))))
 
+  test("exactPercentilesByValue is bit-equal to percentile() on random data (property, 10 cases)") {
+    // the scale-safe rank-pick percentile must reproduce the built-in's
+    // interpolation EXACTLY — including non-dyadic p, heavy ties, negative
+    // values, and single-row groups — or it could not replace it under the
+    // PlanAuditSpec guard
+    import graft.operators.Analytics
+    val gen: Gen[List[(Int, Long)]] = Gen.listOfN(
+      40, Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(-50L, 50L)))
+    val ps = Seq("p17" -> 0.17, "p25" -> 0.25, "p50" -> 0.5, "p9" -> 0.9, "p100" -> 1.0)
+    samples(gen, 10).zipWithIndex.foreach { case (rows, i) =>
+      val df = (rows :+ ((9, 7L))).toDF("g", "v") // group 9: single row
+      val mine = Analytics.exactPercentilesByValue(df, Seq("g"), "v", ps)
+        .select(col("g") +: ps.map { case (nm, _) => col(nm) }: _*)
+        .collect().map(r => r.getInt(0) -> ps.indices.map(j => r.getDouble(j + 1)))
+        .toMap
+      val ref = df.groupBy(col("g"))
+        .agg(
+          percentile(col("v"), lit(0.17)).as("p17"),
+          percentile(col("v"), lit(0.25)).as("p25"),
+          percentile(col("v"), lit(0.5)).as("p50"),
+          percentile(col("v"), lit(0.9)).as("p9"),
+          percentile(col("v"), lit(1.0)).as("p100"))
+        .collect().map(r => r.getInt(0) -> ps.indices.map(j => r.getDouble(j + 1)))
+        .toMap
+      assert(mine.keySet == ref.keySet, s"case $i: group sets differ")
+      ref.foreach { case (g, exp) =>
+        val got = mine(g)
+        exp.zip(got).zip(ps).foreach { case ((e, a), (nm, _)) =>
+          assert(java.lang.Double.doubleToLongBits(e) ==
+            java.lang.Double.doubleToLongBits(a),
+            s"case $i group $g $nm: expected $e, got $a (bit mismatch)")
+        }
+      }
+    }
+  }
+
   test("row hash is invariant under column permutation (property, 10 cases)") {
     samples(rowGen, 10).foreach { rows =>
       val df = rows.toDF("c1", "c2", "c3")

@@ -128,6 +128,78 @@ class PlanAuditSpec extends SparkSpec {
       s"fact-sized sorts under low-cardinality windows:\n${offenders.mkString("\n")}")
   }
 
+  test("exact percentile never aggregates an unbounded fact-sized frame outside the allowlist") {
+    // Exact `percentile` buffers the group's full value multiset per
+    // aggregation buffer — the one aggregate in the contract whose memory
+    // is O(group size), so over a FACT-sized frame it is a scale hazard
+    // (the certified swap-in is approx_percentile's bounded sketch, q197).
+    // Allowed, each with a documented reason:
+    //  - q183 documents the exact path at fixture scale WITH the certified
+    //    swap-in (madOutliers' exactMedians strategy flag);
+    //  - q197/q189 must compute the exact twin to certify the sketch
+    //    against it — the certification is BY DEFINITION exact-vs-approx;
+    //  - q20 is the reference-fidelity PERCENTILE_CONT row (the reference's
+    //    perf-summary semantics, audit/Logs.scala) — group sizes are
+    //    per-operation log batches, and the scaladoc carries the caveat.
+    // Every other exact percentile must sit above a bounding node
+    // (aggregate/limit) or use Analytics.exactPercentilesByValue (the
+    // value-dimension rank-pick twin — q87/q212 moved there).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    val allowed = Set(
+      "q183_mad_outliers", "q197_mad_outliers_approx",
+      "q189_approx_percentile_cert", "q20_percentiles")
+    val factFiles = Seq(
+      "events.parquet", "lineitem.parquet", "orders.parquet",
+      "documents.parquet", "embeddings.parquet", "customer.parquet",
+      "part.parquet", "supplier.parquet")
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def unboundedFactScan(p0: SparkPlan): Boolean = unwrap(p0) match {
+      case _: BaseAggregateExec => false
+      case _: TakeOrderedAndProjectExec => false
+      case _: GlobalLimitExec => false
+      case _: CollectLimitExec => false
+      case _: WindowGroupLimitExec => false
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths
+          .exists(rp => factFiles.exists(f => rp.toString.contains(f)))
+      case im: InMemoryTableScanExec => unboundedFactScan(im.relation.cachedPlan)
+      case re: ReusedExchangeExec => unboundedFactScan(re.child)
+      case other => other.children.exists(unboundedFactScan)
+    }
+    def offendingPercentiles(p0: SparkPlan): Seq[String] = {
+      val p = unwrap(p0)
+      val here = p match {
+        case a: BaseAggregateExec
+            if a.aggregateExpressions
+              .exists(_.aggregateFunction.isInstanceOf[Percentile]) &&
+              a.children.exists(unboundedFactScan) =>
+          Seq("exact percentile over an unbounded fact frame")
+        case _ => Nil
+      }
+      val below = p match {
+        case im: InMemoryTableScanExec => offendingPercentiles(im.relation.cachedPlan)
+        case other => other.children.flatMap(offendingPercentiles)
+      }
+      here ++ below
+    }
+    val offenders = executedPlans
+      .filterNot { case (name, _) => allowed(name) }
+      .flatMap { case (name, p) => offendingPercentiles(p).map(w => s"$name: $w") }
+    assert(offenders.isEmpty,
+      s"exact percentile over fact-sized groups:\n${offenders.mkString("\n")}")
+  }
+
   test("q67's bucket cap is ids-first: no window over the LSH signature") {
     // A window over `sig` would shuffle a degenerate mega-bucket's full
     // VECTORS into a single task's window buffer before the cap filter
