@@ -240,6 +240,7 @@ object SparkEntry {
     "q220_rank_shift" -> (Pipeline.rankShiftReport _),
     "q221_cluster_labels" -> (Pipeline.clusterLabels _),
     "q222_activity_spikes" -> (Pipeline.activitySpikes _),
+    "q223_jpeg_decode" -> (Pipeline.jpegDecodeCert _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2245,6 +2246,19 @@ object SparkEntry {
         |  CASE WHEN n7 = 7 THEN sum7 END AS trailing7_sum,
         |  CASE WHEN n7 = 7 THEN n_events * 280 > sum7 * 41 END AS is_spike
         |FROM t ORDER BY day""".stripMargin,
+    // mixed-codec decode: every cell closed-form from doc_id — dims from
+    // the pattern formulas, PNG bit-exact, JPEG within the probed bound
+    // (exact_pixels projected out for JPEG: per-row codec artifact)
+    "q223_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime_type,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |  TRUE AS decode_ok,
+        |  CASE WHEN doc_id % 3 = 0 THEN TRUE END AS png_exact,
+        |  TRUE AS err_within_bound
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |ORDER BY media_id""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

@@ -282,13 +282,34 @@ object Multimodal {
     spark.createDataFrame(out, pixelStatSchema)
   }
 
+  /** The shared closed-form test pattern: for image id `d`, dimensions
+    * `w = 8 + d mod 9`, `h = 8 + d mod 7` and channel values
+    * `(d + x + y)`, `(2d + 3x + 5y)`, `(7d + 11x + 13y)` mod 256 — every
+    * pixel of every fixture image is predictable from the id alone, so a
+    * SQL oracle can name decoded statistics without running any codec.
+    */
+  def patternDims(d: Long): (Int, Int) = ((8 + d % 9).toInt, (8 + d % 7).toInt)
+  def patternPixel(d: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((d + x + y) % 256).toInt,
+    ((2 * d + 3 * x + 5 * y) % 256).toInt,
+    ((7 * d + 11 * x + 13 * y) % 256).toInt)
+
+  /** The LOSSY-codec test pattern: one solid color per image, channels
+    * distinct functions of the id. JPEG's spatial transform makes the
+    * wrapping [[patternPixel]] gradient unpredictable after quantization
+    * (probed max deviation 176/255 at quality 0.95 — sharp mod-256 wraps
+    * shred under the DCT + chroma subsampling), while a constant block is
+    * DC-only and round-trips within a few counts; distinct per-channel
+    * values keep a channel swap or colorspace bug loudly detectable.
+    */
+  def patternSolid(d: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    (d % 256).toInt, ((3 * d + 50) % 256).toInt, ((7 * d + 100) % 256).toInt)
+
   /** Deterministic REAL-PNG media fixture from the documents table: every
-    * `doc_id % 3 = 0` document becomes an image whose dimensions and
-    * pixels are closed-form in the id — `w = 8 + d mod 9`,
-    * `h = 8 + d mod 7`, channel values `(d + x + y)`, `(2d + 3x + 5y)`,
-    * `(7d + 11x + 13y)` mod 256 — so a SQL oracle can predict every
-    * decoded statistic without decoding anything. Encoding runs in the
-    * executors ([[encodePng]]), one codec context per partition.
+    * `doc_id % 3 = 0` document becomes a [[patternPixel]] image — PNG is
+    * lossless, so the oracle predicts every decoded statistic EXACTLY.
+    * Encoding runs in the executors ([[encodePng]]), one codec context
+    * per partition.
     */
   def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -299,16 +320,139 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val d = r.getLong(0)
-          val w = (8 + d % 9).toInt
-          val h = (8 + d % 7).toInt
-          val png = encodePng(w, h, (x, y) => (
-            ((d + x + y) % 256).toInt,
-            ((2 * d + 3 * x + 5 * y) % 256).toInt,
-            ((7 * d + 11 * x + 13 * y) % 256).toInt))
+          val (w, h) = patternDims(d)
+          val png = encodePng(w, h, patternPixel(d))
           Row(d, "image", png, "image/png", s"synthetic://png/$d")
         }
       }
     spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Encode a pattern as JPEG via the JDK writer at an explicit quality:
+    * the lossy sibling of [[encodePng]]. One writer per call — callers
+    * batch per partition exactly like the PNG path.
+    */
+  def encodeJpeg(
+      width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int),
+      quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic REAL-JPEG media fixture: every `doc_id % 3 = 1`
+    * document becomes a [[patternSolid]] image at the shared
+    * [[patternDims]], JPEG-encoded (quality 0.95) — lossy, so decoded
+    * pixels are NOT exactly the pattern; certification happens through
+    * [[decodePatternDeviation]]'s bounded-error verdicts instead.
+    */
+  def jpegMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      .where(col("doc_id") % 3 === 1)
+      .select("doc_id")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val (w, h) = patternDims(d)
+          val jpg = encodeJpeg(w, h, patternSolid(d), quality = 0.95f)
+          Row(d, "image", jpg, "image/jpeg", s"synthetic://jpg/$d")
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  val deviationSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime_type", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("exact_pixels", BooleanType, nullable = true),
+    StructField("err_within_bound", BooleanType, nullable = true)))
+
+  /** Decode every media row with `javax.imageio` (format auto-detected
+    * from the bytes — PNG and JPEG through ONE code path) and compare the
+    * decoded pixels against the `pattern` ground truth for its id:
+    * emits the decoded dimensions, whether the round-trip is bit-exact
+    * (PNG must be; JPEG almost never is), and whether the max per-channel
+    * absolute deviation stays within `maxAbsErr` (the lossy-codec
+    * certification: a wrong colorspace, a channel swap, or a subsampling
+    * bug blows any reasonable bound, while healthy JPEG quantization
+    * noise at quality 0.95 stays small). Dimension mismatch → deviation
+    * verdicts null, decode failure → everything null but decode_ok=false.
+    */
+  def decodePatternDeviation(
+      media: DataFrame,
+      maxAbsErr: Int,
+      pattern: Long => (Int, Int) => (Int, Int, Int) = patternPixel): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "image")
+      .select("media_id", "mime_type", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val mime = r.getString(1)
+          val bytes = Option(r.getAs[Array[Byte]](2))
+          val img = bytes.flatMap(b =>
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))))
+          img match {
+            case None => Row(d, mime, null, null, false, null, null)
+            case Some(im) =>
+              val (w, h) = patternDims(d)
+              if (im.getWidth != w || im.getHeight != h)
+                Row(d, mime, im.getWidth, im.getHeight, true, null, null)
+              else {
+                var maxErr = 0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = im.getRGB(x, y)
+                    val (er, eg, eb) = pattern(d)(x, y)
+                    val e = math.max(
+                      math.abs(((rgb >> 16) & 0xff) - er),
+                      math.max(
+                        math.abs(((rgb >> 8) & 0xff) - eg),
+                        math.abs((rgb & 0xff) - eb)))
+                    if (e > maxErr) maxErr = e
+                    x += 1
+                  }
+                  y += 1
+                }
+                Row(d, mime, w, h, true, maxErr == 0, maxErr <= maxAbsErr)
+              }
+          }
+        }
+      }
+    spark.createDataFrame(out, deviationSchema)
   }
 
   /** Build a media table from the documents table (text bytes as stand-in

@@ -861,6 +861,42 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** q223 — MIXED-CODEC real image decode (PNG + JPEG through ONE
+    * `javax.imageio` path, [[graft.multimodal.Multimodal
+    * .decodePatternDeviation]]): the q199 lossless certification extended
+    * to a LOSSY codec. PNG rows carry the wrapping-gradient pattern and
+    * must decode BIT-EXACTLY (`exact_pixels` true); JPEG rows carry the
+    * solid-color pattern (quality 0.95 — a constant block is DC-only, so
+    * quantization noise is tiny, while the gradient pattern's mod-256
+    * wraps shred to deviation 176/255 under the DCT) and must decode
+    * within a max per-channel deviation of 2 (probed max 1 across every
+    * fixture scale including 16,667 images at the 20k-doc scale; distinct
+    * per-channel solids keep a channel swap or YCbCr bug loud).
+    * `exact_pixels` is PROJECTED OUT for JPEG rows — some solid blocks
+    * round-trip exactly and some do not (probed 56/167 exact at sf0.01),
+    * a per-row codec artifact no oracle should pretend to predict. The
+    * oracle names every remaining cell closed-form from doc_id. All
+    * map-side; blobs never shuffle.
+    */
+  def jpegDecodeCert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val d = Tables(spark, dir).documents
+    val png = Multimodal.decodePatternDeviation(
+      Multimodal.pngMediaFromDocuments(d), maxAbsErr = 2, Multimodal.patternPixel)
+    val jpg = Multimodal.decodePatternDeviation(
+      Multimodal.jpegMediaFromDocuments(d), maxAbsErr = 2, Multimodal.patternSolid)
+    png.unionByName(jpg)
+      .select(
+        col("media_id"), col("mime_type"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("decode_ok"),
+        when(col("mime_type") === "image/png", col("exact_pixels"))
+          .as("png_exact"),
+        col("err_within_bound"))
+      .orderBy("media_id")
+  }
+
   // ---------------------------------------------------------------- vectors
 
   /** The q39/q83/q92 deterministic centroid seed: vectors 1..4 collected as

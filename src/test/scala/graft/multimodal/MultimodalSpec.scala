@@ -31,6 +31,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePng(same).get == ((2, 1, 100L, 0L, 0L)))
   }
 
+  test("decodePatternDeviation: every verdict branch fires") {
+    val spark2 = spark
+    // row 3: a pattern PNG (exact); row 31: a solid JPEG (bounded err);
+    // row 4: garbage bytes (decode fails); row 5: decodable PNG whose
+    // dims do NOT match the id's pattern dims (deviation verdicts null)
+    val rows = spark2.sparkContext.parallelize(Seq(
+      Row(3L, "image",
+        Multimodal.encodePng(Multimodal.patternDims(3L)._1,
+          Multimodal.patternDims(3L)._2, Multimodal.patternPixel(3L)),
+        "image/png", "s://p3"),
+      Row(31L, "image",
+        Multimodal.encodeJpeg(Multimodal.patternDims(31L)._1,
+          Multimodal.patternDims(31L)._2, Multimodal.patternSolid(31L), 0.95f),
+        "image/jpeg", "s://j31"),
+      Row(4L, "image", Array[Byte](1, 2, 3), "image/png", "s://bad"),
+      Row(5L, "image", Multimodal.encodePng(2, 2, (_, _) => (9, 9, 9)),
+        "image/png", "s://dims")
+    ))
+    val media = spark2.createDataFrame(rows, Multimodal.mediaSchema)
+    def dev(pat: Long => (Int, Int) => (Int, Int, Int)) =
+      Multimodal.decodePatternDeviation(media, maxAbsErr = 2, pat)
+        .collect().map(r => r.getLong(0) -> r).toMap
+    val png = dev(Multimodal.patternPixel)
+    assert(png(3L).getBoolean(4) && png(3L).getBoolean(5) && png(3L).getBoolean(6),
+      "a lossless pattern PNG decodes bit-exactly within any bound")
+    assert(!png(4L).getBoolean(4) && png(4L).isNullAt(5),
+      "garbage bytes: decode_ok false, deviation verdicts null")
+    assert(png(5L).getBoolean(4) && png(5L).isNullAt(5) && png(5L).isNullAt(6),
+      "a dims mismatch decodes but cannot be deviation-judged")
+    val solid = dev(Multimodal.patternSolid)
+    assert(solid(31L).getBoolean(4) && solid(31L).getBoolean(6),
+      "a solid JPEG at q=0.95 stays within the probed bound")
+    // the lossy bound is a REAL constraint: judging the JPEG against the
+    // wrong (gradient) pattern must blow it
+    assert(!png(31L).getBoolean(6),
+      "a JPEG judged against the wrong pattern must fail the bound")
+  }
+
   test("resizeImagesReal: undecodable bytes → null content; non-images pass through") {
     val spark2 = spark
     val rows = spark2.sparkContext.parallelize(Seq(
