@@ -241,6 +241,10 @@ object SparkEntry {
     "q221_cluster_labels" -> (Pipeline.clusterLabels _),
     "q222_activity_spikes" -> (Pipeline.activitySpikes _),
     "q223_jpeg_decode" -> (Pipeline.jpegDecodeCert _),
+    "q224_price_octiles" -> (Pipeline.priceOctiles _),
+    "q225_ewma_revenue" -> (Pipeline.ewmaDailyRevenue _),
+    "q227_winsorized_revenue" -> (Pipeline.winsorizedRevenue _),
+    "q228_column_drift" -> (Pipeline.columnDrift _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2259,6 +2263,90 @@ object SparkEntry {
         |  TRUE AS err_within_bound
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY media_id""".stripMargin,
+    // octiles: quantile_cont at eighths — dyadic fractions on integer
+    // cents interpolate exactly on both engines
+    "q224_price_octiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(c) AS BIGINT) AS min_cents, CAST(max(c) AS BIGINT) AS max_cents,
+        |  quantile_cont(c, 0.125) AS p18, quantile_cont(c, 0.25) AS p28,
+        |  quantile_cont(c, 0.375) AS p38, quantile_cont(c, 0.5) AS p48,
+        |  quantile_cont(c, 0.625) AS p58, quantile_cont(c, 0.75) AS p68,
+        |  quantile_cont(c, 0.875) AS p78
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dyadic EWMA: integer bit-shift kernel weights, HUGEINT weighted sum,
+    // terminal /255 via the VARCHAR convention; full-kernel days only
+    "q225_ewma_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT d.day AS t, k.k FROM daily d, (SELECT unnest(range(0, 8)) AS k) k),
+        |j AS (
+        |  SELECT g.t,
+        |    SUM(CASE WHEN d2.rev IS NULL THEN 0 ELSE 1 END) AS nd,
+        |    SUM(CAST(COALESCE(d2.rev, 0) AS HUGEINT) *
+        |        (CAST(1 AS HUGEINT) << CAST(7 - g.k AS INTEGER))) AS wsum
+        |  FROM g LEFT JOIN daily d2 ON g.t - g.k = d2.day
+        |  GROUP BY g.t),
+        |mn AS (SELECT MIN(day) AS mnd FROM daily)
+        |SELECT t AS day,
+        |  CASE WHEN t - 7 >= mnd
+        |    THEN CAST(CAST(wsum AS VARCHAR) AS DOUBLE) / 255.0 END AS ewma_cents,
+        |  CASE WHEN t - 7 >= mnd THEN CAST(nd AS BIGINT) END AS n_active_days
+        |FROM j, mn ORDER BY day""".stripMargin,
+    // winsorized mean: dyadic octile band, clipping on 8x-scaled BIGINTs,
+    // one exact-integer double division
+    "q227_winsorized_revenue" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |s AS (
+        |  SELECT c_mktsegment,
+        |    CAST(quantile_cont(cents, 0.125) * 8 AS BIGINT) AS lo8,
+        |    CAST(quantile_cont(cents, 0.875) * 8 AS BIGINT) AS hi8
+        |  FROM v GROUP BY 1)
+        |SELECT v.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN cents * 8 < lo8 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN cents * 8 > hi8 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  CAST(SUM(LEAST(GREATEST(cents * 8, lo8), hi8)) AS DOUBLE) /
+        |    CAST(count(*) * 8 AS DOUBLE) AS winsorized_mean_cents
+        |FROM v JOIN s USING (c_mktsegment)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // column drift: per-column null-safe inequality counts between the
+    // cut snapshot and the restated full table, unpivoted
+    "q228_column_drift" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus AS s1, o_totalprice AS p1,
+        |    o_orderpriority AS pr1, o_custkey AS c1
+        |  FROM orders WHERE o_orderdate <= DATE '1996-01-02'),
+        |a AS (
+        |  SELECT o_orderkey, o_orderstatus AS s2,
+        |    o_totalprice + CASE WHEN o_orderkey % 7 = 0
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS p2,
+        |    o_orderpriority AS pr2,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE o_custkey END AS c2
+        |  FROM orders),
+        |j AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN s1 IS DISTINCT FROM s2 THEN 1 ELSE 0 END) AS BIGINT) AS ds,
+        |    CAST(SUM(CASE WHEN p1 IS DISTINCT FROM p2 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+        |    CAST(SUM(CASE WHEN pr1 IS DISTINCT FROM pr2 THEN 1 ELSE 0 END) AS BIGINT) AS dpr,
+        |    CAST(SUM(CASE WHEN c1 IS DISTINCT FROM c2 THEN 1 ELSE 0 END) AS BIGINT) AS dc
+        |  FROM b JOIN a USING (o_orderkey))
+        |SELECT u.column_name, u.n_changed, j.n AS n_common
+        |FROM j, (
+        |  SELECT 'o_orderstatus' AS column_name, ds AS n_changed FROM j
+        |  UNION ALL SELECT 'o_totalprice', dp FROM j
+        |  UNION ALL SELECT 'o_orderpriority', dpr FROM j
+        |  UNION ALL SELECT 'o_custkey', dc FROM j) u
+        |ORDER BY column_name""".stripMargin,
     // incremental fold ≡ rebuild: the oracle recomputes the aggregate from
     // the whole fact table from scratch
     "q175_incremental_gold_refresh" ->

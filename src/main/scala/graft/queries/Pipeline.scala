@@ -4651,4 +4651,165 @@ object Pipeline {
     Dedup.canonicalByQuality(d, "doc_id", "text", Dedup.duplicateClusters(pairs))
       .orderBy(col("cluster_id"))
   }
+
+  /** q224 — exact price OCTILES per return flag
+    * ([[Analytics.exactPercentilesByValue]] certified directly on a fact
+    * table): the 1/8..7/8 order statistics of lineitem price cents,
+    * computed with NO per-group value multiset — the fact frame collapses
+    * to the (flag, price) value dimension map-side-combined, the
+    * cumulative pass runs over that aggregate, and each octile is a
+    * rank-picked conditional min inside one final aggregate. Eighths are
+    * the exactness choice: interpolation fractions are dyadic, so every
+    * interpolated value is an exact double on both engines (the
+    * q87/q189 discipline) with no formula-association ulp to pin. This is
+    * the 100 TB replacement for `percentile()`'s O(group) buffer that
+    * PlanAuditSpec's exact-percentile guard enforces — certified here on
+    * the biggest fact table rather than only on doc-length profiles.
+    */
+  def priceOctiles(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"))
+    Analytics.exactPercentilesByValue(
+        v, Seq("l_returnflag"), "price_cents",
+        (1 to 7).map(i => (s"p$i" + "8", i / 8.0)))
+      .select(
+        col("l_returnflag"), col("n_rows"),
+        col("min_value").as("min_cents"), col("max_value").as("max_cents"),
+        col("p18"), col("p28"), col("p38"), col("p48"),
+        col("p58"), col("p68"), col("p78"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q225 — dyadic-kernel EWMA over daily order revenue: the 8-day
+    * half-life-1 exponential smoother `s_t = Σ_{k=0..7} rev_{t−k}·2^{7−k}
+    * / 255·…` — kept EXACT by keeping everything integral: revenue is
+    * exact cents, the kernel weights are the integers `2^(7−k)`
+    * (bit-shifts, no float pow — pow is the documented cross-engine
+    * hazard), the weighted sum runs in decimal(38,0) (a 10⁸-order day's
+    * cents × 128 clears BIGINT), and the one terminal division by the
+    * kernel mass 255 goes through the q187 VARCHAR convention so both
+    * engines divide the same exact numerator. Missing calendar days
+    * contribute ZERO (the join is on day VALUES, calendar-honest) but the
+    * kernel mass stays 255 — a quiet day genuinely decays the average.
+    * Days with fewer than 8 predecessors emit null (the q222 partial-
+    * window discipline). Scale shape: one fact aggregate to the day
+    * dimension, then an 8-wide day-dimension self-join — never a
+    * fact-sized window.
+    */
+  def ewmaDailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = graft.core.Caching.eager(
+      Tables(spark, dir).orders
+        .groupBy(datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("long").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents")))
+    // the 8-tap kernel: offset k carries integer weight 2^(7−k)
+    val kernel = spark.range(0, 8).select(col("id").as("k"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(7 - id AS INT))").as("wt"))
+    val smoothed = daily.select(col("day").as("t"))
+      .crossJoin(broadcast(kernel))
+      .join(daily, col("t") - col("k") === col("day"), "left")
+      .groupBy(col("t").as("day"))
+      .agg(
+        sum(when(col("rev_cents").isNotNull, 1L).otherwise(0L)).as("_nd"),
+        sum(coalesce(col("rev_cents"), lit(0L)).cast(d38) * col("wt").cast(d38))
+          .as("_wsum"))
+    // full-kernel days only: t − 7 must not predate the first revenue day
+    graft.core.ScalarJoin.withScalars(
+        smoothed, daily.agg(min(col("day")).as("_min_day")))
+      .select(
+        col("day"),
+        when(col("day") - 7 >= col("_min_day"),
+          col("_wsum").cast("string").cast("double") / 255.0)
+          .as("ewma_cents"),
+        when(col("day") - 7 >= col("_min_day"), col("_nd")).as("n_active_days"))
+      .orderBy("day")
+  }
+
+  /** q227 — WINSORIZED revenue statistics per market segment: order
+    * totals clipped to the segment's dyadic [p⅛, p⅞] band
+    * ([[Analytics.exactPercentilesByValue]] again — no value multiset),
+    * then the winsorized mean — the outlier-robust mean a BI deck
+    * actually reports. Exactness: the dyadic octiles of integer cents are
+    * exact multiples of 1/8, so clipping happens on 8×-scaled INTEGERS
+    * (`clip8 = least(greatest(8x, 8·lo), 8·hi)` — 8·lo/8·hi are
+    * exactly-integral doubles, the long casts lossless, all BIGINT), the
+    * clipped sum is exact, and the mean is ONE double division of two
+    * exact integers (÷ 8n). n_clipped_low/high are exact counts — the
+    * "how much did we clip" audit columns.
+    */
+  def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val v = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val stats = Analytics.exactPercentilesByValue(
+      v, Seq("c_mktsegment"), "cents", Seq("_plo" -> 0.125, "_phi" -> 0.875))
+    v.join(broadcast(stats.select(
+        col("c_mktsegment"),
+        // dyadic octiles of integers are exact eighths: 8·p is an exact
+        // integer-valued double, so the long cast is lossless
+        (col("_plo") * 8).cast("long").as("_lo8"),
+        (col("_phi") * 8).cast("long").as("_hi8"))),
+      Seq("c_mktsegment"))
+      .select(col("c_mktsegment"),
+        least(greatest(col("cents") * 8, col("_lo8")), col("_hi8")).as("_c8"),
+        (col("cents") * 8 < col("_lo8")).as("_low"),
+        (col("cents") * 8 > col("_hi8")).as("_high"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("_low"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("_high"), 1L).otherwise(0L)).as("n_clipped_high"),
+        (sum(col("_c8")).cast("double") /
+          (count(lit(1)) * 8).cast("double")).as("winsorized_mean_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q228 — COLUMN-LEVEL drift between two order snapshots (q213's
+    * entity-level diff refined to the column grain): among orders present
+    * in both the day-≤cut and full snapshots, how many changed each
+    * column — the schema-drift audit a warehouse reconciliation runs
+    * before blaming a pipeline. One equi-join on the key, the per-column
+    * null-safe inequality flags summed map-side, then the wide row
+    * unpivots through a literal stack (column names are code literals —
+    * the injection-safe stack discipline). Counts are exact BIGINTs.
+    */
+  def columnDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val cut = to_date(lit("1996-01-02"))
+    val before = o.where(col("o_orderdate") <= cut)
+      .select(col("o_orderkey"), col("o_orderstatus").as("_s1"),
+        col("o_totalprice").as("_p1"), col("o_orderpriority").as("_pr1"),
+        col("o_custkey").as("_c1"))
+    // the "after" snapshot restates every order with refreshed attributes:
+    // status recomputed from the shipped fraction is simulated by the full
+    // table — persisting keys carry the full table's (possibly equal)
+    // values, so each column's drift count discriminates independently
+    val after = o
+      .select(col("o_orderkey"), col("o_orderstatus").as("_s2"),
+        (col("o_totalprice") + when(col("o_orderkey") % 7 === 0, 1.0)
+          .otherwise(0.0)).as("_p2"),
+        col("o_orderpriority").as("_pr2"),
+        when(col("o_orderkey") % 5 === 0, lit(0L))
+          .otherwise(col("o_custkey")).as("_c2"))
+    before.join(after, Seq("o_orderkey"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(when(!(col("_s1") <=> col("_s2")), 1L).otherwise(0L)).as("_ds"),
+        sum(when(!(col("_p1") <=> col("_p2")), 1L).otherwise(0L)).as("_dp"),
+        sum(when(!(col("_pr1") <=> col("_pr2")), 1L).otherwise(0L)).as("_dpr"),
+        sum(when(!(col("_c1") <=> col("_c2")), 1L).otherwise(0L)).as("_dc"))
+      .select(expr(
+        """stack(4,
+          |  'o_orderstatus',   _ds,
+          |  'o_totalprice',    _dp,
+          |  'o_orderpriority', _dpr,
+          |  'o_custkey',       _dc) AS (column_name, n_changed)""".stripMargin),
+        col("_n").as("n_common"))
+      .orderBy("column_name")
+  }
 }
