@@ -243,8 +243,10 @@ object SparkEntry {
     "q223_jpeg_decode" -> (Pipeline.jpegDecodeCert _),
     "q224_price_octiles" -> (Pipeline.priceOctiles _),
     "q225_ewma_revenue" -> (Pipeline.ewmaDailyRevenue _),
+    "q226_editdist_dedup" -> (Pipeline.editDistanceNameDedup _),
     "q227_winsorized_revenue" -> (Pipeline.winsorizedRevenue _),
     "q228_column_drift" -> (Pipeline.columnDrift _),
+    "q229_nearest_asof" -> (Pipeline.nearestErrorContext _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2263,6 +2265,64 @@ object SparkEntry {
         |  TRUE AS err_within_bound
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY media_id""".stripMargin,
+    // nearest as-of: backward/forward extrema per left row, side decided
+    // by exact integer-us distance (ties backward), payload id pinned by
+    // each direction's own tie convention (backward max, forward min)
+    "q229_nearest_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'error' AND event_id % 5 = 0),
+        |j AS (
+        |  SELECT l.event_id AS eid,
+        |    max(CASE WHEN r.ts <= l.ts THEN r.ts END) AS bts,
+        |    min(CASE WHEN r.ts >= l.ts THEN r.ts END) AS fts
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT l.event_id AS eid, l.user_id, l.ts, j.bts, j.fts,
+        |    CASE
+        |      WHEN j.bts IS NULL AND j.fts IS NULL THEN NULL
+        |      WHEN j.fts IS NULL THEN 'backward'
+        |      WHEN j.bts IS NULL THEN 'forward'
+        |      WHEN epoch_us(l.ts) - epoch_us(j.bts) <= epoch_us(j.fts) - epoch_us(l.ts)
+        |        THEN 'backward' ELSE 'forward' END AS side
+        |  FROM l JOIN j ON j.eid = l.event_id),
+        |pick AS (
+        |  SELECT d.eid,
+        |    CASE WHEN d.side = 'backward' THEN max(r.event_id)
+        |      ELSE min(r.event_id) END AS rid
+        |  FROM d JOIN r ON r.user_id = d.user_id
+        |    AND r.ts = CASE WHEN d.side = 'backward' THEN d.bts ELSE d.fts END
+        |  GROUP BY d.eid, d.side)
+        |SELECT d.eid AS event_id, d.user_id, d.ts,
+        |  p.rid AS nearest_error_id,
+        |  CASE WHEN d.side = 'backward' THEN d.bts ELSE d.fts END AS nearest_error_ts,
+        |  d.side AS asof_side,
+        |  CASE WHEN d.side IS NOT NULL THEN
+        |    abs(epoch_us(CASE WHEN d.side = 'backward' THEN d.bts ELSE d.fts END)
+        |        - epoch_us(d.ts)) END AS us_apart
+        |FROM d LEFT JOIN pick p ON p.eid = d.eid
+        |ORDER BY event_id""".stripMargin,
+    // edit-distance join: the SAME deletion-neighborhood blocking +
+    // levenshtein verification (unit-cost distance on both engines)
+    "q226_editdist_dedup" ->
+      """WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+        |  WHERE c_name IS NOT NULL),
+        |vars AS (
+        |  SELECT id, nm, unnest(list_append(
+        |    list_transform(range(1, CAST(len(nm) AS INTEGER) + 1),
+        |      i -> substring(nm, 1, CAST(i AS INTEGER) - 1) ||
+        |           substring(nm, CAST(i AS INTEGER) + 1)),
+        |    nm)) AS v
+        |  FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS na, b.nm AS nb
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(na, nb) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // octiles: quantile_cont at eighths — dyadic fractions on integer
     // cents interpolate exactly on both engines
     "q224_price_octiles" ->

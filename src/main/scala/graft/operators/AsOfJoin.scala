@@ -151,4 +151,104 @@ object AsOfJoin {
       .where(col("_m") === 0)
       .select(left.columns.map(c => col(s"_l.$c").as(c)) :+ col("_asof").as("asof"): _*)
   }
+
+  /** NEAREST as-of join: each left row picks the right row of the same
+    * key minimizing `|rightTs − leftTs|` — the third member of the as-of
+    * family (backward = latest-at-or-before, forward =
+    * earliest-at-or-after, nearest = closer of the two), the matching
+    * rule sensor/metric alignment wants when neither direction is
+    * privileged.
+    *
+    * ONE union + ONE per-key sort serves BOTH directions: the two window
+    * frames (`…,current` / `current,…`) share the partition and ordering,
+    * so Spark plans a single shuffle and a single sort with two frame
+    * passes — never two joins. Tie rules: at equal DISTANCE the backward
+    * candidate wins (deterministic, and the natural pick — it was already
+    * current state at the left timestamp; an equal-timestamp right row is
+    * distance 0 both ways and resolves backward). Among equal-timestamp
+    * right rows the backward pick takes the GREATEST `rightOrdCols` row
+    * and the forward pick the SMALLEST — each direction keeps its own
+    * join's documented convention.
+    *
+    * Timestamps may be TIMESTAMP (distance in exact integer µs), DATE
+    * (days), or a numeric column (own algebra, compared in long for
+    * integrals). Returns every left column, the `asof` payload struct,
+    * and `asof_side` ('backward' | 'forward', null when the key has no
+    * right rows at all).
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      rightPayload: Seq[String],
+      rightOrdCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    val reserved = Seq("_ts", "_tn", "_m", "_l", "_r", "_cand", "asof", "asof_side") ++
+      rightOrdCols.indices.map(i => s"_tb$i")
+    require(
+      !(left.columns ++ right.columns).exists(reserved.contains),
+      s"asofJoinNearest reserves column names ${reserved.mkString(", ")}")
+    val tsType = left.schema(leftTsCol).dataType
+    def toNum(c: org.apache.spark.sql.Column) = tsType match {
+      case TimestampType => unix_micros(c)
+      case DateType => datediff(c, to_date(lit("1970-01-01"))).cast("long")
+      case _: DoubleType | _: FloatType | _: DecimalType => c.cast("double")
+      case _ => c.cast("long")
+    }
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct.as("_l")).schema("_l").dataType
+    val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    val tbTypes = rightOrdCols.map(c => right.schema(c).dataType)
+    // right sorts BEFORE left at an equal timestamp (the backward join's
+    // convention): the distance-0 match lands in the backward frame, and
+    // nearest resolves distance ties backward anyway, so the forward frame
+    // missing it changes nothing
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTsCol).as("_ts"),
+        lit(1).as("_m"),
+        lStruct.as("_l"),
+        lit(null).cast(rType).as("_r")) ++
+        tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"_tb$i") }: _*)
+    val rSide = right
+      .where(
+        keys.map(col(_).isNotNull)
+          .foldLeft(col(rightTsCol).isNotNull)(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTsCol).as("_ts"),
+          lit(0).as("_m"),
+          lit(null).cast(lType).as("_l"),
+          rStruct.as("_r")) ++
+        rightOrdCols.zipWithIndex.map { case (c, i) => col(c).as(s"_tb$i") }: _*)
+    val ord = col("_ts") +: col("_m") +:
+      rightOrdCols.indices.map(i => col(s"_tb$i"))
+    val wBack = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withCand = lSide.unionByName(rSide)
+      .withColumn("_tn", toNum(col("_ts")))
+      .withColumn("_cand",
+        when(col("_m") === 0, struct(col("_tn").as("t"), col("_r").as("p"))))
+    val lt = col("_tn")
+    val back = last(col("_cand"), ignoreNulls = true).over(wBack)
+    val fwd = first(col("_cand"), ignoreNulls = true).over(wFwd)
+    val side = when(back.isNull && fwd.isNull, lit(null).cast("string"))
+      .when(fwd.isNull, lit("backward"))
+      .when(back.isNull, lit("forward"))
+      .when(lt - back("t") <= fwd("t") - lt, lit("backward"))
+      .otherwise(lit("forward"))
+    withCand
+      .withColumn("asof_side", side)
+      .withColumn("asof",
+        when(col("asof_side") === "backward", back("p"))
+          .when(col("asof_side") === "forward", fwd("p")))
+      .where(col("_m") === 1)
+      .select(left.columns.map(c => col(s"_l.$c").as(c)) ++
+        Seq(col("asof"), col("asof_side")): _*)
+  }
 }

@@ -402,6 +402,57 @@ object Dedup {
           }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.band_hash"))
 
+  /** EXACT edit-distance-≤1 similarity join (FastSS deletion
+    * neighborhoods): all pairs of rows whose strings are within ONE
+    * insertion/deletion/substitution — the typo-dedup primitive for short
+    * keys (names, SKUs, codes) where MinHash shingles are useless (a
+    * one-character edit barely moves token sets) and a pairwise
+    * levenshtein join is quadratic.
+    *
+    * Blocking is EXACT, not probabilistic: `ed(a,b) ≤ 1` implies the
+    * deletion neighborhoods `{s} ∪ del₁(s)` intersect (delete the edited
+    * position on whichever side has it), so joining on neighborhood
+    * members finds every qualifying pair; the levenshtein verification
+    * then kills the false candidates the converse admits (e.g. "ab"/"ba"
+    * share both "a" and "b" at distance 2). Candidate buckets are
+    * alphabet-bounded for substitution-style corpora (a deletion variant
+    * is shared only by strings equal everywhere else), and a bucket of k
+    * IDENTICAL strings yields k² genuine pairs — the work is
+    * OUTPUT-bounded, never corpus-quadratic. One explode (factor
+    * len+1), one equi-join on the variant, one distinct on the
+    * candidate pair frame.
+    *
+    * Returns `(id_a, id_b, dist)` with `id_a < id_b` and
+    * `dist ∈ {0, 1}` (0 = exact duplicates, found through the identity
+    * member of the neighborhood).
+    */
+  def editDistanceOneDuplicates(
+      df: DataFrame,
+      idCol: String,
+      strCol: String): DataFrame = {
+    val s = df.select(col(idCol).cast("long").as("vid"), col(strCol).as("nm"))
+      .where(col("nm").isNotNull)
+    val vars = s.select(col("vid"), col("nm"),
+      explode(concat(
+        array(col("nm")),
+        when(length(col("nm")) >= 1, expr(
+          """transform(sequence(1, length(nm)),
+            |  i -> concat(substring(nm, 1, i - 1),
+            |              substring(nm, i + 1, length(nm) - i)))""".stripMargin))
+          .otherwise(expr("CAST(array() AS array<string>)")))).as("v"))
+    val a = vars.alias("a")
+    val b = vars.alias("b")
+    val cand = a.join(b, col("a.v") === col("b.v") && col("a.vid") < col("b.vid"))
+      .select(
+        col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.nm").as("na"), col("b.nm").as("nb"))
+      .distinct()
+    cand
+      .where(levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+  }
+
   /** Incremental exact dedup: the delta rows whose normalized content does
     * not already exist in the corpus — one anti-join on the content hash,
     * the daily-ingest shape (the corpus side is a precomputed hash index at

@@ -4727,6 +4727,57 @@ object Pipeline {
       .orderBy("day")
   }
 
+  /** q229 — NEAREST as-of join ([[graft.operators.AsOfJoin
+    * .asofJoinNearest]]): each purchase matched to the closest (in time)
+    * sampled error event of the same user, whichever side it falls on —
+    * completing the as-of family (q173/q190 backward, q204 forward). The
+    * `event_id % 5` error sampling makes every branch real at every
+    * probed scale (sf0.01: 229 no-error users' purchases null, 508
+    * backward-only, 506 forward-only, 360 backward-wins, 378
+    * forward-wins; all five populated at the 20k-user fixture too). ONE
+    * union + ONE per-key sort serves both direction frames — never two
+    * joins. Distance ties resolve backward; the distance is exact
+    * integer µs.
+    */
+  def nearestErrorContext(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev
+      .where(col("event_type") === "error" && col("event_id") % 5 === 0)
+      .select(col("user_id"), col("ts").as("_e_ts"), col("event_id").as("_e_id"))
+    graft.operators.AsOfJoin.asofJoinNearest(
+      purchases, errors,
+      keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "_e_ts",
+      rightPayload = Seq("_e_id", "_e_ts"), rightOrdCols = Seq("_e_id"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("asof._e_id").as("nearest_error_id"),
+        col("asof._e_ts").as("nearest_error_ts"),
+        col("asof_side"),
+        abs(unix_micros(col("asof._e_ts")) - unix_micros(col("ts")))
+          .as("us_apart"))
+      .orderBy("event_id")
+  }
+
+  /** q226 — exact edit-distance-≤1 name dedup
+    * ([[Dedup.editDistanceOneDuplicates]], FastSS deletion-neighborhood
+    * blocking): every customer-name pair within one character edit — the
+    * typo-join over short keys that completes the dedup family (MinHash =
+    * token-set near-dups, SimHash = fingerprint near-dups, this = exact
+    * edit-radius pairs; shingle methods cannot see a one-digit change).
+    * The synthetic `Customer#NNNNNNNNN` names make both branches real at
+    * every scale: ids differing in one digit are distance-1 pairs, and the
+    * scaled fixture's repeated names are distance-0 pairs found through
+    * the identity member. The oracle reruns the SAME deletion-neighborhood
+    * candidate generation + levenshtein verification in SQL — both
+    * engines' `levenshtein` is the standard unit-cost distance.
+    */
+  def editDistanceNameDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceOneDuplicates(
+        Tables(spark, dir).customer, "c_custkey", "c_name")
+      .orderBy("id_a", "id_b")
+
   /** q227 — WINSORIZED revenue statistics per market segment: order
     * totals clipped to the segment's dyadic [p⅛, p⅞] band
     * ([[Analytics.exactPercentilesByValue]] again — no value multiset),

@@ -159,6 +159,55 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinNearest: closer side wins, distance ties backward, edges null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 09:00 (1h) vs fwd 10:30 (30m) -> fwd
+      (2L, 10L, ts("2024-01-01 11:30:00")), // back 10:30 (1h) vs fwd 12:30 (1h) -> TIE -> back
+      (3L, 10L, ts("2024-01-01 08:00:00")), // nothing before -> forward only
+      (4L, 10L, ts("2024-01-01 23:00:00")), // nothing after -> backward only
+      (5L, 20L, ts("2024-01-01 10:00:00")), // user 20 has no right rows -> null
+      (6L, 30L, ts("2024-01-01 10:00:00"))  // equal-ts right row -> distance 0, backward
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00")),
+      (101L, 10L, ts("2024-01-01 10:30:00")),
+      (102L, 10L, ts("2024-01-01 12:30:00")),
+      (200L, 30L, ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin
+      .asofJoinNearest(left, right, Seq("user_id"), "ts", "ts", Seq("event_id"))
+      .select(col("event_id"), col("asof.event_id").as("mid"), col("asof_side"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2)))))
+      .toMap
+    assert(out(1L) == ((Some(101L), Some("forward"))), "closer forward row wins")
+    assert(out(2L) == ((Some(101L), Some("backward"))), "exact distance tie -> backward")
+    assert(out(3L) == ((Some(100L), Some("forward"))), "nothing earlier -> forward")
+    assert(out(4L) == ((Some(102L), Some("backward"))), "nothing later -> backward")
+    assert(out(5L) == ((None, None)), "no right rows -> null match and null side")
+    assert(out(6L) == ((Some(200L), Some("backward"))), "equal ts = distance 0, backward")
+  }
+
+  test("asofJoinNearest ties at one timestamp follow each direction's convention") {
+    // two right rows at 09:00 (backward candidates) and two at 11:00
+    // (forward candidates); left at 10:00 is equidistant -> backward wins,
+    // and the backward pick takes the GREATEST tie-break row
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00")),
+      (101L, 10L, ts("2024-01-01 09:00:00")),
+      (102L, 10L, ts("2024-01-01 11:00:00")),
+      (103L, 10L, ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin
+      .asofJoinNearest(left, right, Seq("user_id"), "ts", "ts", Seq("event_id"),
+        rightOrdCols = Seq("event_id"))
+      .select(col("asof.event_id"), col("asof_side")).collect()
+    assert(out.head.getLong(0) == 101L && out.head.getString(1) == "backward",
+      "distance tie -> backward, and backward takes the greatest tie-break row")
+  }
+
   test("asofJoinForward ties: smallest rightOrdCols row at one timestamp wins") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq(
