@@ -2308,8 +2308,9 @@ object SparkEntry {
     // edit-distance join: the SAME deletion-neighborhood blocking +
     // levenshtein verification (unit-cost distance on both engines)
     "q226_editdist_dedup" ->
-      """WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer
-        |  WHERE c_name IS NOT NULL),
+      """WITH s AS (
+        |  SELECT MIN(c_custkey) AS id, c_name AS nm FROM customer
+        |  WHERE c_name IS NOT NULL GROUP BY c_name),
         |vars AS (
         |  SELECT id, nm, unnest(list_append(
         |    list_transform(range(1, CAST(len(nm) AS INTEGER) + 1),

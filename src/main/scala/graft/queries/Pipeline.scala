@@ -4766,17 +4766,25 @@ object Pipeline {
     * typo-join over short keys that completes the dedup family (MinHash =
     * token-set near-dups, SimHash = fingerprint near-dups, this = exact
     * edit-radius pairs; shingle methods cannot see a one-digit change).
-    * The synthetic `Customer#NNNNNNNNN` names make both branches real at
-    * every scale: ids differing in one digit are distance-1 pairs, and the
-    * scaled fixture's repeated names are distance-0 pairs found through
-    * the identity member. The oracle reruns the SAME deletion-neighborhood
-    * candidate generation + levenshtein verification in SQL — both
-    * engines' `levenshtein` is the standard unit-cost distance.
+    * Names are CANONICALIZED first — one distinct-name aggregate keeping
+    * the minimum custkey as representative — because exact duplicates
+    * belong to exact dedup, not a typo join: the scaled fixture carries
+    * each name ~10×, and feeding copies through would square every
+    * bucket into millions of distance-0 pairs that certify nothing new
+    * (probed: 26.9M pairs raw vs 319k canonical at the 20k-name scale).
+    * The synthetic `Customer#NNNNNNNNN` names make the positive branch
+    * real at every scale (ids differing in one digit are distance-1
+    * pairs). The oracle reruns the SAME canonicalization +
+    * deletion-neighborhood candidates + levenshtein verification in SQL —
+    * both engines' `levenshtein` is the standard unit-cost distance.
     */
-  def editDistanceNameDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.editDistanceOneDuplicates(
-        Tables(spark, dir).customer, "c_custkey", "c_name")
+  def editDistanceNameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val canon = Tables(spark, dir).customer
+      .groupBy(col("c_name"))
+      .agg(min(col("c_custkey")).as("rep_key"))
+    Dedup.editDistanceOneDuplicates(canon, "rep_key", "c_name")
       .orderBy("id_a", "id_b")
+  }
 
   /** q227 — WINSORIZED revenue statistics per market segment: order
     * totals clipped to the segment's dyadic [p⅛, p⅞] band

@@ -191,6 +191,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.tunePlanes((200L << 5) + 1, 200) == 7, "one past the boundary")
   }
 
+  test("editDistanceOneDuplicates: exact ed<=1 pairs, verified candidates only") {
+    val df = Seq(
+      (1L, "abc"),  // sub of 2 (abd), del of 3 (ab), dup of 5
+      (2L, "abd"),
+      (3L, "ab"),   // insertion neighbor of abc AND abd
+      (4L, "xyz"),  // no neighbors
+      (5L, "abc"),  // exact duplicate of 1
+      (6L, "ba")    // ed("ab","ba") = 2 but neighborhoods intersect -> must be filtered
+    ).toDF("id", "s")
+    val out = Dedup.editDistanceOneDuplicates(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 0L),
+      (2L, 3L, 1L), (2L, 5L, 1L), (3L, 5L, 1L)),
+      s"expected the exact ed<=1 pair set, got $out")
+    // the "ba" case is the FastSS false-candidate the verification kills:
+    // {ab,a,b} and {ba,b,a} intersect but the true distance is 2
+    assert(!out.exists(p => p._1 == 3L && p._2 == 6L),
+      "shared deletion variants at distance 2 must not survive verification")
+  }
+
   test("exactIncrement drops delta docs whose content exists in the corpus") {
     val corpus = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
     val delta = Seq(
