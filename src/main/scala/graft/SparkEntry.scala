@@ -247,6 +247,9 @@ object SparkEntry {
     "q227_winsorized_revenue" -> (Pipeline.winsorizedRevenue _),
     "q228_column_drift" -> (Pipeline.columnDrift _),
     "q229_nearest_asof" -> (Pipeline.nearestErrorContext _),
+    "q230_orphan_audit" -> (Pipeline.orphanAudit _),
+    "q231_fiscal_rollup" -> (Pipeline.fiscalQuarterRollup _),
+    "q232_order_reconciliation" -> (Pipeline.orderReconciliation _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2265,6 +2268,61 @@ object SparkEntry {
         |  TRUE AS err_within_bound
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY media_id""".stripMargin,
+    // orphan audit: one anti-join per relation, exact counts; the partial
+    // parent simulates the mid-backfill state, the full one stays clean
+    "q230_orphan_audit" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0)),
+        |oc AS (
+        |  SELECT o_custkey AS k FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT 'lineitem->orders_partial' AS relation,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+        |  CAST(count(*) AS BIGINT) AS n_orphan_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys
+        |FROM lo
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+        |FROM oc
+        |ORDER BY relation""".stripMargin,
+    // fiscal rollup: FY opens Feb 1 — integer month arithmetic only
+    "q231_fiscal_rollup" ->
+      """SELECT
+        |  CAST(CASE WHEN month(o_orderdate) >= 2 THEN year(o_orderdate)
+        |    ELSE year(o_orderdate) - 1 END AS BIGINT) AS fiscal_year,
+        |  CAST(floor(((month(o_orderdate) - 2 + 12) % 12) / 3) + 1 AS BIGINT)
+        |    AS fiscal_quarter,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // reconciliation: fixed-association per-line product rounded to cents
+    // once, error buckets by integer cross-multiplication
+    "q232_order_reconciliation" ->
+      """WITH r AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 + l_tax) * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rec
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS tot
+        |  FROM orders),
+        |j AS (
+        |  SELECT o.tot, r.rec
+        |  FROM o FULL OUTER JOIN r ON o.o_orderkey = r.l_orderkey)
+        |SELECT
+        |  CAST(SUM(CASE WHEN rec IS NOT NULL AND tot IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_joined,
+        |  CAST(SUM(CASE WHEN tot IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_no_header,
+        |  CAST(SUM(CASE WHEN rec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_headers_no_lines,
+        |  CAST(SUM(CASE WHEN rec = tot THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN rec <> tot AND abs(rec - tot) * 100 <= tot THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+        |  CAST(SUM(CASE WHEN abs(rec - tot) * 100 > tot AND abs(rec - tot) * 10 <= tot THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
+        |  CAST(SUM(CASE WHEN abs(rec - tot) * 10 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_10pct
+        |FROM j""".stripMargin,
     // nearest as-of: backward/forward extrema per left row, side decided
     // by exact integer-us distance (ties backward), payload id pinned by
     // each direction's own tie convention (backward max, forward min)

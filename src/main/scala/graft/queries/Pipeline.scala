@@ -4727,6 +4727,99 @@ object Pipeline {
       .orderBy("day")
   }
 
+  /** q230 — REFERENTIAL-INTEGRITY orphan audit: per foreign-key relation,
+    * how many child rows (and distinct child keys) reference a missing
+    * parent — the load-order smoke test every warehouse runs mid-backfill.
+    * Two relations make both branches real: `lineitem → orders(partial)`
+    * audits against a simulated partially-loaded parent (orders with
+    * `o_orderkey % 3 = 0` not yet landed — the mid-backfill state this
+    * audit exists for), and `orders → customer` audits the real, complete
+    * relation (zero orphans — the negative branch is the fixture's actual
+    * integrity). Shape: one left-anti join per relation (parent side
+    * ids-only), exact counts, two-row report.
+    */
+  def orphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def audit(rel: String, child: DataFrame, key: String, parent: DataFrame,
+        pkey: String): DataFrame = {
+      val orphans = child.select(col(key))
+        .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+      graft.core.ScalarJoin.withScalars(
+        orphans.agg(
+          count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col(key)).as("n_orphan_keys")),
+        child.agg(count(lit(1)).as("n_child_rows")))
+        .select(lit(rel).as("relation"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }
+    audit("lineitem->orders_partial", t.lineitem, "l_orderkey",
+        t.orders.where(col("o_orderkey") % 3 =!= 0), "o_orderkey")
+      .unionByName(audit("orders->customer", t.orders, "o_custkey",
+        t.customer, "c_custkey"))
+      .orderBy("relation")
+  }
+
+  /** q232 — FISCAL-calendar rollup: revenue by fiscal year/quarter with
+    * the fiscal year starting February 1 (the off-by-one-month calendar
+    * arithmetic every finance deck needs and every naive `quarter()`
+    * gets wrong): `fq = ((month − 2 + 12) mod 12) div 3 + 1`, and the
+    * fiscal year is labeled by the year of its opening February. All
+    * integer date arithmetic; revenue is the exact cents sum. One
+    * aggregation, dimension-sized output.
+    */
+  def fiscalQuarterRollup(spark: SparkSession, dir: String): DataFrame = {
+    val m = month(col("o_orderdate"))
+    Tables(spark, dir).orders
+      .select(
+        when(m >= 2, year(col("o_orderdate")))
+          .otherwise(year(col("o_orderdate")) - 1).cast("long").as("fiscal_year"),
+        expr("CAST(((month(o_orderdate) - 2 + 12) % 12) div 3 + 1 AS BIGINT)")
+          .as("fiscal_quarter"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("_cents"))
+      .groupBy(col("fiscal_year"), col("fiscal_quarter"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("_cents")).as("revenue_cents"))
+      .orderBy("fiscal_year", "fiscal_quarter")
+  }
+
+  /** q233 — order-total RECONCILIATION report: every order's header total
+    * vs the total recomputed from its lines
+    * (`Σ round(extendedprice·(1+tax)·(1−discount)·100)`), bucketed by
+    * relative error in EXACT integer cross-multiplications
+    * (`|Δ|·100 ≤ total` = within 1%, `|Δ|·10 ≤ total` = within 10% — no
+    * float ratio). The per-line product is one fixed-association IEEE
+    * multiply chain, identical on both engines, rounded to cents once.
+    * The synthetic fixture reconciles for almost nothing (probed at
+    * sf0.01: 0 exact, 109 within 1%, 14,634 beyond 10%) — which is
+    * exactly what the report is for; the zero `n_exact` column is the
+    * fixture's honest answer, not an untested branch (the bucket logic is
+    * count-based, not row-gated). Headerless/lineless orders are counted
+    * separately so the reconciliation never silently drops them.
+    */
+  def orderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val recomputed = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) + col("l_tax")) *
+        (lit(1.0) - col("l_discount")) * 100, 0).cast("long")).as("_rec"))
+    val o = t.orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("_tot"))
+    val joined = o.join(recomputed, col("o_orderkey") === col("l_orderkey"), "full")
+    joined.agg(
+        sum(when(col("_rec").isNotNull && col("_tot").isNotNull, 1L)
+          .otherwise(0L)).as("n_joined"),
+        sum(when(col("_tot").isNull, 1L).otherwise(0L)).as("n_lines_no_header"),
+        sum(when(col("_rec").isNull, 1L).otherwise(0L)).as("n_headers_no_lines"),
+        sum(when(col("_rec") === col("_tot"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("_rec") =!= col("_tot") &&
+          abs(col("_rec") - col("_tot")) * 100 <= col("_tot"), 1L)
+          .otherwise(0L)).as("n_within_1pct"),
+        sum(when(abs(col("_rec") - col("_tot")) * 100 > col("_tot") &&
+          abs(col("_rec") - col("_tot")) * 10 <= col("_tot"), 1L)
+          .otherwise(0L)).as("n_within_10pct"),
+        sum(when(abs(col("_rec") - col("_tot")) * 10 > col("_tot"), 1L)
+          .otherwise(0L)).as("n_beyond_10pct"))
+  }
+
   /** q229 — NEAREST as-of join ([[graft.operators.AsOfJoin
     * .asofJoinNearest]]): each purchase matched to the closest (in time)
     * sampled error event of the same user, whichever side it falls on —
