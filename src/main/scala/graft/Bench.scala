@@ -151,6 +151,10 @@ object Bench {
         // mid-suite before this sweep)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // stream scratch (drops/checkpoints/sinks) is RAM-backed: reap each
+        // rep's trees now (untimed) instead of letting the shutdown hook
+        // hold every query's tree in memory across the whole bench
+        graft.queries.Pipeline.reapScratch()
         System.gc()
         elapsed
       }

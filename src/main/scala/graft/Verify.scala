@@ -34,6 +34,10 @@ object Verify {
       // localCheckpoint blocks, which live outside the SQL cache manager
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // and reap the query's stream scratch (drops/checkpoints/sinks) NOW:
+      // the scratch base is RAM-backed, so shutdown-hook-only cleanup would
+      // hold every stream query's tree in memory for the whole dump
+      graft.queries.Pipeline.reapScratch()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

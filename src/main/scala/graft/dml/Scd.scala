@@ -158,7 +158,9 @@ object Scd {
       .withColumn("is_current", col("effective_to").isNull)
     // close-out: a key with appended versions closes its current version at
     // the first new effective_from (a half-open [from, close) interval —
-    // zero-length when the delta moves the attribute at the same instant)
+    // always strictly positive here: an equal-ts attribute move is rejected
+    // by the guard below, so no zero-length close-out can arise on the
+    // apply path)
     val closeAt = newVers.groupBy(col(keyCol))
       .agg(min(col("effective_from")).as("_close_ts"))
     // a delta that does not STRICTLY postdate its key's current version

@@ -430,13 +430,14 @@ object Multimodal {
               if (im.getWidth != w || im.getHeight != h)
                 Row(d, mime, im.getWidth, im.getHeight, true, null, null)
               else {
+                val pat = pattern(d) // hoisted: one closure per image, not per pixel
                 var maxErr = 0
                 var y = 0
                 while (y < h) {
                   var x = 0
                   while (x < w) {
                     val rgb = im.getRGB(x, y)
-                    val (er, eg, eb) = pattern(d)(x, y)
+                    val (er, eg, eb) = pat(x, y)
                     val e = math.max(
                       math.abs(((rgb >> 16) & 0xff) - er),
                       math.max(

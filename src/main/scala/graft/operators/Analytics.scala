@@ -430,6 +430,12 @@ object Analytics {
     * `n_rows` / `min_value` / `max_value` for free — they come out of the
     * same passes.
     *
+    * NULL values are skipped, matching the built-in (`percentile` ignores
+    * nulls; `n_rows` is the NON-NULL count). A group whose values are ALL
+    * null is absent from the output — the built-in would emit it with a
+    * null statistic; callers that must keep such groups join back left
+    * (as [[featureScale]] does).
+    *
     * Returns one row per group: groupCols, n_rows, min_value, max_value,
     * then one double column per `(name, p)` in `ps`.
     */
@@ -441,6 +447,7 @@ object Analytics {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
     val keys = groupCols.map(col)
     val counts = df
+      .where(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("_cnt"))
     val wCum = Window.partitionBy(keys: _*).orderBy(col(valueCol).asc)
@@ -501,7 +508,10 @@ object Analytics {
       .select(keyCols.map(col) ++ Seq(
         col("min_value").as("_mn"), col("max_value").as("_mx"),
         col("_q1"), col("_med"), col("_q3")): _*)
-    df.join(broadcast(stats), keyCols)
+    // LEFT join: a group whose values are all null has no stats row (see
+    // exactPercentilesByValue) — its rows must survive with null scalings,
+    // exactly as the built-in's null statistics would have scaled them
+    df.join(broadcast(stats), keyCols, "left")
       .withColumn("minmax_scaled",
         when(col("_mx") > col("_mn"),
           (v - col("_mn")).cast("double") /

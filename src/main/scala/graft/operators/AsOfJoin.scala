@@ -146,8 +146,13 @@ object AsOfJoin {
       .orderBy(col("_ts") +: col("_m") +:
         rightOrdCols.indices.map(i => col(s"_tb$i")): _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // a left row with a NULL timestamp has no "at or after" — without the
+    // guard it sorts nulls-first and the forward frame would hand it the
+    // partition's EARLIEST right row as a fabricated match (the backward
+    // join gets this for free: nulls-first leaves its frame empty)
     lSide.unionByName(rSide)
-      .withColumn("_asof", first(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_asof",
+        when(col("_ts").isNotNull, first(col("_r"), ignoreNulls = true).over(w)))
       .where(col("_m") === 0)
       .select(left.columns.map(c => col(s"_l.$c").as(c)) :+ col("_asof").as("asof"): _*)
   }
@@ -237,7 +242,12 @@ object AsOfJoin {
     val lt = col("_tn")
     val back = last(col("_cand"), ignoreNulls = true).over(wBack)
     val fwd = first(col("_cand"), ignoreNulls = true).over(wFwd)
-    val side = when(back.isNull && fwd.isNull, lit(null).cast("string"))
+    // a NULL left timestamp has no distance to anything: null match, null
+    // side (without the guard, nulls-first ordering leaves the backward
+    // frame empty and the forward frame would fabricate an
+    // earliest-right-row match)
+    val side = when(lt.isNull, lit(null).cast("string"))
+      .when(back.isNull && fwd.isNull, lit(null).cast("string"))
       .when(fwd.isNull, lit("backward"))
       .when(back.isNull, lit("forward"))
       .when(lt - back("t") <= fwd("t") - lt, lit("backward"))

@@ -1303,6 +1303,27 @@ object Pipeline {
     dir.toString
   }
 
+  /** Reap every registered scratch tree NOW. For the per-query harness
+    * loops (Verify/Bench call this after materializing each query's
+    * result): with the RAM-backed scratch base, waiting for the shutdown
+    * hook would accumulate every stream query's drop + checkpoint + sink
+    * tree in memory for the whole session — eager reaping bounds RAM use
+    * to one query's tree. Only safe once the query's result is
+    * MATERIALIZED (read-back frames reference these paths lazily).
+    */
+  def reapScratch(): Unit = {
+    var dir = scratchDirs.poll()
+    while (dir != null) {
+      try {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => }
+      dir = scratchDirs.poll()
+    }
+  }
+
   /** Shared drop-directory harness for the stream-path certifications:
     * write `docs` as parquet drops (`files` > 0 repartitions first),
     * stream them back (`perTrigger` > 0 bounds files per micro-batch; 0
@@ -4759,7 +4780,7 @@ object Pipeline {
       .orderBy("relation")
   }
 
-  /** q232 — FISCAL-calendar rollup: revenue by fiscal year/quarter with
+  /** q231 — FISCAL-calendar rollup: revenue by fiscal year/quarter with
     * the fiscal year starting February 1 (the off-by-one-month calendar
     * arithmetic every finance deck needs and every naive `quarter()`
     * gets wrong): `fq = ((month − 2 + 12) mod 12) div 3 + 1`, and the
@@ -4781,7 +4802,7 @@ object Pipeline {
       .orderBy("fiscal_year", "fiscal_quarter")
   }
 
-  /** q233 — order-total RECONCILIATION report: every order's header total
+  /** q232 — order-total RECONCILIATION report: every order's header total
     * vs the total recomputed from its lines
     * (`Σ round(extendedprice·(1+tax)·(1−discount)·100)`), bucketed by
     * relative error in EXACT integer cross-multiplications
@@ -4893,11 +4914,14 @@ object Pipeline {
     */
   def winsorizedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val v = t.orders
+    // two consumers (the percentile stats pass + the clipping pass) — the
+    // q181/q183 eager-persist discipline, so the orders⋈customer join and
+    // the fact scan run once
+    val v = graft.core.Caching.eager(t.orders
       .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents")))
     val stats = Analytics.exactPercentilesByValue(
       v, Seq("c_mktsegment"), "cents", Seq("_plo" -> 0.125, "_phi" -> 0.875))
     v.join(broadcast(stats.select(

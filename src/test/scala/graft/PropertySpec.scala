@@ -37,16 +37,26 @@ class PropertySpec extends SparkSpec {
     // values, and single-row groups — or it could not replace it under the
     // PlanAuditSpec guard
     import graft.operators.Analytics
-    val gen: Gen[List[(Int, Long)]] = Gen.listOfN(
-      40, Gen.zip(Gen.chooseNum(1, 3), Gen.chooseNum(-50L, 50L)))
+    // ~1 in 6 values null: the built-in SKIPS nulls, and the operator must
+    // match that too (the round-14 review finding: counting null rows
+    // shifted every rank); group 8 is ALL-null and must be ABSENT
+    val gen: Gen[List[(Int, Option[Long])]] = Gen.listOfN(
+      40, Gen.zip(Gen.chooseNum(1, 3),
+        Gen.frequency(5 -> Gen.chooseNum(-50L, 50L).map(Some(_)),
+          1 -> Gen.const(Option.empty[Long]))))
     val ps = Seq("p17" -> 0.17, "p25" -> 0.25, "p50" -> 0.5, "p9" -> 0.9, "p100" -> 1.0)
-    samples(gen, 10).zipWithIndex.foreach { case (rows, i) =>
-      val df = (rows :+ ((9, 7L))).toDF("g", "v") // group 9: single row
+    samples(gen, 10).zipWithIndex.foreach { case (rows0, i) =>
+      // group 9: single row; group 8: all-null (absent from the operator)
+      val df = (rows0 :+ ((9, Option(7L))) :+ ((8, Option.empty[Long])))
+        .toDF("g", "v")
       val mine = Analytics.exactPercentilesByValue(df, Seq("g"), "v", ps)
         .select(col("g") +: ps.map { case (nm, _) => col(nm) }: _*)
         .collect().map(r => r.getInt(0) -> ps.indices.map(j => r.getDouble(j + 1)))
         .toMap
-      val ref = df.groupBy(col("g"))
+      // the built-in emits all-null groups with null statistics; the
+      // operator documents their ABSENCE instead — compare over the groups
+      // with at least one non-null value
+      val ref = df.where(col("v").isNotNull).groupBy(col("g"))
         .agg(
           percentile(col("v"), lit(0.17)).as("p17"),
           percentile(col("v"), lit(0.25)).as("p25"),
@@ -56,6 +66,7 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getInt(0) -> ps.indices.map(j => r.getDouble(j + 1)))
         .toMap
       assert(mine.keySet == ref.keySet, s"case $i: group sets differ")
+      assert(!mine.contains(8), s"case $i: the all-null group must be absent")
       ref.foreach { case (g, exp) =>
         val got = mine(g)
         exp.zip(got).zip(ps).foreach { case ((e, a), (nm, _)) =>

@@ -208,6 +208,29 @@ class JoinOpsSpec extends SparkSpec {
       "distance tie -> backward, and backward takes the greatest tie-break row")
   }
 
+  test("a NULL left timestamp never fabricates a match (forward and nearest)") {
+    // nulls sort first under the window ordering: without the guard the
+    // FORWARD frame hands a null-ts left row the partition's earliest
+    // right row as a "match at undefined distance" (round-14 review)
+    val left = Seq(
+      (1L, 10L, Option.empty[Timestamp]),
+      (2L, 10L, Some(ts("2024-01-01 10:00:00")))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val fwd = AsOfJoin
+      .asofJoinForward(left, right, Seq("user_id"), "ts", "ts", Seq("event_id"))
+      .select(col("event_id"), col("asof")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(fwd(1L), "null left ts -> null forward match")
+    val near = AsOfJoin
+      .asofJoinNearest(left, right, Seq("user_id"), "ts", "ts", Seq("event_id"))
+      .select(col("event_id"), col("asof"), col("asof_side")).collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(near(1L) == ((true, true)), "null left ts -> null match AND null side")
+    assert(near(2L) == ((false, false)), "real timestamps still match")
+  }
+
   test("asofJoinForward ties: smallest rightOrdCols row at one timestamp wins") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq(
