@@ -250,6 +250,7 @@ object SparkEntry {
     "q230_orphan_audit" -> (Pipeline.orphanAudit _),
     "q231_fiscal_rollup" -> (Pipeline.fiscalQuarterRollup _),
     "q232_order_reconciliation" -> (Pipeline.orderReconciliation _),
+    "q233_quantile_normalize" -> (Pipeline.quantileNormalizedRevenue _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2268,6 +2269,36 @@ object SparkEntry {
         |  TRUE AS err_within_bound
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY media_id""".stripMargin,
+    // quantile normalization: identical rank algebra, the rounded target
+    // position via floor-division (operands far below the 2^53 boundary
+    // where float floor could diverge from integer div), inverse CDF as a
+    // rank-interval join
+    "q233_quantile_normalize" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, c_mktsegment,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT o_orderkey, c_mktsegment, cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, o_orderkey) AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS ng,
+        |    CAST((SELECT count(*) FROM v) AS BIGINT) AS n
+        |  FROM v),
+        |k AS (
+        |  SELECT o_orderkey, c_mktsegment, cents,
+        |    CASE WHEN ng = 1 THEN CAST(floor((n - 1) / 2.0) AS BIGINT)
+        |      ELSE CAST(floor(((i - 1) * (n - 1) * 2 + (ng - 1)) /
+        |        CAST(2 * (ng - 1) AS DOUBLE)) AS BIGINT) END AS k
+        |  FROM r),
+        |c AS (SELECT cents AS gv, CAST(count(*) AS BIGINT) AS gc FROM v GROUP BY 1),
+        |cc AS (
+        |  SELECT gv, gc,
+        |    CAST(SUM(gc) OVER (ORDER BY gv ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT k.o_orderkey, k.c_mktsegment, k.cents, cc.gv AS norm_cents
+        |FROM k JOIN cc ON k.k >= cc.cum - cc.gc AND k.k < cc.cum
+        |ORDER BY o_orderkey""".stripMargin,
     // orphan audit: one anti-join per relation, exact counts; the partial
     // parent simulates the mid-backfill state, the full one stays clean
     "q230_orphan_audit" ->

@@ -484,6 +484,62 @@ object Analytics {
     }
   }
 
+  /** QUANTILE NORMALIZATION: map every group's values onto the GLOBAL
+    * value distribution by rank — row with within-group rank `i` of `n_g`
+    * becomes the global order statistic at the proportional position,
+    * `k = round((i−1)·(N−1) / (n_g−1))` (0-based; a singleton group maps
+    * to the global median position). The distribution-alignment transform
+    * feature pipelines use when groups (sources, batches, labs) disagree
+    * on scale AND shape — where [[featureScale]]'s affine maps can only
+    * fix location/spread.
+    *
+    * Everything is exact integer arithmetic: ranks come from
+    * [[groupedOrderedRank]] (two-level — no fact-sized sort under a
+    * low-cardinality group key; `tieCols` must make the within-group
+    * order TOTAL), the target position is a rounded INTEGER division
+    * (`(2·(i−1)·(N−1) + (n_g−1)) div (2·(n_g−1))` — no float rounding to
+    * pin; the doubled products stay in BIGINT up to ~2×10⁹ rows, past
+    * which lift them to decimal), and the global inverse CDF is the
+    * value DIMENSION's prefix-sum frame ([[orderedPrefixSum]]) probed by
+    * [[RangeJoin.intervalJoin]]'s chunked point-in-interval join — the
+    * global sorted array never materializes anywhere.
+    *
+    * NULL values are excluded (rank-based mapping is undefined for them);
+    * callers that keep null rows re-attach them. Returns the non-null
+    * input rows plus `normCol` — the global value at the row's mapped
+    * position.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCols: Seq[Column],
+      normCol: String = "normalized",
+      buckets: Int = 64): DataFrame = {
+    val reserved = Seq("_i", "_ng", "_N", "_k", "_gv", "_gc", "_cum", "_lo", "_hi")
+    require(!df.columns.exists(reserved.contains),
+      s"quantileNormalize reserves column names ${reserved.mkString(", ")}")
+    val vals = df.where(col(valueCol).isNotNull)
+    val ranked = groupedOrderedRank(
+      vals, groupCols, col(valueCol).asc +: tieCols, "_i", "_ng", buckets)
+    val cum = orderedPrefixSum(
+      vals.groupBy(col(valueCol).as("_gv")).agg(count(lit(1)).as("_gc")),
+      sortCols = Seq(col("_gv").asc), valueCol = "_gc", cumCol = "_cum",
+      buckets = buckets)
+    val withK = graft.core.ScalarJoin.withScalars(
+        ranked, vals.agg(count(lit(1)).as("_N")))
+      .withColumn("_k",
+        when(col("_ng") === 1, expr("(_N - 1) div 2"))
+          .otherwise(expr(
+            "((_i - 1) * (_N - 1) * 2 + (_ng - 1)) div (2 * (_ng - 1))")))
+    RangeJoin.intervalJoin(
+        withK, "_k",
+        cum.select(col("_gv").as(normCol),
+          (col("_cum") - col("_gc")).as("_lo"), col("_cum").as("_hi")),
+        "_lo", "_hi", chunkWidth = 1024.0)
+      .drop("_i", "_ng", "_N", "_k", "_lo", "_hi")
+  }
+
   /** Per-group feature scaling for training pipelines: min-max
     * (`(x−min)/(max−min)`) and robust (`(x−median)/IQR`) normalization of
     * an INTEGER value column, with every statistic exact so the scaled

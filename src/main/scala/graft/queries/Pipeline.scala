@@ -4748,6 +4748,30 @@ object Pipeline {
       .orderBy("day")
   }
 
+  /** q233 — QUANTILE NORMALIZATION of per-segment order revenue onto the
+    * global revenue distribution ([[Analytics.quantileNormalize]]): each
+    * order's revenue is replaced by the global order statistic at its
+    * segment-relative rank position — the distribution-alignment
+    * transform (sources/batches disagreeing on shape, not just scale)
+    * that q212's affine scalings cannot express. All-integer: two-level
+    * ranks, a rounded integer-division target position, and the global
+    * inverse CDF probed through the chunked interval join — no global
+    * sort, no float rank arithmetic, BIGINT cents in and out.
+    */
+  def quantileNormalizedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val v = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    Analytics.quantileNormalize(v, Seq("c_mktsegment"), "cents",
+        tieCols = Seq(col("o_orderkey").asc), normCol = "norm_cents")
+      .select(col("o_orderkey"), col("c_mktsegment"), col("cents"),
+        col("norm_cents"))
+      .orderBy("o_orderkey")
+  }
+
   /** q230 — REFERENTIAL-INTEGRITY orphan audit: per foreign-key relation,
     * how many child rows (and distinct child keys) reference a missing
     * parent — the load-order smoke test every warehouse runs mid-backfill.

@@ -352,4 +352,32 @@ class AnalyticsSpec extends SparkSpec {
       assert(two == naive, s"bucket count $buckets must not change any (rank, n)")
     }
   }
+
+  test("quantileNormalize: rank-proportional global mapping, exact semantics") {
+    // global sorted values: [1, 3, 5, 7, 42, 100, 200] (N=7 — the singleton
+    // group's own value is part of the global distribution)
+    // groups a = [1, 5, 100] and b = [3, 7, 200] (ng=3): ranks 1,2,3 ->
+    //   k = round((i-1)*6/2) = 0, 3, 6 -> values 1, 7, 200 — ALIGNED
+    // group c = [42] singleton -> global median position k = (7-1) div 2 = 3 -> 7
+    // a null value row is excluded entirely
+    val df = Seq(
+      ("a", 1L, Some(1L)), ("a", 2L, Some(5L)), ("a", 3L, Some(100L)),
+      ("b", 4L, Some(3L)), ("b", 5L, Some(7L)), ("b", 6L, Some(200L)),
+      ("c", 7L, Some(42L)), ("c", 8L, Option.empty[Long])
+    ).toDF("grp", "id", "v")
+    val out = Analytics.quantileNormalize(
+        df.where(col("v").isNotNull).select(col("grp"), col("id"),
+          col("v").cast("long").as("v"))
+          .unionByName(df.where(col("v").isNull)
+            .select(col("grp"), col("id"), col("v").cast("long").as("v"))),
+        Seq("grp"), "v", tieCols = Seq(col("id").asc), normCol = "nv",
+        buckets = 4)
+      .select("id", "nv").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 7L, 3L -> 200L,
+      4L -> 1L, 5L -> 7L, 6L -> 200L,
+      7L -> 7L),
+      s"groups a and b must align onto the same global order statistics, got $out")
+    assert(!out.contains(8L), "null values are excluded from the mapping")
+  }
 }
