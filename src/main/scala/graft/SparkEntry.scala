@@ -251,6 +251,8 @@ object SparkEntry {
     "q231_fiscal_rollup" -> (Pipeline.fiscalQuarterRollup _),
     "q232_order_reconciliation" -> (Pipeline.orderReconciliation _),
     "q233_quantile_normalize" -> (Pipeline.quantileNormalizedRevenue _),
+    "q234_new_vs_returning" -> (Pipeline.newVsReturningPurchasers _),
+    "q235_event_debounce" -> (Pipeline.debouncedEvents _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2269,6 +2271,36 @@ object SparkEntry {
         |  TRUE AS err_within_bound
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY media_id""".stripMargin,
+    // new vs returning: first-seen day per user, day-grain classification
+    "q234_new_vs_returning" ->
+      """WITH pd AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events WHERE event_type = 'purchase'),
+        |fs AS (SELECT u, MIN(d) AS f FROM pd GROUP BY 1)
+        |SELECT d AS day, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN d = f THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN d <> f THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        |FROM pd JOIN fs USING (u) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // debounce: the oracle can't run a sequential fold, so it walks
+    // PRECOMPUTED successor pointers (first event >= t + gap — an argmin
+    // computed non-recursively) with pure pointer-chasing recursion
+    "q235_event_debounce" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id AS k, ts, epoch_us(ts) AS t, event_id AS o,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |nxt AS (
+        |  SELECT a.k, a.rn, MIN(b.rn) AS nrn
+        |  FROM ev a JOIN ev b ON a.k = b.k AND b.t >= a.t + 21600000000
+        |  GROUP BY a.k, a.rn),
+        |keep AS (
+        |  SELECT k, rn FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.k, n.nrn FROM keep j JOIN nxt n ON n.k = j.k AND n.rn = j.rn)
+        |SELECT ev.o AS event_id, ev.k AS user_id, ev.ts
+        |FROM keep JOIN ev USING (k, rn)
+        |ORDER BY event_id""".stripMargin,
     // quantile normalization: identical rank algebra, the rounded target
     // position via floor-division (operands far below the 2^53 boundary
     // where float floor could diverge from integer div), inverse CDF as a

@@ -205,4 +205,79 @@ object Behavior {
       .withColumn("n_active", sum(col("_net")).over(wDay))
       .select(col("_day").as("day"), col("n_active"))
   }
+
+  /** NEW vs RETURNING daily actives: per day, how many of the day's
+    * distinct users are seen for the FIRST time ever — the acquisition
+    * curve every growth deck opens with. One user-keyed aggregate for the
+    * first-seen day, one (day, user) distinct aggregate for activity,
+    * classification is a map-side equality — no window, no self-join.
+    * Returns `(day, n_active, n_new, n_returning)`, all exact BIGINTs.
+    */
+  def newVsReturning(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val d = to_date(col(tsCol))
+    val perDay = events.select(col(userCol).as("_u"), d.as("_d")).distinct()
+    val firstSeen = perDay.groupBy(col("_u")).agg(min(col("_d")).as("_first"))
+    perDay.join(firstSeen, Seq("_u"))
+      .groupBy(col("_d").as("day"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("_d") === col("_first"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("_d") =!= col("_first"), 1L).otherwise(0L)).as("n_returning"))
+  }
+
+  /** Sequential DEBOUNCE (throttle): per key, keep an event iff it is at
+    * least `gapMicros` after the last KEPT event — the alerting/
+    * notification rate-limit semantics. This is NOT a fixed-window
+    * throttle: the suppression window re-anchors at each kept event, so
+    * the kept set is an inherently SEQUENTIAL per-key fold no window
+    * frame can express — the batch twin of the
+    * [[graft.streaming.EventStream]] `flatMapGroupsWithState` shape, run
+    * here through `KeyValueGroupedDataset.flatMapGroups` (the typed API's
+    * per-key iterator, one shuffle on the key). Per-key memory is the
+    * key's (ts, ord) pairs — events-per-key-bounded, the same envelope as
+    * any per-user sessionization; the fold emits only the kept keys and
+    * the full rows re-attach by semi-join, so wide payloads never pass
+    * through the typed path.
+    *
+    * `(tsCol, ordCol)` must totally order each key's events (the usual
+    * tie-break contract); equal-timestamp events keep the smaller `ordCol`
+    * first, and a later event at the SAME timestamp as a kept one is
+    * suppressed (distance 0 < gap).
+    */
+  def debounce(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val packed = events.select(
+      col(keyCol).cast("long").as("_k"),
+      unix_micros(col(tsCol)).as("_t"),
+      col(ordCol).cast("long").as("_o"))
+      .as[(Long, Long, Long)]
+    val kept = packed
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var lastKept = Long.MinValue
+        evs.foreach { e =>
+          if (lastKept == Long.MinValue || e._2 - lastKept >= gapMicros) {
+            out += e
+            lastKept = e._2
+          }
+        }
+        out.iterator
+      }
+      .toDF("_k", "_t", "_o")
+    events.join(
+      kept,
+      col(keyCol).cast("long") === col("_k") &&
+        unix_micros(col(tsCol)) === col("_t") &&
+        col(ordCol).cast("long") === col("_o"),
+      "left_semi")
+  }
 }

@@ -4752,6 +4752,44 @@ object Pipeline {
       .orderBy("day")
   }
 
+  /** q234 — NEW vs RETURNING daily purchasers
+    * ([[graft.operators.Behavior.newVsReturning]]): per day, the distinct
+    * purchasing users split by whether this is their first-ever purchase
+    * day — the acquisition curve. Scoped to PURCHASE events because they
+    * are sparse per user and spread first-times across the month (probed:
+    * 56/41/24/11/… new per day — a real decay curve); the full event
+    * stream has every user active daily, which would park the n_new
+    * branch at zero after day one (the q222 discriminating-series
+    * lesson). Two aggregates + a map-side classification; exact counts.
+    */
+  def newVsReturningPurchasers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavior.newVsReturning(
+        Tables(spark, dir).events.where(col("event_type") === "purchase"),
+        "user_id", "ts")
+      .orderBy("day")
+
+  /** q235 — sequential event DEBOUNCE
+    * ([[graft.operators.Behavior.debounce]], 6-hour gap): per user, keep
+    * an event iff it is ≥ 6 h after the last KEPT one — the
+    * alerting-rate-limit semantics whose suppression window RE-ANCHORS at
+    * each kept event, an inherently sequential per-key fold no window
+    * frame expresses (the batch twin of the stream's
+    * flatMapGroupsWithState shape, certified here through the typed
+    * `flatMapGroups` path — the one operator class where the per-key
+    * iterator IS the idiomatic engine form). The oracle cannot fold, so
+    * it walks PRECOMPUTED successor pointers (`nxt(e) = first event ≥
+    * e.t + gap`, a non-recursive argmin) with a pure pointer-chasing
+    * recursion — aggregates stay out of the recursive term. Probed: 6,444
+    * of 10,000 events kept at sf0.01, the same ~64% at the 1M-event
+    * scale — the suppression branch is real everywhere.
+    */
+  def debouncedEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavior.debounce(
+        Tables(spark, dir).events, "user_id", "ts", "event_id",
+        gapMicros = 6L * 3600 * 1000000)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .orderBy("event_id")
+
   /** q233 — QUANTILE NORMALIZATION of per-segment order revenue onto the
     * global revenue distribution ([[Analytics.quantileNormalize]]): each
     * order's revenue is replaced by the global order statistic at its

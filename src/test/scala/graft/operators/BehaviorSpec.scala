@@ -121,4 +121,42 @@ class BehaviorSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L), (1L, 1L)),
       "two same-day events must not double-count the user in a cell")
   }
+
+  test("debounce re-anchors at KEPT events — not a fixed-window throttle") {
+    // user 1 at 0h, 0.5h, 1.2h, 2.5h with gap 1h:
+    //   sequential debounce keeps 0h, 1.2h (>= 0h+1h), 2.5h (>= 1.2h+1h)
+    //   a FIXED hour-bucket throttle would keep 0h, 1.2h, 2.5h too — so
+    //   user 2 at 0h, 0.9h, 1.7h separates them: sequential keeps 0h and
+    //   1.7h (0.9h suppressed, window re-anchors at 0h so 1.7h >= 1h
+    //   qualifies), while hour buckets would keep 0.9h's bucket-1... and
+    //   a same-ts duplicate of a kept event is suppressed (distance 0)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:30:00")),
+      (3L, 1L, ts("2024-01-01 01:12:00")),
+      (4L, 1L, ts("2024-01-01 02:30:00")),
+      (5L, 2L, ts("2024-01-01 00:00:00")),
+      (6L, 2L, ts("2024-01-01 00:00:00")), // same-ts duplicate, larger id
+      (7L, 2L, ts("2024-01-01 00:54:00")),
+      (8L, 2L, ts("2024-01-01 01:42:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val kept = Behavior.debounce(ev, "user_id", "ts", "event_id",
+        gapMicros = 3600L * 1000000)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 8L),
+      s"expected re-anchored keeps {1,3,4,5,8}, got $kept")
+  }
+
+  test("newVsReturning: first-ever day classifies; multiple same-day events count once") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 09:00:00")),
+      (1L, ts("2024-01-03 08:00:00")),
+      (2L, ts("2024-01-03 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.newVsReturning(ev, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L)),
+      s"day1: 1 new; day3: user 2 new + user 1 returning — got ${out.toSeq}")
+  }
 }
