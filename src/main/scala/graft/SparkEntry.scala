@@ -253,6 +253,7 @@ object SparkEntry {
     "q233_quantile_normalize" -> (Pipeline.quantileNormalizedRevenue _),
     "q234_new_vs_returning" -> (Pipeline.newVsReturningPurchasers _),
     "q235_event_debounce" -> (Pipeline.debouncedEvents _),
+    "q236_observed_metrics" -> (Pipeline.observedMetricsReport _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2271,6 +2272,14 @@ object SparkEntry {
         |  TRUE AS err_within_bound
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY media_id""".stripMargin,
+    // observed metrics: the monitoring API must report exactly what a
+    // dedicated aggregation computes
+    "q236_observed_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM orders""".stripMargin,
     // new vs returning: first-seen day per user, day-grain classification
     "q234_new_vs_returning" ->
       """WITH pd AS (

@@ -4752,6 +4752,38 @@ object Pipeline {
       .orderBy("day")
   }
 
+  /** q236 — the `Dataset.observe` / `Observation` METRICS API certified:
+    * pipeline-health counters (row count, exact cents sum, min/max)
+    * collected as a side effect of a pass the job runs ANYWAY — the
+    * monitoring path a production pipeline attaches to every stage
+    * instead of paying a second scan per metric. The observed values ride
+    * the `CollectMetrics` node inside the pass's own plan; the oracle
+    * recomputes the same aggregates declaratively, so the green row
+    * certifies the monitoring API reports EXACTLY what a dedicated
+    * aggregation would (a silently-wrong health metric is worse than
+    * none). The action is one count over the observed frame — metrics
+    * cost nothing extra at any scale.
+    */
+  def observedMetricsReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val obs = org.apache.spark.sql.Observation("q236")
+    val observed = o.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("cents")).as("total_cents"),
+      min(col("cents")).as("min_cents"),
+      max(col("cents")).as("max_cents"))
+    observed.count() // the host pass; obs.get blocks until it completes
+    val m = obs.get
+    import spark.implicits._
+    Seq((
+      m("n_rows").asInstanceOf[Long],
+      m("total_cents").asInstanceOf[Long],
+      m("min_cents").asInstanceOf[Long],
+      m("max_cents").asInstanceOf[Long]))
+      .toDF("n_rows", "total_cents", "min_cents", "max_cents")
+  }
+
   /** q234 — NEW vs RETURNING daily purchasers
     * ([[graft.operators.Behavior.newVsReturning]]): per day, the distinct
     * purchasing users split by whether this is their first-ever purchase
