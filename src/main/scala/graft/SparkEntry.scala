@@ -254,6 +254,7 @@ object SparkEntry {
     "q234_new_vs_returning" -> (Pipeline.newVsReturningPurchasers _),
     "q235_event_debounce" -> (Pipeline.debouncedEvents _),
     "q236_observed_metrics" -> (Pipeline.observedMetricsReport _),
+    "q237_correlated_subquery" -> (Pipeline.correlatedSubqueryScreen _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2272,6 +2273,25 @@ object SparkEntry {
         |  TRUE AS err_within_bound
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |ORDER BY media_id""".stripMargin,
+    // correlated scalar subqueries: the same SQL text modulo the view name
+    // — DuckDB decorrelates too, so the row certifies the rewrite, not
+    // per-row re-execution
+    "q237_correlated_subquery" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o.o_orderkey, o.cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v i
+        |   WHERE i.o_custkey = o.o_custkey) AS n_cust_orders,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM v i
+        |   WHERE i.o_custkey = o.o_custkey) AS cust_total_cents
+        |FROM v o
+        |WHERE o.cents * 2 * (SELECT count(*) FROM v i
+        |                     WHERE i.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT sum(cents) FROM v i
+        |           WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
     // observed metrics: the monitoring API must report exactly what a
     // dedicated aggregation computes
     "q236_observed_metrics" ->

@@ -432,14 +432,17 @@ object Dedup {
       strCol: String): DataFrame = {
     val s = df.select(col(idCol).cast("long").as("vid"), col(strCol).as("nm"))
       .where(col("nm").isNotNull)
-    val vars = s.select(col("vid"), col("nm"),
+    // both sides of the candidate self-join consume this frame — the q181
+    // two-consumer eager-persist discipline (the explode would otherwise
+    // run twice over the source)
+    val vars = graft.core.Caching.eager(s.select(col("vid"), col("nm"),
       explode(concat(
         array(col("nm")),
         when(length(col("nm")) >= 1, expr(
           """transform(sequence(1, length(nm)),
             |  i -> concat(substring(nm, 1, i - 1),
             |              substring(nm, i + 1, length(nm) - i)))""".stripMargin))
-          .otherwise(expr("CAST(array() AS array<string>)")))).as("v"))
+          .otherwise(expr("CAST(array() AS array<string>)")))).as("v")))
     val a = vars.alias("a")
     val b = vars.alias("b")
     val cand = a.join(b, col("a.v") === col("b.v") && col("a.vid") < col("b.vid"))

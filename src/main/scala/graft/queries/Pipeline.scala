@@ -4752,6 +4752,36 @@ object Pipeline {
       .orderBy("day")
   }
 
+  /** q237 — CORRELATED scalar subqueries through `spark.sql`, certifying
+    * Catalyst DECORRELATION: orders whose value exceeds 1.5× their
+    * customer's average, with the correlated `count(*)` and `sum` both in
+    * the SELECT list AND cross-multiplied in the WHERE
+    * (`cents·2·n > 3·total` — no float average). The SQL-text surface
+    * matters: a user migrating warehouse SQL writes exactly this shape,
+    * and Catalyst must rewrite the per-row subqueries into ONE aggregate
+    * + key joins — never a per-row re-execution (the plan lands in
+    * PlanAuditSpec's cartesian/nested-loop sweep like every query). The
+    * oracle runs the same text modulo the view name.
+    */
+  def correlatedSubqueryScreen(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .createOrReplaceTempView("q237_orders")
+    spark.sql(
+      """SELECT o.o_orderkey, o.cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM q237_orders i
+        |   WHERE i.o_custkey = o.o_custkey) AS n_cust_orders,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM q237_orders i
+        |   WHERE i.o_custkey = o.o_custkey) AS cust_total_cents
+        |FROM q237_orders o
+        |WHERE o.cents * 2 * (SELECT count(*) FROM q237_orders i
+        |                     WHERE i.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT sum(cents) FROM q237_orders i
+        |           WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
   /** q236 — the `Dataset.observe` / `Observation` METRICS API certified:
     * pipeline-health counters (row count, exact cents sum, min/max)
     * collected as a side effect of a pass the job runs ANYWAY — the
