@@ -255,6 +255,9 @@ object SparkEntry {
     "q235_event_debounce" -> (Pipeline.debouncedEvents _),
     "q236_observed_metrics" -> (Pipeline.observedMetricsReport _),
     "q237_correlated_subquery" -> (Pipeline.correlatedSubqueryScreen _),
+    "q238_shared_spans" -> (Pipeline.sharedSpanReport _),
+    "q239_subquery_rewrites" -> (Pipeline.subqueryRewriteScreen _),
+    "q240_bigram_surprisal" -> (Pipeline.bigramSurprisalReport _),
   )
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
@@ -2292,6 +2295,85 @@ object SparkEntry {
         |    > 3 * (SELECT sum(cents) FROM v i
         |           WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o.o_orderkey""".stripMargin,
+    // cross-document repeated substrings: 8-gram Sha60 anchors (identical
+    // 60-bit sha256-prefix hash both engines), capped buckets, diagonal
+    // islands — maximal shared spans fall out of the run groupBy exactly
+    "q238_shared_spans" ->
+      raw"""WITH toksrc AS (
+           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+           |pg AS (
+           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
+           |  FROM toksrc WHERE len(toks) >= 8),
+           |grams AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+           |  FROM pg),
+           |okh AS (SELECT h FROM grams GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+           |anch AS (
+           |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
+           |  FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  JOIN okh ON okh.h = a.h),
+           |runs AS (
+           |  SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+           |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS run
+           |  FROM anch)
+           |SELECT id_a, CAST(MIN(pos_a) AS BIGINT) AS pos_a,
+           |  id_b, CAST(MIN(pos_b) AS BIGINT) AS pos_b,
+           |  CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+           |FROM runs GROUP BY id_a, id_b, diag, run
+           |ORDER BY id_a, id_b, pos_a, pos_b""".stripMargin,
+    // bigram surprisal: per-gram floor-log2 in EXACT integer arithmetic
+    // (length(bin(den // num)) - 1 — bin() agrees across engines where
+    // libm ln does not), one double division per doc at output
+    "q240_bigram_surprisal" ->
+      raw"""WITH toksrc AS (
+           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+           |pg AS (
+           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 1)) AS i
+           |  FROM toksrc WHERE len(toks) >= 2),
+           |dg AS (
+           |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, CAST(count(*) AS BIGINT) AS m
+           |  FROM pg GROUP BY 1, 2, 3),
+           |cb AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c_big FROM dg GROUP BY 1, 2),
+           |cp AS (SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_pre FROM cb GROUP BY 1),
+           |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM cb),
+           |scored AS (
+           |  SELECT dg.doc_id, CAST(SUM(dg.m) AS BIGINT) AS n_grams,
+           |    CAST(SUM(dg.m * (CAST(length(bin((cp.c_pre + v.vocab) // (cb.c_big + 1))) AS BIGINT) - 1)) AS BIGINT) AS surprisal_bits
+           |  FROM dg JOIN cb ON dg.w1 = cb.w1 AND dg.w2 = cb.w2
+           |  JOIN cp ON dg.w1 = cp.w1 CROSS JOIN v
+           |  GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(surprisal_bits) AS BIGINT) AS t_bits,
+           |               CAST(SUM(n_grams) AS BIGINT) AS t_grams FROM scored)
+           |SELECT d.doc_id,
+           |  COALESCE(s.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           |  COALESCE(s.surprisal_bits, CAST(0 AS BIGINT)) AS surprisal_bits,
+           |  CASE WHEN s.n_grams > 0
+           |    THEN CAST(s.surprisal_bits AS DOUBLE) / CAST(s.n_grams AS DOUBLE) END AS mean_bits,
+           |  CASE WHEN s.n_grams > 0 THEN
+           |    CASE WHEN s.surprisal_bits * tot.t_grams > tot.t_bits * s.n_grams
+           |         THEN 'high_surprisal' ELSE 'typical' END END AS verdict
+           |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id CROSS JOIN tot
+           |ORDER BY d.doc_id""".stripMargin,
+    // the full EXISTS / NOT EXISTS / IN / NOT IN surface: the oracle runs
+    // the same text modulo view names (DuckDB rewrites to semi/anti joins
+    // exactly as Catalyst must — certified by PlanAuditSpec on our side)
+    "q239_subquery_rewrites" ->
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT'
+        |                    AND o.o_orderstatus = 'F')
+        |  AND c.c_custkey IN (SELECT o_custkey FROM orders
+        |                      WHERE o_orderpriority = '1-URGENT')
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderstatus = 'P'
+        |                            AND o_custkey IS NOT NULL)
+        |ORDER BY c.c_custkey""".stripMargin,
     // observed metrics: the monitoring API must report exactly what a
     // dedicated aggregation computes
     "q236_observed_metrics" ->
@@ -2394,6 +2476,9 @@ object SparkEntry {
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // reconciliation: fixed-association per-line product rounded to cents
     // once, error buckets by integer cross-multiplication
+    // row-gated buckets: headers at o_orderkey % 7 = 0 (with lines) are
+    // restated to the recomputed total, so `exact` is a real output row;
+    // each remaining bucket row exists only where the fixture fires it
     "q232_order_reconciliation" ->
       """WITH r AS (
         |  SELECT l_orderkey,
@@ -2401,20 +2486,23 @@ object SparkEntry {
         |      AS BIGINT)) AS BIGINT) AS rec
         |  FROM lineitem GROUP BY 1),
         |o AS (
-        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS tot
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS hdr
         |  FROM orders),
         |j AS (
-        |  SELECT o.tot, r.rec
+        |  SELECT r.rec,
+        |    CASE WHEN o.o_orderkey % 7 = 0 AND r.rec IS NOT NULL
+        |         THEN r.rec ELSE o.hdr END AS tot
         |  FROM o FULL OUTER JOIN r ON o.o_orderkey = r.l_orderkey)
-        |SELECT
-        |  CAST(SUM(CASE WHEN rec IS NOT NULL AND tot IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_joined,
-        |  CAST(SUM(CASE WHEN tot IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_no_header,
-        |  CAST(SUM(CASE WHEN rec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_headers_no_lines,
-        |  CAST(SUM(CASE WHEN rec = tot THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-        |  CAST(SUM(CASE WHEN rec <> tot AND abs(rec - tot) * 100 <= tot THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
-        |  CAST(SUM(CASE WHEN abs(rec - tot) * 100 > tot AND abs(rec - tot) * 10 <= tot THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct,
-        |  CAST(SUM(CASE WHEN abs(rec - tot) * 10 > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_10pct
-        |FROM j""".stripMargin,
+        |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_orders FROM (
+        |  SELECT CASE
+        |    WHEN tot IS NULL THEN 'lines_without_header'
+        |    WHEN rec IS NULL THEN 'header_without_lines'
+        |    WHEN rec = tot THEN 'exact'
+        |    WHEN abs(rec - tot) * 100 <= tot THEN 'within_1pct'
+        |    WHEN abs(rec - tot) * 10 <= tot THEN 'within_10pct'
+        |    ELSE 'beyond_10pct' END AS verdict
+        |  FROM j)
+        |GROUP BY verdict ORDER BY verdict""".stripMargin,
     // nearest as-of: backward/forward extrema per left row, side decided
     // by exact integer-us distance (ties backward), payload id pinned by
     // each direction's own tie convention (backward max, forward min)

@@ -436,6 +436,13 @@ object Analytics {
     * null statistic; callers that must keep such groups join back left
     * (as [[featureScale]] does).
     *
+    * `cntCol`: callers that already hold a value-dimension (or otherwise
+    * weighted) frame pass their count column here — each row then stands
+    * for `cntCol` occurrences of its value, so the caller's text/fact scan
+    * runs ONCE for both this pass and any sibling totals it computes from
+    * the same tiny aggregate (as [[graft.operators.Curation
+    * .lengthPercentiles]] does for its all-docs `n_docs`).
+    *
     * Returns one row per group: groupCols, n_rows, min_value, max_value,
     * then one double column per `(name, p)` in `ps`.
     */
@@ -443,13 +450,14 @@ object Analytics {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)],
+      cntCol: Option[String] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
     val keys = groupCols.map(col)
     val counts = df
       .where(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("_cnt"))
+      .agg(cntCol.map(c => sum(col(c))).getOrElse(count(lit(1))).as("_cnt"))
     val wCum = Window.partitionBy(keys: _*).orderBy(col(valueCol).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy(keys: _*)

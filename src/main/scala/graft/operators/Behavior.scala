@@ -243,6 +243,13 @@ object Behavior {
     * tie-break contract); equal-timestamp events keep the smaller `ordCol`
     * first, and a later event at the SAME timestamp as a kept one is
     * suppressed (distance 0 < gap).
+    *
+    * Contract: `keyCol`/`ordCol` must be integral (checked at plan time —
+    * the typed path packs them as longs; a lossy cast would silently merge
+    * or reorder keys), `tsCol` must be a timestamp, and a NULL key,
+    * timestamp, or ord raises at execution (the AsOfJoin null-ts
+    * discipline: a null would otherwise surface as an opaque encoder NPE
+    * or merge unrelated rows under one null key).
     */
   def debounce(
       events: DataFrame,
@@ -251,12 +258,28 @@ object Behavior {
       ordCol: String,
       gapMicros: Long): DataFrame = {
     require(gapMicros > 0, "gapMicros must be positive")
+    Seq(keyCol -> "key", ordCol -> "ord").foreach { case (c, role) =>
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val t = events.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"debounce: $role column '$c' must be an integral type (got $t) — " +
+          "the typed per-key fold packs it as a long")
+    }
+    require(
+      events.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+      s"debounce: ts column '$tsCol' must be timestamp " +
+        s"(got ${events.schema(tsCol).dataType})")
+    def guarded(c: String, v: Column): Column =
+      when(col(c).isNull, raise_error(lit(
+        s"debounce: null value in '$c' — keys, timestamps and ord values " +
+          "must be non-null"))).otherwise(v)
     val spark = events.sparkSession
     import spark.implicits._
     val packed = events.select(
-      col(keyCol).cast("long").as("_k"),
-      unix_micros(col(tsCol)).as("_t"),
-      col(ordCol).cast("long").as("_o"))
+      guarded(keyCol, col(keyCol).cast("long")).as("_k"),
+      guarded(tsCol, unix_micros(col(tsCol))).as("_t"),
+      guarded(ordCol, col(ordCol).cast("long")).as("_o"))
       .as[(Long, Long, Long)]
     val kept = packed
       .groupByKey(_._1)

@@ -1112,6 +1112,73 @@ object Curation {
     * rescan and re-tokenize the text (column pruning defeats ReuseExchange
     * here — the q75 lesson).
     */
+  /** N-gram language-model QUALITY SCORE: per-document bigram surprisal
+    * against corpus-wide bigram statistics — the perplexity-style filter
+    * curation pipelines run to drop gibberish (high surprisal) and spot
+    * over-templated text (abnormally low). Add-one-smoothed conditional
+    * probability `p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)`, with the
+    * per-gram log taken in EXACT integer arithmetic: surprisal bits =
+    * `⌊log₂(den/num)⌋ = length(bin(den div num)) − 1` (floor-div cannot
+    * cross a power of two for x ≥ 1, so the identity is exact). No
+    * transcendental anywhere — libm `ln` is NOT bit-stable across engines
+    * (the [[targetAffinity]] / BM25 precedent), while `bin()` of a BIGINT
+    * agrees everywhere. The only float op is ONE division per document at
+    * output (mean bits per gram).
+    *
+    * Verdict: `high_surprisal` iff the doc's mean bits exceed the corpus
+    * mean, decided by the integer cross-multiplication
+    * `bits_doc · grams_corpus > bits_corpus · grams_doc` (safe in BIGINT
+    * to ~10¹⁴ corpus grams × 10³ doc grams). Documents with fewer than
+    * two tokens keep their row with zero grams and null score/verdict.
+    *
+    * Shape: text collapses to (doc, w1, w2, multiplicity) map-side-ONE
+    * pass; corpus bigram and prefix counts are aggregate-dimension frames
+    * joined back by gram key; the corpus totals attach as a scalar. At
+    * 100 TB nothing fact-sized is ever windowed or self-joined.
+    *
+    * Returns (doc_id, n_grams, surprisal_bits, mean_bits, verdict).
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // three consumers (corpus counts, prefix counts, the score join): one
+    // tokenize pass, eager (q181 discipline)
+    val docGrams = graft.core.Caching.eager(
+      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+        .where(size(col("_t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(_t) - 1),
+            |  i -> struct(element_at(_t, i) AS w1,
+            |              element_at(_t, i + 1) AS w2))""".stripMargin)).as("_g"))
+        .groupBy(col("doc_id"), col("_g.w1").as("w1"), col("_g.w2").as("w2"))
+        .agg(count(lit(1)).as("m")))
+    val cb = docGrams.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c_big"))
+    val cp = cb.groupBy(col("w1")).agg(sum(col("c_big")).as("c_pre"))
+    val vocab = cb.agg(count_distinct(col("w2")).as("_vocab"))
+    val scored = graft.core.ScalarJoin.withScalars(
+        docGrams.join(cb, Seq("w1", "w2")).join(cp, Seq("w1")), vocab)
+      .withColumn("_bits",
+        length(bin(expr("(c_pre + _vocab) DIV (c_big + 1)"))).cast("long") - 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_grams"),
+        sum(col("m") * col("_bits")).as("surprisal_bits"))
+    val totals = scored.agg(
+      sum(col("surprisal_bits")).as("_t_bits"), sum(col("n_grams")).as("_t_grams"))
+    graft.core.ScalarJoin.withScalars(
+        df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left"),
+        totals)
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("surprisal_bits"), lit(0L)).as("surprisal_bits"),
+        when(col("n_grams") > 0,
+          col("surprisal_bits").cast("double") / col("n_grams").cast("double"))
+          .as("mean_bits"),
+        when(col("n_grams") > 0,
+          when(col("surprisal_bits") * col("_t_grams") >
+            col("_t_bits") * col("n_grams"), "high_surprisal")
+            .otherwise("typical"))
+          .as("verdict"))
+  }
+
   def ngramNovelty(
       df: DataFrame,
       ref: DataFrame,
@@ -1161,24 +1228,36 @@ object Curation {
   def lengthPercentiles(
       df: DataFrame,
       textCol: String,
-      sourceCol: String): DataFrame =
+      sourceCol: String): DataFrame = {
     // exact percentiles WITHOUT a per-source value multiset: token counts
-    // collapse to the (source, n_tokens) value dimension first and the
-    // order statistics are rank-picked there (Analytics
-    // .exactPercentilesByValue — bit-equal to the percentile() aggregate,
-    // minus its O(group) buffer)
-    graft.operators.Analytics.exactPercentilesByValue(
-        df.select(
+    // collapse to the (source, n_tokens) value dimension first — ONE pass
+    // over the text, null counts kept as their own dimension row — then
+    // the order statistics are rank-picked there (Analytics
+    // .exactPercentilesByValue with cntCol — bit-equal to the
+    // percentile() aggregate, minus its O(group) buffer). n_docs counts
+    // ALL docs (null token counts included) and a source whose texts are
+    // all null keeps its report row with null stats — the coverage the
+    // built-in percentile() version had, which the value-dimension
+    // rewrite alone would silently drop with its null-skip.
+    val vdim = graft.core.Caching.eager(
+      df.select(
           col(sourceCol).as("source"),
-          tokenCount(col(textCol)).cast("long").as("n_tokens")),
-        Seq("source"), "n_tokens",
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p875" -> 0.875))
+          tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        .groupBy(col("source"), col("n_tokens"))
+        .agg(count(lit(1)).as("_c")))
+    val totals = vdim.groupBy(col("source")).agg(sum(col("_c")).as("n_docs"))
+    val pct = graft.operators.Analytics.exactPercentilesByValue(
+      vdim, Seq("source"), "n_tokens",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p875" -> 0.875),
+      cntCol = Some("_c"))
+    totals.join(pct, Seq("source"), "left")
       .select(
         col("source"),
-        col("n_rows").as("n_docs"),
+        col("n_docs"),
         col("min_value").as("min_tokens"),
         col("p25"), col("p50"), col("p75"), col("p875"),
         col("max_value").as("max_tokens"))
+  }
 
   /** Truncation-impact report: per source and per candidate sequence-length
     * cap, the tokens retained (Σ min(n_tokens, cap)) and documents that

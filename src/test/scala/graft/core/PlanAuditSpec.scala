@@ -42,6 +42,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"quadratic join shapes found:\n${offenders.mkString("\n")}")
   }
 
+  test("q239's SQL-text EXISTS/NOT EXISTS/IN/NOT IN all plan as semi/anti joins") {
+    // the reference's subquery_builder surface through spark.sql: Catalyst
+    // must rewrite all four predicates into joins — a per-row subquery
+    // re-execution (or a nested-loop fallback, swept globally above) would
+    // be the 100 TB scale bug this certification exists to block
+    val plan = planByName("q239_subquery_rewrites").toString
+    val semis = "LeftSemi".r.findAllMatchIn(plan).length
+    val antis = "LeftAnti".r.findAllMatchIn(plan).length
+    assert(semis >= 2, s"expected EXISTS and IN to plan as >=2 semi joins, got $semis")
+    assert(antis >= 2, s"expected NOT EXISTS and NOT IN to plan as >=2 anti joins, got $antis")
+  }
+
   test("no window sorts a fact-sized frame under a low-cardinality-only partition key") {
     // The single-partition-window scale-killer: row_number()/rank() OVER
     // (PARTITION BY <few-valued column> ORDER BY …) on an UNAGGREGATED fact

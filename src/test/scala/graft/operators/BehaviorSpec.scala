@@ -147,6 +147,33 @@ class BehaviorSpec extends SparkSpec {
       s"expected re-anchored keeps {1,3,4,5,8}, got $kept")
   }
 
+  test("debounce: non-integral key/ord and non-timestamp ts rejected at plan time") {
+    val strKey = Seq((1L, "u1", ts("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val e1 = intercept[IllegalArgumentException] {
+      Behavior.debounce(strKey, "user_id", "ts", "event_id", 1000000L)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val strTs = Seq((1L, 1L, "2024-01-01")).toDF("event_id", "user_id", "ts")
+    val e2 = intercept[IllegalArgumentException] {
+      Behavior.debounce(strTs, "user_id", "ts", "event_id", 1000000L)
+    }
+    assert(e2.getMessage.contains("timestamp"))
+  }
+
+  test("debounce: null timestamp raises loudly instead of an encoder NPE") {
+    val ev = Seq(
+      (1L, 1L, Some(ts("2024-01-01 00:00:00"))),
+      (2L, 1L, None: Option[java.sql.Timestamp])
+    ).toDF("event_id", "user_id", "ts")
+    val e = intercept[Exception] {
+      Behavior.debounce(ev, "user_id", "ts", "event_id", 1000000L).collect()
+    }
+    assert(e.getMessage.contains("null value") ||
+      Option(e.getCause).exists(_.getMessage.contains("null value")),
+      s"expected the explicit null-ts raise, got: ${e.getMessage}")
+  }
+
   test("newVsReturning: first-ever day classifies; multiple same-day events count once") {
     val ev = Seq(
       (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 09:00:00")),

@@ -532,6 +532,67 @@ class CurationSpec extends SparkSpec {
       s"exact dyadic interpolation expected: $row")
   }
 
+  test("bigramSurprisal: exact count algebra matches a brute-force reference") {
+    val corpus = Map(
+      1L -> "a b a b c",
+      2L -> "a b x",
+      3L -> "z", // < 2 tokens: zero grams, null mean and verdict
+      4L -> "c a b a")
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    // brute force: add-one smoothed p(w2|w1), surprisal bits =
+    // floor(log2((c_pre + V) div (c_big + 1)))
+    val grams = corpus.toSeq.flatMap { case (id, t) =>
+      val w = t.split(" ").toSeq; w.zip(w.drop(1)).map(g => (id, g))
+    }
+    val cBig = grams.groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+    val cPre = grams.groupBy(_._2._1).map { case (w, xs) => w -> xs.size.toLong }
+    val vocab = grams.map(_._2._2).distinct.size.toLong
+    def bits(num: Long, den: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(den / num)
+    val expected = grams.groupBy(_._1).map { case (id, xs) =>
+      id -> ((xs.size.toLong,
+        xs.map { case (_, g) => bits(cBig(g) + 1, cPre(g._1) + vocab) }.sum))
+    }
+    val tBits = expected.values.map(_._2).sum
+    val tGrams = expected.values.map(_._1).sum
+    val out = Curation.bigramSurprisal(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    expected.foreach { case (id, (n, b)) =>
+      val r = out(id)
+      assert(r.getLong(1) == n && r.getLong(2) == b,
+        s"doc $id: expected ($n grams, $b bits), got $r")
+      assert(r.getDouble(3) == b.toDouble / n.toDouble)
+      val v = if (b * tGrams > tBits * n) "high_surprisal" else "typical"
+      assert(r.getString(4) == v, s"doc $id verdict: expected $v, got $r")
+    }
+    val short = out(3L)
+    assert(short.getLong(1) == 0L && short.getLong(2) == 0L &&
+      short.isNullAt(3) && short.isNullAt(4),
+      s"a sub-2-token doc keeps its row with null stats: $short")
+  }
+
+  test("lengthPercentiles: null texts count in n_docs; all-null sources keep their row") {
+    val d = Seq(
+      (1L, Some("a"), "s"),        // 1 token
+      (2L, Some("a b c"), "s"),    // 3 tokens
+      (3L, None: Option[String], "s"),   // null text — counts in n_docs,
+                                         // skipped by the percentiles
+      (4L, None: Option[String], "t")    // all-null source — row survives
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.lengthPercentiles(d, "text", "source")
+      .orderBy("source").collect()
+    assert(r.length == 2, s"both sources must appear: ${r.toSeq}")
+    val s = r(0)
+    assert(s.getString(0) == "s" && s.getLong(1) == 3L,
+      s"n_docs counts ALL docs incl. null texts: $s")
+    // percentiles over the two non-null counts [1, 3]: p50 = 2.0
+    assert(s.getLong(2) == 1L && s.getDouble(4) == 2.0 && s.getLong(7) == 3L)
+    val t = r(1)
+    assert(t.getString(0) == "t" && t.getLong(1) == 1L && t.isNullAt(2) &&
+      t.isNullAt(4) && t.isNullAt(7),
+      s"an all-null source keeps its row with null stats: $t")
+  }
+
   test("tokenBudgetSample: first doc always kept; two-level prefix sum equals the naive window") {
     val big = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" "), "s")).toDF("doc_id", "text", "source")
     val kept = Curation.tokenBudgetSample(big, "doc_id", "text", "source", budget = 10L).collect()

@@ -177,6 +177,28 @@ class DedupSpec extends SparkSpec {
     assert((b, r) == ((4, 4)), s"threshold(4,4)=0.707 is nearest 0.7, got ($b,$r)")
   }
 
+  test("embedding LSH default is AutoPlanes: a default call site tunes, never hardcodes") {
+    val dim = 6
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.tabulate(dim)(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val tuned = Dedup.tunePlanes(300L, maxBucketSize = 20)
+    val auto = Dedup.embeddingNearDuplicates(
+        vecs, "vec_id", "embedding", minCosine = 0.9, maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.embeddingNearDuplicates(
+        vecs, "vec_id", "embedding", minCosine = 0.9,
+        nPlanes = tuned, maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit,
+      "the default plane count must be the TUNED count for this corpus")
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDuplicates(
+        vecs, "vec_id", "embedding", minCosine = 0.9, nPlanes = 0)
+    }
+    assert(bad.getMessage.contains("AutoPlanes"))
+  }
+
   test("tunePlanes grows the plane count with the corpus (never a vacuous cap-out)") {
     // the round-13 bug shape: 4 fixed planes were fine at 500 vectors and
     // empty at 20,000 — tuned, both fixture scales get populated buckets
@@ -210,6 +232,60 @@ class DedupSpec extends SparkSpec {
     // {ab,a,b} and {ba,b,a} intersect but the true distance is 2
     assert(!out.exists(p => p._1 == 3L && p._2 == 6L),
       "shared deletion variants at distance 2 must not survive verification")
+  }
+
+  test("editDistanceOneDuplicates: non-integral id type rejected at plan time") {
+    val df = Seq(("k1", "abc"), ("k2", "abd")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistanceOneDuplicates(df, "id", "s")
+    }
+    assert(e.getMessage.contains("integral"),
+      s"expected the integral-id contract message, got: ${e.getMessage}")
+  }
+
+  test("editDistanceOneDuplicates: null id raises loudly, not silent pair loss") {
+    val df = Seq((Some(1L), "abc"), (None: Option[Long], "abd"))
+      .toDF("id", "s")
+    val e = intercept[Exception] {
+      Dedup.editDistanceOneDuplicates(df, "id", "s").collect()
+    }
+    assert(e.getMessage.contains("null id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null id")),
+      s"expected the null-id raise, got: ${e.getMessage}")
+  }
+
+  test("sharedSpans: maximal cross-doc spans, same-diagonal runs split, sub-threshold and same-doc excluded") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j mid1 p q r s t u v w x y"),
+      (2L, "pre2 a b c d e f g h i j mid2 p q r s t u v w x y"),
+      // 7 shared tokens — below the L=8 threshold, no anchor exists
+      (3L, "s1 s2 s3 s4 s5 s6 s7 tail3"),
+      (4L, "s1 s2 s3 s4 s5 s6 s7 tail4"),
+      // an 8-token run repeated WITHIN one doc — same-doc pairs are excluded
+      (5L, "r1 r2 r3 r4 r5 r6 r7 r8 gap r1 r2 r3 r4 r5 r6 r7 r8")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(df, "doc_id", "text", minSpanTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // docs 1/2 share two 10-token spans on the SAME diagonal (−1) with a
+    // one-token gap — the island split must emit them separately, maximal
+    assert(out == Set((1L, 1L, 2L, 2L, 10L), (1L, 12L, 2L, 13L, 10L)),
+      s"expected the two maximal 10-token spans, got $out")
+  }
+
+  test("sharedSpans: over-cap boilerplate grams are dropped before pair emission") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val df = Seq(
+      (1L, s"u1 $boiler"), (2L, s"u2 $boiler"), (3L, s"u3 $boiler")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.sharedSpans(df, "doc_id", "text",
+      minSpanTokens = 8, maxBucketSize = 2).count()
+    assert(capped == 0L, "a gram in 3 docs exceeds cap 2 and must be dropped")
+    val full = Dedup.sharedSpans(df, "doc_id", "text", minSpanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(full == Set((1L, 2L, 8L), (1L, 3L, 8L), (2L, 3L, 8L)),
+      s"all three pairs share the 8-token run under the default cap: $full")
   }
 
   test("exactIncrement drops delta docs whose content exists in the corpus") {
