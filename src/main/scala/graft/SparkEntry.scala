@@ -258,7 +258,38 @@ object SparkEntry {
     "q238_shared_spans" -> (Pipeline.sharedSpanReport _),
     "q239_subquery_rewrites" -> (Pipeline.subqueryRewriteScreen _),
     "q240_bigram_surprisal" -> (Pipeline.bigramSurprisalReport _),
+    "q241_span_coverage" -> (Pipeline.sharedSpanCoverageReport _),
   )
+
+  /** Shared q238/q241 oracle prefix: normalized tokens → positioned
+    * 8-gram Sha60 hashes → capped anchor self-join → diagonal islands.
+    * Ends with CTE `spans(id_a, pos_a, id_b, pos_b, span_tokens)` and
+    * keeps `toksrc(doc_id, toks)` visible for token counts.
+    */
+  private val spanCtes: String =
+    raw"""toksrc AS (
+         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+         |pg AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
+         |  FROM toksrc WHERE len(toks) >= 8),
+         |grams AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM pg),
+         |okh AS (SELECT h FROM grams GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+         |anch AS (
+         |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
+         |  FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  JOIN okh ON okh.h = a.h),
+         |runs AS (
+         |  SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS run
+         |  FROM anch),
+         |spans AS (
+         |  SELECT id_a, CAST(MIN(pos_a) AS BIGINT) AS pos_a,
+         |    id_b, CAST(MIN(pos_b) AS BIGINT) AS pos_b,
+         |    CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+         |  FROM runs GROUP BY id_a, id_b, diag, run)""".stripMargin
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
     * Misra–Gries sketch + recount composition), parameterized by the
@@ -2299,29 +2330,41 @@ object SparkEntry {
     // 60-bit sha256-prefix hash both engines), capped buckets, diagonal
     // islands — maximal shared spans fall out of the run groupBy exactly
     "q238_shared_spans" ->
-      raw"""WITH toksrc AS (
-           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
-           |pg AS (
-           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
-           |  FROM toksrc WHERE len(toks) >= 8),
-           |grams AS (
-           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
-           |  FROM pg),
-           |okh AS (SELECT h FROM grams GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
-           |anch AS (
-           |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
-           |  FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
-           |  JOIN okh ON okh.h = a.h),
-           |runs AS (
-           |  SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
-           |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS run
-           |  FROM anch)
-           |SELECT id_a, CAST(MIN(pos_a) AS BIGINT) AS pos_a,
-           |  id_b, CAST(MIN(pos_b) AS BIGINT) AS pos_b,
-           |  CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
-           |FROM runs GROUP BY id_a, id_b, diag, run
-           |ORDER BY id_a, id_b, pos_a, pos_b""".stripMargin,
+      ("WITH " + spanCtes + "\n" +
+        """SELECT id_a, pos_a, id_b, pos_b, span_tokens
+          |FROM spans ORDER BY id_a, id_b, pos_a, pos_b""".stripMargin),
+    // span coverage: intervals from both pair sides, merged by the
+    // sort + running-max island pass; exact integer union length, one
+    // double division per doc
+    "q241_span_coverage" ->
+      ("WITH " + spanCtes + ",\n" +
+        """iv AS (
+          |  SELECT id_a AS doc_id, pos_a AS s, pos_a + span_tokens AS e FROM spans
+          |  UNION ALL
+          |  SELECT id_b, pos_b, pos_b + span_tokens FROM spans),
+          |m AS (
+          |  SELECT doc_id, s, e,
+          |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+          |      THEN 0 ELSE 1 END AS brk
+          |  FROM iv),
+          |isl AS (
+          |  SELECT doc_id, s, e,
+          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM m),
+          |cov AS (
+          |  SELECT doc_id, CAST(SUM(mx - mn) AS BIGINT) AS covered FROM (
+          |    SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
+          |    FROM isl GROUP BY 1, 2)
+          |  GROUP BY 1),
+          |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toksrc)
+          |SELECT nt.doc_id, nt.n_tokens,
+          |  COALESCE(cov.covered, CAST(0 AS BIGINT)) AS covered_tokens,
+          |  CAST(COALESCE(cov.covered, CAST(0 AS BIGINT)) AS DOUBLE)
+          |    / CAST(nt.n_tokens AS DOUBLE) AS dup_fraction
+          |FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
+          |ORDER BY nt.doc_id""".stripMargin),
     // bigram surprisal: per-gram floor-log2 in EXACT integer arithmetic
     // (length(bin(den // num)) - 1 — bin() agrees across engines where
     // libm ln does not), one double division per doc at output

@@ -575,6 +575,59 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** Per-document SHARED-SPAN COVERAGE: how much of each document is
+    * verbatim-duplicated text shared with some other document — the
+    * duplication-fraction statistic a curation pipeline gates on after
+    * [[sharedSpans]] finds the spans. Spans touching a document (either
+    * pair side) become token intervals, overlapping intervals merge by
+    * the classic sort + running-max island pass (per-document work is
+    * bounded by the document's span count — output-bounded like the span
+    * detection itself), and coverage is the exact integer length of the
+    * union. `dup_fraction` is the ONE double division per document at
+    * output.
+    *
+    * Returns (doc_id, n_tokens, covered_tokens, dup_fraction) for every
+    * input document (zero coverage kept — the gate's pass-through rows);
+    * `n_tokens` is the whitespace token count of the normalized text, the
+    * same tokenization the span positions index into.
+    */
+  def sharedSpanCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 8,
+      maxBucketSize: Int = 50): DataFrame = {
+    // both interval sides consume the span frame — eager (output-bounded)
+    val spans = graft.core.Caching.eager(
+      sharedSpans(df, idCol, textCol, minSpanTokens, maxBucketSize))
+    val iv = spans.select(col("id_a").as("doc_id"), col("pos_a").as("_s"),
+        (col("pos_a") + col("span_tokens")).as("_e"))
+      .unionByName(spans.select(col("id_b").as("doc_id"), col("pos_b").as("_s"),
+        (col("pos_b") + col("span_tokens")).as("_e")))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cov = iv
+      .withColumn("_brk",
+        when(max(col("_e")).over(wPrev) >= col("_s"), 0L).otherwise(1L))
+      .withColumn("_isl", sum(col("_brk")).over(wRun))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("_s")).as("_mn"), max(col("_e")).as("_mx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_mx") - col("_mn")).as("covered_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
   /** Incremental exact dedup: the delta rows whose normalized content does
     * not already exist in the corpus — one anti-join on the content hash,
     * the daily-ingest shape (the corpus side is a precomputed hash index at

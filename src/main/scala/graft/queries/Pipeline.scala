@@ -5191,4 +5191,20 @@ object Pipeline {
   def bigramSurprisalReport(spark: SparkSession, dir: String): DataFrame =
     Curation.bigramSurprisal(Tables(spark, dir).documents, "doc_id", "text")
       .orderBy("doc_id")
+
+  /** q241 — per-document shared-span COVERAGE
+    * ([[Dedup.sharedSpanCoverage]]): the duplication fraction a curation
+    * gate thresholds after q238 finds the spans — token intervals from
+    * both pair sides, merged by the sort + running-max island pass, exact
+    * integer union length, ONE double division per doc. No banded verdict
+    * column: the fixture's duplication is full-document copies (probed:
+    * 24 full / 23 over-90% / 453 untouched at sf0.01, 251/226/4523 at
+    * sf0.1 — a 50% band would never separate them), so the continuous
+    * fraction IS the load-bearing output and thresholds stay with the
+    * caller.
+    */
+  def sharedSpanCoverageReport(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpanCoverage(Tables(spark, dir).documents, "doc_id", "text",
+        minSpanTokens = 8, maxBucketSize = 50)
+      .orderBy("doc_id")
 }

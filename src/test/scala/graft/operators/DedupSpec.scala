@@ -274,6 +274,27 @@ class DedupSpec extends SparkSpec {
       s"expected the two maximal 10-token spans, got $out")
   }
 
+  test("sharedSpanCoverage: overlapping spans from different partners merge exactly") {
+    val a = (1 to 14).map(i => s"a$i").mkString(" ") // 14 tokens
+    val df = Seq(
+      (1L, a),
+      // shares A's tokens 1..10 -> A interval [1,11)
+      (2L, (1 to 10).map(i => s"a$i").mkString(" ") + " bx"),
+      // shares A's tokens 5..14 -> A interval [5,15); B∩C is 6 tokens < 8
+      (3L, "c0 " + (5 to 14).map(i => s"a$i").mkString(" ")),
+      (4L, "nothing shared here at all beyond seven")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpanCoverage(df, "doc_id", "text", minSpanTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // A: [1,11) ∪ [5,15) = [1,15) -> 14 of 14 covered (the union merges,
+    // never double-counts the 6-token overlap)
+    assert(out(1L) == ((14L, 14L, 1.0)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((11L, 10L, 10.0 / 11.0)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((11L, 10L, 10.0 / 11.0)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((7L, 0L, 0.0)), s"uncovered doc keeps its row: ${out(4L)}")
+  }
+
   test("sharedSpans: over-cap boilerplate grams are dropped before pair emission") {
     val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
     val df = Seq(
