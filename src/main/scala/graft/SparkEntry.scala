@@ -259,6 +259,8 @@ object SparkEntry {
     "q239_subquery_rewrites" -> (Pipeline.subqueryRewriteScreen _),
     "q240_bigram_surprisal" -> (Pipeline.bigramSurprisalReport _),
     "q241_span_coverage" -> (Pipeline.sharedSpanCoverageReport _),
+    "q242_span_removal" -> (Pipeline.spanRemovalRewrite _),
+    "q243_incremental_spans" -> (Pipeline.incrementalSharedSpans _),
   )
 
   /** Shared q238/q241 oracle prefix: normalized tokens → positioned
@@ -2365,6 +2367,60 @@ object SparkEntry {
           |    / CAST(nt.n_tokens AS DOUBLE) AS dup_fraction
           |FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
           |ORDER BY nt.doc_id""".stripMargin),
+    // span removal: covered positions from the id_b side expand through
+    // generate_series, anti-join kills them, ordered string_agg reassembles
+    "q242_span_removal" ->
+      ("WITH " + spanCtes + ",\n" +
+        """cover AS (
+          |  SELECT DISTINCT doc_id, pos FROM (
+          |    SELECT id_b AS doc_id,
+          |      unnest(generate_series(pos_b, pos_b + span_tokens - 1)) AS pos
+          |    FROM spans)),
+          |tk AS (
+          |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER))) AS pos
+          |  FROM toksrc),
+          |tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos] AS tok FROM tk),
+          |kept AS (
+          |  SELECT t.doc_id, t.pos, t.tok FROM tok t
+          |  ANTI JOIN cover c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+          |agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+          |  FROM kept GROUP BY 1),
+          |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rm FROM cover GROUP BY 1)
+          |SELECT COALESCE(agg.doc_id, rm.doc_id) AS doc_id,
+          |  COALESCE(agg.n_kept, CAST(0 AS BIGINT)) + COALESCE(rm.n_rm, CAST(0 AS BIGINT)) AS n_tokens,
+          |  COALESCE(rm.n_rm, CAST(0 AS BIGINT)) AS n_removed,
+          |  COALESCE(agg.clean_text, '') AS clean_text
+          |FROM agg FULL OUTER JOIN rm ON agg.doc_id = rm.doc_id
+          |ORDER BY doc_id""".stripMargin),
+    // incremental spans: delta grams probe the corpus-side-capped corpus
+    // gram index; same diagonal-island construction as q238
+    "q243_incremental_spans" ->
+      raw"""WITH toksrc AS (
+           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+           |pg AS (
+           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
+           |  FROM toksrc WHERE len(toks) >= 8),
+           |grams AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+           |  FROM pg),
+           |cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
+           |dg AS (SELECT * FROM grams WHERE doc_id % 10 = 0),
+           |okh AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 50),
+           |anch AS (
+           |  SELECT d.doc_id AS delta_id, d.pos AS dpos, c.doc_id AS corpus_id, c.pos AS cpos
+           |  FROM dg d JOIN cg c ON d.h = c.h JOIN okh ON okh.h = d.h),
+           |runs AS (
+           |  SELECT delta_id, corpus_id, dpos, cpos, dpos - cpos AS diag,
+           |    dpos - row_number() OVER (PARTITION BY delta_id, corpus_id, dpos - cpos ORDER BY dpos) AS run
+           |  FROM anch)
+           |SELECT delta_id, CAST(MIN(dpos) AS BIGINT) AS delta_pos,
+           |  corpus_id, CAST(MIN(cpos) AS BIGINT) AS corpus_pos,
+           |  CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+           |FROM runs GROUP BY delta_id, corpus_id, diag, run
+           |ORDER BY delta_id, corpus_id, delta_pos, corpus_pos""".stripMargin,
     // bigram surprisal: per-gram floor-log2 in EXACT integer arithmetic
     // (length(bin(den // num)) - 1 — bin() agrees across engines where
     // libm ln does not), one double division per doc at output

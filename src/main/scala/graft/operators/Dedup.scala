@@ -628,6 +628,114 @@ object Dedup {
           col("n_tokens").cast("double")).as("dup_fraction"))
   }
 
+  /** Substring-granular dedup REWRITE: strip each document's tokens that a
+    * [[sharedSpans]] span marks as duplicated from a lower-id document —
+    * the canonical (minimum-id) copy of every shared span survives intact,
+    * the other side loses exactly the duplicated positions (the Lee et
+    * al. 2022 removal step: document-level dedup drops whole documents,
+    * this removes the wrapped span and keeps the unique remainder).
+    *
+    * Covered positions come from the `id_b` side of every span only;
+    * overlaps between spans collapse through one positions-distinct. The
+    * rewrite is a positions anti-join plus a per-document ordered
+    * reassembly (one collect bounded by the document's own token count —
+    * the same per-doc envelope as any text normalization). A document
+    * whose every token is covered keeps its row with empty text (the q99
+    * boilerplate-removal convention).
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text) for every input
+    * document with tokenizable text (a null-text row has no positions to
+    * rewrite and is excluded); `clean_text` is the kept tokens of the
+    * NORMALIZED text joined by single spaces. `n_tokens` is derived as
+    * kept + removed position counts, so the corpus text is tokenized
+    * exactly once here (the span detection's own gram pass is separate).
+    */
+  def removeSharedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 8,
+      maxBucketSize: Int = 50): DataFrame = {
+    val spans = sharedSpans(df, idCol, textCol, minSpanTokens, maxBucketSize)
+    // two consumers (the anti-join + the removed-count totals): bounded by
+    // total covered positions, eager (q181 discipline)
+    val cover = graft.core.Caching.eager(
+      spans.select(col("id_b").as("doc_id"),
+          explode(sequence(col("pos_b"),
+            col("pos_b") + col("span_tokens") - 1)).as("pos"))
+        .distinct())
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("_p", "tok")))
+      .select(col("doc_id"), (col("_p") + 1).cast("long").as("pos"), col("tok"))
+    val kept = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("_n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"))
+    val removed = cover.groupBy(col("doc_id")).agg(count(lit(1)).as("_n_rm"))
+    // every tokenizable doc appears on at least one side (kept tokens or
+    // fully-covered positions), so the full join enumerates them all
+    kept.join(removed, Seq("doc_id"), "full")
+      .select(
+        col("doc_id"),
+        (coalesce(col("_n_kept"), lit(0L)) + coalesce(col("_n_rm"), lit(0L)))
+          .as("n_tokens"),
+        coalesce(col("_n_rm"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Incremental [[sharedSpans]]: maximal shared token spans between DELTA
+    * documents and the standing CORPUS only — the daily-ingest probe shape
+    * (the corpus's positioned gram index is precomputed at steady state
+    * and never self-joins; the cap is applied on the CORPUS side before
+    * any join, the [[winnowingIncrementalDuplicates]] discipline). Same
+    * anchor → diagonal-island construction as the batch pass; returns
+    * (delta_id, delta_pos, corpus_id, corpus_pos, span_tokens).
+    */
+  def sharedSpansIncremental(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 8,
+      maxBucketSize: Int = 50): DataFrame = {
+    require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
+    val L = minSpanTokens
+    def gramsOf(df: DataFrame) =
+      df.select(
+          col(idCol).as("doc_id"),
+          posexplode(shingles(col(textCol), L)).as(Seq("_p", "_g")))
+        .select(
+          col("doc_id"),
+          (col("_p") + 1).cast("long").as("pos"),
+          graft.functions.Sha60.sha60(col("_g")).as("h"))
+    // two consumers (cap agg + probe join): corpus tokenized once
+    val corpusGrams = graft.core.Caching.eager(gramsOf(corpus))
+    val keep = corpusGrams.groupBy(col("h")).agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("h"))
+    val anchors = gramsOf(delta)
+      .select(col("doc_id").as("delta_id"), col("pos").as("dpos"), col("h"))
+      .join(corpusGrams.join(keep, Seq("h"), "left_semi")
+        .select(col("doc_id").as("corpus_id"), col("pos").as("cpos"), col("h")),
+        Seq("h"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("delta_id"), col("corpus_id"), col("diag"))
+      .orderBy(col("dpos"))
+    anchors
+      .withColumn("diag", col("dpos") - col("cpos"))
+      .withColumn("_run", col("dpos") - row_number().over(wRun))
+      .groupBy(col("delta_id"), col("corpus_id"), col("diag"), col("_run"))
+      .agg(
+        min(col("dpos")).as("delta_pos"),
+        min(col("cpos")).as("corpus_pos"),
+        (count(lit(1)) + lit(L - 1)).cast("long").as("span_tokens"))
+      .select(col("delta_id"), col("delta_pos"), col("corpus_id"),
+        col("corpus_pos"), col("span_tokens"))
+  }
+
   /** Incremental exact dedup: the delta rows whose normalized content does
     * not already exist in the corpus — one anti-join on the content hash,
     * the daily-ingest shape (the corpus side is a precomputed hash index at

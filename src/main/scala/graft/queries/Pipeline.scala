@@ -5207,4 +5207,32 @@ object Pipeline {
     Dedup.sharedSpanCoverage(Tables(spark, dir).documents, "doc_id", "text",
         minSpanTokens = 8, maxBucketSize = 50)
       .orderBy("doc_id")
+
+  /** q242 — substring-granular dedup REWRITE ([[Dedup.removeSharedSpans]]):
+    * the removal step after q238's detection — every token a span marks as
+    * duplicated from a lower-id document is stripped, the minimum-id copy
+    * survives intact, and the rewritten corpus keeps each document's
+    * unique remainder (empty text when nothing is unique, the q99
+    * convention). The oracle re-runs the span CTEs, expands covered
+    * positions, anti-joins, and reassembles with an ordered string_agg.
+    */
+  def spanRemovalRewrite(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeSharedSpans(Tables(spark, dir).documents, "doc_id", "text",
+        minSpanTokens = 8, maxBucketSize = 50)
+      .orderBy("doc_id")
+
+  /** q243 — INCREMENTAL shared spans ([[Dedup.sharedSpansIncremental]]):
+    * delta documents (doc_id % 10 = 0, the established delta convention)
+    * probed against the standing corpus's positioned gram index — the
+    * daily-ingest form of q238 where the corpus never self-joins and the
+    * boilerplate cap is applied on the corpus side before any join.
+    * Probed non-vacuous: 6 spans (25–93 tokens) at sf0.01, 47 at sf0.1.
+    */
+  def incrementalSharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    Dedup.sharedSpansIncremental(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", minSpanTokens = 8, maxBucketSize = 50)
+      .orderBy("delta_id", "corpus_id", "delta_pos", "corpus_pos")
+  }
 }

@@ -295,6 +295,47 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((7L, 0L, 0.0)), s"uncovered doc keeps its row: ${out(4L)}")
   }
 
+  test("removeSharedSpans: id_b side stripped, canonical copy intact, full coverage leaves empty text") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j mid1 p q r s t u v w x y"),
+      (2L, "pre2 a b c d e f g h i j mid2 p q r s t u v w x y"),
+      (6L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (7L, "z1 z2 z3 z4 z5 z6 z7 z8") // exact copy: fully covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(df, "doc_id", "text", minSpanTokens = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((21L, 0L, "a b c d e f g h i j mid1 p q r s t u v w x y")),
+      s"canonical doc 1 untouched: ${out(1L)}")
+    assert(out(2L) == ((22L, 20L, "pre2 mid2")),
+      s"doc 2 keeps only its unique tokens: ${out(2L)}")
+    assert(out(6L) == ((8L, 0L, "z1 z2 z3 z4 z5 z6 z7 z8")),
+      s"canonical copy 6 intact: ${out(6L)}")
+    assert(out(7L) == ((8L, 8L, "")),
+      s"fully-duplicated doc keeps its row with empty text: ${out(7L)}")
+  }
+
+  test("sharedSpansIncremental: delta probes corpus only — no delta-delta or corpus-corpus pairs") {
+    val corpus = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, "unrelated corpus tokens here only seven total now")
+    ).toDF("doc_id", "text")
+    // both deltas share a1..a9 with corpus doc 1 AND (10 tokens) with each
+    // other — the delta-delta span must NOT appear
+    val delta = Seq(
+      (10L, "x " + (1 to 9).map(i => s"a$i").mkString(" ")),
+      (20L, "x " + (1 to 9).map(i => s"a$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpansIncremental(corpus, delta, "doc_id", "text",
+        minSpanTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set((10L, 2L, 1L, 1L, 9L), (20L, 2L, 1L, 1L, 9L)),
+      s"expected only the delta→corpus spans, got $out")
+  }
+
   test("sharedSpans: over-cap boilerplate grams are dropped before pair emission") {
     val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
     val df = Seq(
