@@ -261,6 +261,7 @@ object SparkEntry {
     "q241_span_coverage" -> (Pipeline.sharedSpanCoverageReport _),
     "q242_span_removal" -> (Pipeline.spanRemovalRewrite _),
     "q243_incremental_spans" -> (Pipeline.incrementalSharedSpans _),
+    "q244_audio_decode" -> (Pipeline.audioDecodeStats _),
   )
 
   /** Shared q238/q241 oracle prefix: normalized tokens → positioned
@@ -2367,6 +2368,28 @@ object SparkEntry {
           |    / CAST(nt.n_tokens AS DOUBLE) AS dup_fraction
           |FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
           |ORDER BY nt.doc_id""".stripMargin),
+    // real WAV decode: the oracle names every statistic from the
+    // closed-form sample pattern (and the sample rate as a literal), so a
+    // container/codec bug on the Spark side cannot cancel out
+    "q244_audio_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, 800 + doc_id % 401 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT media_id, n, ((31 * media_id + 17 * i) % 4096) - 2048 AS v
+        |  FROM (SELECT media_id, n,
+        |          unnest(generate_series(0, CAST(n AS INTEGER) - 1)) AS i
+        |        FROM a))
+        |SELECT media_id,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(v) AS BIGINT) AS min_sample,
+        |  CAST(MAX(v) AS BIGINT) AS max_sample,
+        |  sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
+        |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     // span removal: covered positions from the id_b side expand through
     // generate_series, anti-join kills them, ordered string_agg reassembles
     "q242_span_removal" ->

@@ -468,4 +468,129 @@ object Multimodal {
       col("text").cast("binary").as("content"),
       lit("application/octet-stream").as("mime_type"),
       concat(lit("synthetic://doc/"), col("doc_id")).as("source_uri"))
+
+  // ---- REAL audio tier: WAV PCM through javax.sound.sampled (pure-JVM,
+  // headless-safe — the audio sibling of the javax.imageio image tier) ----
+
+  /** The closed-form audio test pattern: audio id `d` has
+    * `800 + d mod 401` samples, sample `i` is the integer sawtooth
+    * `((31d + 17i) mod 4096) − 2048` — every 16-bit PCM sample of every
+    * fixture clip is predictable from the id alone, so a SQL oracle can
+    * name decoded statistics without parsing any container.
+    */
+  def audioSamples(d: Long): Int = (800 + d % 401).toInt
+  def patternSample(d: Long)(i: Int): Short =
+    (((31 * d + 17 * i) % 4096) - 2048).toShort
+  val AudioRate = 16000
+
+  /** Encode 16-bit little-endian mono PCM as a REAL RIFF/WAVE container
+    * via `javax.sound.sampled.AudioSystem` — the decode side must parse
+    * the same container back, so a header/codec bug cannot cancel out.
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL WAV decode: parse the RIFF container with `AudioSystem`, read
+    * the PCM frames, and return
+    * (sample_rate, n_samples, Σs, Σ|s|, Σs², min, max) — exact integer
+    * waveform statistics (sums fit a long comfortably: |s| ≤ 2048,
+    * s² ≤ 2²², per-clip counts bounded). None for undecodable bytes or
+    * formats other than 16-bit little-endian mono.
+    */
+  def decodeWav(bytes: Array[Byte])
+      : Option[(Int, Long, Long, Long, Long, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian) None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        var sum = 0L; var sumAbs = 0L; var sumSq = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < n) {
+          val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+          sum += s; sumAbs += math.abs(s); sumSq += s * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        if (n == 0) None
+        else Some((fmt.getSampleRate.toInt, n.toLong, sum, sumAbs, sumSq, mn, mx))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic REAL-WAV media fixture from the documents table: every
+    * `doc_id % 3 = 1` document becomes a [[patternSample]] clip (the
+    * audio third of the media-type convention; images take % 3 = 0).
+    * Encoding runs in the executors, one encoder per row batch.
+    */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      .where(col("doc_id") % 3 === 1)
+      .select("doc_id")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val n = audioSamples(d)
+          val wav = encodeWav(AudioRate, Array.tabulate(n)(patternSample(d)))
+          Row(d, "audio", wav, "audio/wav", s"synthetic://wav/$d")
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  val audioStatSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sum_samples", LongType, nullable = true),
+    StructField("sum_abs", LongType, nullable = true),
+    StructField("sum_sq", LongType, nullable = true),
+    StructField("min_sample", LongType, nullable = true),
+    StructField("max_sample", LongType, nullable = true)))
+
+  /** Batched REAL decode over an audio media frame — the
+    * [[imagePixelStats]] shape for WAV blobs: per-partition decoder
+    * batches, undecodable/null blobs keep their row with null stats,
+    * blobs never leave the scan (only fixed-width stats flow on).
+    */
+  def audioWaveformStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "audio")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Option(r.getAs[Array[Byte]](1)).flatMap(decodeWav) match {
+            case Some((sr, n, s, sa, sq, mn, mx)) =>
+              Row(id, sr.toLong, n, s, sa, sq, mn, mx)
+            case None => Row(id, null, null, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, audioStatSchema)
+  }
 }

@@ -5235,4 +5235,24 @@ object Pipeline {
         "doc_id", "text", minSpanTokens = 8, maxBucketSize = 50)
       .orderBy("delta_id", "corpus_id", "delta_pos", "corpus_pos")
   }
+
+  /** q244 — REAL audio decode ([[graft.multimodal.Multimodal
+    * .decodeWav]]): WAV PCM clips synthesized from the closed-form
+    * [[graft.multimodal.Multimodal.patternSample]] sawtooth, encoded AND
+    * re-parsed through `javax.sound.sampled` (a header/codec bug cannot
+    * cancel out), waveform statistics as exact integers (Σs, Σ|s|, Σs²,
+    * min/max) plus the decoded sample rate — which the oracle names as
+    * the literal 16000, so a mis-parsed header fails the row. RMS is the
+    * one terminal float op (÷ then √, both IEEE-correctly-rounded). The
+    * audio sibling of q199/q223: blobs never shuffle, one decoder batch
+    * per partition, PCM is lossless so every statistic is exact.
+    */
+  def audioDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.wavMediaFromDocuments(Tables(spark, dir).documents)
+    Multimodal.audioWaveformStats(media)
+      .withColumn("rms",
+        sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
+      .orderBy("media_id")
+  }
 }

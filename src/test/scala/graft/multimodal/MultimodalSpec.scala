@@ -14,6 +14,36 @@ class MultimodalSpec extends SparkSpec {
     assert(b == (0 + 1 + 2) + (1 + 2 + 3))
   }
 
+  test("encodeWav → decodeWav roundtrip: exact PCM stats through the real RIFF container") {
+    val samples = Array[Short](-2048, 0, 5, 2047, -1)
+    val wav = Multimodal.encodeWav(16000, samples)
+    // sanity: it really is a RIFF/WAVE container, not raw PCM
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((sr, n, sum, sumAbs, sumSq, mn, mx)) = Multimodal.decodeWav(wav)
+    assert(sr == 16000 && n == 5L)
+    assert(sum == 3L && sumAbs == 4101L)
+    assert(sumSq == 2048L * 2048 + 25 + 2047L * 2047 + 1)
+    assert(mn == -2048L && mx == 2047L)
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+  }
+
+  test("audioWaveformStats: undecodable blobs keep their row with null stats") {
+    import spark.implicits._
+    val rows = java.util.Arrays.asList(
+      Row(1L, "audio", Multimodal.encodeWav(16000, Array[Short](7, -7)),
+        "audio/wav", "synthetic://wav/1"),
+      Row(2L, "audio", "garbage".getBytes, "audio/wav", "synthetic://wav/2"),
+      Row(3L, "image", Array[Byte](1, 2), "image/png", "synthetic://png/3"))
+    val media = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.audioWaveformStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "non-audio rows are out of scope")
+    assert(out(1L).getLong(3) == 0L && out(1L).getLong(4) == 14L)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2),
+      "undecodable audio keeps its row with null stats")
+  }
+
   test("resizeNearest: hand-computed up- AND down-sampling via the pinned formula") {
     // source 2×1: pixels r = 100·x → [100·0, 100·1]
     val src = Multimodal.encodePng(2, 1, (x, _) => (100 * x, 0, 0))
