@@ -262,6 +262,8 @@ object SparkEntry {
     "q242_span_removal" -> (Pipeline.spanRemovalRewrite _),
     "q243_incremental_spans" -> (Pipeline.incrementalSharedSpans _),
     "q244_audio_decode" -> (Pipeline.audioDecodeStats _),
+    "q245_existence_flags" -> (Pipeline.existenceFlagScreen _),
+    "q246_sql_pivot" -> (Pipeline.sqlTextPivot _),
   )
 
   /** Shared q238/q241 oracle prefix: normalized tokens → positioned
@@ -2368,6 +2370,35 @@ object SparkEntry {
           |    / CAST(nt.n_tokens AS DOUBLE) AS dup_fraction
           |FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
           |ORDER BY nt.doc_id""".stripMargin),
+    // projected existence flags: EXISTS/IN in the SELECT list — the same
+    // text runs on both engines; Catalyst's side is plan-audited to
+    // ExistenceJoin (boolean-attaching semi-join, no per-row subquery)
+    "q245_existence_flags" ->
+      """SELECT c.c_custkey,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderstatus = 'O') AS has_open,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+        |  c.c_custkey IN (SELECT o_custkey FROM orders
+        |                  WHERE o_totalprice > 350000) AS has_big
+        |FROM customer c
+        |ORDER BY c.c_custkey""".stripMargin,
+    // SQL-text PIVOT: the oracle is the CASE-per-column aggregation the
+    // clause desugars to; NULLIF keeps the absent-combo convention
+    // identical (Spark pivot yields NULL for absent combos, never 0)
+    "q246_sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN cents END) AS BIGINT) AS open_total_cents,
+        |  NULLIF(CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT), 0) AS open_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN cents END) AS BIGINT) AS filled_total_cents,
+        |  NULLIF(CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT), 0) AS filled_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN cents END) AS BIGINT) AS pending_total_cents,
+        |  NULLIF(CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT), 0) AS pending_n
+        |FROM (SELECT o_orderpriority, o_orderstatus,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // real WAV decode: the oracle names every statistic from the
     // closed-form sample pattern (and the sample rate as a literal), so a
     // container/codec bug on the Spark side cannot cancel out

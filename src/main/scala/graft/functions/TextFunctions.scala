@@ -108,6 +108,26 @@ object TextFunctions {
   private[graft] def bindOnce(c: Column)(body: Column => Column): Column =
     element_at(transform(array(c), body), 1)
 
+  /** Triangular (i < j) pair emission over a bucket array, sorted ONCE:
+    * the shared LSH-bucket pair enumerator (MinHash, winnowing, shared
+    * spans). [[bindOnce]]-bound because Catalyst does not CSE subtrees
+    * inside HOF lambdas — an unbound `array_sort` would re-sort the
+    * bucket once per anchor (O(b² log b) per bucket instead of one sort +
+    * O(b²) struct emission). `mk(a, b)` builds each emitted pair struct;
+    * `a` precedes `b` in the array's sort order.
+    */
+  private[graft] def triangularPairs(arr: Column)(
+      mk: (Column, Column) => Column): Column =
+    bindOnce(array_sort(arr)) { sorted =>
+      flatten(
+        transform(
+          sorted,
+          (a, i) =>
+            transform(
+              slice(sorted, i + lit(2), size(sorted) - i - lit(1)),
+              b => mk(a, b))))
+    }
+
   /** Word n-gram shingles of the normalized text (for MinHash / Jaccard).
     * Empty array when the document has fewer than n tokens. The token array
     * is [[bindOnce]]-bound: the tokenizing split runs once per row, not once

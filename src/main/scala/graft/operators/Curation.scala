@@ -1150,16 +1150,20 @@ object Curation {
             |              element_at(_t, i + 1) AS w2))""".stripMargin)).as("_g"))
         .groupBy(col("doc_id"), col("_g.w1").as("w1"), col("_g.w2").as("w2"))
         .agg(count(lit(1)).as("m")))
-    val cb = docGrams.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c_big"))
+    // cb has THREE consumers (cp, vocab, the score join) and scored TWO
+    // (totals + the final left join) — eager both, or the bigram
+    // aggregation and the gram join re-run per consumer (q181 discipline)
+    val cb = graft.core.Caching.eager(
+      docGrams.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c_big")))
     val cp = cb.groupBy(col("w1")).agg(sum(col("c_big")).as("c_pre"))
     val vocab = cb.agg(count_distinct(col("w2")).as("_vocab"))
-    val scored = graft.core.ScalarJoin.withScalars(
+    val scored = graft.core.Caching.eager(graft.core.ScalarJoin.withScalars(
         docGrams.join(cb, Seq("w1", "w2")).join(cp, Seq("w1")), vocab)
       .withColumn("_bits",
         length(bin(expr("(c_pre + _vocab) DIV (c_big + 1)"))).cast("long") - 1)
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_grams"),
-        sum(col("m") * col("_bits")).as("surprisal_bits"))
+        sum(col("m") * col("_bits")).as("surprisal_bits")))
     val totals = scored.agg(
       sum(col("surprisal_bits")).as("_t_bits"), sum(col("n_grams")).as("_t_grams"))
     graft.core.ScalarJoin.withScalars(
@@ -1250,7 +1254,11 @@ object Curation {
       vdim, Seq("source"), "n_tokens",
       Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p875" -> 0.875),
       cntCol = Some("_c"))
-    totals.join(pct, Seq("source"), "left")
+    // null-SAFE join key: a NULL source is a legal group (the oracle's
+    // GROUP BY keeps it with real quantile values) — a plain equi-join
+    // would strand its percentile row and emit null stats
+    totals.join(pct.withColumnRenamed("source", "_src"),
+        col("source") <=> col("_src"), "left")
       .select(
         col("source"),
         col("n_docs"),

@@ -250,20 +250,10 @@ object Dedup {
     // aggregated array.
     val buckets = cappedIdBuckets(
       banded, Seq("band", "band_hash"), "doc_id", minSize = 2, maxSize = maxBucketSize)
-    // bindOnce: the inner slice references the sorted array per outer
-    // element, and Catalyst does not CSE subtrees inside HOF lambdas — an
-    // unbound array_sort would re-sort the bucket once per pair-row anchor
-    // (O(b² log b) per bucket instead of one sort + O(b²) pair emission)
-    val pairCombos = graft.functions.TextFunctions.bindOnce(array_sort(col("ids"))) {
-      sortedIds =>
-        flatten(
-          transform(
-            sortedIds,
-            (a, i) =>
-              transform(
-                slice(sortedIds, i + lit(2), size(sortedIds) - i - lit(1)),
-                b => struct(a.as("id_a"), b.as("id_b")))))
-    }
+    // one sort + O(b²) struct emission per bucket ([[graft.functions
+    // .TextFunctions.triangularPairs]] — shared with winnowing and spans)
+    val pairCombos = graft.functions.TextFunctions.triangularPairs(col("ids"))(
+      (a, b) => struct(a.as("id_a"), b.as("id_b")))
     val pairs = buckets
       .select(explode(pairCombos).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
@@ -520,6 +510,16 @@ object Dedup {
     * Returns (id_a, pos_a, id_b, pos_b, span_tokens) with `id_a < id_b`,
     * 1-based token positions, `span_tokens ≥ minSpanTokens`.
     */
+  /** Null-id guard shared by the span family: a NULL document id would
+    * otherwise make every span touching the row vanish silently through
+    * the `doc_id =!= doc_id` pair filter (the editDistanceOneDuplicates
+    * bug class) — raise loudly at execution instead.
+    */
+  private def guardedId(idCol: String, op: String): Column =
+    when(col(idCol).isNull, raise_error(lit(
+      s"$op: null id in '$idCol' — null ids would silently drop their spans")))
+      .otherwise(col(idCol))
+
   def sharedSpans(
       df: DataFrame,
       idCol: String,
@@ -532,7 +532,7 @@ object Dedup {
     // probe) — eager so tokenize+hash runs once (q181 discipline)
     val grams = graft.core.Caching.eager(
       df.select(
-          col(idCol).as("doc_id"),
+          guardedId(idCol, "sharedSpans").as("doc_id"),
           posexplode(shingles(col(textCol), L)).as(Seq("_p", "_g")))
         .select(
           col("doc_id"),
@@ -542,19 +542,13 @@ object Dedup {
       .where(col("_bs").between(2, maxBucketSize))
       .select(col("h"))
     // bucket-collect once (buffers bounded by the semi-join cap), then the
-    // one-sort pair emission shared with winnowingNearDuplicates
+    // one-sort pair emission shared with winnowing/minhash
+    // ([[graft.functions.TextFunctions.triangularPairs]])
     val buckets = grams.join(keep, Seq("h"), "left_semi")
       .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("es"))
-    val pairCombos = bindOnce(array_sort(col("es"))) { es =>
-      flatten(
-        transform(
-          es,
-          (a, i) =>
-            transform(
-              slice(es, i + lit(2), size(es) - i - lit(1)),
-              b => struct(a.as("ea"), b.as("eb")))))
-    }
+    val pairCombos = triangularPairs(col("es"))(
+      (a, b) => struct(a.as("ea"), b.as("eb")))
     val anchors = buckets.select(explode(pairCombos).as("pr"))
       .where(col("pr.ea.doc_id") =!= col("pr.eb.doc_id"))
       .select(
@@ -618,7 +612,7 @@ object Dedup {
       .agg(min(col("_s")).as("_mn"), max(col("_e")).as("_mx"))
       .groupBy(col("doc_id"))
       .agg(sum(col("_mx") - col("_mn")).as("covered_tokens"))
-    df.select(col(idCol).as("doc_id"),
+    df.select(guardedId(idCol, "sharedSpanCoverage").as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(cov, Seq("doc_id"), "left")
       .select(
@@ -664,7 +658,7 @@ object Dedup {
           explode(sequence(col("pos_b"),
             col("pos_b") + col("span_tokens") - 1)).as("pos"))
         .distinct())
-    val toks = df.select(col(idCol).as("doc_id"),
+    val toks = df.select(guardedId(idCol, "removeSharedSpans").as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("_p", "tok")))
       .select(col("doc_id"), (col("_p") + 1).cast("long").as("pos"), col("tok"))
     val kept = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
@@ -705,7 +699,7 @@ object Dedup {
     val L = minSpanTokens
     def gramsOf(df: DataFrame) =
       df.select(
-          col(idCol).as("doc_id"),
+          guardedId(idCol, "sharedSpansIncremental").as("doc_id"),
           posexplode(shingles(col(textCol), L)).as(Seq("_p", "_g")))
         .select(
           col("doc_id"),
@@ -943,6 +937,12 @@ object Dedup {
     * Call sites that pin a count (an oracle-certified certification
     * baseline, a precomputed-index probe that must match its index) pass
     * it explicitly.
+    *
+    * Cost note: the tuning count is ONE column-pruned pass over the input
+    * frame — metadata-cheap on a bare columnar scan, but a caller holding
+    * an EXPENSIVE derived frame (joins, scoring) pays that pipeline twice
+    * (count + signature scan); such callers should persist the frame
+    * first or pass a known plane count explicitly.
     */
   val AutoPlanes: Int = -1
 
@@ -1623,17 +1623,10 @@ object Dedup {
     val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val buckets = cappedIdBuckets(
       exploded, Seq("fp"), "doc_id", minSize = 2, maxSize = maxBucketSize)
-    // Same bindOnce-sorted pair emission as minhashNearDuplicates: one sort
-    // per bucket, O(b²) struct emission, no per-anchor re-sort.
-    val pairCombos = bindOnce(array_sort(col("ids"))) { sortedIds =>
-      flatten(
-        transform(
-          sortedIds,
-          (a, i) =>
-            transform(
-              slice(sortedIds, i + lit(2), size(sortedIds) - i - lit(1)),
-              b => struct(a.as("id_a"), b.as("id_b")))))
-    }
+    // Same one-sort pair emission as minhashNearDuplicates (shared
+    // [[graft.functions.TextFunctions.triangularPairs]] helper).
+    val pairCombos = triangularPairs(col("ids"))(
+      (a, b) => struct(a.as("id_a"), b.as("id_b")))
     val shared = buckets
       .select(explode(pairCombos).as("pr"))
       .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))

@@ -5255,4 +5255,51 @@ object Pipeline {
         sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
       .orderBy("media_id")
   }
+
+  /** q245 — EXISTS / IN as PROJECTED booleans through `spark.sql`
+    * (completing the subquery-surface triptych: q237 scalar, q239 WHERE,
+    * this one SELECT-list): Catalyst must plan each flag as an
+    * ExistenceJoin — a semi-join that ATTACHES a boolean instead of
+    * filtering — never a per-row subquery. Every flag is true AND false
+    * somewhere at every scale (probed: has_big 142/8 at sf0.001,
+    * 14238/762 at sf0.1). PlanAuditSpec pins ≥3 ExistenceJoin nodes.
+    */
+  def existenceFlagScreen(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("q245_customer")
+    t.orders.createOrReplaceTempView("q245_orders")
+    spark.sql(
+      """SELECT c.c_custkey,
+        |  EXISTS (SELECT 1 FROM q245_orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderstatus = 'O') AS has_open,
+        |  EXISTS (SELECT 1 FROM q245_orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+        |  c.c_custkey IN (SELECT o_custkey FROM q245_orders
+        |                  WHERE o_totalprice > 350000) AS has_big
+        |FROM q245_customer c
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** q246 — PIVOT through SQL TEXT (`spark.sql` PIVOT clause): the q11
+    * DataFrame pivot certified on the syntax a migrating warehouse user
+    * actually writes. Exact integer cents; the oracle is the manual
+    * CASE-per-column aggregation (the relational definition PIVOT
+    * desugars to), so the clause's column naming and null-for-absent
+    * semantics are pinned cross-engine.
+    */
+  def sqlTextPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders
+      .selectExpr("o_orderpriority", "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .createOrReplaceTempView("q246_orders")
+    spark.sql(
+      """SELECT * FROM q246_orders
+        |PIVOT (
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |  FOR o_orderstatus IN ('O' AS open, 'F' AS filled, 'P' AS pending))
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
 }

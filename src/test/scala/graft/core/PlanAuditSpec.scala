@@ -54,6 +54,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(antis >= 2, s"expected NOT EXISTS and NOT IN to plan as >=2 anti joins, got $antis")
   }
 
+  test("q245's projected EXISTS/IN flags plan as ExistenceJoin, not per-row subqueries") {
+    val plan = planByName("q245_existence_flags").toString
+    val n = "ExistenceJoin".r.findAllMatchIn(plan).length
+    assert(n >= 3,
+      s"expected the three SELECT-list flags to plan as >=3 ExistenceJoins, got $n")
+  }
+
   test("no window sorts a fact-sized frame under a low-cardinality-only partition key") {
     // The single-partition-window scale-killer: row_number()/rank() OVER
     // (PARTITION BY <few-valued column> ORDER BY …) on an UNAGGREGATED fact
