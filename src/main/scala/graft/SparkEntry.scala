@@ -264,6 +264,7 @@ object SparkEntry {
     "q244_audio_decode" -> (Pipeline.audioDecodeStats _),
     "q245_existence_flags" -> (Pipeline.existenceFlagScreen _),
     "q246_sql_pivot" -> (Pipeline.sqlTextPivot _),
+    "q247_sql_unpivot" -> (Pipeline.sqlTextUnpivot _),
   )
 
   /** Shared q238/q241 oracle prefix: normalized tokens → positioned
@@ -2399,6 +2400,26 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, o_orderstatus,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // SQL-text UNPIVOT: the oracle is the UNION ALL the clause desugars
+    // to; the WHERE mirrors UNPIVOT's default null-row exclusion
+    "q247_sql_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS open_cents,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS filled_cents,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS pending_cents
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, cents FROM (
+        |  SELECT o_orderpriority, 'O' AS status, open_cents AS cents FROM wide
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'F', filled_cents FROM wide
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'P', pending_cents FROM wide)
+        |WHERE cents IS NOT NULL
+        |ORDER BY o_orderpriority, status""".stripMargin,
     // real WAV decode: the oracle names every statistic from the
     // closed-form sample pattern (and the sample rate as a literal), so a
     // container/codec bug on the Spark side cannot cancel out

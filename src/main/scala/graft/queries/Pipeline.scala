@@ -5302,4 +5302,30 @@ object Pipeline {
         |  FOR o_orderstatus IN ('O' AS open, 'F' AS filled, 'P' AS pending))
         |ORDER BY o_orderpriority""".stripMargin)
   }
+
+  /** q247 — UNPIVOT through SQL TEXT: the inverse reshape of q246 on the
+    * clause a migrating user writes (q192 certifies the DataFrame melt).
+    * The wide per-priority frame is built with deterministic conditional
+    * aggregates, then `UNPIVOT (cents FOR status IN ...)` melts it back
+    * to (priority, status, cents) rows; the oracle is the UNION ALL the
+    * clause desugars to, with UNPIVOT's default null-row exclusion
+    * mirrored by `WHERE cents IS NOT NULL`.
+    */
+  def sqlTextUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O",
+          round(col("o_totalprice") * 100, 0).cast("long"))).as("open_cents"),
+        sum(when(col("o_orderstatus") === "F",
+          round(col("o_totalprice") * 100, 0).cast("long"))).as("filled_cents"),
+        sum(when(col("o_orderstatus") === "P",
+          round(col("o_totalprice") * 100, 0).cast("long"))).as("pending_cents"))
+      .createOrReplaceTempView("q247_wide")
+    spark.sql(
+      """SELECT o_orderpriority, status, cents FROM q247_wide
+        |UNPIVOT (cents FOR status IN (
+        |  open_cents AS `O`, filled_cents AS `F`, pending_cents AS `P`))
+        |ORDER BY o_orderpriority, status""".stripMargin)
+  }
 }
