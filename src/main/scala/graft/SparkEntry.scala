@@ -265,6 +265,7 @@ object SparkEntry {
     "q245_existence_flags" -> (Pipeline.existenceFlagScreen _),
     "q246_sql_pivot" -> (Pipeline.sqlTextPivot _),
     "q247_sql_unpivot" -> (Pipeline.sqlTextUnpivot _),
+    "q248_join_hints" -> (Pipeline.joinHintScreen _),
   )
 
   /** Shared q238/q241 oracle prefix: normalized tokens → positioned
@@ -2400,6 +2401,16 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, o_orderstatus,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // join-strategy hint: results are strategy-invariant, so the oracle
+    // is the plain join; the hint's EFFECT is plan-audited Spark-side
+    "q248_join_hints" ->
+      """SELECT n.n_name,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS balance_cents
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     // SQL-text UNPIVOT: the oracle is the UNION ALL the clause desugars
     // to; the WHERE mirrors UNPIVOT's default null-row exclusion
     "q247_sql_unpivot" ->

@@ -5311,6 +5311,30 @@ object Pipeline {
     * clause desugars to, with UNPIVOT's default null-row exclusion
     * mirrored by `WHERE cents IS NOT NULL`.
     */
+  /** q248 — JOIN-STRATEGY HINTS through SQL text: `/*+ MERGE(n) */`
+    * forces a sort-merge join on a dimension small enough that the
+    * optimizer would otherwise ALWAYS broadcast it — so the hint is
+    * load-bearing by construction (the plan audit asserts SortMergeJoin
+    * where the unhinted twin plans BroadcastHashJoin). Results are
+    * strategy-invariant; the oracle is the plain join. The hint surface
+    * matters to a migrating user tuning a skewed production join the
+    * optimizer mis-plans — this certifies Spark honors the text form.
+    */
+  def joinHintScreen(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("q248_customer")
+    t.nation.createOrReplaceTempView("q248_nation")
+    spark.sql(
+      """SELECT /*+ MERGE(n) */ n.n_name,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS balance_cents
+        |FROM q248_customer c JOIN q248_nation n
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
+  }
+
   def sqlTextUnpivot(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).orders
       .groupBy(col("o_orderpriority"))

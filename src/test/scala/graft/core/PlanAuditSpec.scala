@@ -61,6 +61,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the three SELECT-list flags to plan as >=3 ExistenceJoins, got $n")
   }
 
+  test("q248's MERGE hint overrides the optimizer's broadcast choice") {
+    // the 25-row nation dim would ALWAYS broadcast — SortMergeJoin in the
+    // executed plan proves the SQL-text hint was honored, not planned over
+    val plan = planByName("q248_join_hints").toString
+    assert(plan.contains("SortMergeJoin"),
+      "the /*+ MERGE(n) */ hint must force a sort-merge join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the hinted join must not fall back to broadcast")
+  }
+
   test("no window sorts a fact-sized frame under a low-cardinality-only partition key") {
     // The single-partition-window scale-killer: row_number()/rank() OVER
     // (PARTITION BY <few-valued column> ORDER BY …) on an UNAGGREGATED fact
