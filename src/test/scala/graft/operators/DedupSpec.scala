@@ -295,6 +295,53 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((7L, 0L, 0.0)), s"uncovered doc keeps its row: ${out(4L)}")
   }
 
+  test("sharedSpans equals brute-force maximal common-substring enumeration (fuzz, 3 corpora)") {
+    // small alphabet forces rich shared-span structure: repeats, overlaps,
+    // multiple diagonals per pair; the cap is set high so nothing drops
+    val rnd = new scala.util.Random(4242)
+    val alphabet = Array("t0", "t1", "t2", "t3", "t4")
+    for (round <- 1 to 3) {
+      val corpus = (1L to 10L).map { id =>
+        val len = 15 + rnd.nextInt(26)
+        id -> Array.fill(len)(alphabet(rnd.nextInt(alphabet.length)))
+      }
+      val l = 4
+      // brute force: per ordered pair and diagonal, maximal equal runs >= l
+      val expected = (for {
+        Seq((ida, ta), (idb, tb)) <- corpus.combinations(2)
+        d <- -(tb.length - 1) to (ta.length - 1) // diag = posA - posB (0-based)
+      } yield {
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+        var run = 0
+        var i = math.max(0, d) // 0-based pos in a
+        var lastStart = -1
+        while (i <= ta.length) {
+          val j = i - d
+          val matches = i < ta.length && j >= 0 && j < tb.length && ta(i) == tb(j)
+          if (matches) { if (run == 0) lastStart = i; run += 1 }
+          else {
+            if (run >= l)
+              spans += ((ida, lastStart + 1L, idb, lastStart - d + 1L, run.toLong))
+            run = 0
+          }
+          i += 1
+        }
+        spans.toList
+      }).flatten.toSet
+      val got = Dedup.sharedSpans(
+          corpus.toDF("doc_id", "toks")
+            .select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
+          "doc_id", "text", minSpanTokens = l, maxBucketSize = 100000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == expected,
+        s"round $round: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)} " +
+          s"(expected ${expected.size}, got ${got.size})")
+      assert(expected.nonEmpty, s"round $round: vacuous fixture — regenerate")
+    }
+  }
+
   test("removeSharedSpans: id_b side stripped, canonical copy intact, full coverage leaves empty text") {
     val df = Seq(
       (1L, "a b c d e f g h i j mid1 p q r s t u v w x y"),
