@@ -266,6 +266,7 @@ object SparkEntry {
     "q246_sql_pivot" -> (Pipeline.sqlTextPivot _),
     "q247_sql_unpivot" -> (Pipeline.sqlTextUnpivot _),
     "q248_join_hints" -> (Pipeline.joinHintScreen _),
+    "q249_streaming_spans" -> (Pipeline.streamingSharedSpans _),
   )
 
   /** Shared q238/q241 oracle prefix: normalized tokens → positioned
@@ -297,6 +298,36 @@ object SparkEntry {
          |    id_b, CAST(MIN(pos_b) AS BIGINT) AS pos_b,
          |    CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
          |  FROM runs GROUP BY id_a, id_b, diag, run)""".stripMargin
+
+  /** The q243 delta→corpus span oracle — shared VERBATIM by q249
+    * (through-the-stream twin): span detection distributes over the
+    * delta, so the streamed union must equal the batch result exactly.
+    */
+  private val q243SpanOracle: String =
+    raw"""WITH toksrc AS (
+         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+         |pg AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
+         |  FROM toksrc WHERE len(toks) >= 8),
+         |grams AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM pg),
+         |cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
+         |dg AS (SELECT * FROM grams WHERE doc_id % 10 = 0),
+         |okh AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 50),
+         |anch AS (
+         |  SELECT d.doc_id AS delta_id, d.pos AS dpos, c.doc_id AS corpus_id, c.pos AS cpos
+         |  FROM dg d JOIN cg c ON d.h = c.h JOIN okh ON okh.h = d.h),
+         |runs AS (
+         |  SELECT delta_id, corpus_id, dpos, cpos, dpos - cpos AS diag,
+         |    dpos - row_number() OVER (PARTITION BY delta_id, corpus_id, dpos - cpos ORDER BY dpos) AS run
+         |  FROM anch)
+         |SELECT delta_id, CAST(MIN(dpos) AS BIGINT) AS delta_pos,
+         |  corpus_id, CAST(MIN(cpos) AS BIGINT) AS corpus_pos,
+         |  CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+         |FROM runs GROUP BY delta_id, corpus_id, diag, run
+         |ORDER BY delta_id, corpus_id, delta_pos, corpus_pos""".stripMargin
 
   /** Frequent-trigram heavy-hitter oracle (exact semantics of the
     * Misra–Gries sketch + recount composition), parameterized by the
@@ -2401,6 +2432,9 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, o_orderstatus,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // spans through the stream: the batch q243 oracle verbatim — span
+    // detection distributes over the delta, so stream must equal batch
+    "q249_streaming_spans" -> q243SpanOracle,
     // join-strategy hint: results are strategy-invariant, so the oracle
     // is the plain join; the hint's EFFECT is plan-audited Spark-side
     "q248_join_hints" ->
@@ -2481,32 +2515,10 @@ object SparkEntry {
           |FROM agg FULL OUTER JOIN rm ON agg.doc_id = rm.doc_id
           |ORDER BY doc_id""".stripMargin),
     // incremental spans: delta grams probe the corpus-side-capped corpus
-    // gram index; same diagonal-island construction as q238
-    "q243_incremental_spans" ->
-      raw"""WITH toksrc AS (
-           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
-           |pg AS (
-           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
-           |  FROM toksrc WHERE len(toks) >= 8),
-           |grams AS (
-           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
-           |  FROM pg),
-           |cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
-           |dg AS (SELECT * FROM grams WHERE doc_id % 10 = 0),
-           |okh AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 50),
-           |anch AS (
-           |  SELECT d.doc_id AS delta_id, d.pos AS dpos, c.doc_id AS corpus_id, c.pos AS cpos
-           |  FROM dg d JOIN cg c ON d.h = c.h JOIN okh ON okh.h = d.h),
-           |runs AS (
-           |  SELECT delta_id, corpus_id, dpos, cpos, dpos - cpos AS diag,
-           |    dpos - row_number() OVER (PARTITION BY delta_id, corpus_id, dpos - cpos ORDER BY dpos) AS run
-           |  FROM anch)
-           |SELECT delta_id, CAST(MIN(dpos) AS BIGINT) AS delta_pos,
-           |  corpus_id, CAST(MIN(cpos) AS BIGINT) AS corpus_pos,
-           |  CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
-           |FROM runs GROUP BY delta_id, corpus_id, diag, run
-           |ORDER BY delta_id, corpus_id, delta_pos, corpus_pos""".stripMargin,
+    // gram index; same diagonal-island construction as q238. The SAME
+    // oracle text serves q249 (through-the-stream twin): span detection
+    // distributes over the delta, so stream must equal batch exactly.
+    "q243_incremental_spans" -> q243SpanOracle,
     // bigram surprisal: per-gram floor-log2 in EXACT integer arithmetic
     // (length(bin(den // num)) - 1 — bin() agrees across engines where
     // libm ln does not), one double division per doc at output

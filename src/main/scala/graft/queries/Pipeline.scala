@@ -5311,6 +5311,35 @@ object Pipeline {
     * clause desugars to, with UNPIVOT's default null-row exclusion
     * mirrored by `WHERE cents IS NOT NULL`.
     */
+  /** q249 — shared spans THROUGH THE STREAM: q243's delta→corpus span
+    * probe run per micro-batch over arriving documents (foreachBatch
+    * against the standing corpus gram index), certified against the SAME
+    * oracle as the batch form — span detection distributes exactly over
+    * the delta (each arriving doc's spans are independent of its
+    * batch-mates), so stream ≡ batch row for row. The crawler-ingest
+    * shape: flag text reuse at arrival time, not in a nightly sweep.
+    */
+  def streamingSharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val corpus = d.where(col("doc_id") % 10 =!= 0)
+    val arriving = d.where(col("doc_id") % 10 === 0)
+    val tmp = runDroppedStream(spark, arriving, files = 4, perTrigger = 2,
+      "graft_q249_") { (stream, t) =>
+      stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty)
+            Dedup.sharedSpansIncremental(corpus, batch, "doc_id", "text",
+                minSpanTokens = 8, maxBucketSize = 50)
+              .write.mode("append").parquet(s"$t/spans")
+          ()
+        }
+        .option("checkpointLocation", s"$t/checkpoint")
+        .start()
+    }
+    spark.read.parquet(s"$tmp/spans")
+      .orderBy("delta_id", "corpus_id", "delta_pos", "corpus_pos")
+  }
+
   /** q248 — JOIN-STRATEGY HINTS through SQL text: `/*+ MERGE(n) */`
     * forces a sort-merge join on a dimension small enough that the
     * optimizer would otherwise ALWAYS broadcast it — so the hint is
