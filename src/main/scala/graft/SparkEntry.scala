@@ -267,7 +267,26 @@ object SparkEntry {
     "q247_sql_unpivot" -> (Pipeline.sqlTextUnpivot _),
     "q248_join_hints" -> (Pipeline.joinHintScreen _),
     "q249_streaming_spans" -> (Pipeline.streamingSharedSpans _),
+    "q250_sql_recursive" -> (Pipeline.sqlTextRecursiveTraversal _),
+    "q251_span_cap_report" -> (Pipeline.spanCapReport _),
   )
+
+  /** The supplier→nation→region WITH RECURSIVE traversal oracle — shared
+    * VERBATIM by q27 (the iterative driver-loop traversal) and q250 (the
+    * same walk as literal Spark recursive-CTE SQL text), so all three
+    * recursion engines are pinned to one answer.
+    */
+  private val q27TraversalOracle: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS src, 'nation/' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+      |  UNION ALL
+      |  SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'region/' || CAST(n_regionkey AS VARCHAR) FROM nation),
+      |walk AS (
+      |  SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS seed, 'supplier/' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS depth FROM supplier
+      |  UNION ALL
+      |  SELECT w.seed, e.dst, w.depth + 1 FROM walk w JOIN edges e ON w.node = e.src WHERE w.depth < 5)
+      |SELECT seed, node, MIN(depth) AS depth FROM walk WHERE depth > 0
+      |GROUP BY seed, node ORDER BY seed, node""".stripMargin
 
   /** Shared q238/q241 oracle prefix: normalized tokens → positioned
     * 8-gram Sha60 hashes → capped anchor self-join → diagonal islands.
@@ -556,17 +575,7 @@ object SparkEntry {
         |  concat_ws('=', 'n_nationkey', COALESCE(CAST(n_nationkey AS VARCHAR), '')),
         |  concat_ws('=', 'n_regionkey', COALESCE(CAST(n_regionkey AS VARCHAR), '')))) AS row_hash
         |FROM nation ORDER BY n_nationkey""".stripMargin,
-    "q27_graph_traversal" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS src, 'nation/' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
-        |  UNION ALL
-        |  SELECT 'nation/' || CAST(n_nationkey AS VARCHAR), 'region/' || CAST(n_regionkey AS VARCHAR) FROM nation),
-        |walk AS (
-        |  SELECT 'supplier/' || CAST(s_suppkey AS VARCHAR) AS seed, 'supplier/' || CAST(s_suppkey AS VARCHAR) AS node, 0 AS depth FROM supplier
-        |  UNION ALL
-        |  SELECT w.seed, e.dst, w.depth + 1 FROM walk w JOIN edges e ON w.node = e.src WHERE w.depth < 5)
-        |SELECT seed, node, MIN(depth) AS depth FROM walk WHERE depth > 0
-        |GROUP BY seed, node ORDER BY seed, node""".stripMargin,
+    "q27_graph_traversal" -> q27TraversalOracle,
     "q28_event_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS event_hour, event_type,
         |  COUNT(*) AS n_events,
@@ -2374,27 +2383,21 @@ object SparkEntry {
     // span coverage: intervals from both pair sides, merged by the
     // sort + running-max island pass; exact integer union length, one
     // double division per doc
+    // coverage oracle is the POSITION-SET definition (count of distinct
+    // covered token positions), not a mirror of Spark's running-max
+    // interval union — a genuinely independent algorithm, and immune to
+    // the tie-heavy-window nondeterminism observed in DuckDB at sf1
+    // (identical intervals repeated dozens of times occasionally made the
+    // windowed union double-count one document per run)
     "q241_span_coverage" ->
       ("WITH " + spanCtes + ",\n" +
         """iv AS (
           |  SELECT id_a AS doc_id, pos_a AS s, pos_a + span_tokens AS e FROM spans
           |  UNION ALL
           |  SELECT id_b, pos_b, pos_b + span_tokens FROM spans),
-          |m AS (
-          |  SELECT doc_id, s, e,
-          |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
-          |      THEN 0 ELSE 1 END AS brk
-          |  FROM iv),
-          |isl AS (
-          |  SELECT doc_id, s, e,
-          |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          |  FROM m),
           |cov AS (
-          |  SELECT doc_id, CAST(SUM(mx - mn) AS BIGINT) AS covered FROM (
-          |    SELECT doc_id, island, MIN(s) AS mn, MAX(e) AS mx
-          |    FROM isl GROUP BY 1, 2)
+          |  SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered FROM (
+          |    SELECT doc_id, unnest(generate_series(s, e - 1)) AS p FROM iv)
           |  GROUP BY 1),
           |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toksrc)
           |SELECT nt.doc_id, nt.n_tokens,
@@ -2435,6 +2438,30 @@ object SparkEntry {
     // spans through the stream: the batch q243 oracle verbatim — span
     // detection distributes over the delta, so stream must equal batch
     "q249_streaming_spans" -> q243SpanOracle,
+    // Spark-native WITH RECURSIVE: the q27 oracle verbatim — the rCTE
+    // text, the iterative driver loop, and DuckDB pinned to one answer
+    "q250_sql_recursive" -> q27TraversalOracle,
+    // span bucket-cap diagnostics at cap 2 (every branch fires at every
+    // scale — the fixture's max 8-gram bucket is 3-4); DuckDB SUM over
+    // integers is HUGEINT, hence the BIGINT casts
+    "q251_span_cap_report" ->
+      raw"""WITH toksrc AS (
+           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+           |pg AS (
+           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
+           |  FROM toksrc WHERE len(toks) >= 8),
+           |grams AS (
+           |  SELECT doc_id, CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+           |  FROM pg),
+           |b AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS bs FROM grams GROUP BY h)
+           |SELECT s.n_grams, s.max_bucket, s.n_dropped_grams, s.dropped_occurrences, a.affected_docs
+           |FROM
+           |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams, MAX(bs) AS max_bucket,
+           |     CAST(COALESCE(SUM(CASE WHEN bs > 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_grams,
+           |     CAST(COALESCE(SUM(CASE WHEN bs > 2 THEN bs ELSE 0 END), 0) AS BIGINT) AS dropped_occurrences
+           |   FROM b) s,
+           |  (SELECT CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS affected_docs
+           |   FROM grams g JOIN b ON g.h = b.h AND b.bs > 2) a""".stripMargin,
     // join-strategy hint: results are strategy-invariant, so the oracle
     // is the plain join; the hint's EFFECT is plan-audited Spark-side
     "q248_join_hints" ->

@@ -421,8 +421,12 @@ object Dedup {
     *
     * Contract: `idCol` must be an integral column (checked at plan time —
     * the pair output is (long, long); a silently-lossy cast would drop
-    * rows), and a NULL id raises at execution (a null id would make its
-    * pairs vanish through the `id_a < id_b` predicate). Rows whose string
+    * rows), a NULL id raises at execution (a null id would make its
+    * pairs vanish through the `id_a < id_b` predicate), and ids must be
+    * UNIQUE per row — the verify re-attaches strings by id after the
+    * candidate-pair distinct, so a duplicated id would fan that join out
+    * and emit its pairs once per duplicate (dedup on the id first, or use
+    * [[exactDedup]] to collapse identical rows). Rows whose string
     * is NULL are excluded — no edit distance is defined for them.
     *
     * Returns `(id_a, id_b, dist)` with `id_a < id_b` and
@@ -471,6 +475,32 @@ object Dedup {
         levenshtein(col("na"), col("nb")).cast("long").as("dist"))
   }
 
+  /** Null-id guard shared by the span family: a NULL document id would
+    * otherwise make every span touching the row vanish silently through
+    * the `doc_id =!= doc_id` pair filter (the editDistanceOneDuplicates
+    * bug class) — raise loudly at execution instead.
+    */
+  private def guardedId(idCol: String, op: String): Column =
+    when(col(idCol).isNull, raise_error(lit(
+      s"$op: null id in '$idCol' — null ids would silently drop their spans")))
+      .otherwise(col(idCol))
+
+  /** The span family's positioned gram frame: one (doc_id, pos, h) row per
+    * L-token gram — `pos` 1-based, `h` the [[graft.functions.Sha60]] gram
+    * hash. Shared by the batch, incremental, and index-building span
+    * entry points so their tokenization cannot drift.
+    */
+  private def spanGrams(
+      df: DataFrame, idCol: String, textCol: String, l: Int,
+      op: String): DataFrame =
+    df.select(
+        guardedId(idCol, op).as("doc_id"),
+        posexplode(shingles(col(textCol), l)).as(Seq("_p", "_g")))
+      .select(
+        col("doc_id"),
+        (col("_p") + 1).cast("long").as("pos"),
+        graft.functions.Sha60.sha60(col("_g")).as("h"))
+
   /** Cross-document repeated-substring detection: every MAXIMAL token span
     * of at least `minSpanTokens` tokens shared verbatim between two
     * documents — the substring-granular dedup pass production training-data
@@ -510,16 +540,6 @@ object Dedup {
     * Returns (id_a, pos_a, id_b, pos_b, span_tokens) with `id_a < id_b`,
     * 1-based token positions, `span_tokens ≥ minSpanTokens`.
     */
-  /** Null-id guard shared by the span family: a NULL document id would
-    * otherwise make every span touching the row vanish silently through
-    * the `doc_id =!= doc_id` pair filter (the editDistanceOneDuplicates
-    * bug class) — raise loudly at execution instead.
-    */
-  private def guardedId(idCol: String, op: String): Column =
-    when(col(idCol).isNull, raise_error(lit(
-      s"$op: null id in '$idCol' — null ids would silently drop their spans")))
-      .otherwise(col(idCol))
-
   def sharedSpans(
       df: DataFrame,
       idCol: String,
@@ -531,13 +551,7 @@ object Dedup {
     // (doc_id, pos, h): three-long rows; two consumers (cap agg + join
     // probe) — eager so tokenize+hash runs once (q181 discipline)
     val grams = graft.core.Caching.eager(
-      df.select(
-          guardedId(idCol, "sharedSpans").as("doc_id"),
-          posexplode(shingles(col(textCol), L)).as(Seq("_p", "_g")))
-        .select(
-          col("doc_id"),
-          (col("_p") + 1).cast("long").as("pos"),
-          graft.functions.Sha60.sha60(col("_g")).as("h")))
+      spanGrams(df, idCol, textCol, L, "sharedSpans"))
     val keep = grams.groupBy(col("h")).agg(count(lit(1)).as("_bs"))
       .where(col("_bs").between(2, maxBucketSize))
       .select(col("h"))
@@ -680,12 +694,92 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Schema-metadata key carrying the gram length L on a
+    * [[spanGramIndex]]'s `h` column — the probe reads L from the index
+    * instead of trusting a caller-repeated parameter, so an index built at
+    * one gram length can never be probed at another (the
+    * [[graft.streaming.DocStream.minhashCorpusIndex]] fail-at-construction
+    * discipline).
+    */
+  val SpanGramLenMetaKey = "graft.span.gram_len"
+
+  /** STANDING corpus gram index for the incremental span family: the
+    * cap-filtered positioned gram frame (doc_id, pos, h) — every L-token
+    * gram of the corpus whose hash bucket holds at most `maxBucketSize`
+    * occurrences, with L recorded in the `h` column's metadata. Build this
+    * ONCE at steady state (it is returned eagerly cached — both the build's
+    * cap aggregation and every later probe read the same materialization),
+    * probe it with [[sharedSpansIncrementalFromIndex]] per delta / per
+    * micro-batch, and `unpersist()` it when the stream ends. A long-running
+    * ingest stream must NOT rebuild this per trigger: the rebuild is a full
+    * corpus tokenize + hash shuffle, the one per-batch cost that does not
+    * amortize (the q249 round-15 defect this split removes).
+    */
+  def spanGramIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 8,
+      maxBucketSize: Int = 50): DataFrame = {
+    require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
+    // two consumers (cap agg + the cap semi-join): corpus tokenized once;
+    // the uncapped intermediate is released once the capped index is
+    // materialized — only the index survives the build
+    val grams = graft.core.Caching.eager(
+      spanGrams(corpus, idCol, textCol, minSpanTokens, "spanGramIndex"))
+    val keep = grams.groupBy(col("h")).agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("h"))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SpanGramLenMetaKey, minSpanTokens.toLong).build()
+    val idx = graft.core.Caching.eager(
+      grams.join(keep, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"), col("h").as("h", meta)))
+    grams.unpersist()
+    idx
+  }
+
+  /** Incremental [[sharedSpans]] against a PREBUILT [[spanGramIndex]]:
+    * maximal shared token spans between `delta` documents and the standing
+    * corpus the index was built from. Zero corpus work per call — the
+    * delta is tokenized map-side (single consumer, nothing persisted),
+    * probes the index by one hash join, and the diagonal-island pass is
+    * output-bounded — so a streaming caller pays only delta-sized work per
+    * micro-batch. The gram length comes from the index's metadata; an
+    * index missing it (not built by [[spanGramIndex]]) fails at plan
+    * construction, before any stream starts.
+    *
+    * Returns (delta_id, delta_pos, corpus_id, corpus_pos, span_tokens).
+    */
+  def sharedSpansIncrementalFromIndex(
+      gramIndex: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val meta = gramIndex.schema("h").metadata
+    require(meta.contains(SpanGramLenMetaKey),
+      "gramIndex must come from Dedup.spanGramIndex (missing gram-length metadata)")
+    val L = meta.getLong(SpanGramLenMetaKey).toInt
+    val anchors = spanGrams(delta, idCol, textCol, L,
+        "sharedSpansIncremental")
+      .select(col("doc_id").as("delta_id"), col("pos").as("dpos"), col("h"))
+      .join(gramIndex
+        .select(col("doc_id").as("corpus_id"), col("pos").as("cpos"), col("h")),
+        Seq("h"))
+    spanIslands(anchors, L)
+  }
+
   /** Incremental [[sharedSpans]]: maximal shared token spans between DELTA
     * documents and the standing CORPUS only — the daily-ingest probe shape
     * (the corpus's positioned gram index is precomputed at steady state
     * and never self-joins; the cap is applied on the CORPUS side before
-    * any join, the [[winnowingIncrementalDuplicates]] discipline). Same
-    * anchor → diagonal-island construction as the batch pass; returns
+    * any join, the [[winnowingIncrementalDuplicates]] discipline). One-shot
+    * convenience over [[spanGramIndex]] + [[sharedSpansIncrementalFromIndex]]
+    * — repeated callers (streams, daily loops) must build the index once
+    * and probe it instead (caching contract as [[exactIncrementBloom]]:
+    * the index built here stays persisted behind the lazy result;
+    * Verify/Bench sweep persisted RDDs per query). Same anchor →
+    * diagonal-island construction as the batch pass; returns
     * (delta_id, delta_pos, corpus_id, corpus_pos, span_tokens).
     */
   def sharedSpansIncremental(
@@ -694,27 +788,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       minSpanTokens: Int = 8,
-      maxBucketSize: Int = 50): DataFrame = {
-    require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
-    val L = minSpanTokens
-    def gramsOf(df: DataFrame) =
-      df.select(
-          guardedId(idCol, "sharedSpansIncremental").as("doc_id"),
-          posexplode(shingles(col(textCol), L)).as(Seq("_p", "_g")))
-        .select(
-          col("doc_id"),
-          (col("_p") + 1).cast("long").as("pos"),
-          graft.functions.Sha60.sha60(col("_g")).as("h"))
-    // two consumers (cap agg + probe join): corpus tokenized once
-    val corpusGrams = graft.core.Caching.eager(gramsOf(corpus))
-    val keep = corpusGrams.groupBy(col("h")).agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBucketSize)
-      .select(col("h"))
-    val anchors = gramsOf(delta)
-      .select(col("doc_id").as("delta_id"), col("pos").as("dpos"), col("h"))
-      .join(corpusGrams.join(keep, Seq("h"), "left_semi")
-        .select(col("doc_id").as("corpus_id"), col("pos").as("cpos"), col("h")),
-        Seq("h"))
+      maxBucketSize: Int = 50): DataFrame =
+    sharedSpansIncrementalFromIndex(
+      spanGramIndex(corpus, idCol, textCol, minSpanTokens, maxBucketSize),
+      delta, idCol, textCol)
+
+  /** The shared diagonal-island pass: anchor rows
+    * (delta_id, dpos, corpus_id, cpos) → maximal runs per diagonal, one
+    * span row per run. Factored so the one-shot and from-index probes
+    * cannot drift.
+    */
+  private def spanIslands(anchors: DataFrame, gramLen: Int): DataFrame = {
     val wRun = org.apache.spark.sql.expressions.Window
       .partitionBy(col("delta_id"), col("corpus_id"), col("diag"))
       .orderBy(col("dpos"))
@@ -725,9 +809,51 @@ object Dedup {
       .agg(
         min(col("dpos")).as("delta_pos"),
         min(col("cpos")).as("corpus_pos"),
-        (count(lit(1)) + lit(L - 1)).cast("long").as("span_tokens"))
+        (count(lit(1)) + lit(gramLen - 1)).cast("long").as("span_tokens"))
       .select(col("delta_id"), col("delta_pos"), col("corpus_id"),
         col("corpus_pos"), col("span_tokens"))
+  }
+
+  /** Bucket-cap DIAGNOSTICS for the span family (the "no silent caps"
+    * discipline): [[sharedSpans]] / [[spanGramIndex]] DROP every gram whose
+    * hash bucket exceeds `maxBucketSize` — at production scale those are
+    * exactly the heaviest boilerplate grams — so the drop must be
+    * observable next to the span output, not silent. One row:
+    * `n_grams` distinct gram hashes in the corpus, `max_bucket` the
+    * largest bucket seen, `n_dropped_grams` distinct hashes over the cap,
+    * `dropped_occurrences` their total (doc, pos) occurrences, and
+    * `affected_docs` the distinct documents touching at least one dropped
+    * gram — the reach inside which a span can silently split. Run at the
+    * same cap as the span pass; grams this flags belong in the q99
+    * boilerplate profile, not in a raised cap.
+    */
+  def sharedSpanCapReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 8,
+      maxBucketSize: Int = 50): DataFrame = {
+    require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
+    // two aggregation consumers (bucket stats + affected-doc reach) over
+    // one tokenize pass — eager (q181 discipline)
+    val grams = graft.core.Caching.eager(
+      spanGrams(df, idCol, textCol, minSpanTokens, "sharedSpanCapReport"))
+    val buckets = grams.groupBy(col("h")).agg(count(lit(1)).as("_bs"))
+    val stats = buckets.agg(
+      count(lit(1)).as("n_grams"),
+      max(col("_bs")).as("max_bucket"),
+      sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L))
+        .as("n_dropped_grams"),
+      sum(when(col("_bs") > maxBucketSize, col("_bs")).otherwise(lit(0L)))
+        .as("dropped_occurrences"))
+    val affected = grams
+      .join(buckets.where(col("_bs") > maxBucketSize).select(col("h")),
+        Seq("h"), "left_semi")
+      .agg(count_distinct(col("doc_id")).as("affected_docs"))
+    // 1-row x 1-row attach via the constant-key hash join (ScalarJoin):
+    // a crossJoin here would plan the BroadcastNestedLoopJoin the scale
+    // audit forbids
+    graft.core.ScalarJoin.withScalars(stats, affected)
   }
 
   /** Incremental exact dedup: the delta rows whose normalized content does

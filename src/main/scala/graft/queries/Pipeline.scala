@@ -5303,6 +5303,65 @@ object Pipeline {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** q250 — WITH RECURSIVE through SQL TEXT (Spark 4.1 native recursive
+    * CTE): the q27 supplier→nation→region reachability walk written as the
+    * LITERAL recursive SQL a migrating warehouse user runs today
+    * (reference `sql/query_builder.py:361-387`,
+    * `logs/data_lineage.py:378-435`) — the last uncovered SQL-text
+    * surface. Catalyst plans the recursion as a `UnionLoop` node
+    * (PlanAuditSpec pins it); the depth cap is the textual
+    * `WHERE depth < 5` guard, and MIN(depth) per (seed, node) equals
+    * [[graft.lineage.Lineage.reachable]] on every node ≠ seed row of ANY
+    * graph — a shortest path never revisits a node, so the driver-loop's
+    * path-array guard prunes only longer walks. The one semantic
+    * divergence is a cycle THROUGH a seed (the rCTE walks back to it, the
+    * path guard blocks re-entry); RecursiveSqlSpec pins both the
+    * agreement and that exact divergence on a cyclic graph. This fixture
+    * graph is acyclic, so here all three recursion engines (Spark rCTE,
+    * the iterative driver loop, DuckDB's rCTE oracle — shared verbatim
+    * with q27) are pinned to one answer.
+    */
+  def sqlTextRecursiveTraversal(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.supplier.createOrReplaceTempView("q250_supplier")
+    t.nation.createOrReplaceTempView("q250_nation")
+    spark.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'supplier/' || CAST(s_suppkey AS STRING) AS src,
+        |         'nation/' || CAST(s_nationkey AS STRING) AS dst
+        |  FROM q250_supplier
+        |  UNION ALL
+        |  SELECT 'nation/' || CAST(n_nationkey AS STRING),
+        |         'region/' || CAST(n_regionkey AS STRING)
+        |  FROM q250_nation),
+        |walk AS (
+        |  SELECT 'supplier/' || CAST(s_suppkey AS STRING) AS seed,
+        |         'supplier/' || CAST(s_suppkey AS STRING) AS node,
+        |         0 AS depth
+        |  FROM q250_supplier
+        |  UNION ALL
+        |  SELECT w.seed, e.dst, w.depth + 1
+        |  FROM walk w JOIN edges e ON w.node = e.src
+        |  WHERE w.depth < 5)
+        |SELECT seed, node, MIN(depth) AS depth FROM walk WHERE depth > 0
+        |GROUP BY seed, node ORDER BY seed, node""".stripMargin)
+  }
+
+  /** q251 — span bucket-cap DIAGNOSTICS
+    * ([[graft.operators.Dedup.sharedSpanCapReport]], the "no silent caps"
+    * rule): the span family drops grams whose hash bucket exceeds the cap,
+    * and this makes the drop observable — distinct grams, the max bucket,
+    * how many grams the cap removed, their occurrence mass, and the
+    * distinct documents a dropped gram touches (the reach inside which a
+    * span can split). Cap = 2 here so every branch is NON-VACUOUS at every
+    * scale (probed: fixture max bucket 3–4, dropped grams 84 / 71 / 420
+    * at sf0.001 / 0.01 / 0.1 — at the span family's default cap 50 the
+    * fixture drops nothing, which would certify nothing).
+    */
+  def spanCapReport(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpanCapReport(Tables(spark, dir).documents, "doc_id", "text",
+      minSpanTokens = 8, maxBucketSize = 2)
+
   /** q247 — UNPIVOT through SQL TEXT: the inverse reshape of q246 on the
     * clause a migrating user writes (q192 certifies the DataFrame melt).
     * The wide per-priority frame is built with deterministic conditional
@@ -5311,31 +5370,59 @@ object Pipeline {
     * clause desugars to, with UNPIVOT's default null-row exclusion
     * mirrored by `WHERE cents IS NOT NULL`.
     */
+  def sqlTextUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O",
+          round(col("o_totalprice") * 100, 0).cast("long"))).as("open_cents"),
+        sum(when(col("o_orderstatus") === "F",
+          round(col("o_totalprice") * 100, 0).cast("long"))).as("filled_cents"),
+        sum(when(col("o_orderstatus") === "P",
+          round(col("o_totalprice") * 100, 0).cast("long"))).as("pending_cents"))
+      .createOrReplaceTempView("q247_wide")
+    spark.sql(
+      """SELECT o_orderpriority, status, cents FROM q247_wide
+        |UNPIVOT (cents FOR status IN (
+        |  open_cents AS `O`, filled_cents AS `F`, pending_cents AS `P`))
+        |ORDER BY o_orderpriority, status""".stripMargin)
+  }
+
   /** q249 — shared spans THROUGH THE STREAM: q243's delta→corpus span
-    * probe run per micro-batch over arriving documents (foreachBatch
-    * against the standing corpus gram index), certified against the SAME
-    * oracle as the batch form — span detection distributes exactly over
-    * the delta (each arriving doc's spans are independent of its
-    * batch-mates), so stream ≡ batch row for row. The crawler-ingest
+    * probe run per micro-batch over arriving documents, certified against
+    * the SAME oracle as the batch form — span detection distributes
+    * exactly over the delta (each arriving doc's spans are independent of
+    * its batch-mates), so stream ≡ batch row for row. The crawler-ingest
     * shape: flag text reuse at arrival time, not in a nightly sweep.
+    *
+    * The standing corpus gram index ([[graft.operators.Dedup
+    * .spanGramIndex]]) is built and cached ONCE, OUTSIDE the stream — the
+    * q121 `DocStream.corpusIndex` discipline — and every micro-batch pays
+    * only delta-sized work probing it ([[graft.operators.Dedup
+    * .sharedSpansIncrementalFromIndex]] persists nothing per call); the
+    * index is released when the stream ends. StreamingLeakSpec pins this:
+    * the persisted-RDD set must not grow across micro-batches.
     */
   def streamingSharedSpans(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
     val corpus = d.where(col("doc_id") % 10 =!= 0)
     val arriving = d.where(col("doc_id") % 10 === 0)
-    val tmp = runDroppedStream(spark, arriving, files = 4, perTrigger = 2,
-      "graft_q249_") { (stream, t) =>
-      stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          if (!batch.isEmpty)
-            Dedup.sharedSpansIncremental(corpus, batch, "doc_id", "text",
-                minSpanTokens = 8, maxBucketSize = 50)
-              .write.mode("append").parquet(s"$t/spans")
-          ()
-        }
-        .option("checkpointLocation", s"$t/checkpoint")
-        .start()
-    }
+    val gramIndex = Dedup.spanGramIndex(corpus, "doc_id", "text",
+      minSpanTokens = 8, maxBucketSize = 50)
+    val tmp =
+      try runDroppedStream(spark, arriving, files = 4, perTrigger = 2,
+        "graft_q249_") { (stream, t) =>
+        stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              Dedup.sharedSpansIncrementalFromIndex(gramIndex, batch,
+                  "doc_id", "text")
+                .write.mode("append").parquet(s"$t/spans")
+            ()
+          }
+          .option("checkpointLocation", s"$t/checkpoint")
+          .start()
+      } finally gramIndex.unpersist()
     spark.read.parquet(s"$tmp/spans")
       .orderBy("delta_id", "corpus_id", "delta_pos", "corpus_pos")
   }
@@ -5364,21 +5451,4 @@ object Pipeline {
         |ORDER BY n.n_name""".stripMargin)
   }
 
-  def sqlTextUnpivot(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).orders
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        sum(when(col("o_orderstatus") === "O",
-          round(col("o_totalprice") * 100, 0).cast("long"))).as("open_cents"),
-        sum(when(col("o_orderstatus") === "F",
-          round(col("o_totalprice") * 100, 0).cast("long"))).as("filled_cents"),
-        sum(when(col("o_orderstatus") === "P",
-          round(col("o_totalprice") * 100, 0).cast("long"))).as("pending_cents"))
-      .createOrReplaceTempView("q247_wide")
-    spark.sql(
-      """SELECT o_orderpriority, status, cents FROM q247_wide
-        |UNPIVOT (cents FOR status IN (
-        |  open_cents AS `O`, filled_cents AS `F`, pending_cents AS `P`))
-        |ORDER BY o_orderpriority, status""".stripMargin)
-  }
 }

@@ -71,6 +71,20 @@ class PlanAuditSpec extends SparkSpec {
       "the hinted join must not fall back to broadcast")
   }
 
+  test("q250's WITH RECURSIVE plans a UnionLoop recursion node with the depth guard inside the loop") {
+    // the SQL-text recursion must be Catalyst's native iterative operator
+    // (UnionLoop executes the step plan until fixpoint/guard), not an
+    // unrolled or per-row fallback; the depth predicate must sit INSIDE
+    // the loop body so each iteration prunes before joining
+    val plan = planByName("q250_sql_recursive").toString
+    assert(plan.contains("UnionLoop"),
+      "recursive CTE must plan as a UnionLoop node")
+    assert(plan.contains("UnionLoopRef"),
+      "the recursion step must reference the loop (UnionLoopRef)")
+    assert(plan.contains("depth#") && plan.contains(" < 5"),
+      "the textual depth cap must appear as a filter in the loop body")
+  }
+
   test("no window sorts a fact-sized frame under a low-cardinality-only partition key") {
     // The single-partition-window scale-killer: row_number()/rank() OVER
     // (PARTITION BY <few-valued column> ORDER BY …) on an UNAGGREGATED fact
