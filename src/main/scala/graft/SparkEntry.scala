@@ -269,6 +269,7 @@ object SparkEntry {
     "q249_streaming_spans" -> (Pipeline.streamingSharedSpans _),
     "q250_sql_recursive" -> (Pipeline.sqlTextRecursiveTraversal _),
     "q251_span_cap_report" -> (Pipeline.spanCapReport _),
+    "q252_video_decode" -> (Pipeline.videoDecodeStats _),
   )
 
   /** The supplier→nation→region WITH RECURSIVE traversal oracle — shared
@@ -2441,6 +2442,46 @@ object SparkEntry {
     // Spark-native WITH RECURSIVE: the q27 oracle verbatim — the rCTE
     // text, the iterative driver loop, and DuckDB pinned to one answer
     "q250_sql_recursive" -> q27TraversalOracle,
+    // real AVI decode: every statistic named from the closed-form pixel
+    // pattern (fps as the literal 10); the doc_id % 17 = 0 rows carry
+    // non-AVI bytes and must come back with null stats
+    "q252_video_decode" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(3 + doc_id % 5 AS INTEGER) AS n,
+        |    CAST(8 + ((doc_id % 9) // 3) * 4 AS INTEGER) AS w,
+        |    CAST(6 + (doc_id % 2) * 2 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 17 <> 0),
+        |pf AS (SELECT media_id, n, w, h,
+        |         unnest(generate_series(0, n - 1)) AS f FROM v),
+        |pfx AS (SELECT media_id, n, w, h, f,
+        |          unnest(generate_series(0, w - 1)) AS x FROM pf),
+        |pxy AS (SELECT media_id, n, w, h, f, x,
+        |          unnest(generate_series(0, h - 1)) AS y FROM pfx),
+        |ch AS (
+        |  SELECT media_id,
+        |    (media_id * 3 + f * 7 + x * 5 + y * 11) % 256 AS b,
+        |    (media_id * 5 + f * 11 + x * 7 + y * 3) % 256 AS g,
+        |    (media_id * 7 + f * 3 + x * 11 + y * 5) % 256 AS r
+        |  FROM pxy),
+        |agg AS (
+        |  SELECT media_id,
+        |    CAST(SUM(r) AS BIGINT) AS sum_r,
+        |    CAST(SUM(g) AS BIGINT) AS sum_g,
+        |    CAST(SUM(b) AS BIGINT) AS sum_b,
+        |    CAST(LEAST(MIN(r), MIN(g), MIN(b)) AS BIGINT) AS min_px,
+        |    CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS BIGINT) AS max_px
+        |  FROM ch GROUP BY media_id),
+        |allv AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2)
+        |SELECT allv.media_id,
+        |  CAST(v.n AS BIGINT) AS n_frames,
+        |  CAST(v.w AS BIGINT) AS width,
+        |  CAST(v.h AS BIGINT) AS height,
+        |  CASE WHEN v.media_id IS NOT NULL THEN CAST(10 AS BIGINT) END AS fps,
+        |  agg.sum_r, agg.sum_g, agg.sum_b, agg.min_px, agg.max_px
+        |FROM allv LEFT JOIN v ON allv.media_id = v.media_id
+        |LEFT JOIN agg ON allv.media_id = agg.media_id
+        |ORDER BY allv.media_id""".stripMargin,
     // span bucket-cap diagnostics at cap 2 (every branch fires at every
     // scale — the fixture's max 8-gram bucket is 3-4); DuckDB SUM over
     // integers is HUGEINT, hence the BIGINT casts

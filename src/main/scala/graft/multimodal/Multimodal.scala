@@ -593,4 +593,277 @@ object Multimodal {
       }
     spark.createDataFrame(out, audioStatSchema)
   }
+
+  // ---- REAL video tier: uncompressed AVI (RIFF 'AVI ' + BI_RGB DIB
+  // frames) parsed pure-JVM — the video sibling of the WAV tier above.
+  // javax has no AVI reader, so both sides are hand-written to the RIFF
+  // spec; the decoder walks the CHUNK STRUCTURE (sizes from headers, tags
+  // checked, strf geometry trusted over assumptions), so an encoder layout
+  // bug cannot cancel out against a decoder that assumed the same layout.
+
+  /** Closed-form video test pattern: video `d` has `3 + d mod 5` frames of
+    * `videoWidth(d) x videoHeight(d)` BGR24 pixels; frame `f`, pixel
+    * (x, y) has channels B/G/R below — every byte of every fixture frame
+    * is predictable from (d, f, x, y) alone, so a SQL oracle can name the
+    * decoded statistics without parsing any container.
+    */
+  def videoFrames(d: Long): Int = (3 + d % 5).toInt
+  // width varies over d % 9 / 3 because every video id is ≡ 2 (mod 3) —
+  // a plain d % 3 would freeze the width; 8|12|16 keep 3w % 4 == 0, and
+  // the encoder still pads generically (spec-exercised at odd widths)
+  def videoWidth(d: Long): Int = (8 + (d % 9) / 3 * 4).toInt
+  def videoHeight(d: Long): Int = (6 + (d % 2) * 2).toInt // 6|8
+  def patternB(d: Long)(f: Int, x: Int, y: Int): Int =
+    ((d * 3 + f * 7 + x * 5 + y * 11) % 256).toInt
+  def patternG(d: Long)(f: Int, x: Int, y: Int): Int =
+    ((d * 5 + f * 11 + x * 7 + y * 3) % 256).toInt
+  def patternR(d: Long)(f: Int, x: Int, y: Int): Int =
+    ((d * 7 + f * 3 + x * 11 + y * 5) % 256).toInt
+  /** Fixture frame rate: strh dwRate/dwScale = 10/1. */
+  val VideoFps = 10
+
+  private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+  }
+  private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+  }
+  private def tag(b: java.io.ByteArrayOutputStream, t: String): Unit =
+    b.write(t.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** Encode bottom-up BGR24 frames as a REAL uncompressed AVI container:
+    * RIFF('AVI ') with LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ' +
+    * strf BITMAPINFOHEADER)), LIST movi of '00db' DIB chunks, and an idx1
+    * index — the standard layout any AVI reader accepts. Rows are padded
+    * to 4 bytes per the DIB spec.
+    */
+  def encodeAvi(width: Int, height: Int, fps: Int,
+      frames: Seq[(Int, Int) => (Int, Int, Int)]): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val frameBytes = rowBytes * height
+    val frameData = frames.map { px =>
+      val a = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < height) {
+        // bottom-up: DIB row 0 is the BOTTOM image row
+        val imgY = height - 1 - y
+        var x = 0
+        while (x < width) {
+          val (b, g, r) = px(x, imgY)
+          val o = y * rowBytes + x * 3
+          a(o) = b.toByte; a(o + 1) = g.toByte; a(o + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      a
+    }
+    val n = frames.size
+    val out = new java.io.ByteArrayOutputStream()
+    // strf: BITMAPINFOHEADER (40 bytes)
+    val strf = new java.io.ByteArrayOutputStream()
+    le32(strf, 40); le32(strf, width); le32(strf, height)
+    le16(strf, 1); le16(strf, 24); le32(strf, 0) // planes, bpp, BI_RGB
+    le32(strf, frameBytes); le32(strf, 0); le32(strf, 0)
+    le32(strf, 0); le32(strf, 0)
+    // strh: AVISTREAMHEADER (56 bytes)
+    val strh = new java.io.ByteArrayOutputStream()
+    tag(strh, "vids"); tag(strh, "DIB ")
+    le32(strh, 0); le16(strh, 0); le16(strh, 0) // flags, priority, language
+    le32(strh, 0) // initial frames
+    le32(strh, 1); le32(strh, fps) // dwScale, dwRate -> fps
+    le32(strh, 0); le32(strh, n) // start, length (frames)
+    le32(strh, frameBytes); le32(strh, -1); le32(strh, 0) // bufsize, quality, samplesize
+    le16(strh, 0); le16(strh, 0); le16(strh, width); le16(strh, height) // rcFrame
+    // avih: MainAVIHeader (56 bytes)
+    val avih = new java.io.ByteArrayOutputStream()
+    le32(avih, 1000000 / fps) // microseconds per frame
+    le32(avih, frameBytes * fps); le32(avih, 0)
+    le32(avih, 0x10) // AVIF_HASINDEX
+    le32(avih, n); le32(avih, 0); le32(avih, 1) // totalframes, initial, streams
+    le32(avih, frameBytes); le32(avih, width); le32(avih, height)
+    le32(avih, 0); le32(avih, 0); le32(avih, 0); le32(avih, 0)
+    def chunk(t: String, body: Array[Byte]): Array[Byte] = {
+      val c = new java.io.ByteArrayOutputStream()
+      tag(c, t); le32(c, body.length); c.write(body, 0, body.length)
+      if (body.length % 2 == 1) c.write(0) // RIFF word alignment
+      c.toByteArray
+    }
+    def list(t: String, body: Array[Byte]): Array[Byte] = {
+      val c = new java.io.ByteArrayOutputStream()
+      tag(c, "LIST"); le32(c, body.length + 4); tag(c, t)
+      c.write(body, 0, body.length)
+      c.toByteArray
+    }
+    val strl = list("strl",
+      chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray))
+    val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++ strl)
+    val moviBody = frameData.flatMap(f => chunk("00db", f)).toArray
+    val movi = list("movi", moviBody)
+    // idx1: offsets are relative to the movi LIST's data start (the
+    // 'movi' tag position), per the spec's common interpretation
+    val idx = new java.io.ByteArrayOutputStream()
+    var off = 4
+    frameData.foreach { f =>
+      tag(idx, "00db"); le32(idx, 0x10) // AVIIF_KEYFRAME
+      le32(idx, off); le32(idx, f.length)
+      off += 8 + f.length + (f.length % 2)
+    }
+    val body = hdrl ++ movi ++ chunk("idx1", idx.toByteArray)
+    tag(out, "RIFF"); le32(out, body.length + 4); tag(out, "AVI ")
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  private def rdLe32(a: Array[Byte], o: Int): Int =
+    (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) |
+      ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24)
+  private def rdLe16(a: Array[Byte], o: Int): Int =
+    (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8)
+  private def rdTag(a: Array[Byte], o: Int): String =
+    new String(a, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL AVI decode: walk the RIFF chunk tree, validate the stream is
+    * uncompressed 24-bit BI_RGB DIB video, read geometry and frame rate
+    * from strf/strh, and fold every '00db'/'00dc' movi frame into exact
+    * integer pixel statistics:
+    * (n_frames, width, height, fps, Σr, Σg, Σb, min channel, max channel).
+    * None for undecodable bytes, compressed streams, or any bpp but 24.
+    */
+  def decodeAvi(bytes: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long, Long, Long, Long, Long)] =
+    try {
+      if (bytes.length < 12 || rdTag(bytes, 0) != "RIFF" ||
+        rdTag(bytes, 8) != "AVI ") return None
+      var width = -1; var height = -1; var bpp = -1; var compression = -1
+      var rate = -1; var scale = -1
+      var isVids = false
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var mn = 256L; var mx = -1L
+      var nFrames = 0L
+      def parseFrame(a: Array[Byte], off: Int, len: Int): Unit = {
+        val rowBytes = (width * 3 + 3) / 4 * 4
+        if (len < rowBytes * height) throw new IllegalStateException("short frame")
+        var y = 0
+        while (y < height) {
+          var x = 0
+          val base = off + y * rowBytes
+          while (x < width) {
+            val b = (a(base + x * 3) & 0xff).toLong
+            val g = (a(base + x * 3 + 1) & 0xff).toLong
+            val r = (a(base + x * 3 + 2) & 0xff).toLong
+            sumB += b; sumG += g; sumR += r
+            val lo = math.min(b, math.min(g, r))
+            val hi = math.max(b, math.max(g, r))
+            if (lo < mn) mn = lo
+            if (hi > mx) mx = hi
+            x += 1
+          }
+          y += 1
+        }
+        nFrames += 1
+      }
+      // one chunk walker for every nesting level; LIST bodies recurse
+      def walk(off: Int, end: Int): Unit = {
+        var o = off
+        while (o + 8 <= end) {
+          val t = rdTag(bytes, o)
+          val sz = rdLe32(bytes, o + 4)
+          if (sz < 0 || o + 8 + sz > end) throw new IllegalStateException("bad chunk size")
+          if (t == "LIST") {
+            walk(o + 12, o + 8 + sz) // skip the 4-byte list type
+          } else if (t == "strh") {
+            isVids = rdTag(bytes, o + 8) == "vids" &&
+              (rdTag(bytes, o + 12) == "DIB " || rdLe32(bytes, o + 12) == 0)
+            scale = rdLe32(bytes, o + 28)
+            rate = rdLe32(bytes, o + 32)
+          } else if (t == "strf" && width < 0) {
+            width = rdLe32(bytes, o + 12)
+            height = rdLe32(bytes, o + 16)
+            bpp = rdLe16(bytes, o + 22)
+            compression = rdLe32(bytes, o + 24)
+          } else if (t == "00db" || t == "00dc") {
+            if (!isVids || bpp != 24 || compression != 0 ||
+              width <= 0 || height <= 0)
+              throw new IllegalStateException("unsupported stream")
+            parseFrame(bytes, o + 8, sz)
+          }
+          o += 8 + sz + (sz % 2) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(bytes.length, 8 + rdLe32(bytes, 4)))
+      if (nFrames == 0 || scale <= 0 || rate <= 0) None
+      else Some((nFrames, width.toLong, height.toLong,
+        (rate / scale).toLong, sumR, sumG, sumB, mn, mx))
+    } catch { case _: Exception => None }
+
+  /** Deterministic REAL-AVI media fixture from the documents table: every
+    * `doc_id % 3 = 2` document becomes a pattern video (the video third of
+    * the media-type convention; images take % 3 = 0, audio % 3 = 1) —
+    * EXCEPT `doc_id % 17 = 0` rows, which carry the document's text bytes
+    * instead (not an AVI): the undecodable-blob rows the stats pass must
+    * preserve with null statistics.
+    */
+  def aviMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      .where(col("doc_id") % 3 === 2)
+      .select("doc_id", "text")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          if (d % 17 == 0) {
+            val garbage = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+            Row(d, "video", garbage, "application/octet-stream",
+              s"synthetic://raw/$d")
+          } else {
+            val frames = (0 until videoFrames(d)).map { f => (x: Int, y: Int) =>
+              (patternB(d)(f, x, y), patternG(d)(f, x, y), patternR(d)(f, x, y))
+            }
+            val avi = encodeAvi(videoWidth(d), videoHeight(d), VideoFps, frames)
+            Row(d, "video", avi, "video/x-msvideo", s"synthetic://avi/$d")
+          }
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  val videoStatSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("fps", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true),
+    StructField("min_px", LongType, nullable = true),
+    StructField("max_px", LongType, nullable = true)))
+
+  /** Batched REAL decode over a video media frame — the
+    * [[audioWaveformStats]] shape for AVI blobs: per-partition decode,
+    * undecodable/null blobs keep their row with null stats, blobs never
+    * leave the scan.
+    */
+  def videoPixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "video")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Option(r.getAs[Array[Byte]](1)).flatMap(decodeAvi) match {
+            case Some((n, w, h, fps, sr, sg, sb, mn, mx)) =>
+              Row(id, n, w, h, fps, sr, sg, sb, mn, mx)
+            case None =>
+              Row(id, null, null, null, null, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, videoStatSchema)
+  }
 }

@@ -5256,6 +5256,25 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** q252 — REAL video decode ([[graft.multimodal.Multimodal.decodeAvi]]):
+    * uncompressed AVI containers (RIFF + BI_RGB DIB frames — the RIFF
+    * sibling of q244's WAV) synthesized from the closed-form per-channel
+    * pattern, encoded AND re-parsed by independent hand-written RIFF
+    * walkers (the decoder reads geometry/rate from strf/strh, not from
+    * assumptions shared with the encoder), pixel statistics as exact
+    * integers (Σr, Σg, Σb, channel min/max) plus frame count, geometry,
+    * and fps — all named by the oracle in closed form, fps as the literal
+    * 10 so a mis-parsed header fails the row. Every `doc_id % 17 = 0`
+    * video row carries NON-AVI bytes and must survive with null stats
+    * (the undecodable-blob contract). Completes the media tier: PNG/JPEG
+    * (q223/q199), WAV (q244), AVI here — blobs never shuffle.
+    */
+  def videoDecodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.aviMediaFromDocuments(Tables(spark, dir).documents)
+    Multimodal.videoPixelStats(media).orderBy("media_id")
+  }
+
   /** q245 — EXISTS / IN as PROJECTED booleans through `spark.sql`
     * (completing the subquery-surface triptych: q237 scalar, q239 WHERE,
     * this one SELECT-list): Catalyst must plan each flag as an

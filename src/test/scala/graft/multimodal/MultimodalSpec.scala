@@ -44,6 +44,62 @@ class MultimodalSpec extends SparkSpec {
       "undecodable audio keeps its row with null stats")
   }
 
+  test("encodeAvi → decodeAvi roundtrip at a PADDED width: exact pixel stats through the real RIFF container") {
+    // width 10 → 30 row bytes padded to 32: exercises the DIB row-padding
+    // path the certified fixture's 4-aligned widths never hit
+    val (w, h, nf) = (10, 3, 2)
+    def px(f: Int)(x: Int, y: Int) = (
+      (3 + f * 7 + x * 5 + y * 11) % 256,
+      (5 + f * 11 + x * 7 + y * 3) % 256,
+      (7 + f * 3 + x * 11 + y * 5) % 256)
+    val avi = Multimodal.encodeAvi(w, h, 10, (0 until nf).map(f => px(f) _))
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val Some((n, dw, dh, fps, sr, sg, sb, mn, mx)) = Multimodal.decodeAvi(avi)
+    assert((n, dw, dh, fps) == ((2L, 10L, 3L, 10L)))
+    // sums hand-computed from the pattern (independent of row order/padding)
+    assert((sr, sg, sb) == ((3780L, 2700L, 2400L)))
+    assert((mn, mx) == ((3L, 119L)))
+    assert(Multimodal.decodeAvi("not a video at all".getBytes).isEmpty)
+    // a TRUNCATED container must fail closed, not mis-read a partial frame
+    assert(Multimodal.decodeAvi(avi.take(avi.length - 20)).isEmpty)
+  }
+
+  test("videoPixelStats: undecodable blobs keep their row with null stats; fixture matches the closed form") {
+    val d = 5L // 5 % 3 == 2: a video id; 5 % 17 != 0: decodable
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(d, "whatever"), Row(17L, "garbage text"),
+        Row(4L, "not a video id % 3")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val out = Multimodal.videoPixelStats(Multimodal.aviMediaFromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(5L, 17L), "only doc_id % 3 == 2 rows are videos")
+    val good = out(5L)
+    assert(good.getLong(1) == Multimodal.videoFrames(d).toLong)
+    assert(good.getLong(2) == Multimodal.videoWidth(d).toLong)
+    assert(good.getLong(3) == Multimodal.videoHeight(d).toLong)
+    assert(good.getLong(4) == Multimodal.VideoFps.toLong)
+    // closed-form sum check, computed independently here
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for {
+      f <- 0 until Multimodal.videoFrames(d)
+      x <- 0 until Multimodal.videoWidth(d)
+      y <- 0 until Multimodal.videoHeight(d)
+    } {
+      er += Multimodal.patternR(d)(f, x, y)
+      eg += Multimodal.patternG(d)(f, x, y)
+      eb += Multimodal.patternB(d)(f, x, y)
+    }
+    assert((good.getLong(5), good.getLong(6), good.getLong(7)) == ((er, eg, eb)))
+    // 17 % 3 == 2 and 17 % 17 == 0: the text-bytes row must survive with null stats
+    assert(out(17L).isNullAt(1) && out(17L).isNullAt(5),
+      "undecodable video keeps its row with null stats")
+  }
+
   test("resizeNearest: hand-computed up- AND down-sampling via the pinned formula") {
     // source 2×1: pixels r = 100·x → [100·0, 100·1]
     val src = Multimodal.encodePng(2, 1, (x, _) => (100 * x, 0, 0))
