@@ -270,6 +270,8 @@ object SparkEntry {
     "q250_sql_recursive" -> (Pipeline.sqlTextRecursiveTraversal _),
     "q251_span_cap_report" -> (Pipeline.spanCapReport _),
     "q252_video_decode" -> (Pipeline.videoDecodeStats _),
+    "q253_span_admission" -> (Pipeline.streamingSpanAdmission _),
+    "q254_span_index_fold" -> (Pipeline.spanIndexFold _),
   )
 
   /** The supplier→nation→region WITH RECURSIVE traversal oracle — shared
@@ -2442,6 +2444,47 @@ object SparkEntry {
     // Spark-native WITH RECURSIVE: the q27 oracle verbatim — the rCTE
     // text, the iterative driver loop, and DuckDB pinned to one answer
     "q250_sql_recursive" -> q27TraversalOracle,
+    // span-index fold: the q243 oracle VERBATIM — the true-count sidecar
+    // makes the two-generation fold equal the from-scratch rebuild
+    "q254_span_index_fold" -> q243SpanOracle,
+    // streaming span admission: delta-side coverage as COUNT(DISTINCT
+    // covered position) — independent of Spark's interval union — and
+    // the verdict as the same integer cross-multiply
+    "q253_span_admission" ->
+      raw"""WITH toksrc AS (
+           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+           |pg AS (
+           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
+           |  FROM toksrc WHERE len(toks) >= 8),
+           |grams AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+           |  FROM pg),
+           |cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
+           |dg AS (SELECT * FROM grams WHERE doc_id % 10 = 0),
+           |okh AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 50),
+           |anch AS (
+           |  SELECT d.doc_id AS did, d.pos AS dpos, c.doc_id AS cid, c.pos AS cpos
+           |  FROM dg d JOIN cg c ON d.h = c.h JOIN okh ON okh.h = d.h),
+           |runs AS (
+           |  SELECT did, cid, dpos, dpos - cpos AS diag,
+           |    dpos - row_number() OVER (PARTITION BY did, cid, dpos - cpos ORDER BY dpos) AS run
+           |  FROM anch),
+           |spans AS (
+           |  SELECT did, MIN(dpos) AS s, MIN(dpos) + COUNT(*) + 7 AS e
+           |  FROM runs GROUP BY did, cid, diag, run),
+           |cov AS (
+           |  SELECT did, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered FROM (
+           |    SELECT did, unnest(generate_series(s, e - 1)) AS p FROM spans)
+           |  GROUP BY did),
+           |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toksrc WHERE doc_id % 10 = 0)
+           |SELECT nt.doc_id, nt.n_tokens,
+           |  COALESCE(cov.covered, CAST(0 AS BIGINT)) AS covered_tokens,
+           |  CAST(COALESCE(cov.covered, CAST(0 AS BIGINT)) AS DOUBLE)
+           |    / CAST(nt.n_tokens AS DOUBLE) AS dup_fraction,
+           |  COALESCE(cov.covered, CAST(0 AS BIGINT)) * 100 < nt.n_tokens * 50 AS admitted
+           |FROM nt LEFT JOIN cov ON nt.doc_id = cov.did
+           |ORDER BY nt.doc_id""".stripMargin,
     // real AVI decode: every statistic named from the closed-form pixel
     // pattern (fps as the literal 10); the doc_id % 17 = 0 rows carry
     // non-AVI bytes and must come back with null stats

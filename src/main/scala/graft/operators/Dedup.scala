@@ -583,6 +583,30 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** Interval-union length per document: (doc_id, _s, _e) half-open token
+    * intervals → (doc_id, covered_tokens), the classic sort + running-max
+    * island pass. Per-document work is bounded by the document's interval
+    * count (output-bounded like the span detection itself). Shared by the
+    * batch coverage and the index-probe coverage so the union semantics
+    * cannot drift.
+    */
+  private def intervalCoverage(iv: DataFrame): DataFrame = {
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    iv
+      .withColumn("_brk",
+        when(max(col("_e")).over(wPrev) >= col("_s"), 0L).otherwise(1L))
+      .withColumn("_isl", sum(col("_brk")).over(wRun))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("_s")).as("_mn"), max(col("_e")).as("_mx"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_mx") - col("_mn")).as("covered_tokens"))
+  }
+
   /** Per-document SHARED-SPAN COVERAGE: how much of each document is
     * verbatim-duplicated text shared with some other document — the
     * duplication-fraction statistic a curation pipeline gates on after
@@ -612,20 +636,7 @@ object Dedup {
         (col("pos_a") + col("span_tokens")).as("_e"))
       .unionByName(spans.select(col("id_b").as("doc_id"), col("pos_b").as("_s"),
         (col("pos_b") + col("span_tokens")).as("_e")))
-    val wPrev = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wRun = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("_s"), col("_e"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cov = iv
-      .withColumn("_brk",
-        when(max(col("_e")).over(wPrev) >= col("_s"), 0L).otherwise(1L))
-      .withColumn("_isl", sum(col("_brk")).over(wRun))
-      .groupBy(col("doc_id"), col("_isl"))
-      .agg(min(col("_s")).as("_mn"), max(col("_e")).as("_mx"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("_mx") - col("_mn")).as("covered_tokens"))
+    val cov = intervalCoverage(iv)
     df.select(guardedId(idCol, "sharedSpanCoverage").as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(cov, Seq("doc_id"), "left")
@@ -703,6 +714,28 @@ object Dedup {
     */
   val SpanGramLenMetaKey = "graft.span.gram_len"
 
+  /** Schema-metadata key carrying the bucket cap on span-index `h`
+    * columns — [[refreshSpanIndex]] reads it so a fold can never apply a
+    * different cap than the build.
+    */
+  val SpanCapMetaKey = "graft.span.max_bucket"
+
+  private def spanMeta(l: Int, cap: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SpanGramLenMetaKey, l.toLong)
+      .putLong(SpanCapMetaKey, cap.toLong).build()
+
+  /** Refreshable span-index state: the cap-filtered positioned gram
+    * `index` (doc_id, pos, h) plus the TRUE `counts` sidecar (h, n) over
+    * ALL grams, capped-out ones included — the sidecar is what makes
+    * [[refreshSpanIndex]] exactly rebuild-equivalent (a gram that was
+    * already over the cap must stay dead even if the delta alone would
+    * fit under it, and one pushed over by the delta must drop its
+    * already-indexed rows). The [[graft.streaming.DocStream
+    * .MinHashIndexState]] discipline for the span family.
+    */
+  final case class SpanIndexState(index: DataFrame, counts: DataFrame)
+
   /** STANDING corpus gram index for the incremental span family: the
     * cap-filtered positioned gram frame (doc_id, pos, h) — every L-token
     * gram of the corpus whose hash bucket holds at most `maxBucketSize`
@@ -715,28 +748,130 @@ object Dedup {
     * corpus tokenize + hash shuffle, the one per-batch cost that does not
     * amortize (the q249 round-15 defect this split removes).
     */
+  /** Shared build core: eager uncapped grams (caller releases), lazy
+    * counts (ALL grams) and lazy capped index, both metadata-stamped.
+    */
+  private def spanIndexBuild(
+      corpus: DataFrame, idCol: String, textCol: String,
+      minSpanTokens: Int, maxBucketSize: Int,
+      op: String): (DataFrame, DataFrame, DataFrame) = {
+    require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
+    // two consumers (count agg + the cap semi-join): corpus tokenized once
+    val grams = graft.core.Caching.eager(
+      spanGrams(corpus, idCol, textCol, minSpanTokens, op))
+    val meta = spanMeta(minSpanTokens, maxBucketSize)
+    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .select(col("h").as("h", meta), col("n"))
+    val idx = grams
+      .join(counts.where(col("n") <= maxBucketSize).select(col("h")),
+        Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("h").as("h", meta))
+    (grams, idx, counts)
+  }
+
   def spanGramIndex(
       corpus: DataFrame,
       idCol: String,
       textCol: String,
       minSpanTokens: Int = 8,
       maxBucketSize: Int = 50): DataFrame = {
-    require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
-    // two consumers (cap agg + the cap semi-join): corpus tokenized once;
+    val (grams, idx0, _) =
+      spanIndexBuild(corpus, idCol, textCol, minSpanTokens, maxBucketSize,
+        "spanGramIndex")
     // the uncapped intermediate is released once the capped index is
     // materialized — only the index survives the build
-    val grams = graft.core.Caching.eager(
-      spanGrams(corpus, idCol, textCol, minSpanTokens, "spanGramIndex"))
-    val keep = grams.groupBy(col("h")).agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBucketSize)
-      .select(col("h"))
-    val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(SpanGramLenMetaKey, minSpanTokens.toLong).build()
-    val idx = graft.core.Caching.eager(
-      grams.join(keep, Seq("h"), "left_semi")
-        .select(col("doc_id"), col("pos"), col("h").as("h", meta)))
+    val idx = graft.core.Caching.eager(idx0)
     grams.unpersist()
     idx
+  }
+
+  /** [[spanGramIndex]] plus its true bucket-count sidecar — the pair a
+    * daily refresh loop persists and folds with [[refreshSpanIndex]].
+    * Both frames come back eagerly cached (the uncapped gram intermediate
+    * is released internally); the caller unpersists a superseded
+    * generation after the next one materializes.
+    */
+  def spanIndexState(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 8,
+      maxBucketSize: Int = 50): SpanIndexState = {
+    val (grams, idx0, counts0) =
+      spanIndexBuild(corpus, idCol, textCol, minSpanTokens, maxBucketSize,
+        "spanIndexState")
+    val counts = graft.core.Caching.eager(counts0)
+    val idx = graft.core.Caching.eager(idx0)
+    grams.unpersist()
+    SpanIndexState(idx, counts)
+  }
+
+  /** Fold a delta's documents into the span-index state — delta-sized end
+    * to end, EXACTLY rebuild-equivalent: the union counts decide every
+    * gram's fate, so a gram already over the cap stays dead (its corpus
+    * rows were never in the index and its count only grows), one pushed
+    * over by the delta drops its indexed rows, and one still under the
+    * cap keeps corpus + delta rows — precisely what a from-scratch
+    * rebuild over corpus ∪ delta produces (SpanIndexSpec pins the set
+    * equality; q254 certifies the fold through the q243 oracle verbatim).
+    * Gram length and cap come from the state's metadata — a fold can
+    * never silently change the family parameters. Returned frames are
+    * LAZY (the delta grams run once per materialized output — both are
+    * delta-plus-state-sized); the caller eagers the new generation and
+    * then releases the old, the [[graft.streaming.DocStream
+    * .refreshEmbeddingIndex]] loop discipline.
+    */
+  def refreshSpanIndex(
+      state: SpanIndexState,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String): SpanIndexState = {
+    val meta = state.counts.schema("h").metadata
+    require(meta.contains(SpanGramLenMetaKey) && meta.contains(SpanCapMetaKey),
+      "state must come from Dedup.spanIndexState (missing span metadata)")
+    val l = meta.getLong(SpanGramLenMetaKey).toInt
+    val cap = meta.getLong(SpanCapMetaKey)
+    val dGrams = spanGrams(delta, idCol, textCol, l, "refreshSpanIndex")
+    val counts = state.counts
+      .unionByName(dGrams.groupBy(col("h")).agg(count(lit(1)).as("n")))
+      .groupBy(col("h"))
+      .agg(sum(col("n")).as("n"))
+      .select(col("h").as("h", meta), col("n"))
+    val keep = counts.where(col("n") <= cap).select(col("h"))
+    val index = state.index
+      .unionByName(dGrams)
+      .join(keep, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("h").as("h", meta))
+    SpanIndexState(index, counts)
+  }
+
+  /** Delta-side duplication fraction against a standing [[spanGramIndex]]:
+    * (doc_id, n_tokens, covered_tokens, dup_fraction) for every delta
+    * document — the statistic a crawler-ingest admission gate thresholds
+    * on AT ARRIVAL TIME. Spans come from the zero-corpus-work probe
+    * ([[sharedSpansIncrementalFromIndex]]), only the DELTA side of each
+    * span becomes an interval, and the union is the shared
+    * [[intervalCoverage]] pass; nothing is persisted, so a foreachBatch
+    * caller pays delta-sized work per trigger (StreamingLeakSpec's
+    * invariant covers the probe path this composes).
+    */
+  def spanCoverageAgainstIndex(
+      gramIndex: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spans = sharedSpansIncrementalFromIndex(gramIndex, delta, idCol, textCol)
+    val cov = intervalCoverage(
+      spans.select(col("delta_id").as("doc_id"), col("delta_pos").as("_s"),
+        (col("delta_pos") + col("span_tokens")).as("_e")))
+    delta.select(guardedId(idCol, "spanCoverageAgainstIndex").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_fraction"))
   }
 
   /** Incremental [[sharedSpans]] against a PREBUILT [[spanGramIndex]]:

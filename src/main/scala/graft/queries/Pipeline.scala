@@ -5256,6 +5256,73 @@ object Pipeline {
       .orderBy("media_id")
   }
 
+  /** q253 — SPAN ADMISSION through the stream
+    * ([[graft.streaming.DocStream.spanAdmissionVerdicts]]): every arriving
+    * document gets a substring-duplication verdict against the standing
+    * corpus gram index at arrival time — the admission-gate composition of
+    * the q249 probe (document-level MinHash admission is q97/q121; this
+    * catches the boilerplate-wrapped verbatim copies that gate misses).
+    * The index is built + cached ONCE outside the stream and released
+    * after; per-batch work is delta-sized (StreamingLeakSpec's invariant
+    * family). Verdict = integer cross-multiply at 50% covered — both
+    * branches fire at every scale (probed: 8/42, 6/44, 46/454, 460/4540
+    * rejected/admitted at sf0.001/0.01/0.1/sf1). The oracle computes
+    * coverage as COUNT(DISTINCT covered position) — independent of the
+    * Spark side's running-max interval union.
+    */
+  def streamingSpanAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val corpus = d.where(col("doc_id") % 10 =!= 0)
+    val arriving = d.where(col("doc_id") % 10 === 0)
+    val gramIndex = Dedup.spanGramIndex(corpus, "doc_id", "text",
+      minSpanTokens = 8, maxBucketSize = 50)
+    val tmp =
+      try runDroppedStream(spark, arriving, files = 4, perTrigger = 2,
+        "graft_q253_") { (stream, t) =>
+        stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              graft.streaming.DocStream
+                .spanAdmissionVerdicts(batch.toDF(), gramIndex,
+                  maxCoveredPct = 50)
+                .write.mode("append").parquet(s"$t/verdicts")
+            ()
+          }
+          .option("checkpointLocation", s"$t/checkpoint")
+          .start()
+      } finally gramIndex.unpersist()
+    spark.read.parquet(s"$tmp/verdicts").orderBy("doc_id")
+  }
+
+  /** q254 — span-index FOLD ≡ REBUILD through the oracle
+    * ([[graft.operators.Dedup.refreshSpanIndex]]): the corpus is folded
+    * into the span-index state in two generations (docs `% 10 ∈ 1–4`,
+    * then `% 10 ∈ 5–9`), each generation eagerly materialized and the
+    * superseded one released — the q121 refresh-loop discipline — and the
+    * folded index is probed with the `% 10 = 0` delta. Because the fold
+    * carries the TRUE bucket-count sidecar, the folded index equals the
+    * from-scratch rebuild over the whole corpus EXACTLY, so this query
+    * shares q243's oracle VERBATIM: the incremental maintenance path and
+    * the one-shot path are pinned to one answer (SpanIndexSpec pins the
+    * index-level set equality as well).
+    */
+  def spanIndexFold(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val partA = d.where(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 4)
+    val partB = d.where(col("doc_id") % 10 >= 5)
+    val delta = d.where(col("doc_id") % 10 === 0)
+    val st0 = Dedup.spanIndexState(partA, "doc_id", "text",
+      minSpanTokens = 8, maxBucketSize = 50)
+    val st1 = Dedup.refreshSpanIndex(st0, partB, "doc_id", "text")
+    // materialize the new generation, then release the old (the fold
+    // keeps at most two generations live — the refresh-loop envelope)
+    val idx = graft.core.Caching.eager(st1.index)
+    st0.index.unpersist()
+    st0.counts.unpersist()
+    Dedup.sharedSpansIncrementalFromIndex(idx, delta, "doc_id", "text")
+      .orderBy("delta_id", "corpus_id", "delta_pos", "corpus_pos")
+  }
+
   /** q252 — REAL video decode ([[graft.multimodal.Multimodal.decodeAvi]]):
     * uncompressed AVI containers (RIFF + BI_RGB DIB frames — the RIFF
     * sibling of q244's WAV) synthesized from the closed-form per-channel

@@ -607,6 +607,35 @@ object DocStream {
     batch.join(dupIds, batch(idCol) === col("_dup_id"), "left_anti")
   }
 
+  /** Per-batch SPAN-admission verdicts against a standing
+    * [[graft.operators.Dedup.spanGramIndex]]: how much of each arriving
+    * document is verbatim text already in the corpus, and whether it
+    * passes the duplication gate — substring-granular admission, catching
+    * the boilerplate-wrapped copies document-level MinHash admission
+    * ([[admitNearDups]]) misses. The verdict is the integer
+    * cross-multiply `covered·100 < n_tokens·maxCoveredPct` (no float
+    * compare crosses an engine boundary); coverage itself is
+    * [[graft.operators.Dedup.spanCoverageAgainstIndex]] — zero corpus
+    * work and nothing persisted per batch.
+    *
+    * Returns (doc_id, n_tokens, covered_tokens, dup_fraction, admitted)
+    * for EVERY batch row — the caller filters on `admitted` to gate, or
+    * sinks the verdicts whole for audit.
+    */
+  def spanAdmissionVerdicts(
+      batch: DataFrame,
+      gramIndex: DataFrame,
+      maxCoveredPct: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxCoveredPct >= 1 && maxCoveredPct <= 100,
+      s"maxCoveredPct must be a percentage, got $maxCoveredPct")
+    graft.operators.Dedup
+      .spanCoverageAgainstIndex(gramIndex, batch, idCol, textCol)
+      .withColumn("admitted",
+        col("covered_tokens") * 100 < col("n_tokens") * maxCoveredPct)
+  }
+
   /** The curation gate: keep documents scoring at least `minQuality` that
     * are not repetition-flagged, emit them PII-masked with their scores.
     * Works identically on a streaming or batch DataFrame — the stream==batch

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the span-index fold invariant: [[Dedup.refreshSpanIndex]] over any
+  * split of the corpus equals [[Dedup.spanIndexState]] built from scratch
+  * over the whole corpus — index row set AND true counts. The fixture is
+  * tuned so the cap transition fires: some grams stay under the cap, some
+  * were already over it in the first generation, and some are pushed over
+  * it BY the fold (the case the true-count sidecar exists for).
+  */
+class SpanIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 docs over a small cyclic alphabet (heavy grams: each of the 11
+  // distinct 3-grams occurs ~49 times, OVER the cap of 30 — but UNDER it
+  // in a small first generation, so the fold pushes them over) plus 10
+  // unique-token docs (light grams: every 3-gram occurs once, under cap)
+  private def doc(i: Long) =
+    if (i <= 30L) (i, (0 until 20).map(j => s"w${(i * 3 + j) % 11}").mkString(" "))
+    else (i, (0 until 20).map(j => s"u${i}x$j").mkString(" "))
+  private lazy val all = (1L to 40L).map(doc).toDF("doc_id", "text")
+  private val Cap = 30
+
+  private def collectIdx(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "pos", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  private def collectCnt(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fold == rebuild at every split point, including a cap transition") {
+    val rebuilt = Dedup.spanIndexState(all, "doc_id", "text",
+      minSpanTokens = 3, maxBucketSize = Cap)
+    val rebuiltIdx = collectIdx(rebuilt.index)
+    val rebuiltCnt = collectCnt(rebuilt.counts)
+    // sanity: the fixture exercises both sides of the cap
+    val over = rebuilt.counts.where(col("n") > Cap).count()
+    val under = rebuilt.counts.where(col("n") <= Cap).count()
+    assert(over > 0 && under > 0,
+      s"fixture must produce buckets on both sides of the cap ($over over, $under under)")
+    for (split <- Seq(5L, 15L, 25L)) {
+      val st0 = Dedup.spanIndexState(all.where(col("doc_id") <= split),
+        "doc_id", "text", minSpanTokens = 3, maxBucketSize = Cap)
+      val st1 = Dedup.refreshSpanIndex(st0,
+        all.where(col("doc_id") > split), "doc_id", "text")
+      assert(collectIdx(st1.index) == rebuiltIdx, s"index diverged at split $split")
+      assert(collectCnt(st1.counts) == rebuiltCnt, s"counts diverged at split $split")
+      // a gram pushed over the cap BY the fold must have dropped its
+      // already-indexed generation-0 rows
+      val pushedOver = st0.counts.as("a")
+        .join(st1.counts.as("b"), col("a.h") === col("b.h"))
+        .where(col("a.n") <= Cap && col("b.n") > Cap)
+        .select(col("a.h")).collect().map(_.getLong(0)).toSet
+      if (pushedOver.nonEmpty) {
+        val survivors = st1.index
+          .where(col("h").isin(pushedOver.toSeq: _*)).count()
+        assert(survivors == 0L,
+          s"grams pushed over the cap kept $survivors indexed rows at split $split")
+      }
+      st0.index.unpersist(); st0.counts.unpersist()
+    }
+    rebuilt.index.unpersist(); rebuilt.counts.unpersist()
+  }
+
+  test("refreshSpanIndex rejects a state missing the span metadata") {
+    val bogus = Dedup.SpanIndexState(
+      Seq((1L, 1L, 42L)).toDF("doc_id", "pos", "h"),
+      Seq((42L, 1L)).toDF("h", "n"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.refreshSpanIndex(bogus, all, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("spanIndexState"))
+  }
+
+  test("spanCoverageAgainstIndex: full duplicates cover 1.0, unrelated docs 0.0, verdict cross-multiply matches") {
+    val corpus = (1L to 10L)
+      .map(i => (i, (0 until 16).map(j => s"c${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, corpus.where(col("doc_id") === 3L).head.getString(1)), // verbatim copy
+      (102L, (0 until 16).map(j => s"unrelated$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = Dedup.spanGramIndex(corpus, "doc_id", "text",
+      minSpanTokens = 8, maxBucketSize = 50)
+    val out = graft.streaming.DocStream
+      .spanAdmissionVerdicts(delta, idx, maxCoveredPct = 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(101L).getLong(2) == out(101L).getLong(1), "full copy: covered == n")
+    assert(out(101L).getDouble(3) == 1.0 && !out(101L).getBoolean(4))
+    assert(out(102L).getLong(2) == 0L && out(102L).getBoolean(4))
+    idx.unpersist()
+  }
+}
