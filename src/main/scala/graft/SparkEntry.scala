@@ -272,6 +272,7 @@ object SparkEntry {
     "q252_video_decode" -> (Pipeline.videoDecodeStats _),
     "q253_span_admission" -> (Pipeline.streamingSpanAdmission _),
     "q254_span_index_fold" -> (Pipeline.spanIndexFold _),
+    "q255_frame_samples" -> (Pipeline.aviFrameSampleReport _),
   )
 
   /** The supplier→nation→region WITH RECURSIVE traversal oracle — shared
@@ -2485,6 +2486,28 @@ object SparkEntry {
            |  COALESCE(cov.covered, CAST(0 AS BIGINT)) * 100 < nt.n_tokens * 50 AS admitted
            |FROM nt LEFT JOIN cov ON nt.doc_id = cov.did
            |ORDER BY nt.doc_id""".stripMargin,
+    // real AVI frame sampling: every 2nd frame's channel sums in closed
+    // form; undecodable (% 17 = 0) blobs fan out to nothing
+    "q255_frame_samples" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(3 + doc_id % 5 AS INTEGER) AS n,
+        |    CAST(8 + ((doc_id % 9) // 3) * 4 AS INTEGER) AS w,
+        |    CAST(6 + (doc_id % 2) * 2 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 17 <> 0),
+        |pf AS (SELECT media_id, w, h,
+        |         unnest(generate_series(0, n - 1)) AS f FROM v),
+        |sampled AS (SELECT * FROM pf WHERE f % 2 = 0),
+        |pfx AS (SELECT media_id, w, h, f,
+        |          unnest(generate_series(0, w - 1)) AS x FROM sampled),
+        |pxy AS (SELECT media_id, w, h, f, x,
+        |          unnest(generate_series(0, h - 1)) AS y FROM pfx)
+        |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(SUM((media_id * 7 + f * 3 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((media_id * 5 + f * 11 + x * 7 + y * 3) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((media_id * 3 + f * 7 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_b
+        |FROM pxy GROUP BY media_id, f
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // real AVI decode: every statistic named from the closed-form pixel
     // pattern (fps as the literal 10); the doc_id % 17 = 0 rows carry
     // non-AVI bytes and must come back with null stats

@@ -724,46 +724,20 @@ object Multimodal {
   private def rdTag(a: Array[Byte], o: Int): String =
     new String(a, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** REAL AVI decode: walk the RIFF chunk tree, validate the stream is
-    * uncompressed 24-bit BI_RGB DIB video, read geometry and frame rate
-    * from strf/strh, and fold every '00db'/'00dc' movi frame into exact
-    * integer pixel statistics:
-    * (n_frames, width, height, fps, Σr, Σg, Σb, min channel, max channel).
-    * None for undecodable bytes, compressed streams, or any bpp but 24.
+  /** Parsed AVI container: geometry, frame rate, and the (offset, length)
+    * of every DIB frame chunk — the shared walk behind [[decodeAvi]] and
+    * [[decodeAviFrames]]. None for undecodable bytes, compressed streams,
+    * or any bpp but 24.
     */
-  def decodeAvi(bytes: Array[Byte])
-      : Option[(Long, Long, Long, Long, Long, Long, Long, Long, Long)] =
+  private def parseAvi(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Seq[(Int, Int)])] =
     try {
       if (bytes.length < 12 || rdTag(bytes, 0) != "RIFF" ||
         rdTag(bytes, 8) != "AVI ") return None
       var width = -1; var height = -1; var bpp = -1; var compression = -1
       var rate = -1; var scale = -1
       var isVids = false
-      var sumR = 0L; var sumG = 0L; var sumB = 0L
-      var mn = 256L; var mx = -1L
-      var nFrames = 0L
-      def parseFrame(a: Array[Byte], off: Int, len: Int): Unit = {
-        val rowBytes = (width * 3 + 3) / 4 * 4
-        if (len < rowBytes * height) throw new IllegalStateException("short frame")
-        var y = 0
-        while (y < height) {
-          var x = 0
-          val base = off + y * rowBytes
-          while (x < width) {
-            val b = (a(base + x * 3) & 0xff).toLong
-            val g = (a(base + x * 3 + 1) & 0xff).toLong
-            val r = (a(base + x * 3 + 2) & 0xff).toLong
-            sumB += b; sumG += g; sumR += r
-            val lo = math.min(b, math.min(g, r))
-            val hi = math.max(b, math.max(g, r))
-            if (lo < mn) mn = lo
-            if (hi > mx) mx = hi
-            x += 1
-          }
-          y += 1
-        }
-        nFrames += 1
-      }
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       // one chunk walker for every nesting level; LIST bodies recurse
       def walk(off: Int, end: Int): Unit = {
         var o = off
@@ -787,16 +761,83 @@ object Multimodal {
             if (!isVids || bpp != 24 || compression != 0 ||
               width <= 0 || height <= 0)
               throw new IllegalStateException("unsupported stream")
-            parseFrame(bytes, o + 8, sz)
+            val rowBytes = (width * 3 + 3) / 4 * 4
+            if (sz < rowBytes * height) throw new IllegalStateException("short frame")
+            frames += ((o + 8, sz))
           }
           o += 8 + sz + (sz % 2) // chunks are word-aligned
         }
       }
       walk(12, math.min(bytes.length, 8 + rdLe32(bytes, 4)))
-      if (nFrames == 0 || scale <= 0 || rate <= 0) None
-      else Some((nFrames, width.toLong, height.toLong,
-        (rate / scale).toLong, sumR, sumG, sumB, mn, mx))
+      if (frames.isEmpty || scale <= 0 || rate <= 0) None
+      else Some((width, height, rate / scale, frames.toSeq))
     } catch { case _: Exception => None }
+
+  /** Exact per-frame channel sums of one DIB frame (order-invariant, so
+    * bottom-up row order never matters).
+    */
+  private def frameSums(bytes: Array[Byte], off: Int, width: Int,
+      height: Int): (Long, Long, Long, Long, Long) = {
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var mn = 256L; var mx = -1L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val base = off + y * rowBytes
+      while (x < width) {
+        val b = (bytes(base + x * 3) & 0xff).toLong
+        val g = (bytes(base + x * 3 + 1) & 0xff).toLong
+        val r = (bytes(base + x * 3 + 2) & 0xff).toLong
+        sumB += b; sumG += g; sumR += r
+        val lo = math.min(b, math.min(g, r))
+        val hi = math.max(b, math.max(g, r))
+        if (lo < mn) mn = lo
+        if (hi > mx) mx = hi
+        x += 1
+      }
+      y += 1
+    }
+    (sumR, sumG, sumB, mn, mx)
+  }
+
+  /** REAL AVI decode: walk the RIFF chunk tree, validate the stream is
+    * uncompressed 24-bit BI_RGB DIB video, read geometry and frame rate
+    * from strf/strh, and fold every '00db'/'00dc' movi frame into exact
+    * integer pixel statistics:
+    * (n_frames, width, height, fps, Σr, Σg, Σb, min channel, max channel).
+    * None for undecodable bytes, compressed streams, or any bpp but 24.
+    */
+  def decodeAvi(bytes: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long, Long, Long, Long, Long)] =
+    parseAvi(bytes).map { case (w, h, fps, frames) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var mn = 256L; var mx = -1L
+      frames.foreach { case (off, _) =>
+        val (r, g, b, lo, hi) = frameSums(bytes, off, w, h)
+        sumR += r; sumG += g; sumB += b
+        if (lo < mn) mn = lo
+        if (hi > mx) mx = hi
+      }
+      (frames.size.toLong, w.toLong, h.toLong, fps.toLong,
+        sumR, sumG, sumB, mn, mx)
+    }
+
+  /** Per-frame stats of every SAMPLED frame (index `% every == 0`, the
+    * q61 fan-out convention on the REAL container): frame index plus its
+    * exact channel sums. None for undecodable bytes — a frame fan-out of
+    * an unparseable container has nothing to emit (the stats pass q252 is
+    * where undecodable rows are preserved and audited).
+    */
+  def decodeAviFrames(bytes: Array[Byte], every: Int)
+      : Option[Seq[(Long, Long, Long, Long)]] =
+    parseAvi(bytes).map { case (w, h, _, frames) =>
+      frames.zipWithIndex.collect {
+        case ((off, _), i) if i % every == 0 =>
+          val (r, g, b, _, _) = frameSums(bytes, off, w, h)
+          (i.toLong, r, g, b)
+      }
+    }
 
   /** Deterministic REAL-AVI media fixture from the documents table: every
     * `doc_id % 3 = 2` document becomes a pattern video (the video third of
@@ -828,6 +869,40 @@ object Multimodal {
         }
       }
     spark.createDataFrame(out, mediaSchema)
+  }
+
+  val frameSampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** Frame sampling over REAL AVI blobs: every `every`-th frame of each
+    * video becomes a (media_id, frame_idx, Σr, Σg, Σb) row — the
+    * [[sampleFrames]] fan-out shape driven by the real container parse
+    * instead of the stub codec. Per-partition decode; the fan-out emits
+    * fixed-width stats, never frame bytes, so nothing pixel-sized
+    * shuffles. Undecodable blobs contribute no rows (q252's stats pass is
+    * where they are preserved and audited).
+    */
+  def aviFrameSamples(media: DataFrame, every: Int = 2): DataFrame = {
+    require(every >= 1, s"every must be positive, got $every")
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "video")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          Option(r.getAs[Array[Byte]](1))
+            .flatMap(b => decodeAviFrames(b, every))
+            .getOrElse(Seq.empty)
+            .map { case (f, sr, sg, sb) => Row(id, f, sr, sg, sb) }
+        }
+      }
+    spark.createDataFrame(out, frameSampleSchema)
   }
 
   val videoStatSchema: StructType = StructType(Seq(

@@ -5342,6 +5342,22 @@ object Pipeline {
     Multimodal.videoPixelStats(media).orderBy("media_id")
   }
 
+  /** q255 — REAL frame sampling ([[graft.multimodal.Multimodal
+    * .aviFrameSamples]]): every 2nd frame of every fixture AVI fans out to
+    * a (media_id, frame_idx, Σr, Σg, Σb) row — q61's sampling shape
+    * driven by the real container parse instead of the stub codec, with
+    * each sampled frame's channel sums named by the oracle in closed
+    * form. Undecodable blobs (the `% 17 = 0` rows) fan out to nothing —
+    * the stats pass (q252) is where they are preserved; this certifies
+    * the fan-out emits fixed-width stats, never frame bytes.
+    */
+  def aviFrameSampleReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.aviMediaFromDocuments(Tables(spark, dir).documents)
+    Multimodal.aviFrameSamples(media, every = 2)
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** q245 — EXISTS / IN as PROJECTED booleans through `spark.sql`
     * (completing the subquery-surface triptych: q237 scalar, q239 WHERE,
     * this one SELECT-list): Catalyst must plan each flag as an

@@ -100,6 +100,34 @@ class MultimodalSpec extends SparkSpec {
       "undecodable video keeps its row with null stats")
   }
 
+  test("aviFrameSamples: sampled indices only, closed-form sums, undecodable blobs fan out to nothing") {
+    val d = 8L // 8 % 3 == 2: video id; 8 % 5 == 3 → 6 frames; 8 % 17 != 0
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(d, "x"), Row(17L, "garbage")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val out = Multimodal
+      .aviFrameSamples(Multimodal.aviMediaFromDocuments(docs), every = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // 6 frames sampled every 2nd → indices 0, 2, 4; garbage id emits nothing
+    assert(out.keySet == Set((d, 0L), (d, 2L), (d, 4L)))
+    // closed-form channel sums for frame 2, computed independently
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for {
+      x <- 0 until Multimodal.videoWidth(d)
+      y <- 0 until Multimodal.videoHeight(d)
+    } {
+      er += Multimodal.patternR(d)(2, x, y)
+      eg += Multimodal.patternG(d)(2, x, y)
+      eb += Multimodal.patternB(d)(2, x, y)
+    }
+    val f2 = out((d, 2L))
+    assert((f2.getLong(2), f2.getLong(3), f2.getLong(4)) == ((er, eg, eb)))
+  }
+
   test("resizeNearest: hand-computed up- AND down-sampling via the pinned formula") {
     // source 2×1: pixels r = 100·x → [100·0, 100·1]
     val src = Multimodal.encodePng(2, 1, (x, _) => (100 * x, 0, 0))
