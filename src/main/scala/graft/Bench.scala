@@ -188,13 +188,18 @@ object Bench {
         listener.jvmGcTimeMs.get - gc0)
       // a >2x spread between the two reps means one was load-disturbed —
       // take a THIRD (untelemetered) rep so the recorded min reflects the
-      // query, not the host; recorded reps keep all walls so the artifact
-      // shows both the disturbance and its adjudication
-      val r3 =
-        if (r1 >= 0 && r2 >= 0 && math.max(r1, r2) > 2 * math.min(r1, r2))
-          rep()
-        else -1.0
-      val reps = Seq(r1, r2) ++ (if (r3 >= 0) Seq(r3) else Nil)
+      // query, not the host; recorded reps keep all walls (a failed third
+      // attempt records as -1) so the artifact shows both the disturbance
+      // and its adjudication
+      val tryThird =
+        r1 >= 0 && r2 >= 0 && math.max(r1, r2) > 2 * math.min(r1, r2)
+      val errBefore = errors.contains(name)
+      val r3 = if (tryThird) rep() else -1.0
+      // two successful reps already prove the query passes — a transient
+      // failure of the EXTRA adjudication rep must not flip the artifact
+      // to failed
+      if (tryThird && r3 < 0 && !errBefore) errors.remove(name)
+      val reps = Seq(r1, r2) ++ (if (tryThird) Seq(r3) else Nil)
       val wall = if (r1 >= 0 && r2 >= 0) reps.filter(_ >= 0).min
         else math.max(r1, r2)
       sampler.foreach { s =>

@@ -275,6 +275,19 @@ object SparkEntry {
     "q255_frame_samples" -> (Pipeline.aviFrameSampleReport _),
   )
 
+  /** The decodable-video CTE shared by the q252/q255 oracles: geometry
+    * and frame count of every fixture AVI, straight from the closed-form
+    * pattern (factored once so the two oracles cannot drift from the
+    * encoder's formulas).
+    */
+  private val aviVideoCte: String =
+    raw"""v AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(3 + doc_id % 5 AS INTEGER) AS n,
+      |    CAST(8 + ((doc_id % 9) // 3) * 4 AS INTEGER) AS w,
+      |    CAST(6 + (doc_id % 2) * 2 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 17 <> 0)""".stripMargin
+
   /** The supplier→nation→region WITH RECURSIVE traversal oracle — shared
     * VERBATIM by q27 (the iterative driver-loop traversal) and q250 (the
     * same walk as literal Spark recursive-CTE SQL text), so all three
@@ -292,12 +305,13 @@ object SparkEntry {
       |SELECT seed, node, MIN(depth) AS depth FROM walk WHERE depth > 0
       |GROUP BY seed, node ORDER BY seed, node""".stripMargin
 
-  /** Shared q238/q241 oracle prefix: normalized tokens → positioned
-    * 8-gram Sha60 hashes → capped anchor self-join → diagonal islands.
-    * Ends with CTE `spans(id_a, pos_a, id_b, pos_b, span_tokens)` and
-    * keeps `toksrc(doc_id, toks)` visible for token counts.
+  /** Shared gram prefix for EVERY span-family oracle (q238/q241/q243/
+    * q249/q251/q253/q254): normalized tokens → positioned 8-gram Sha60
+    * hashes. Ends with CTE `grams(doc_id, pos, h)` and keeps
+    * `toksrc(doc_id, toks)` visible — factored once so the family's
+    * tokenization cannot drift between oracles.
     */
-  private val spanCtes: String =
+  private val spanGramCtes: String =
     raw"""toksrc AS (
          |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
          |pg AS (
@@ -306,8 +320,16 @@ object SparkEntry {
          |grams AS (
          |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
-         |  FROM pg),
-         |okh AS (SELECT h FROM grams GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+         |  FROM pg)""".stripMargin
+
+  /** Shared q238/q241 oracle prefix: normalized tokens → positioned
+    * 8-gram Sha60 hashes → capped anchor self-join → diagonal islands.
+    * Ends with CTE `spans(id_a, pos_a, id_b, pos_b, span_tokens)` and
+    * keeps `toksrc(doc_id, toks)` visible for token counts.
+    */
+  private val spanCtes: String =
+    spanGramCtes + ",\n" +
+    raw"""okh AS (SELECT h FROM grams GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
          |anch AS (
          |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
          |  FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -327,16 +349,8 @@ object SparkEntry {
     * delta, so the streamed union must equal the batch result exactly.
     */
   private val q243SpanOracle: String =
-    raw"""WITH toksrc AS (
-         |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
-         |pg AS (
-         |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
-         |  FROM toksrc WHERE len(toks) >= 8),
-         |grams AS (
-         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
-         |  FROM pg),
-         |cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
+    "WITH " + spanGramCtes + ",\n" +
+    raw"""cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
          |dg AS (SELECT * FROM grams WHERE doc_id % 10 = 0),
          |okh AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 50),
          |anch AS (
@@ -2452,16 +2466,8 @@ object SparkEntry {
     // covered position) — independent of Spark's interval union — and
     // the verdict as the same integer cross-multiply
     "q253_span_admission" ->
-      raw"""WITH toksrc AS (
-           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
-           |pg AS (
-           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
-           |  FROM toksrc WHERE len(toks) >= 8),
-           |grams AS (
-           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
-           |  FROM pg),
-           |cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
+      ("WITH " + spanGramCtes + ",\n" +
+        raw"""cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
            |dg AS (SELECT * FROM grams WHERE doc_id % 10 = 0),
            |okh AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 50),
            |anch AS (
@@ -2485,17 +2491,12 @@ object SparkEntry {
            |    / CAST(nt.n_tokens AS DOUBLE) AS dup_fraction,
            |  COALESCE(cov.covered, CAST(0 AS BIGINT)) * 100 < nt.n_tokens * 50 AS admitted
            |FROM nt LEFT JOIN cov ON nt.doc_id = cov.did
-           |ORDER BY nt.doc_id""".stripMargin,
+           |ORDER BY nt.doc_id""".stripMargin),
     // real AVI frame sampling: every 2nd frame's channel sums in closed
     // form; undecodable (% 17 = 0) blobs fan out to nothing
     "q255_frame_samples" ->
-      """WITH v AS (
-        |  SELECT doc_id AS media_id,
-        |    CAST(3 + doc_id % 5 AS INTEGER) AS n,
-        |    CAST(8 + ((doc_id % 9) // 3) * 4 AS INTEGER) AS w,
-        |    CAST(6 + (doc_id % 2) * 2 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 17 <> 0),
-        |pf AS (SELECT media_id, w, h,
+      ("WITH " + aviVideoCte + ",\n" +
+       """pf AS (SELECT media_id, w, h,
         |         unnest(generate_series(0, n - 1)) AS f FROM v),
         |sampled AS (SELECT * FROM pf WHERE f % 2 = 0),
         |pfx AS (SELECT media_id, w, h, f,
@@ -2507,18 +2508,13 @@ object SparkEntry {
         |  CAST(SUM((media_id * 5 + f * 11 + x * 7 + y * 3) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((media_id * 3 + f * 7 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_b
         |FROM pxy GROUP BY media_id, f
-        |ORDER BY media_id, frame_idx""".stripMargin,
+        |ORDER BY media_id, frame_idx""".stripMargin),
     // real AVI decode: every statistic named from the closed-form pixel
     // pattern (fps as the literal 10); the doc_id % 17 = 0 rows carry
     // non-AVI bytes and must come back with null stats
     "q252_video_decode" ->
-      """WITH v AS (
-        |  SELECT doc_id AS media_id,
-        |    CAST(3 + doc_id % 5 AS INTEGER) AS n,
-        |    CAST(8 + ((doc_id % 9) // 3) * 4 AS INTEGER) AS w,
-        |    CAST(6 + (doc_id % 2) * 2 AS INTEGER) AS h
-        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 17 <> 0),
-        |pf AS (SELECT media_id, n, w, h,
+      ("WITH " + aviVideoCte + ",\n" +
+       """pf AS (SELECT media_id, n, w, h,
         |         unnest(generate_series(0, n - 1)) AS f FROM v),
         |pfx AS (SELECT media_id, n, w, h, f,
         |          unnest(generate_series(0, w - 1)) AS x FROM pf),
@@ -2547,20 +2543,13 @@ object SparkEntry {
         |  agg.sum_r, agg.sum_g, agg.sum_b, agg.min_px, agg.max_px
         |FROM allv LEFT JOIN v ON allv.media_id = v.media_id
         |LEFT JOIN agg ON allv.media_id = agg.media_id
-        |ORDER BY allv.media_id""".stripMargin,
+        |ORDER BY allv.media_id""".stripMargin),
     // span bucket-cap diagnostics at cap 2 (every branch fires at every
     // scale — the fixture's max 8-gram bucket is 3-4); DuckDB SUM over
     // integers is HUGEINT, hence the BIGINT casts
     "q251_span_cap_report" ->
-      raw"""WITH toksrc AS (
-           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
-           |pg AS (
-           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
-           |  FROM toksrc WHERE len(toks) >= 8),
-           |grams AS (
-           |  SELECT doc_id, CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
-           |  FROM pg),
-           |b AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS bs FROM grams GROUP BY h)
+      ("WITH " + spanGramCtes + ",\n" +
+        raw"""b AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS bs FROM grams GROUP BY h)
            |SELECT s.n_grams, s.max_bucket, s.n_dropped_grams, s.dropped_occurrences, a.affected_docs
            |FROM
            |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams, MAX(bs) AS max_bucket,
@@ -2568,7 +2557,7 @@ object SparkEntry {
            |     CAST(COALESCE(SUM(CASE WHEN bs > 2 THEN bs ELSE 0 END), 0) AS BIGINT) AS dropped_occurrences
            |   FROM b) s,
            |  (SELECT CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS affected_docs
-           |   FROM grams g JOIN b ON g.h = b.h AND b.bs > 2) a""".stripMargin,
+           |   FROM grams g JOIN b ON g.h = b.h AND b.bs > 2) a""".stripMargin),
     // join-strategy hint: results are strategy-invariant, so the oracle
     // is the plain join; the hint's EFFECT is plan-audited Spark-side
     "q248_join_hints" ->

@@ -747,12 +747,21 @@ object Multimodal {
           if (sz < 0 || o + 8 + sz > end) throw new IllegalStateException("bad chunk size")
           if (t == "LIST") {
             walk(o + 12, o + 8 + sz) // skip the 4-byte list type
-          } else if (t == "strh") {
-            isVids = rdTag(bytes, o + 8) == "vids" &&
-              (rdTag(bytes, o + 12) == "DIB " || rdLe32(bytes, o + 12) == 0)
-            scale = rdLe32(bytes, o + 28)
-            rate = rdLe32(bytes, o + 32)
-          } else if (t == "strf" && width < 0) {
+          } else if (t == "strh" && !isVids) {
+            // latch the FIRST video stream only: a multi-stream AVI's
+            // audio strh ('auds') must not clobber the video scale/rate
+            // or flip isVids off
+            if (rdTag(bytes, o + 8) == "vids" &&
+              (rdTag(bytes, o + 12) == "DIB " || rdLe32(bytes, o + 12) == 0)) {
+              isVids = true
+              scale = rdLe32(bytes, o + 28)
+              rate = rdLe32(bytes, o + 32)
+            }
+          } else if (t == "strf" && isVids && width < 0) {
+            // geometry comes from the VIDEO stream's strf (strh precedes
+            // strf within a strl per the spec; an audio strl's strf is
+            // skipped because isVids is still false when it appears first
+            // and width is already latched when it appears after)
             width = rdLe32(bytes, o + 12)
             height = rdLe32(bytes, o + 16)
             bpp = rdLe16(bytes, o + 22)
@@ -761,8 +770,12 @@ object Multimodal {
             if (!isVids || bpp != 24 || compression != 0 ||
               width <= 0 || height <= 0)
               throw new IllegalStateException("unsupported stream")
-            val rowBytes = (width * 3 + 3) / 4 * 4
-            if (sz < rowBytes * height) throw new IllegalStateException("short frame")
+            // LONG arithmetic: a crafted strf with huge dims must fail
+            // closed here, not overflow Int and send frameSums past the
+            // array (frameSums runs outside this try)
+            val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
+            if (sz.toLong < rowBytesL * height)
+              throw new IllegalStateException("short frame")
             frames += ((o + 8, sz))
           }
           o += 8 + sz + (sz % 2) // chunks are word-aligned

@@ -748,13 +748,13 @@ object Dedup {
     * corpus tokenize + hash shuffle, the one per-batch cost that does not
     * amortize (the q249 round-15 defect this split removes).
     */
-  /** Shared build core: eager uncapped grams (caller releases), lazy
-    * counts (ALL grams) and lazy capped index, both metadata-stamped.
+  /** Shared build core: eager uncapped grams (caller releases) and the
+    * lazy true counts over them, metadata-stamped.
     */
   private def spanIndexBuild(
       corpus: DataFrame, idCol: String, textCol: String,
       minSpanTokens: Int, maxBucketSize: Int,
-      op: String): (DataFrame, DataFrame, DataFrame) = {
+      op: String): (DataFrame, DataFrame) = {
     require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
     // two consumers (count agg + the cap semi-join): corpus tokenized once
     val grams = graft.core.Caching.eager(
@@ -762,12 +762,17 @@ object Dedup {
     val meta = spanMeta(minSpanTokens, maxBucketSize)
     val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .select(col("h").as("h", meta), col("n"))
-    val idx = grams
+    (grams, counts)
+  }
+
+  /** The cap semi-join: grams surviving `counts ≤ cap`, metadata-stamped. */
+  private def capGrams(grams: DataFrame, counts: DataFrame,
+      maxBucketSize: Int,
+      meta: org.apache.spark.sql.types.Metadata): DataFrame =
+    grams
       .join(counts.where(col("n") <= maxBucketSize).select(col("h")),
         Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), col("h").as("h", meta))
-    (grams, idx, counts)
-  }
 
   def spanGramIndex(
       corpus: DataFrame,
@@ -775,12 +780,14 @@ object Dedup {
       textCol: String,
       minSpanTokens: Int = 8,
       maxBucketSize: Int = 50): DataFrame = {
-    val (grams, idx0, _) =
+    val (grams, counts) =
       spanIndexBuild(corpus, idCol, textCol, minSpanTokens, maxBucketSize,
         "spanGramIndex")
     // the uncapped intermediate is released once the capped index is
     // materialized — only the index survives the build
-    val idx = graft.core.Caching.eager(idx0)
+    val idx = graft.core.Caching.eager(
+      capGrams(grams, counts, maxBucketSize,
+        spanMeta(minSpanTokens, maxBucketSize)))
     grams.unpersist()
     idx
   }
@@ -789,7 +796,9 @@ object Dedup {
     * daily refresh loop persists and folds with [[refreshSpanIndex]].
     * Both frames come back eagerly cached (the uncapped gram intermediate
     * is released internally); the caller unpersists a superseded
-    * generation after the next one materializes.
+    * generation after the next one materializes. The index is derived
+    * from the MATERIALIZED counts, so the corpus-scale count aggregation
+    * shuffles exactly once per build.
     */
   def spanIndexState(
       corpus: DataFrame,
@@ -797,11 +806,13 @@ object Dedup {
       textCol: String,
       minSpanTokens: Int = 8,
       maxBucketSize: Int = 50): SpanIndexState = {
-    val (grams, idx0, counts0) =
+    val (grams, counts0) =
       spanIndexBuild(corpus, idCol, textCol, minSpanTokens, maxBucketSize,
         "spanIndexState")
     val counts = graft.core.Caching.eager(counts0)
-    val idx = graft.core.Caching.eager(idx0)
+    val idx = graft.core.Caching.eager(
+      capGrams(grams, counts, maxBucketSize,
+        spanMeta(minSpanTokens, maxBucketSize)))
     grams.unpersist()
     SpanIndexState(idx, counts)
   }
@@ -974,13 +985,15 @@ object Dedup {
     val grams = graft.core.Caching.eager(
       spanGrams(df, idCol, textCol, minSpanTokens, "sharedSpanCapReport"))
     val buckets = grams.groupBy(col("h")).agg(count(lit(1)).as("_bs"))
+    // coalesce: a corpus with NO grams (every doc shorter than the gram
+    // length) must report 0 dropped, not NULL — the oracle COALESCEs too
     val stats = buckets.agg(
       count(lit(1)).as("n_grams"),
       max(col("_bs")).as("max_bucket"),
-      sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L))
-        .as("n_dropped_grams"),
-      sum(when(col("_bs") > maxBucketSize, col("_bs")).otherwise(lit(0L)))
-        .as("dropped_occurrences"))
+      coalesce(sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L)),
+        lit(0L)).as("n_dropped_grams"),
+      coalesce(sum(when(col("_bs") > maxBucketSize, col("_bs"))
+        .otherwise(lit(0L))), lit(0L)).as("dropped_occurrences"))
     val affected = grams
       .join(buckets.where(col("_bs") > maxBucketSize).select(col("h")),
         Seq("h"), "left_semi")

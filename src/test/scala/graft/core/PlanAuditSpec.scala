@@ -81,8 +81,13 @@ class PlanAuditSpec extends SparkSpec {
       "recursive CTE must plan as a UnionLoop node")
     assert(plan.contains("UnionLoopRef"),
       "the recursion step must reference the loop (UnionLoopRef)")
-    assert(plan.contains("depth#") && plan.contains(" < 5"),
-      "the textual depth cap must appear as a filter in the loop body")
+    // INSIDE the loop: the plan tree prints children below their parent,
+    // so a depth predicate hoisted above the loop (each iteration joining
+    // the full frontier before pruning — the per-iteration blowup this
+    // pins against) would print BEFORE the UnionLoop header, not after
+    val inLoop = plan.substring(plan.indexOf("UnionLoop"))
+    assert(inLoop.contains("depth#") && inLoop.contains(" < 5"),
+      "the textual depth cap must appear as a filter INSIDE the loop body")
   }
 
   test("no window sorts a fact-sized frame under a low-cardinality-only partition key") {
