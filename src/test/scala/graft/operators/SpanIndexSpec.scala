@@ -63,6 +63,31 @@ class SpanIndexSpec extends SparkSpec {
     rebuilt.index.unpersist(); rebuilt.counts.unpersist()
   }
 
+  test("fold == rebuild on seeded random corpora (fuzz)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = 5 + rnd.nextInt(8)
+      val docs = (1L to 25L).map { i =>
+        val len = 8 + rnd.nextInt(15)
+        (i, (0 until len).map(_ => s"t${rnd.nextInt(alphabet)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val cap = 3 + rnd.nextInt(20)
+      val split = 5L + rnd.nextInt(15)
+      val rebuilt = Dedup.spanIndexState(docs, "doc_id", "text",
+        minSpanTokens = 3, maxBucketSize = cap)
+      val st0 = Dedup.spanIndexState(docs.where(col("doc_id") <= split),
+        "doc_id", "text", minSpanTokens = 3, maxBucketSize = cap)
+      val st1 = Dedup.refreshSpanIndex(st0,
+        docs.where(col("doc_id") > split), "doc_id", "text")
+      assert(collectIdx(st1.index) == collectIdx(rebuilt.index),
+        s"index diverged (seed=$seed cap=$cap split=$split)")
+      assert(collectCnt(st1.counts) == collectCnt(rebuilt.counts),
+        s"counts diverged (seed=$seed cap=$cap split=$split)")
+      Seq(rebuilt.index, rebuilt.counts, st0.index, st0.counts)
+        .foreach(_.unpersist())
+    }
+  }
+
   test("refreshSpanIndex rejects a state missing the span metadata") {
     val bogus = Dedup.SpanIndexState(
       Seq((1L, 1L, 42L)).toDF("doc_id", "pos", "h"),
