@@ -273,6 +273,7 @@ object SparkEntry {
     "q253_span_admission" -> (Pipeline.streamingSpanAdmission _),
     "q254_span_index_fold" -> (Pipeline.spanIndexFold _),
     "q255_frame_samples" -> (Pipeline.aviFrameSampleReport _),
+    "q256_self_repetition" -> (Pipeline.selfRepetitionScreen _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -2492,6 +2493,51 @@ object SparkEntry {
            |  COALESCE(cov.covered, CAST(0 AS BIGINT)) * 100 < nt.n_tokens * 50 AS admitted
            |FROM nt LEFT JOIN cov ON nt.doc_id = cov.did
            |ORDER BY nt.doc_id""".stripMargin),
+    // intra-doc repetition: 4-gram anchors (the 8-gram prefix is a
+    // different gram length, hence a local prefix), within-doc cap 20,
+    // coverage as COUNT(DISTINCT position) — independent of Spark's
+    // interval union
+    "q256_self_repetition" ->
+      raw"""WITH toksrc AS (
+           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+           |pg AS (
+           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 3)) AS pos
+           |  FROM toksrc WHERE len(toks) >= 4),
+           |grams AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+3], ' ')), 1, 15)) AS BIGINT) AS h
+           |  FROM pg),
+           |okb AS (SELECT doc_id, h FROM grams GROUP BY doc_id, h HAVING count(*) BETWEEN 2 AND 20),
+           |g2 AS (SELECT g.doc_id, g.pos, g.h FROM grams g JOIN okb ON g.doc_id = okb.doc_id AND g.h = okb.h),
+           |anch AS (
+           |  SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+           |  FROM g2 a JOIN g2 b ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos),
+           |runs AS (
+           |  SELECT doc_id, pa, pb, pb - pa AS diag,
+           |    pa - row_number() OVER (PARTITION BY doc_id, pb - pa ORDER BY pa) AS run
+           |  FROM anch),
+           |spans AS (
+           |  SELECT doc_id, MIN(pa) AS s_a, MIN(pb) AS s_b,
+           |    CAST(COUNT(*) + 3 AS BIGINT) AS sp
+           |  FROM runs GROUP BY doc_id, diag, run),
+           |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS repeated_spans FROM spans GROUP BY doc_id),
+           |iv AS (
+           |  SELECT doc_id, s_a AS s, s_a + sp AS e FROM spans
+           |  UNION ALL
+           |  SELECT doc_id, s_b, s_b + sp FROM spans),
+           |cov AS (
+           |  SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered FROM (
+           |    SELECT doc_id, unnest(generate_series(s, e - 1)) AS p FROM iv)
+           |  GROUP BY doc_id),
+           |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toksrc)
+           |SELECT nt.doc_id, nt.n_tokens,
+           |  COALESCE(ns.repeated_spans, CAST(0 AS BIGINT)) AS repeated_spans,
+           |  COALESCE(cov.covered, CAST(0 AS BIGINT)) AS covered_tokens,
+           |  CAST(COALESCE(cov.covered, CAST(0 AS BIGINT)) AS DOUBLE)
+           |    / CAST(nt.n_tokens AS DOUBLE) AS rep_fraction
+           |FROM nt LEFT JOIN ns ON nt.doc_id = ns.doc_id
+           |LEFT JOIN cov ON nt.doc_id = cov.doc_id
+           |ORDER BY nt.doc_id""".stripMargin,
     // real AVI frame sampling: every 2nd frame's channel sums in closed
     // form; undecodable (% 17 = 0) blobs fan out to nothing
     "q255_frame_samples" ->

@@ -960,6 +960,104 @@ object Dedup {
         col("corpus_pos"), col("span_tokens"))
   }
 
+  /** INTRA-document repeated spans: every MAXIMAL token span of at least
+    * `minSpanTokens` tokens that occurs at TWO positions of the SAME
+    * document — the self-repetition half of the Lee et al. 2022 span
+    * granularity ([[sharedSpans]] is the cross-document half; q55's
+    * distinct-token ratio flags repetitive docs, this names the repeated
+    * text itself). Same anchored-gram → diagonal-island construction,
+    * with the self-join scoped WITHIN each document and pairs ordered by
+    * position (`pos_a < pos_b`); a diagonal smaller than the gram length
+    * is the self-OVERLAP case (periodic text — "a b a b a b…") and the
+    * islands enumerate it exactly as a suffix-array LCP pass would.
+    *
+    * Skew discipline: a (doc, gram) bucket repeated more than
+    * `maxOccurrences` times is dropped BEFORE pair emission (a doc of N
+    * identical tokens would otherwise emit N²/2 pairs) — the same silent
+    * cap as the inter-doc family; pair with [[sharedSpanCapReport]]'s
+    * convention if the drop needs auditing.
+    *
+    * Returns (doc_id, pos_a, pos_b, span_tokens) with `pos_a < pos_b`,
+    * 1-based positions.
+    */
+  def selfRepetitionSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 4,
+      maxOccurrences: Int = 20): DataFrame = {
+    require(minSpanTokens >= 2, "minSpanTokens must be at least 2")
+    val L = minSpanTokens
+    // two consumers (within-doc cap agg + bucket collect) — eager
+    val grams = graft.core.Caching.eager(
+      spanGrams(df, idCol, textCol, L, "selfRepetitionSpans"))
+    val keep = grams.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs").between(2, maxOccurrences))
+      .select(col("doc_id"), col("h"))
+    val buckets = grams.join(keep, Seq("doc_id", "h"), "left_semi")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(collect_list(col("pos")).as("ps"))
+    // positions sort ascending, so triangularPairs emits pos_a < pos_b
+    val anchors = buckets
+      .select(col("doc_id"),
+        explode(triangularPairs(col("ps"))(
+          (a, b) => struct(a.as("pa"), b.as("pb")))).as("pr"))
+      .select(col("doc_id"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("diag"))
+      .orderBy(col("pa"))
+    anchors
+      .withColumn("diag", col("pb") - col("pa"))
+      .withColumn("_run", col("pa") - row_number().over(wRun))
+      .groupBy(col("doc_id"), col("diag"), col("_run"))
+      .agg(
+        min(col("pa")).as("pos_a"),
+        min(col("pb")).as("pos_b"),
+        (count(lit(1)) + lit(L - 1)).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("pos_a"), col("pos_b"), col("span_tokens"))
+  }
+
+  /** Per-document SELF-REPETITION report: how many maximal repeated spans
+    * each document contains and how much of the document they cover —
+    * the curation statistic for "this document repeats itself" at span
+    * granularity. Coverage is the interval union of BOTH occurrence
+    * sides ([[intervalCoverage]], exact integers); `rep_fraction` is the
+    * one double division per document. Every input document keeps its
+    * row (zero-repetition docs are the gate's pass-through).
+    *
+    * Returns (doc_id, n_tokens, repeated_spans, covered_tokens,
+    * rep_fraction).
+    */
+  def selfRepetitionReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSpanTokens: Int = 4,
+      maxOccurrences: Int = 20): DataFrame = {
+    // two consumers (span count + both coverage sides) — eager; spans
+    // are output-bounded
+    val spans = graft.core.Caching.eager(
+      selfRepetitionSpans(df, idCol, textCol, minSpanTokens, maxOccurrences))
+    val nSpans = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("repeated_spans"))
+    val cov = intervalCoverage(
+      spans.select(col("doc_id"), col("pos_a").as("_s"),
+          (col("pos_a") + col("span_tokens")).as("_e"))
+        .unionByName(spans.select(col("doc_id"), col("pos_b").as("_s"),
+          (col("pos_b") + col("span_tokens")).as("_e"))))
+    df.select(guardedId(idCol, "selfRepetitionReport").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(nSpans, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("repeated_spans"), lit(0L)).as("repeated_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("rep_fraction"))
+  }
+
   /** Bucket-cap DIAGNOSTICS for the span family (the "no silent caps"
     * discipline): [[sharedSpans]] / [[spanGramIndex]] DROP every gram whose
     * hash bucket exceeds `maxBucketSize` — at production scale those are

@@ -5323,6 +5323,22 @@ object Pipeline {
       .orderBy("delta_id", "corpus_id", "delta_pos", "corpus_pos")
   }
 
+  /** q256 — INTRA-document repetition report
+    * ([[graft.operators.Dedup.selfRepetitionReport]]): maximal spans
+    * repeated WITHIN one document, with coverage — the self-repetition
+    * half of the span family (q238 is cross-document). 4-token grams,
+    * within-doc bucket cap 20; repetition is rare in the fixture by
+    * construction (probed: 2 / 2 / 9 / 90 repeating docs at
+    * sf0.001/0.01/0.1/sf1), so the report keeps every document and both
+    * branches — zero and nonzero repetition — fire at every scale. The
+    * oracle computes coverage as COUNT(DISTINCT position), independent
+    * of the Spark-side interval union.
+    */
+  def selfRepetitionScreen(spark: SparkSession, dir: String): DataFrame =
+    Dedup.selfRepetitionReport(Tables(spark, dir).documents, "doc_id", "text",
+        minSpanTokens = 4, maxOccurrences = 20)
+      .orderBy("doc_id")
+
   /** q252 — REAL video decode ([[graft.multimodal.Multimodal.decodeAvi]]):
     * uncompressed AVI containers (RIFF + BI_RGB DIB frames — the RIFF
     * sibling of q244's WAV) synthesized from the closed-form per-channel

@@ -88,6 +88,40 @@ class SpanIndexSpec extends SparkSpec {
     }
   }
 
+  test("selfRepetitionSpans: hand-computed repeats, self-overlap, cap, and clean docs") {
+    val docs = Seq(
+      // one exact 4-token repeat separated by a spacer: span (1, 6, 4)
+      (1L, "x1 x2 x3 x4 y x1 x2 x3 x4"),
+      // periodic text "a b" x4: the self-OVERLAP case — diag 2 islands
+      // merge to tokens[1..6] == tokens[3..8] (span 6), plus diag 4
+      // tokens[1..4] == tokens[5..8] (span 4)
+      (2L, (0 until 8).map(i => if (i % 2 == 0) "a" else "b").mkString(" ")),
+      // no repetition
+      (3L, (0 until 10).map(i => s"z$i").mkString(" ")),
+      // one token repeated 30x: every (doc, gram) bucket is 27 > cap 20
+      // -> capped out entirely
+      (4L, Seq.fill(30)("q").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.selfRepetitionSpans(docs, "doc_id", "text",
+        minSpanTokens = 4, maxOccurrences = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set((1L, 1L, 6L, 4L), (2L, 1L, 3L, 6L), (2L, 1L, 5L, 4L)),
+      s"got $spans")
+    val rep = Dedup.selfRepetitionReport(docs, "doc_id", "text",
+        minSpanTokens = 4, maxOccurrences = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: spans cover positions 1-4 and 6-9 of 9 tokens -> 8 covered
+    assert(rep(1L).getLong(2) == 1L && rep(1L).getLong(3) == 8L)
+    // doc 2: both spans' sides union to the whole 8-token doc
+    assert(rep(2L).getLong(2) == 2L && rep(2L).getLong(3) == 8L &&
+      rep(2L).getDouble(4) == 1.0)
+    // docs 3 (clean) and 4 (capped out) report zero repetition
+    assert(rep(3L).getLong(2) == 0L && rep(3L).getLong(3) == 0L)
+    assert(rep(4L).getLong(2) == 0L && rep(4L).getLong(3) == 0L)
+  }
+
   test("refreshSpanIndex rejects a state missing the span metadata") {
     val bogus = Dedup.SpanIndexState(
       Seq((1L, 1L, 42L)).toDF("doc_id", "pos", "h"),
