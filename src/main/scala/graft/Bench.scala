@@ -193,12 +193,11 @@ object Bench {
       // and its adjudication
       val tryThird =
         r1 >= 0 && r2 >= 0 && math.max(r1, r2) > 2 * math.min(r1, r2)
-      val errBefore = errors.contains(name)
       val r3 = if (tryThird) rep() else -1.0
       // two successful reps already prove the query passes — a transient
       // failure of the EXTRA adjudication rep must not flip the artifact
-      // to failed
-      if (tryThird && r3 < 0 && !errBefore) errors.remove(name)
+      // to failed (tryThird implies no prior error entry for this name)
+      if (tryThird && r3 < 0) errors.remove(name)
       val reps = Seq(r1, r2) ++ (if (tryThird) Seq(r3) else Nil)
       val wall = if (r1 >= 0 && r2 >= 0) reps.filter(_ >= 0).min
         else math.max(r1, r2)

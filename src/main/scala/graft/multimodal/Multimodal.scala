@@ -767,12 +767,14 @@ object Multimodal {
             bpp = rdLe16(bytes, o + 22)
             compression = rdLe32(bytes, o + 24)
           } else if (t == "00db" || t == "00dc") {
+            // dims bounded FIRST (2^20 px per side is far past any real
+            // DIB), so the Long product below cannot itself overflow —
+            // a crafted strf must fail closed here, never reach the
+            // unguarded frameSums outside this try
             if (!isVids || bpp != 24 || compression != 0 ||
-              width <= 0 || height <= 0)
+              width <= 0 || height <= 0 ||
+              width > (1 << 20) || height > (1 << 20))
               throw new IllegalStateException("unsupported stream")
-            // LONG arithmetic: a crafted strf with huge dims must fail
-            // closed here, not overflow Int and send frameSums past the
-            // array (frameSums runs outside this try)
             val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
             if (sz.toLong < rowBytesL * height)
               throw new IllegalStateException("short frame")

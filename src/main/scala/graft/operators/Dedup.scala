@@ -998,24 +998,19 @@ object Dedup {
     val buckets = grams.join(keep, Seq("doc_id", "h"), "left_semi")
       .groupBy(col("doc_id"), col("h"))
       .agg(collect_list(col("pos")).as("ps"))
-    // positions sort ascending, so triangularPairs emits pos_a < pos_b
+    // positions sort ascending, so triangularPairs emits pos_a < pos_b;
+    // the island pass is the SHARED spanIslands (both pair sides carry
+    // the same doc_id, so its (delta, corpus, diag) partitioning reduces
+    // to (doc, diag) — one island implementation for the whole family)
     val anchors = buckets
       .select(col("doc_id"),
         explode(triangularPairs(col("ps"))(
           (a, b) => struct(a.as("pa"), b.as("pb")))).as("pr"))
-      .select(col("doc_id"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-    val wRun = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col("diag"))
-      .orderBy(col("pa"))
-    anchors
-      .withColumn("diag", col("pb") - col("pa"))
-      .withColumn("_run", col("pa") - row_number().over(wRun))
-      .groupBy(col("doc_id"), col("diag"), col("_run"))
-      .agg(
-        min(col("pa")).as("pos_a"),
-        min(col("pb")).as("pos_b"),
-        (count(lit(1)) + lit(L - 1)).cast("long").as("span_tokens"))
-      .select(col("doc_id"), col("pos_a"), col("pos_b"), col("span_tokens"))
+      .select(col("doc_id").as("delta_id"), col("doc_id").as("corpus_id"),
+        col("pr.pa").as("dpos"), col("pr.pb").as("cpos"))
+    spanIslands(anchors, L)
+      .select(col("delta_id").as("doc_id"), col("delta_pos").as("pos_a"),
+        col("corpus_pos").as("pos_b"), col("span_tokens"))
   }
 
   /** Per-document SELF-REPETITION report: how many maximal repeated spans
