@@ -122,6 +122,98 @@ class SpanIndexSpec extends SparkSpec {
     assert(rep(4L).getLong(2) == 0L && rep(4L).getLong(3) == 0L)
   }
 
+  test("spanCoverageAgainstIndex equals brute-force position counting (fuzz, 3 corpora)") {
+    // same diagonal brute force as DedupSpec's sharedSpans fuzz, but
+    // delta→corpus and reduced to the per-doc covered-position SET — the
+    // coverage statistic q253's admission gate thresholds on
+    val rnd = new scala.util.Random(1717)
+    val alphabet = Array("t0", "t1", "t2", "t3", "t4")
+    val l = 4
+    for (round <- 1 to 3) {
+      def gen(ids: Range) = ids.map { id =>
+        id.toLong -> Array.fill(12 + rnd.nextInt(20))(
+          alphabet(rnd.nextInt(alphabet.length)))
+      }
+      val corpus = gen(1 to 8)
+      val delta = gen(101 to 106)
+      val expected = delta.map { case (idD, tD) =>
+        val covered = scala.collection.mutable.Set.empty[Long]
+        for {
+          (_, tC) <- corpus
+          d <- -(tC.length - 1) to (tD.length - 1) // diag = posD - posC, 0-based
+        } {
+          var run = 0; var i = math.max(0, d); var lastStart = -1
+          while (i <= tD.length) {
+            val j = i - d
+            val m = i < tD.length && j >= 0 && j < tC.length && tD(i) == tC(j)
+            if (m) { if (run == 0) lastStart = i; run += 1 }
+            else {
+              if (run >= l)
+                (lastStart + 1 to lastStart + run).foreach(p => covered += p.toLong)
+              run = 0
+            }
+            i += 1
+          }
+        }
+        idD -> ((tD.length.toLong, covered.size.toLong))
+      }.toMap
+      def toDf(docs: Seq[(Long, Array[String])]) =
+        docs.toDF("doc_id", "toks")
+          .select(col("doc_id"), concat_ws(" ", col("toks")).as("text"))
+      val idx = Dedup.spanGramIndex(toDf(corpus), "doc_id", "text",
+        minSpanTokens = l, maxBucketSize = 100000)
+      val got = Dedup.spanCoverageAgainstIndex(idx, toDf(delta), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"round $round: got $got expected $expected")
+      assert(expected.values.exists(_._2 > 0), s"round $round: vacuous fixture")
+      idx.unpersist()
+    }
+  }
+
+  test("selfRepetitionSpans equals brute-force diagonal enumeration (fuzz, 3 corpora)") {
+    val rnd = new scala.util.Random(2929)
+    val alphabet = Array("u0", "u1", "u2", "u3")
+    val l = 4
+    for (round <- 1 to 3) {
+      val docs = (1L to 8L).map { id =>
+        id -> Array.fill(14 + rnd.nextInt(18))(
+          alphabet(rnd.nextInt(alphabet.length)))
+      }
+      val expected = (for {
+        (id, t) <- docs
+        d <- 1 until t.length // diag = posB - posA > 0
+      } yield {
+        val spans = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var run = 0; var j = d; var lastStart = -1
+        // compare t(j) with t(j - d): a run of length r >= l is the
+        // maximal repeat (pos_a = start-d+1, pos_b = start+1, 1-based)
+        while (j <= t.length) {
+          val m = j < t.length && t(j) == t(j - d)
+          if (m) { if (run == 0) lastStart = j; run += 1 }
+          else {
+            if (run >= l)
+              spans += ((id, lastStart - d + 1L, lastStart + 1L, run.toLong))
+            run = 0
+          }
+          j += 1
+        }
+        spans.toList
+      }).flatten.toSet
+      val got = Dedup.selfRepetitionSpans(
+          docs.toDF("doc_id", "toks")
+            .select(col("doc_id"), concat_ws(" ", col("toks")).as("text")),
+          "doc_id", "text", minSpanTokens = l, maxOccurrences = 100000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected,
+        s"round $round: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      assert(expected.nonEmpty, s"round $round: vacuous fixture")
+    }
+  }
+
   test("refreshSpanIndex rejects a state missing the span metadata") {
     val bogus = Dedup.SpanIndexState(
       Seq((1L, 1L, 42L)).toDF("doc_id", "pos", "h"),
