@@ -274,6 +274,9 @@ object SparkEntry {
     "q254_span_index_fold" -> (Pipeline.spanIndexFold _),
     "q255_frame_samples" -> (Pipeline.aviFrameSampleReport _),
     "q256_self_repetition" -> (Pipeline.selfRepetitionScreen _),
+    "q257_span_lifecycle" -> (Pipeline.streamingSpanLifecycle _),
+    "q258_sql_recursive_fixpoint" -> (Pipeline.sqlTextRecursiveFixpoint _),
+    "q259_image_phash_dedup" -> (Pipeline.imagePerceptualDedup _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -2493,6 +2496,132 @@ object SparkEntry {
            |  COALESCE(cov.covered, CAST(0 AS BIGINT)) * 100 < nt.n_tokens * 50 AS admitted
            |FROM nt LEFT JOIN cov ON nt.doc_id = cov.did
            |ORDER BY nt.doc_id""".stripMargin),
+    // UNION-distinct rCTE migration contract: the oracle runs the user's
+    // ORIGINAL no-depth-cap UNION form — DuckDB terminates it at the
+    // dedup fixpoint on the cyclic graph — while the Spark side runs the
+    // documented UNION ALL + cap + DISTINCT rewrite (Spark 4.1 rejects
+    // the UNION form; RecursiveSqlSpec pins the exact error condition)
+    "q258_sql_recursive_fixpoint" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT user_id % 16 AS src, (user_id % 16 * 7 + 3) % 16 AS dst
+        |  FROM events),
+        |seeds AS (
+        |  SELECT DISTINCT user_id % 16 AS seed FROM events WHERE user_id % 3 = 0),
+        |walk AS (
+        |  SELECT seed, seed AS node FROM seeds
+        |  UNION
+        |  SELECT w.seed, e.dst FROM walk w JOIN edges e ON w.node = e.src)
+        |SELECT seed, node FROM walk ORDER BY seed, node""".stripMargin,
+    // image perceptual near-dup: the WHOLE pixel→cells→bits→bands→cap→
+    // Hamming pipeline replayed from the id arithmetic (closed-form cell
+    // levels; xor steps are DuckDB xor()); banding and bucket cap are
+    // replicated, not idealized, so the LSH recall contract is certified
+    "q259_image_phash_dedup" ->
+      raw"""WITH imgs AS (SELECT doc_id AS d FROM documents WHERE doc_id % 101 = 0 AND doc_id > 0),
+           |media AS (
+           |  SELECT d, d AS media_id, 0 AS variant FROM imgs
+           |  UNION ALL SELECT d, -(4*d+1), 0 FROM imgs
+           |  UNION ALL SELECT d, -(4*d+2), 0 FROM imgs
+           |  UNION ALL SELECT d, -(4*d+3), 1 FROM imgs
+           |  UNION ALL SELECT d, -(4*d), 2 FROM imgs WHERE d % 2 = 0),
+           |ck AS (SELECT k FROM generate_series(0, 72) g(k)),
+           |lev_a AS (
+           |  SELECT m.media_id, m.variant, ck.k,
+           |    (m.d * 2654435761 + ck.k * 40503) % 2147483647 AS x1
+           |  FROM media m, ck),
+           |lev_b AS (SELECT media_id, variant, k, xor(x1, x1 // 65536) AS x2 FROM lev_a),
+           |lev_c AS (SELECT media_id, variant, k, (x2 * 2246822519) % 2147483629 AS x3 FROM lev_b),
+           |lev0 AS (SELECT media_id, variant, k, xor(x3, x3 // 8192) % 8 AS lv FROM lev_c),
+           |levels AS (
+           |  SELECT media_id, k,
+           |    CASE WHEN variant = 1 AND k IN (29, 59) THEN xor(lv, 1)
+           |         WHEN variant = 2 AND (k // 9) IN (2, 3, 6, 7) AND (k % 9) % 2 = 1 THEN (lv + 4) % 8
+           |         ELSE lv END AS lv
+           |  FROM lev0),
+           |bits AS (
+           |  SELECT a.media_id, (a.k // 9) * 8 + (a.k % 9) AS m,
+           |    CASE WHEN b.lv > a.lv THEN 1 ELSE 0 END AS b
+           |  FROM levels a JOIN levels b
+           |    ON a.media_id = b.media_id AND b.k = a.k + 1
+           |  WHERE a.k % 9 < 8),
+           |bandvals AS (
+           |  SELECT media_id, m // 16 AS band,
+           |    STRING_AGG(CAST(b AS VARCHAR), '' ORDER BY m) AS bv
+           |  FROM bits GROUP BY media_id, m // 16),
+           |okv AS (SELECT band, bv FROM bandvals GROUP BY band, bv HAVING count(*) <= 200),
+           |cand AS (
+           |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+           |  FROM bandvals a
+           |  JOIN okv ON a.band = okv.band AND a.bv = okv.bv
+           |  JOIN bandvals b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+           |ham AS (
+           |  SELECT id_a, id_b, CAST(SUM(ABS(x.b - y.b)) AS BIGINT) AS hamming
+           |  FROM cand JOIN bits x ON x.media_id = id_a
+           |  JOIN bits y ON y.media_id = id_b AND y.m = x.m
+           |  GROUP BY id_a, id_b)
+           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+           |ORDER BY id_a, id_b""".stripMargin,
+    // composed streaming span lifecycle: the two-stage cascade recomputed
+    // from scratch — batch-1 verdicts against the corpus-only index, then
+    // batch-2 verdicts against the index REBUILT over corpus ∪ admitted₁
+    // (fold ≡ rebuild is q254's certified invariant, so the rebuild IS the
+    // fold's oracle); re-fetches ride the negated ids, coverage is
+    // COUNT(DISTINCT position), verdicts integer cross-multiplies
+    "q257_span_lifecycle" ->
+      raw"""WITH toksrc AS (
+           |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents
+           |  UNION ALL
+           |  SELECT -doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents WHERE doc_id % 10 = 5),
+           |pg AS (
+           |  SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks) AS INTEGER) - 7)) AS pos
+           |  FROM toksrc WHERE len(toks) >= 8),
+           |grams AS (
+           |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           |    CAST(('0x' || substring(sha256(array_to_string(toks[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+           |  FROM pg),
+           |cg AS (SELECT * FROM grams WHERE doc_id >= 0 AND doc_id % 10 NOT IN (0, 5)),
+           |b1g AS (SELECT * FROM grams WHERE doc_id >= 0 AND doc_id % 10 = 5),
+           |b2g AS (SELECT * FROM grams WHERE doc_id < 0 OR doc_id % 10 = 0),
+           |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toksrc),
+           |okh0 AS (SELECT h FROM cg GROUP BY h HAVING count(*) <= 50),
+           |anch1 AS (
+           |  SELECT d.doc_id AS did, d.pos AS dpos, c.doc_id AS cid, c.pos AS cpos
+           |  FROM b1g d JOIN cg c ON d.h = c.h JOIN okh0 ON okh0.h = d.h),
+           |runs1 AS (
+           |  SELECT did, cid, dpos, dpos - cpos AS diag,
+           |    dpos - row_number() OVER (PARTITION BY did, cid, dpos - cpos ORDER BY dpos) AS run
+           |  FROM anch1),
+           |spans1 AS (SELECT did, MIN(dpos) AS s, MIN(dpos) + COUNT(*) + 7 AS e FROM runs1 GROUP BY did, cid, diag, run),
+           |cov1 AS (
+           |  SELECT did, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered FROM (
+           |    SELECT did, unnest(generate_series(s, e - 1)) AS p FROM spans1) GROUP BY did),
+           |v1 AS (
+           |  SELECT nt.doc_id, nt.n_tokens, COALESCE(cov1.covered, CAST(0 AS BIGINT)) AS covered
+           |  FROM nt LEFT JOIN cov1 ON nt.doc_id = cov1.did
+           |  WHERE nt.doc_id >= 0 AND nt.doc_id % 10 = 5),
+           |adm1 AS (SELECT doc_id FROM v1 WHERE covered * 100 < n_tokens * 50),
+           |ig AS (SELECT * FROM cg UNION ALL SELECT g.* FROM b1g g JOIN adm1 ON g.doc_id = adm1.doc_id),
+           |okh1 AS (SELECT h FROM ig GROUP BY h HAVING count(*) <= 50),
+           |anch2 AS (
+           |  SELECT d.doc_id AS did, d.pos AS dpos, c.doc_id AS cid, c.pos AS cpos
+           |  FROM b2g d JOIN ig c ON d.h = c.h JOIN okh1 ON okh1.h = d.h),
+           |runs2 AS (
+           |  SELECT did, cid, dpos, dpos - cpos AS diag,
+           |    dpos - row_number() OVER (PARTITION BY did, cid, dpos - cpos ORDER BY dpos) AS run
+           |  FROM anch2),
+           |spans2 AS (SELECT did, MIN(dpos) AS s, MIN(dpos) + COUNT(*) + 7 AS e FROM runs2 GROUP BY did, cid, diag, run),
+           |cov2 AS (
+           |  SELECT did, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered FROM (
+           |    SELECT did, unnest(generate_series(s, e - 1)) AS p FROM spans2) GROUP BY did),
+           |v2 AS (
+           |  SELECT nt.doc_id, nt.n_tokens, COALESCE(cov2.covered, CAST(0 AS BIGINT)) AS covered
+           |  FROM nt LEFT JOIN cov2 ON nt.doc_id = cov2.did
+           |  WHERE nt.doc_id < 0 OR nt.doc_id % 10 = 0),
+           |sel AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+           |SELECT doc_id, n_tokens, covered AS covered_tokens,
+           |  CAST(covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_fraction,
+           |  covered * 100 < n_tokens * 50 AS admitted
+           |FROM sel ORDER BY doc_id""".stripMargin,
     // intra-doc repetition: 4-gram anchors (the 8-gram prefix is a
     // different gram length, hence a local prefix), within-doc cap 20,
     // coverage as COUNT(DISTINCT position) — independent of Spark's

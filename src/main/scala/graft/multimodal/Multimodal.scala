@@ -456,6 +456,203 @@ object Multimodal {
     spark.createDataFrame(out, deviationSchema)
   }
 
+  // ---- Perceptual image hashing (dHash): content-level near-duplicate
+  // detection for image columns — re-encoded (PNG→BMP) and resized copies
+  // of one image hash identically; the Hamming-banded pair join is the
+  // SimHash quarter-block probe on the pixel tier. ----
+
+  /** Closed-form 8-level cell pattern for the dHash fixture: image id `d`,
+    * cell `k` (row-major on the 9×8 pooling grid) gets gray level
+    * `20 + 30·mix(d,k)` where `mix` is an integer xor-multiply mix —
+    * xor steps break the arithmetic structure that made polynomial mixes
+    * collide (a quadratic's cross-id difference is LINEAR in k, so 1% of
+    * id pairs shared near-identical patterns; probed before this form was
+    * chosen). Every step stays far inside Long range, and the same five
+    * operations are SQL-expressible, so the DuckDB oracle replays the
+    * pixel→hash pipeline from the id alone.
+    */
+  def dhashLevel(d: Long, k: Int): Int = {
+    val x1 = (d * 2654435761L + k * 40503L) % 2147483647L
+    val x2 = x1 ^ (x1 / 65536L)
+    val x3 = (x2 * 2246822519L) % 2147483629L
+    ((x3 ^ (x3 / 8192L)) % 8L).toInt
+  }
+
+  /** Near-copy perturbation: cells 29 and 59 get their lowest level bit
+    * flipped (±1 level) — at most 2 dHash bits per cell, all inside bit
+    * bands 1 and 3, so a perturbed copy ALWAYS shares bands 0 and 2 with
+    * its original (guaranteed candidate recall for the planted family).
+    */
+  def dhashPerturbedLevel(d: Long, k: Int): Int =
+    if (k == 29 || k == 59) dhashLevel(d, k) ^ 1 else dhashLevel(d, k)
+
+  /** Far-copy ("cousin") perturbation: odd columns of grid rows 2/3/6/7
+    * shifted by 4 levels — many bit flips, but again ONLY in bands 1 and
+    * 3, so the cousin is always a CANDIDATE pair that the Hamming
+    * threshold must then reject (the reject branch of the verify step,
+    * live at every scale: probed cousin distances 8–25).
+    */
+  def dhashCousinLevel(d: Long, k: Int): Int = {
+    val lv = dhashLevel(d, k)
+    if ((k / 9 == 2 || k / 9 == 3 || k / 9 == 6 || k / 9 == 7) && (k % 9) % 2 == 1)
+      (lv + 4) % 8
+    else lv
+  }
+
+  /** Fixture dims: multiples of the 9×8 pooling grid, so cell pooling is
+    * exact at 1× and 2× (a 2× nearest-neighbor upscale preserves every
+    * pooled mean EXACTLY — the resized copy's dHash equals the original's
+    * bit for bit).
+    */
+  def dhashDims(d: Long): (Int, Int) =
+    (9 * (1 + (d % 2)).toInt, 8 * (1 + ((d / 2) % 2)).toInt)
+
+  /** Encode pattern pixels as BMP via the JDK writer — the lossless
+    * re-encode sibling of [[encodePng]] (different container, identical
+    * pixels), used to plant re-encoded duplicates.
+    */
+  def encodeBmp(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Deterministic perceptual-dedup media fixture: every `doc_id % 101 = 0`
+    * document becomes a dHash-pattern family —
+    *   - `d`: the original PNG ([[dhashLevel]] cells at [[dhashDims]]);
+    *   - `-(4d+1)`: BMP re-encode (same pixels, different container);
+    *   - `-(4d+2)`: 2× nearest-neighbor resized PNG ([[resizeNearest]]);
+    *   - `-(4d+3)`: perturbed near-copy ([[dhashPerturbedLevel]]);
+    *   - `-4d` (even `d`): the far "cousin" ([[dhashCousinLevel]]) —
+    *     candidate by construction, rejected by the Hamming threshold;
+    *   - `-4d` (odd `d`): the document's text bytes — NOT an image; the
+    *     null-hash row the dedup must silently exclude.
+    */
+  def dhashMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      // doc 0 exists in the fixture corpus and -(4·0) would collide with
+      // the original's media id — the family id scheme needs d > 0
+      .where(col("doc_id") % 101 === 0 && col("doc_id") > 0)
+      .select("doc_id", "text")
+      .rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val (w, h) = dhashDims(d)
+          def px(levf: Int => Int)(x: Int, y: Int): (Int, Int, Int) = {
+            val g = 20 + 30 * levf((y / (h / 8)) * 9 + x / (w / 9))
+            (g, g, g)
+          }
+          val orig = encodePng(w, h, px(dhashLevel(d, _)))
+          val last =
+            if (d % 2 == 1) {
+              val garbage = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+              Row(-(4 * d), "image", garbage, "application/octet-stream",
+                s"synthetic://raw/$d")
+            } else
+              Row(-(4 * d), "image", encodePng(w, h, px(dhashCousinLevel(d, _))),
+                "image/png", s"synthetic://dhash/$d?cousin")
+          Seq(
+            Row(d, "image", orig, "image/png", s"synthetic://dhash/$d"),
+            Row(-(4 * d + 1), "image", encodeBmp(w, h, px(dhashLevel(d, _))),
+              "image/bmp", s"synthetic://dhash/$d?bmp"),
+            Row(-(4 * d + 2), "image", resizeNearest(orig, 2 * w, 2 * h).get,
+              "image/png", s"synthetic://dhash/$d?x2"),
+            Row(-(4 * d + 3), "image", encodePng(w, h, px(dhashPerturbedLevel(d, _))),
+              "image/png", s"synthetic://dhash/$d?pert"),
+            last)
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** 64-bit difference hash of REAL decoded pixels: pool intensities
+    * (r+g+b) onto the 9×8 grid (cell of pixel x is `9x div w` — exact
+    * block pooling when dims are grid multiples, floor pooling
+    * otherwise), then bit `m = 8j + i` is set iff cell (i+1, j)'s mean
+    * intensity strictly exceeds cell (i, j)'s — compared by integer
+    * cross-multiplication (`sumₐ·areaᵦ > sumᵦ·areaₐ`), so no float
+    * division ever runs. A 2× nearest-neighbor upscale quadruples every
+    * cell's sum AND area, leaving every comparison — hence the hash —
+    * bit-identical. None for undecodable bytes or images smaller than
+    * the grid (or past 2^14 per side: keeps the cross-multiply far from
+    * Long overflow — 765·(cell area)² at 16384² is ~1e16).
+    */
+  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 9 || h < 8 || w > 16384 || h > 16384) return None
+    val sums = Array.ofDim[Long](8, 9)
+    val areas = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val j = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        sums(j)(i) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        areas(j)(i) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (sums(j)(i + 1) * areas(j)(i) > sums(j)(i) * areas(j)(i + 1))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    Some(hash)
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Batched [[imageDHash]] over a media frame: per-partition decode (the
+    * [[imagePixelStats]] batching), undecodable blobs keep their row with
+    * a null hash, blobs never leave the scan — only the 8-byte
+    * fingerprint flows into the dedup join.
+    */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "image")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Option(r.getAs[Array[Byte]](1)).flatMap(imageDHash) match {
+            case Some(hv) => Row(id, hv)
+            case None     => Row(id, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, dhashSchema)
+  }
+
   /** Build a media table from the documents table (text bytes as stand-in
     * blobs) — gives the multimodal path a deterministic test fixture.
     */

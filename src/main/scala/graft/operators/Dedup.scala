@@ -831,6 +831,15 @@ object Dedup {
     * delta-plus-state-sized); the caller eagers the new generation and
     * then releases the old, the [[graft.streaming.DocStream
     * .refreshEmbeddingIndex]] loop discipline.
+    *
+    * CONTRACT: `delta` ids must be NEW — not already folded into (or built
+    * into) this state (the [[editDistanceOneDuplicates]] unique-id
+    * discipline). Re-folding an id duplicates its (doc_id, pos, h) rows
+    * and double-counts its grams in the sidecar, silently pushing shared
+    * grams toward the cap; a re-crawl/update flow must anti-join the delta
+    * against already-indexed doc_ids (or tombstone + rebuild) first. Every
+    * in-repo caller satisfies this by id construction (admission gates
+    * only ever fold fresh crawl ids).
     */
   def refreshSpanIndex(
       state: SpanIndexState,
@@ -1363,8 +1372,32 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 200): DataFrame =
+    fingerprintNearDuplicates(
+      df.select(col(idCol), simhash64(col(textCol)).as("_fp64")),
+      idCol, "_fp64", maxHamming, maxBucketSize)
+
+  /** The quarter-block Hamming join behind [[simhashNearDuplicates]],
+    * factored over ANY precomputed 64-bit fingerprint column — the image
+    * perceptual tier ([[graft.multimodal.Multimodal.imageDHash]]) feeds
+    * its dHashes through this same path, so text and pixel near-dup share
+    * one banding/cap/verify implementation. Blocking on the 4 16-bit
+    * quarters GUARANTEES recall only to Hamming ≤ 3 (pigeonhole); past
+    * that it is the standard LSH recall trade and is part of the
+    * operator's contract (a caller needing guaranteed recall at distance
+    * T uses T+1 bands). Null fingerprints (undecodable blobs) are
+    * excluded before banding. Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def fingerprintNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
       maxBucketSize: Int = 200): DataFrame = {
-    val docs = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp"))
+    val docs = df
+      .where(col(fpCol).isNotNull)
+      .select(guardedId(idCol, "fingerprintNearDuplicates").as("doc_id"),
+        col(fpCol).as("fp"))
     val blockedRaw = docs.select(
       col("doc_id"),
       col("fp"),

@@ -5323,6 +5323,107 @@ object Pipeline {
       .orderBy("delta_id", "corpus_id", "delta_pos", "corpus_pos")
   }
 
+  /** q257 — the COMPOSED streaming span lifecycle: admission AND fold in
+    * ONE stream. q253 certifies the probe against a static index and q254
+    * certifies the fold in batch; this query runs the real crawler loop —
+    * per micro-batch: [[graft.streaming.DocStream.spanAdmissionVerdicts]]
+    * against the CURRENT standing [[graft.operators.Dedup.SpanIndexState]],
+    * then the ADMITTED docs folded in via [[graft.operators.Dedup
+    * .refreshSpanIndex]] with the eager-new / release-old generation swap
+    * (the q121 `refreshEmbeddingIndex` discipline applied to the span
+    * family). Sequenced drops make micro-batch membership part of the
+    * fixture: batch 1 is the `% 10 = 5` crawl, batch 2 the `% 10 = 0`
+    * crawl PLUS a verbatim re-fetch of every batch-1 document under its
+    * negated id — re-fetches of batch-1 ADMITTED docs are rejected ONLY
+    * IF the fold genuinely happened (probed: 49/43/461/4610 of batch-2's
+    * verdicts flip on the fold at sf0.001/0.01/0.1/1; refetch-rejected
+    * 50/50/500/5000 — every branch live at every scale). The oracle recomputes
+    * the two-stage cascade from scratch (stage-2 index REBUILT over
+    * corpus ∪ admitted₁ — fold ≡ rebuild is q254's certified invariant),
+    * with coverage as COUNT(DISTINCT position) and the verdict as the
+    * integer cross-multiply. StreamingLeakSpec pins the persisted set to
+    * EXACTLY the two-generation envelope (old ∪ new during the swap, the
+    * new generation alone after every batch).
+    */
+  def streamingSpanLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.DocStream
+    val d = Tables(spark, dir).documents
+    val corpus = d.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val batch1 = d.where(col("doc_id") % 10 === 5).select("doc_id", "text")
+    val refetch = batch1.withColumn("doc_id", -col("doc_id"))
+    val batch2 = d.where(col("doc_id") % 10 === 0).select("doc_id", "text")
+      .unionByName(refetch)
+    // the standing state — index + TRUE bucket-count sidecar — is built
+    // ONCE before the stream; each micro-batch probes it and folds the
+    // batch's admitted docs into the next generation
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      Dedup.spanIndexState(corpus, "doc_id", "text",
+        minSpanTokens = 8, maxBucketSize = 50))
+    val tmp =
+      try runSequencedDrops(spark, Seq(batch1, batch2), "graft_q257_") { (stream, t) =>
+        stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val cur = state.get()
+              val out = s"$t/verdicts/batch=$batchId"
+              DocStream.spanAdmissionVerdicts(batch.toDF(), cur.index,
+                  maxCoveredPct = 50)
+                .write.mode("overwrite").parquet(out)
+              // fold THE BATCH'S admitted docs (ids fresh by fixture
+              // construction — refreshSpanIndex's ids-are-new contract),
+              // reading the verdicts back from the sink rather than
+              // re-probing: the probe runs once per batch
+              val admitted = batch.toDF().join(
+                spark.read.parquet(out).where(col("admitted"))
+                  .select("doc_id"),
+                Seq("doc_id"), "left_semi")
+              val next =
+                Dedup.refreshSpanIndex(cur, admitted, "doc_id", "text")
+              // eager-new, THEN release-old: at most two generations of
+              // (index, counts) are ever live — the swap envelope
+              val folded = Dedup.SpanIndexState(
+                graft.core.Caching.eager(next.index),
+                graft.core.Caching.eager(next.counts))
+              cur.index.unpersist(); cur.counts.unpersist()
+              state.set(folded)
+            }
+            ()
+          }
+          .option("checkpointLocation", s"$t/checkpoint")
+          .start()
+      } finally {
+        val fin = state.get()
+        fin.index.unpersist(); fin.counts.unpersist()
+      }
+    spark.read.parquet(s"$tmp/verdicts").drop("batch").orderBy("doc_id")
+  }
+
+  /** q259 — IMAGE perceptual near-dup ([[graft.multimodal.Multimodal
+    * .imageDHash]] + [[graft.operators.Dedup.fingerprintNearDuplicates]]):
+    * re-encoded (PNG→BMP) and 2×-resized copies of one image hash
+    * IDENTICALLY through the real decode → pool → difference-hash path,
+    * perturbed near-copies land within the Hamming threshold, planted
+    * "cousins" become candidates the threshold must reject, and non-image
+    * blobs yield null hashes that are silently excluded — every branch
+    * live at every scale (probed pairs/d0/mid/cand-rejected:
+    * 24/21/3/8 at sf0.001, 294/243/51/124 at sf0.1, 2971/2355/616/1628 at
+    * sf1). The oracle replays pixel→cells→bits→bands→cap→Hamming from the
+    * id arithmetic alone (the closed-form cell pattern), INCLUDING the
+    * 4×16-bit banding and the bucket cap, so recall past the pigeonhole
+    * guarantee is certified as the documented LSH contract rather than
+    * idealized away. Blobs never shuffle: only the 8-byte hash enters the
+    * join.
+    */
+  def imagePerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.dhashMediaFromDocuments(Tables(spark, dir).documents)
+    Dedup.fingerprintNearDuplicates(
+        Multimodal.imageDHashes(media), "media_id", "dhash",
+        maxHamming = 8, maxBucketSize = 200)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q256 — INTRA-document repetition report
     * ([[graft.operators.Dedup.selfRepetitionReport]]): maximal spans
     * repeated WITHIN one document, with coverage — the self-repetition
@@ -5463,6 +5564,47 @@ object Pipeline {
         |  WHERE w.depth < 5)
         |SELECT seed, node, MIN(depth) AS depth FROM walk WHERE depth > 0
         |GROUP BY seed, node ORDER BY seed, node""".stripMargin)
+  }
+
+  /** q258 — the UNION-DISTINCT recursive CTE MIGRATION CONTRACT. The
+    * reference's `recursive_cte_builder` parameterizes
+    * `union_type: UNION | UNION ALL` (sql/query_builder.py:365); q250
+    * certifies the UNION ALL form natively, but Spark 4.1 REJECTS the
+    * UNION-distinct form outright (`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`
+    * — RecursiveSqlSpec pins the exact error), and UNION-distinct is
+    * precisely the form a migrating user writes for cyclic graphs because
+    * it terminates at the dedup fixpoint with NO depth cap. This query
+    * certifies the documented rewrite: Spark runs `UNION ALL` + depth cap
+    * + outer `SELECT DISTINCT`, the DuckDB oracle runs the user's
+    * original no-cap `UNION` fixpoint VERBATIM — two different texts,
+    * three recursion semantics (UnionLoop, DuckDB fixpoint-by-dedup, and
+    * the cap bound) pinned to one answer on a graph WITH real cycles
+    * (functional edges `n -> (7n+3) mod 16` over event users: 4/16/16/16
+    * seeds sit on a cycle at sf0.001/0.01/0.1/1). The rewrite is exact
+    * because the walked graph is out-degree ≤ 1: a forward orbit on 16
+    * nodes visits every reachable node within 15 steps, so cap 20 is
+    * PROVABLY past the fixpoint — and bounded out-degree is itself part
+    * of the documented contract (on a high-out-degree cyclic graph the
+    * UNION ALL rewrite's path count explodes where UNION's dedup would
+    * not; such graphs must use the iterative [[graft.lineage.Lineage]]
+    * traversal instead).
+    */
+  def sqlTextRecursiveFixpoint(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.createOrReplaceTempView("q258_events")
+    spark.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT user_id % 16 AS src, (user_id % 16 * 7 + 3) % 16 AS dst
+        |  FROM q258_events),
+        |seeds AS (
+        |  SELECT DISTINCT user_id % 16 AS seed FROM q258_events WHERE user_id % 3 = 0),
+        |walk AS (
+        |  SELECT seed, seed AS node, 0 AS depth FROM seeds
+        |  UNION ALL
+        |  SELECT w.seed, e.dst, w.depth + 1
+        |  FROM walk w JOIN edges e ON w.node = e.src
+        |  WHERE w.depth < 20)
+        |SELECT DISTINCT seed, node FROM walk ORDER BY seed, node""".stripMargin)
   }
 
   /** q251 — span bucket-cap DIAGNOSTICS

@@ -65,6 +65,50 @@ class RecursiveSqlSpec extends SparkSpec {
       Seq(("1", 3), ("2", 3), ("3", 3)))
   }
 
+  test("UNION-distinct recursion is REJECTED with the pinned error condition (the q258 migration contract's premise)") {
+    // the no-cap UNION form a migrating user writes for cyclic graphs
+    // (terminates at the dedup fixpoint in engines that support it —
+    // DuckDB runs exactly this text as q258's oracle). Spark 4.1 rejects
+    // it; this pins the EXACT error condition so a future Spark that
+    // starts accepting the form fails THIS test and forces q258's
+    // contract to be re-certified natively.
+    edges.createOrReplaceTempView("rcte_edges")
+    seeds.createOrReplaceTempView("rcte_seeds")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """WITH RECURSIVE walk AS (
+          |  SELECT seed, seed AS node FROM rcte_seeds
+          |  UNION
+          |  SELECT w.seed, e.dst FROM walk w JOIN rcte_edges e ON w.node = e.src)
+          |SELECT seed, node FROM walk""".stripMargin).collect()
+    }
+    assert(e.getCondition == "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE",
+      s"expected the pinned condition, got ${e.getCondition}: ${e.getMessage}")
+  }
+
+  test("the documented rewrite (UNION ALL + depth cap + DISTINCT) reaches the UNION fixpoint on the cyclic graph") {
+    // hand-computed fixpoint of 1→2→3→1 with spur 2→4, seeds {1,2,3,4}:
+    // every node on the 3-cycle reaches all of {1,2,3,4} (the spur hangs
+    // off node 2), node 4 reaches only itself. Cap 5 ≥ the 4-node graph's
+    // longest simple walk, so the rewrite provably reaches the fixpoint —
+    // the q258 equivalence argument in miniature.
+    edges.createOrReplaceTempView("rcte_edges")
+    seeds.createOrReplaceTempView("rcte_seeds")
+    val got = spark.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT seed, seed AS node, 0 AS depth FROM rcte_seeds
+        |  UNION ALL
+        |  SELECT w.seed, e.dst, w.depth + 1
+        |  FROM walk w JOIN rcte_edges e ON w.node = e.src
+        |  WHERE w.depth < 5)
+        |SELECT DISTINCT seed, node FROM walk ORDER BY seed, node""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = (for {
+      s <- Seq("1", "2", "3"); n <- Seq("1", "2", "3", "4")
+    } yield (s, n)) :+ (("4", "4"))
+    assert(got == want.sorted)
+  }
+
   test("the textual depth cap is honored: no row exceeds it, and a tight cap cuts the cycle return") {
     val d = rcte(2)
     assert(d.agg(max("depth")).head.getInt(0) <= 2)

@@ -54,10 +54,12 @@ class StreamingLeakSpec extends SparkSpec {
     val idx = Dedup.spanGramIndex(corpus, "doc_id", "text",
       minSpanTokens = 3, maxBucketSize = 100)
     val withIndex = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    // the index build itself must persist ONLY the index (the uncapped
-    // intermediate is released inside the builder)
-    assert((withIndex -- before).size <= 2,
-      s"index build leaked intermediates: ${withIndex -- before}")
+    // the index build itself must persist EXACTLY one frame — the capped
+    // index (the uncapped gram intermediate is released inside the
+    // builder; the true-count sidecar belongs to spanIndexState, not this
+    // one-frame build). A second persisted RDD here IS a leak.
+    assert((withIndex -- before).size == 1,
+      s"index build must persist only the capped index: ${withIndex -- before}")
     val dir = java.nio.file.Files.createTempDirectory("graft-leak-span").toString
     dropFiles(dir, (101L to 104L)
       .map(i => (i, (0 until 20).map(j => s"w${(i + j) % 13}").mkString(" "))))
@@ -95,6 +97,63 @@ class StreamingLeakSpec extends SparkSpec {
       assert(s == withIndex,
         s"micro-batch $i changed the persisted-RDD set: +${s -- withIndex} -${withIndex -- s}")
     }
+  }
+
+  test("span lifecycle stream: the persisted set is EXACTLY the two-generation envelope") {
+    // the q257 foreachBatch body — verdict against the standing state,
+    // fold the admitted docs, eager-new / release-old — instrumented at
+    // the three envelope points: before the fold (one generation), after
+    // eager-new before release-old (old ∪ new, nothing else), after the
+    // release (the new generation alone). A stray per-batch persist, a
+    // leaked uncapped intermediate, or a missed release fails by name.
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet.toSet
+    val corpus = (1L to 40L)
+      .map(i => (i, (0 until 20).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    var state = Dedup.spanIndexState(corpus, "doc_id", "text",
+      minSpanTokens = 3, maxBucketSize = 100)
+    var genIds = sc.getPersistentRDDs.keySet.toSet -- baseline
+    // the state build persists exactly the generation pair: index + counts
+    assert(genIds.size == 2,
+      s"state build must persist exactly (index, counts): $genIds")
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak-cycle").toString
+    dropFiles(dir, (101L to 104L)
+      .map(i => (i, (0 until 20).map(j => s"w${(i + j) % 13}").mkString(" "))))
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val perBatch = streamOver(dir, corpus.schema) { batch =>
+      val cur = state
+      val beforeFold = sc.getPersistentRDDs.keySet.toSet
+      if (beforeFold != baseline ++ genIds)
+        failures += s"entered batch with off-envelope persists: ${beforeFold -- baseline -- genIds}"
+      val verdicts = graft.streaming.DocStream
+        .spanAdmissionVerdicts(batch, cur.index, maxCoveredPct = 50)
+      val admitted = batch.join(
+        verdicts.where(col("admitted")).select("doc_id"), Seq("doc_id"), "left_semi")
+      val next = Dedup.refreshSpanIndex(cur, admitted, "doc_id", "text")
+      val folded = Dedup.SpanIndexState(
+        graft.core.Caching.eager(next.index),
+        graft.core.Caching.eager(next.counts))
+      val during = sc.getPersistentRDDs.keySet.toSet
+      val newGen = during -- beforeFold
+      // during the swap: old ∪ new and NOTHING else — the verdict probe
+      // and the fold's delta grams must not persist anything of their own
+      if (newGen.size != 2)
+        failures += s"fold must add exactly (index, counts), added: $newGen"
+      if (during != baseline ++ genIds ++ newGen)
+        failures += s"swap persisted beyond the two-generation envelope: ${during -- baseline -- genIds -- newGen}"
+      cur.index.unpersist(); cur.counts.unpersist()
+      val after = sc.getPersistentRDDs.keySet.toSet
+      if (after != baseline ++ newGen)
+        failures += s"release left old-generation persists: ${after -- baseline -- newGen}"
+      genIds = newGen
+      state = folded
+      ()
+    }
+    assert(perBatch.size >= 3, s"expected 3+ micro-batches, got ${perBatch.size}")
+    assert(failures.isEmpty, failures.mkString("\n"))
+    state.index.unpersist(); state.counts.unpersist()
+    assert(sc.getPersistentRDDs.keySet.toSet == baseline)
   }
 
   test("sharedSpansIncrementalFromIndex equals the one-shot sharedSpansIncremental") {
