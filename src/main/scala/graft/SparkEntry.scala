@@ -277,6 +277,7 @@ object SparkEntry {
     "q257_span_lifecycle" -> (Pipeline.streamingSpanLifecycle _),
     "q258_sql_recursive_fixpoint" -> (Pipeline.sqlTextRecursiveFixpoint _),
     "q259_image_phash_dedup" -> (Pipeline.imagePerceptualDedup _),
+    "q260_mjpeg_video" -> (Pipeline.mjpegVideoScreen _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -2496,6 +2497,20 @@ object SparkEntry {
            |  COALESCE(cov.covered, CAST(0 AS BIGINT)) * 100 < nt.n_tokens * 50 AS admitted
            |FROM nt LEFT JOIN cov ON nt.doc_id = cov.did
            |ORDER BY nt.doc_id""".stripMargin),
+    // MJPEG-in-AVI: every verdict named in closed form — header stats
+    // exact, within_bound true for solid ramps (probed max deviation 1 at
+    // q0.95), false for the over-compressed checkerboards (probed min 34
+    // at q0.25 vs the 16 bound), null stats for the non-AVI rows
+    "q260_mjpeg_video" ->
+      raw"""SELECT doc_id AS media_id,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(3 + doc_id % 5 AS BIGINT) END AS n_frames,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(8 + ((doc_id % 9) // 3) * 4 AS BIGINT) END AS width,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(6 + (doc_id % 2) * 2 AS BIGINT) END AS height,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(10 AS BIGINT) END AS fps,
+           |  doc_id % 17 <> 0 AS decode_ok,
+           |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id % 13 <> 0 END AS within_bound
+           |FROM documents WHERE doc_id % 3 = 2
+           |ORDER BY media_id""".stripMargin,
     // UNION-distinct rCTE migration contract: the oracle runs the user's
     // ORIGINAL no-depth-cap UNION form — DuckDB terminates it at the
     // dedup fixpoint on the cyclic graph — while the Spark side runs the

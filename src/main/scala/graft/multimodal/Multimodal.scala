@@ -921,13 +921,21 @@ object Multimodal {
   private def rdTag(a: Array[Byte], o: Int): String =
     new String(a, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Parsed AVI container: geometry, frame rate, and the (offset, length)
-    * of every DIB frame chunk — the shared walk behind [[decodeAvi]] and
-    * [[decodeAviFrames]]. None for undecodable bytes, compressed streams,
-    * or any bpp but 24.
+  /** The MJPG fourcc as the little-endian BITMAPINFOHEADER
+    * biCompression value ('M','J','P','G').
+    */
+  private val MjpgFourcc: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Parsed AVI container: geometry, frame rate, the stream's
+    * biCompression (0 = BI_RGB DIB, [[MjpgFourcc]] = MJPEG), and the
+    * (offset, length) of every movi frame chunk — the shared walk behind
+    * [[decodeAvi]] / [[decodeAviFrames]] (BI_RGB) and
+    * [[mjpegPatternDeviation]] (MJPEG). None for undecodable bytes, any
+    * compression but those two, or any bpp but 24.
     */
   private def parseAvi(bytes: Array[Byte])
-      : Option[(Int, Int, Int, Seq[(Int, Int)])] =
+      : Option[(Int, Int, Int, Int, Seq[(Int, Int)])] =
     try {
       if (bytes.length < 12 || rdTag(bytes, 0) != "RIFF" ||
         rdTag(bytes, 8) != "AVI ") return None
@@ -949,7 +957,8 @@ object Multimodal {
             // audio strh ('auds') must not clobber the video scale/rate
             // or flip isVids off
             if (rdTag(bytes, o + 8) == "vids" &&
-              (rdTag(bytes, o + 12) == "DIB " || rdLe32(bytes, o + 12) == 0)) {
+              (rdTag(bytes, o + 12) == "DIB " || rdLe32(bytes, o + 12) == 0 ||
+                rdTag(bytes, o + 12) == "MJPG")) {
               isVids = true
               scale = rdLe32(bytes, o + 28)
               rate = rdLe32(bytes, o + 32)
@@ -968,13 +977,18 @@ object Multimodal {
             // DIB), so the Long product below cannot itself overflow —
             // a crafted strf must fail closed here, never reach the
             // unguarded frameSums outside this try
-            if (!isVids || bpp != 24 || compression != 0 ||
+            if (!isVids || bpp != 24 ||
+              (compression != 0 && compression != MjpgFourcc) ||
               width <= 0 || height <= 0 ||
               width > (1 << 20) || height > (1 << 20))
               throw new IllegalStateException("unsupported stream")
-            val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
-            if (sz.toLong < rowBytesL * height)
-              throw new IllegalStateException("short frame")
+            if (compression == 0) {
+              val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
+              if (sz.toLong < rowBytesL * height)
+                throw new IllegalStateException("short frame")
+            }
+            // MJPEG chunk sizes vary per frame (entropy-coded); the JPEG
+            // decoder validates each blob itself
             frames += ((o + 8, sz))
           }
           o += 8 + sz + (sz % 2) // chunks are word-aligned
@@ -982,7 +996,7 @@ object Multimodal {
       }
       walk(12, math.min(bytes.length, 8 + rdLe32(bytes, 4)))
       if (frames.isEmpty || scale <= 0 || rate <= 0) None
-      else Some((width, height, rate / scale, frames.toSeq))
+      else Some((width, height, rate / scale, compression, frames.toSeq))
     } catch { case _: Exception => None }
 
   /** Exact per-frame channel sums of one DIB frame (order-invariant, so
@@ -1022,7 +1036,10 @@ object Multimodal {
     */
   def decodeAvi(bytes: Array[Byte])
       : Option[(Long, Long, Long, Long, Long, Long, Long, Long, Long)] =
-    parseAvi(bytes).map { case (w, h, fps, frames) =>
+    parseAvi(bytes).collect { case (w, h, fps, 0, frames) =>
+      // compression 0 only: raw-DIB pixel sums have no meaning for an
+      // MJPEG stream — those go through mjpegPatternDeviation's per-frame
+      // JPEG decode instead
       var sumR = 0L; var sumG = 0L; var sumB = 0L
       var mn = 256L; var mx = -1L
       frames.foreach { case (off, _) =>
@@ -1042,14 +1059,19 @@ object Multimodal {
     * where undecodable rows are preserved and audited).
     */
   def decodeAviFrames(bytes: Array[Byte], every: Int)
-      : Option[Seq[(Long, Long, Long, Long)]] =
-    parseAvi(bytes).map { case (w, h, _, frames) =>
+      : Option[Seq[(Long, Long, Long, Long)]] = {
+    // guarded here, not only in aviFrameSamples: a direct caller with
+    // every = 0 must get the contract error, not a divide-by-zero per
+    // frame
+    require(every >= 1, s"every must be positive, got $every")
+    parseAvi(bytes).collect { case (w, h, _, 0, frames) =>
       frames.zipWithIndex.collect {
         case ((off, _), i) if i % every == 0 =>
           val (r, g, b, _, _) = frameSums(bytes, off, w, h)
           (i.toLong, r, g, b)
       }
     }
+  }
 
   /** Deterministic REAL-AVI media fixture from the documents table: every
     * `doc_id % 3 = 2` document becomes a pattern video (the video third of
@@ -1128,6 +1150,205 @@ object Multimodal {
     StructField("sum_b", LongType, nullable = true),
     StructField("min_px", LongType, nullable = true),
     StructField("max_px", LongType, nullable = true)))
+
+  // ---- COMPRESSED video tier: MJPEG-in-AVI — JPEG blobs as '00dc'
+  // frames inside the same RIFF walk; the frame decode is the proven
+  // javax.imageio path (q199/q223), the certification the q223
+  // bounded-deviation pattern. ----
+
+  /** Solid per-frame MJPEG test color: wrap-free linear ramps in
+    * (d mod 24, f), channels distinct so a swap or colorspace bug is
+    * loud. Wrap-free + solid = DC-only JPEG content whose decode error is
+    * a few counts (MjpegBoundSpec certifies the bound EXHAUSTIVELY over
+    * the finite reachable (d mod 24, dims, f) space).
+    */
+  def mjpegSolid(d: Long, f: Int): (Int, Int, Int) = (
+    ((d % 24) * 10 + f * 2).toInt,
+    ((d % 24) * 7 + f * 3 + 40).toInt,
+    ((d % 24) * 5 + f * 5 + 90).toInt)
+
+  /** The deviation-BREAKER frame: a pixel-level 0/255 checkerboard
+    * (phase by frame parity), encoded at quality 0.25 in the fixture —
+    * the over-compressed-source shape whose quantization error PROVABLY
+    * breaks the bound (probed exhaustively: min deviation 34+ at q 0.25
+    * vs solid max 1 at q 0.95; MjpegBoundSpec pins both over all 6
+    * fixture dims × both phases). The within-bound=false branch of the
+    * certification, the q223 discipline of making the FALSE verdict
+    * constructible. (At quality 0.95 the JDK writer preserves even this
+    * checkerboard to ±2 — high-quality JPEG alone cannot construct a
+    * false verdict, which is itself a probed fact.)
+    */
+  def mjpegChecker(f: Int)(x: Int, y: Int): (Int, Int, Int) =
+    if ((x + y + f) % 2 == 0) (255, 255, 255) else (0, 0, 0)
+
+  /** Which closed-form pattern video id `d` carries: `% 13 = 0` rows are
+    * checkerboards (deviation breakers), everything else solid ramps.
+    */
+  def mjpegExpected(d: Long)(f: Int, x: Int, y: Int): (Int, Int, Int) =
+    if (d % 13 == 0) mjpegChecker(f)(x, y) else mjpegSolid(d, f)
+
+  /** Encode frames as a REAL MJPEG AVI: the [[encodeAvi]] RIFF layout
+    * with strh handler 'MJPG', strf biCompression 'MJPG', and each movi
+    * '00dc' chunk a self-contained JPEG ([[encodeJpeg]], quality 0.95) —
+    * the standard motion-JPEG container layout. Frame chunk sizes vary
+    * per frame; idx1 carries the true per-frame lengths.
+    */
+  def encodeAviMjpeg(width: Int, height: Int, fps: Int,
+      frames: Seq[(Int, Int) => (Int, Int, Int)],
+      quality: Float = 0.95f): Array[Byte] = {
+    val frameData = frames.map(px => encodeJpeg(width, height, px, quality))
+    val n = frames.size
+    val maxFrame = if (frameData.isEmpty) 0 else frameData.map(_.length).max
+    val out = new java.io.ByteArrayOutputStream()
+    val strf = new java.io.ByteArrayOutputStream()
+    le32(strf, 40); le32(strf, width); le32(strf, height)
+    le16(strf, 1); le16(strf, 24); le32(strf, MjpgFourcc) // planes, bpp, MJPG
+    le32(strf, maxFrame); le32(strf, 0); le32(strf, 0)
+    le32(strf, 0); le32(strf, 0)
+    val strh = new java.io.ByteArrayOutputStream()
+    tag(strh, "vids"); tag(strh, "MJPG")
+    le32(strh, 0); le16(strh, 0); le16(strh, 0)
+    le32(strh, 0)
+    le32(strh, 1); le32(strh, fps) // dwScale, dwRate -> fps
+    le32(strh, 0); le32(strh, n)
+    le32(strh, maxFrame); le32(strh, -1); le32(strh, 0)
+    le16(strh, 0); le16(strh, 0); le16(strh, width); le16(strh, height)
+    val avih = new java.io.ByteArrayOutputStream()
+    le32(avih, 1000000 / fps)
+    le32(avih, maxFrame * fps); le32(avih, 0)
+    le32(avih, 0x10)
+    le32(avih, n); le32(avih, 0); le32(avih, 1)
+    le32(avih, maxFrame); le32(avih, width); le32(avih, height)
+    le32(avih, 0); le32(avih, 0); le32(avih, 0); le32(avih, 0)
+    def chunk(t: String, body: Array[Byte]): Array[Byte] = {
+      val c = new java.io.ByteArrayOutputStream()
+      tag(c, t); le32(c, body.length); c.write(body, 0, body.length)
+      if (body.length % 2 == 1) c.write(0)
+      c.toByteArray
+    }
+    def list(t: String, body: Array[Byte]): Array[Byte] = {
+      val c = new java.io.ByteArrayOutputStream()
+      tag(c, "LIST"); le32(c, body.length + 4); tag(c, t)
+      c.write(body, 0, body.length)
+      c.toByteArray
+    }
+    val strl = list("strl",
+      chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray))
+    val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++ strl)
+    val moviBody = frameData.flatMap(f => chunk("00dc", f)).toArray
+    val movi = list("movi", moviBody)
+    val idx = new java.io.ByteArrayOutputStream()
+    var off = 4
+    frameData.foreach { f =>
+      tag(idx, "00dc"); le32(idx, 0x10)
+      le32(idx, off); le32(idx, f.length)
+      off += 8 + f.length + (f.length % 2)
+    }
+    val body = hdrl ++ movi ++ chunk("idx1", idx.toByteArray)
+    tag(out, "RIFF"); le32(out, body.length + 4); tag(out, "AVI ")
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** Deterministic MJPEG media fixture: the q252 id convention
+    * (`doc_id % 3 = 2` becomes video, `% 17 = 0` carries non-AVI text
+    * bytes) with each video's frames JPEG-encoded — `% 13 = 0` rows carry
+    * the checkerboard breaker, the rest the solid ramps.
+    */
+  def mjpegMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      .where(col("doc_id") % 3 === 2)
+      .select("doc_id", "text")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          if (d % 17 == 0) {
+            val garbage = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+            Row(d, "video", garbage, "application/octet-stream",
+              s"synthetic://raw/$d")
+          } else {
+            val frames = (0 until videoFrames(d)).map { f => (x: Int, y: Int) =>
+              mjpegExpected(d)(f, x, y)
+            }
+            val q = if (d % 13 == 0) 0.25f else 0.95f
+            val avi = encodeAviMjpeg(videoWidth(d), videoHeight(d), VideoFps, frames, q)
+            Row(d, "video", avi, "video/x-msvideo", s"synthetic://mjpeg/$d")
+          }
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  val mjpegDeviationSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("fps", LongType, nullable = true),
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("within_bound", BooleanType, nullable = true)))
+
+  /** REAL MJPEG decode + bounded-deviation certification: walk the RIFF
+    * container, decode every '00dc' JPEG blob with `javax.imageio`, and
+    * compare each frame's pixels against [[mjpegExpected]] for the id —
+    * within_bound is true iff EVERY frame decodes at the strf geometry
+    * with max per-channel deviation ≤ `maxAbsErr` (false past the bound;
+    * null when a frame blob fails to decode or disagrees with the
+    * header geometry). Non-AVI/truncated/raw-DIB rows fail closed:
+    * decode_ok false, stats null. Per-partition decode; blobs never
+    * leave the scan.
+    */
+  def mjpegPatternDeviation(media: DataFrame, maxAbsErr: Int): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "video")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val parsed = Option(r.getAs[Array[Byte]](1)).flatMap(b =>
+            parseAvi(b).collect { case (w, h, fps, MjpgFourcc, frames) =>
+              (b, w, h, fps, frames)
+            })
+          parsed match {
+            case None => Row(d, null, null, null, null, false, null)
+            case Some((b, w, h, fps, frames)) =>
+              var ok = true      // every frame decoded at header geometry
+              var within = true  // ... and within the deviation bound
+              frames.zipWithIndex.foreach { case ((off, sz), f) =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(b, off, sz))
+                if (img == null || img.getWidth != w || img.getHeight != h)
+                  ok = false
+                else {
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      val (er, eg, eb) = mjpegExpected(d)(f, x, y)
+                      val e = math.max(
+                        math.abs(((rgb >> 16) & 0xff) - er),
+                        math.max(
+                          math.abs(((rgb >> 8) & 0xff) - eg),
+                          math.abs((rgb & 0xff) - eb)))
+                      if (e > maxAbsErr) within = false
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+              }
+              Row(d, frames.size.toLong, w.toLong, h.toLong, fps.toLong,
+                true, if (ok) java.lang.Boolean.valueOf(within) else null)
+          }
+        }
+      }
+    spark.createDataFrame(out, mjpegDeviationSchema)
+  }
 
   /** Batched REAL decode over a video media frame — the
     * [[audioWaveformStats]] shape for AVI blobs: per-partition decode,

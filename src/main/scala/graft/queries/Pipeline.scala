@@ -5475,6 +5475,27 @@ object Pipeline {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** q260 — COMPRESSED video: MJPEG-in-AVI ([[graft.multimodal.Multimodal
+    * .mjpegPatternDeviation]]). The q252 RIFF walk composed with the
+    * q199/q223 javax.imageio JPEG decode — the first compressed video
+    * tier: geometry/fps/frame count from the container headers, every
+    * '00dc' JPEG blob frame-decoded and certified against the closed-form
+    * pattern with the q223 bounded-deviation verdict. Three families,
+    * every branch live at every scale: `% 17 = 0` rows carry non-AVI
+    * bytes (decode_ok false, stats null — truncated/undecodable
+    * containers fail closed), `% 13 = 0` rows are 0/255 checkerboards
+    * over-compressed at quality 0.25 (within_bound FALSE — probed
+    * exhaustively: min deviation 34 vs the 16 bound), the rest are
+    * wrap-free solid ramps at 0.95 (within_bound true — probed max
+    * deviation 1 over the complete reachable (color, dims) space;
+    * MjpegBoundSpec pins both sides of the bound).
+    */
+  def mjpegVideoScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mjpegMediaFromDocuments(Tables(spark, dir).documents)
+    Multimodal.mjpegPatternDeviation(media, maxAbsErr = 16).orderBy("media_id")
+  }
+
   /** q245 — EXISTS / IN as PROJECTED booleans through `spark.sql`
     * (completing the subquery-surface triptych: q237 scalar, q239 WHERE,
     * this one SELECT-list): Catalyst must plan each flag as an
