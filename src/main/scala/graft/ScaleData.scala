@@ -32,7 +32,16 @@ object ScaleData {
     val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
     val spark = graft.core.GraftSession.local()
+    scale(spark, src, out, copies)
+    println(s"scale-data: $copies x $src -> $out")
+    spark.stop()
+  }
 
+  /** The generator body, callable from an existing session —
+    * [[graft.Bench]] uses it to materialize the sf1 twin of its input for
+    * the in-artifact scaling pass.
+    */
+  def scale(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -73,7 +82,5 @@ object ScaleData {
         transform(col("embedding"), x => x + lit(i / 128.0f)).as("embedding"),
         col("label"))
     })
-    println(s"scale-data: $copies x $src -> $out")
-    spark.stop()
   }
 }
