@@ -250,11 +250,21 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_bench_sf1")
     if (sf1Enabled) {
       try {
-        if (!new java.io.File(s"$sf1Dir/documents.parquet").exists()) {
+        // provenance marker, written LAST after a complete generation: a
+        // directory is reused ONLY if it was fully generated from THIS
+        // base — a stale 10x of a different base (or a generation that
+        // died mid-table) would silently shrink/garble every sf_ratio
+        val marker = java.nio.file.Paths.get(sf1Dir, "_GRAFT_SCALE_SRC")
+        val want = s"src=$sfDir copies=10"
+        val reusable = java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker).trim == want
+        if (!reusable) {
           val t0 = System.nanoTime()
           ScaleData.scale(spark, sfDir, sf1Dir, copies = 10)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sf1Dir))
+          java.nio.file.Files.writeString(marker, want + "\n")
           sf1GenSec = (System.nanoTime() - t0) / 1e9
-        } else sf1GenSec = 0.0 // pre-existing (env-provided or prior run)
+        } else sf1GenSec = 0.0 // verified same-base complete generation
         val candidates = results
           .collect { case (n, w, _, _, _, _) if w >= 0 => (n, w) }
           .sortBy(-_._2)
@@ -263,10 +273,30 @@ object Bench {
         candidates.take(sf1Top).foreach { case (name, _) =>
           if (spent > sf1Budget) sf1Skipped += name
           else {
+            // watchdog: a super-linear plan at 10x (the exact regression
+            // this pass hunts) must become a recorded -1, not an
+            // unbounded driver stall — cancel the query's job group at
+            // the smaller of the remaining budget and the per-query cap.
+            // (Streaming micro-batch jobs run on their own threads
+            // outside the group; their queries stop via each operator's
+            // own finally — this guard covers the batch plans.)
+            val capSec = math.min(
+              sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_QUERY_CAP", "300").toDouble,
+              math.max(30.0, sf1Budget - spent))
+            val group = s"bench-sf1-$name"
+            spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+            val watchdog = new java.util.Timer("bench-sf1-watchdog", true)
+            watchdog.schedule(new java.util.TimerTask {
+              def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+            }, (capSec * 1000).toLong)
             val t0 = System.nanoTime()
             val ok =
               try { fnByName(name)(spark, sf1Dir).count(); true }
               catch { case _: Throwable => false }
+              finally {
+                watchdog.cancel()
+                spark.sparkContext.clearJobGroup()
+              }
             val wall = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -274,7 +304,7 @@ object Bench {
             System.gc()
             sf1Walls += name -> (if (ok) wall else -1.0)
             spent += wall
-            Console.err.println(f"bench-sf1: $name ${fmt(wall)}s (spent ${fmt(spent)}s of $sf1Budget%.0f)")
+            Console.err.println(f"bench-sf1: $name ${fmt(wall)}s ok=$ok (spent ${fmt(spent)}s of $sf1Budget%.0f)")
           }
         }
       } catch {

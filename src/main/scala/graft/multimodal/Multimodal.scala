@@ -207,7 +207,15 @@ object Multimodal {
     * oracle-predictable: PNG is lossless and TYPE_INT_RGB carries the
     * exact 8-bit channels through.
     */
-  def encodePng(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeVia("png", width, height, pixel)
+
+  /** One lossless-encoder body for every ImageIO container format
+    * (PNG/BMP share the pixel fill verbatim — a packing fix must reach
+    * both).
+    */
+  private def encodeVia(format: String, width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -221,7 +229,7 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
   }
 
@@ -488,9 +496,14 @@ object Multimodal {
 
   /** Far-copy ("cousin") perturbation: odd columns of grid rows 2/3/6/7
     * shifted by 4 levels — many bit flips, but again ONLY in bands 1 and
-    * 3, so the cousin is always a CANDIDATE pair that the Hamming
-    * threshold must then reject (the reject branch of the verify step,
-    * live at every scale: probed cousin distances 8–25).
+    * 3, so the cousin is always a CANDIDATE pair. Cousin distances
+    * CONCENTRATE well past the q259 threshold (probed 7–25 over the full
+    * sf1 id range), which keeps the candidate-rejected branch live at
+    * every scale — but the guarantee is candidacy, not rejection: a tail
+    * of families (17 of 2,499 even ids at sf1) lands at Hamming ≤ 8 and
+    * is reported as a pair, identically by both engines (the oracle
+    * replays the same closed form, so the threshold verdict can never
+    * diverge).
     */
   def dhashCousinLevel(d: Long, k: Int): Int = {
     val lv = dhashLevel(d, k)
@@ -511,23 +524,8 @@ object Multimodal {
     * re-encode sibling of [[encodePng]] (different container, identical
     * pixels), used to plant re-encoded duplicates.
     */
-  def encodeBmp(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val (r, g, b) = pixel(x, y)
-        img.setRGB(x, y, (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff))
-        x += 1
-      }
-      y += 1
-    }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", out)
-    out.toByteArray
-  }
+  def encodeBmp(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeVia("bmp", width, height, pixel)
 
   /** Deterministic perceptual-dedup media fixture: every `doc_id % 101 = 0`
     * document becomes a dHash-pattern family —
@@ -592,7 +590,12 @@ object Multimodal {
     * Long overflow — 765·(cell area)² at 16384² is ~1e16).
     */
   def imageDHash(bytes: Array[Byte]): Option[Long] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read THROWS (not null) on recognized-but-corrupt streams —
+    // a truncated PNG must yield the documented null hash, not kill the
+    // partition
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -856,30 +859,44 @@ object Multimodal {
       }
       a
     }
-    val n = frames.size
+    buildAviContainer(width, height, fps, handler = "DIB ", compression = 0,
+      chunkTag = "00db", bufBytes = frameBytes, frameData = frameData)
+  }
+
+  /** ONE RIFF/AVI container writer for both encoders — BI_RGB DIB
+    * ([[encodeAvi]]) and MJPEG ([[encodeAviMjpeg]]) differ only in the
+    * stream handler fourcc, strf biCompression, movi chunk tag, the
+    * suggested buffer size, and the frame payloads; a header-layout fix
+    * here reaches both fixtures (the offsets [[parseAvi]] depends on live
+    * in exactly one place).
+    */
+  private def buildAviContainer(width: Int, height: Int, fps: Int,
+      handler: String, compression: Int, chunkTag: String, bufBytes: Int,
+      frameData: Seq[Array[Byte]]): Array[Byte] = {
+    val n = frameData.size
     val out = new java.io.ByteArrayOutputStream()
     // strf: BITMAPINFOHEADER (40 bytes)
     val strf = new java.io.ByteArrayOutputStream()
     le32(strf, 40); le32(strf, width); le32(strf, height)
-    le16(strf, 1); le16(strf, 24); le32(strf, 0) // planes, bpp, BI_RGB
-    le32(strf, frameBytes); le32(strf, 0); le32(strf, 0)
+    le16(strf, 1); le16(strf, 24); le32(strf, compression) // planes, bpp
+    le32(strf, bufBytes); le32(strf, 0); le32(strf, 0)
     le32(strf, 0); le32(strf, 0)
     // strh: AVISTREAMHEADER (56 bytes)
     val strh = new java.io.ByteArrayOutputStream()
-    tag(strh, "vids"); tag(strh, "DIB ")
+    tag(strh, "vids"); tag(strh, handler)
     le32(strh, 0); le16(strh, 0); le16(strh, 0) // flags, priority, language
     le32(strh, 0) // initial frames
     le32(strh, 1); le32(strh, fps) // dwScale, dwRate -> fps
     le32(strh, 0); le32(strh, n) // start, length (frames)
-    le32(strh, frameBytes); le32(strh, -1); le32(strh, 0) // bufsize, quality, samplesize
+    le32(strh, bufBytes); le32(strh, -1); le32(strh, 0) // bufsize, quality, samplesize
     le16(strh, 0); le16(strh, 0); le16(strh, width); le16(strh, height) // rcFrame
     // avih: MainAVIHeader (56 bytes)
     val avih = new java.io.ByteArrayOutputStream()
     le32(avih, 1000000 / fps) // microseconds per frame
-    le32(avih, frameBytes * fps); le32(avih, 0)
+    le32(avih, bufBytes * fps); le32(avih, 0)
     le32(avih, 0x10) // AVIF_HASINDEX
     le32(avih, n); le32(avih, 0); le32(avih, 1) // totalframes, initial, streams
-    le32(avih, frameBytes); le32(avih, width); le32(avih, height)
+    le32(avih, bufBytes); le32(avih, width); le32(avih, height)
     le32(avih, 0); le32(avih, 0); le32(avih, 0); le32(avih, 0)
     def chunk(t: String, body: Array[Byte]): Array[Byte] = {
       val c = new java.io.ByteArrayOutputStream()
@@ -896,14 +913,14 @@ object Multimodal {
     val strl = list("strl",
       chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray))
     val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++ strl)
-    val moviBody = frameData.flatMap(f => chunk("00db", f)).toArray
+    val moviBody = frameData.flatMap(f => chunk(chunkTag, f)).toArray
     val movi = list("movi", moviBody)
     // idx1: offsets are relative to the movi LIST's data start (the
     // 'movi' tag position), per the spec's common interpretation
     val idx = new java.io.ByteArrayOutputStream()
     var off = 4
     frameData.foreach { f =>
-      tag(idx, "00db"); le32(idx, 0x10) // AVIIF_KEYFRAME
+      tag(idx, chunkTag); le32(idx, 0x10) // AVIIF_KEYFRAME
       le32(idx, off); le32(idx, f.length)
       off += 8 + f.length + (f.length % 2)
     }
@@ -1197,57 +1214,10 @@ object Multimodal {
       frames: Seq[(Int, Int) => (Int, Int, Int)],
       quality: Float = 0.95f): Array[Byte] = {
     val frameData = frames.map(px => encodeJpeg(width, height, px, quality))
-    val n = frames.size
     val maxFrame = if (frameData.isEmpty) 0 else frameData.map(_.length).max
-    val out = new java.io.ByteArrayOutputStream()
-    val strf = new java.io.ByteArrayOutputStream()
-    le32(strf, 40); le32(strf, width); le32(strf, height)
-    le16(strf, 1); le16(strf, 24); le32(strf, MjpgFourcc) // planes, bpp, MJPG
-    le32(strf, maxFrame); le32(strf, 0); le32(strf, 0)
-    le32(strf, 0); le32(strf, 0)
-    val strh = new java.io.ByteArrayOutputStream()
-    tag(strh, "vids"); tag(strh, "MJPG")
-    le32(strh, 0); le16(strh, 0); le16(strh, 0)
-    le32(strh, 0)
-    le32(strh, 1); le32(strh, fps) // dwScale, dwRate -> fps
-    le32(strh, 0); le32(strh, n)
-    le32(strh, maxFrame); le32(strh, -1); le32(strh, 0)
-    le16(strh, 0); le16(strh, 0); le16(strh, width); le16(strh, height)
-    val avih = new java.io.ByteArrayOutputStream()
-    le32(avih, 1000000 / fps)
-    le32(avih, maxFrame * fps); le32(avih, 0)
-    le32(avih, 0x10)
-    le32(avih, n); le32(avih, 0); le32(avih, 1)
-    le32(avih, maxFrame); le32(avih, width); le32(avih, height)
-    le32(avih, 0); le32(avih, 0); le32(avih, 0); le32(avih, 0)
-    def chunk(t: String, body: Array[Byte]): Array[Byte] = {
-      val c = new java.io.ByteArrayOutputStream()
-      tag(c, t); le32(c, body.length); c.write(body, 0, body.length)
-      if (body.length % 2 == 1) c.write(0)
-      c.toByteArray
-    }
-    def list(t: String, body: Array[Byte]): Array[Byte] = {
-      val c = new java.io.ByteArrayOutputStream()
-      tag(c, "LIST"); le32(c, body.length + 4); tag(c, t)
-      c.write(body, 0, body.length)
-      c.toByteArray
-    }
-    val strl = list("strl",
-      chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray))
-    val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++ strl)
-    val moviBody = frameData.flatMap(f => chunk("00dc", f)).toArray
-    val movi = list("movi", moviBody)
-    val idx = new java.io.ByteArrayOutputStream()
-    var off = 4
-    frameData.foreach { f =>
-      tag(idx, "00dc"); le32(idx, 0x10)
-      le32(idx, off); le32(idx, f.length)
-      off += 8 + f.length + (f.length % 2)
-    }
-    val body = hdrl ++ movi ++ chunk("idx1", idx.toByteArray)
-    tag(out, "RIFF"); le32(out, body.length + 4); tag(out, "AVI ")
-    out.write(body, 0, body.length)
-    out.toByteArray
+    buildAviContainer(width, height, fps, handler = "MJPG",
+      compression = MjpgFourcc, chunkTag = "00dc", bufBytes = maxFrame,
+      frameData = frameData)
   }
 
   /** Deterministic MJPEG media fixture: the q252 id convention
@@ -1318,9 +1288,17 @@ object Multimodal {
             case Some((b, w, h, fps, frames)) =>
               var ok = true      // every frame decoded at header geometry
               var within = true  // ... and within the deviation bound
+              // one closure per video, not per pixel
+              val pat: (Int, Int, Int) => (Int, Int, Int) = mjpegExpected(d)(_, _, _)
               frames.zipWithIndex.foreach { case ((off, sz), f) =>
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(b, off, sz))
+                // ImageIO.read THROWS on a recognized-but-corrupt JPEG
+                // blob (a valid RIFF walk does not imply valid frames) —
+                // that is the documented within_bound=null row, not a
+                // task failure
+                val img =
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(b, off, sz))
+                  catch { case _: Exception => null }
                 if (img == null || img.getWidth != w || img.getHeight != h)
                   ok = false
                 else {
@@ -1329,7 +1307,7 @@ object Multimodal {
                     var x = 0
                     while (x < w) {
                       val rgb = img.getRGB(x, y)
-                      val (er, eg, eb) = mjpegExpected(d)(f, x, y)
+                      val (er, eg, eb) = pat(f, x, y)
                       val e = math.max(
                         math.abs(((rgb >> 16) & 0xff) - er),
                         math.max(

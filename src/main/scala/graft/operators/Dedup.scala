@@ -1385,8 +1385,12 @@ object Dedup {
     * quarters GUARANTEES recall only to Hamming ≤ 3 (pigeonhole); past
     * that it is the standard LSH recall trade and is part of the
     * operator's contract (a caller needing guaranteed recall at distance
-    * T uses T+1 bands). Null fingerprints (undecodable blobs) are
-    * excluded before banding. Returns (id_a, id_b, hamming), id_a < id_b.
+    * T uses T+1 bands). Null fingerprints (undecodable blobs) AND null
+    * ids are excluded before banding — a null id cannot name a pair, and
+    * dropping it up front preserves the pre-refactor
+    * [[simhashNearDuplicates]] behavior (null ids never produced pairs:
+    * the `id_a < id_b` comparison was null-false) instead of turning it
+    * into a mid-job error. Returns (id_a, id_b, hamming), id_a < id_b.
     */
   def fingerprintNearDuplicates(
       df: DataFrame,
@@ -1395,9 +1399,8 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 200): DataFrame = {
     val docs = df
-      .where(col(fpCol).isNotNull)
-      .select(guardedId(idCol, "fingerprintNearDuplicates").as("doc_id"),
-        col(fpCol).as("fp"))
+      .where(col(fpCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
     val blockedRaw = docs.select(
       col("doc_id"),
       col("fp"),

@@ -5403,7 +5403,10 @@ object Pipeline {
     * re-encoded (PNG→BMP) and 2×-resized copies of one image hash
     * IDENTICALLY through the real decode → pool → difference-hash path,
     * perturbed near-copies land within the Hamming threshold, planted
-    * "cousins" become candidates the threshold must reject, and non-image
+    * "cousins" are guaranteed candidates whose distances concentrate past
+    * the threshold (probed 7–25; a small sf1 tail lands at ≤ 8 and is
+    * reported as a pair by BOTH engines — candidacy, not rejection, is
+    * the invariant), and non-image
     * blobs yield null hashes that are silently excluded — every branch
     * live at every scale (probed pairs/d0/mid/cand-rejected:
     * 24/21/3/8 at sf0.001, 294/243/51/124 at sf0.1, 2971/2355/616/1628 at
