@@ -278,6 +278,8 @@ object SparkEntry {
     "q258_sql_recursive_fixpoint" -> (Pipeline.sqlTextRecursiveFixpoint _),
     "q259_image_phash_dedup" -> (Pipeline.imagePerceptualDedup _),
     "q260_mjpeg_video" -> (Pipeline.mjpegVideoScreen _),
+    "q261_image_incremental_dedup" -> (Pipeline.imageIncrementalDedup _),
+    "q262_streaming_image_admission" -> (Pipeline.streamingImageAdmission _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -316,6 +318,47 @@ object SparkEntry {
     * `toksrc(doc_id, toks)` visible — factored once so the family's
     * tokenization cannot drift between oracles.
     */
+  /** Shared q259/q261/q262 oracle prefix: the dHash fixture's id
+    * arithmetic replayed in SQL — media variants (original + planted
+    * copies; garbage rows excluded, they hash to null Spark-side),
+    * closed-form 8-level cells (DuckDB xor() mirrors the Scala Long
+    * xor-multiply mix), difference bits, and the per-band 16-bit values.
+    * Ends with CTEs `bits(media_id, m, b)` and
+    * `bandvals(media_id, band, bv)`; keeps `imgs(d)` visible.
+    */
+  private val dhashBitsCtes: String =
+    raw"""imgs AS (SELECT doc_id AS d FROM documents WHERE doc_id % 101 = 0 AND doc_id > 0),
+         |media AS (
+         |  SELECT d, d AS media_id, 0 AS variant FROM imgs
+         |  UNION ALL SELECT d, -(4*d+1), 0 FROM imgs
+         |  UNION ALL SELECT d, -(4*d+2), 0 FROM imgs
+         |  UNION ALL SELECT d, -(4*d+3), 1 FROM imgs
+         |  UNION ALL SELECT d, -(4*d), 2 FROM imgs WHERE d % 2 = 0),
+         |ck AS (SELECT k FROM generate_series(0, 72) g(k)),
+         |lev_a AS (
+         |  SELECT m.media_id, m.variant, ck.k,
+         |    (m.d * 2654435761 + ck.k * 40503) % 2147483647 AS x1
+         |  FROM media m, ck),
+         |lev_b AS (SELECT media_id, variant, k, xor(x1, x1 // 65536) AS x2 FROM lev_a),
+         |lev_c AS (SELECT media_id, variant, k, (x2 * 2246822519) % 2147483629 AS x3 FROM lev_b),
+         |lev0 AS (SELECT media_id, variant, k, xor(x3, x3 // 8192) % 8 AS lv FROM lev_c),
+         |levels AS (
+         |  SELECT media_id, k,
+         |    CASE WHEN variant = 1 AND k IN (29, 59) THEN xor(lv, 1)
+         |         WHEN variant = 2 AND (k // 9) IN (2, 3, 6, 7) AND (k % 9) % 2 = 1 THEN (lv + 4) % 8
+         |         ELSE lv END AS lv
+         |  FROM lev0),
+         |bits AS (
+         |  SELECT a.media_id, (a.k // 9) * 8 + (a.k % 9) AS m,
+         |    CASE WHEN b.lv > a.lv THEN 1 ELSE 0 END AS b
+         |  FROM levels a JOIN levels b
+         |    ON a.media_id = b.media_id AND b.k = a.k + 1
+         |  WHERE a.k % 9 < 8),
+         |bandvals AS (
+         |  SELECT media_id, m // 16 AS band,
+         |    STRING_AGG(CAST(b AS VARCHAR), '' ORDER BY m) AS bv
+         |  FROM bits GROUP BY media_id, m // 16)""".stripMargin
+
   private val spanGramCtes: String =
     raw"""toksrc AS (
          |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
@@ -2532,38 +2575,8 @@ object SparkEntry {
     // levels; xor steps are DuckDB xor()); banding and bucket cap are
     // replicated, not idealized, so the LSH recall contract is certified
     "q259_image_phash_dedup" ->
-      raw"""WITH imgs AS (SELECT doc_id AS d FROM documents WHERE doc_id % 101 = 0 AND doc_id > 0),
-           |media AS (
-           |  SELECT d, d AS media_id, 0 AS variant FROM imgs
-           |  UNION ALL SELECT d, -(4*d+1), 0 FROM imgs
-           |  UNION ALL SELECT d, -(4*d+2), 0 FROM imgs
-           |  UNION ALL SELECT d, -(4*d+3), 1 FROM imgs
-           |  UNION ALL SELECT d, -(4*d), 2 FROM imgs WHERE d % 2 = 0),
-           |ck AS (SELECT k FROM generate_series(0, 72) g(k)),
-           |lev_a AS (
-           |  SELECT m.media_id, m.variant, ck.k,
-           |    (m.d * 2654435761 + ck.k * 40503) % 2147483647 AS x1
-           |  FROM media m, ck),
-           |lev_b AS (SELECT media_id, variant, k, xor(x1, x1 // 65536) AS x2 FROM lev_a),
-           |lev_c AS (SELECT media_id, variant, k, (x2 * 2246822519) % 2147483629 AS x3 FROM lev_b),
-           |lev0 AS (SELECT media_id, variant, k, xor(x3, x3 // 8192) % 8 AS lv FROM lev_c),
-           |levels AS (
-           |  SELECT media_id, k,
-           |    CASE WHEN variant = 1 AND k IN (29, 59) THEN xor(lv, 1)
-           |         WHEN variant = 2 AND (k // 9) IN (2, 3, 6, 7) AND (k % 9) % 2 = 1 THEN (lv + 4) % 8
-           |         ELSE lv END AS lv
-           |  FROM lev0),
-           |bits AS (
-           |  SELECT a.media_id, (a.k // 9) * 8 + (a.k % 9) AS m,
-           |    CASE WHEN b.lv > a.lv THEN 1 ELSE 0 END AS b
-           |  FROM levels a JOIN levels b
-           |    ON a.media_id = b.media_id AND b.k = a.k + 1
-           |  WHERE a.k % 9 < 8),
-           |bandvals AS (
-           |  SELECT media_id, m // 16 AS band,
-           |    STRING_AGG(CAST(b AS VARCHAR), '' ORDER BY m) AS bv
-           |  FROM bits GROUP BY media_id, m // 16),
-           |okv AS (SELECT band, bv FROM bandvals GROUP BY band, bv HAVING count(*) <= 200),
+      ("WITH " + dhashBitsCtes + ",\n" +
+      raw"""okv AS (SELECT band, bv FROM bandvals GROUP BY band, bv HAVING count(*) <= 200),
            |cand AS (
            |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
            |  FROM bandvals a
@@ -2575,7 +2588,53 @@ object SparkEntry {
            |  JOIN bits y ON y.media_id = id_b AND y.m = x.m
            |  GROUP BY id_a, id_b)
            |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
-           |ORDER BY id_a, id_b""".stripMargin,
+           |ORDER BY id_a, id_b""".stripMargin),
+    // incremental image near-dup: delta (re-crawled copies) probes the
+    // CORPUS-side capped band index — same bit machinery, asymmetric join
+    "q261_image_incremental_dedup" ->
+      ("WITH " + dhashBitsCtes + ",\n" +
+      raw"""cb AS (SELECT * FROM bandvals WHERE media_id >= 0),
+           |db AS (SELECT * FROM bandvals WHERE media_id < 0),
+           |okv AS (SELECT band, bv FROM cb GROUP BY band, bv HAVING count(*) <= 200),
+           |cand AS (
+           |  SELECT DISTINCT d.media_id AS delta_id, c.media_id AS corpus_id
+           |  FROM db d JOIN okv ON d.band = okv.band AND d.bv = okv.bv
+           |  JOIN cb c ON c.band = d.band AND c.bv = d.bv),
+           |ham AS (
+           |  SELECT delta_id, corpus_id, CAST(SUM(ABS(x.b - y.b)) AS BIGINT) AS hamming
+           |  FROM cand JOIN bits x ON x.media_id = delta_id
+           |  JOIN bits y ON y.media_id = corpus_id AND y.m = x.m
+           |  GROUP BY delta_id, corpus_id)
+           |SELECT delta_id, corpus_id, hamming FROM ham WHERE hamming <= 8
+           |ORDER BY delta_id, corpus_id""".stripMargin),
+    // streaming image admission: the q261 probe's verdict per arriving
+    // row — garbage rows (-(4d), odd d) are decodable=false/null, every
+    // hashed row gets an is_duplicate boolean from the banded+capped
+    // probe (IN over an empty/missing match is FALSE, matching the
+    // Spark side's coalesce(false))
+    "q262_streaming_image_admission" ->
+      ("WITH " + dhashBitsCtes + ",\n" +
+      raw"""cb AS (SELECT * FROM bandvals WHERE media_id >= 0),
+           |db AS (SELECT * FROM bandvals WHERE media_id < 0),
+           |okv AS (SELECT band, bv FROM cb GROUP BY band, bv HAVING count(*) <= 200),
+           |cand AS (
+           |  SELECT DISTINCT d.media_id AS delta_id, c.media_id AS corpus_id
+           |  FROM db d JOIN okv ON d.band = okv.band AND d.bv = okv.bv
+           |  JOIN cb c ON c.band = d.band AND c.bv = d.bv),
+           |ham AS (
+           |  SELECT delta_id, CAST(SUM(ABS(x.b - y.b)) AS BIGINT) AS hamming
+           |  FROM cand JOIN bits x ON x.media_id = delta_id
+           |  JOIN bits y ON y.media_id = corpus_id AND y.m = x.m
+           |  GROUP BY delta_id, corpus_id),
+           |dup AS (SELECT DISTINCT delta_id FROM ham WHERE hamming <= 8),
+           |allneg AS (
+           |  SELECT -(4*d+1) AS media_id, true AS dec FROM imgs
+           |  UNION ALL SELECT -(4*d+2), true FROM imgs
+           |  UNION ALL SELECT -(4*d+3), true FROM imgs
+           |  UNION ALL SELECT -(4*d), d % 2 = 0 FROM imgs)
+           |SELECT media_id, dec AS decodable,
+           |  CASE WHEN dec THEN media_id IN (SELECT delta_id FROM dup) ELSE NULL END AS is_duplicate
+           |FROM allneg ORDER BY media_id""".stripMargin),
     // composed streaming span lifecycle: the two-stage cascade recomputed
     // from scratch — batch-1 verdicts against the corpus-only index, then
     // batch-2 verdicts against the index REBUILT over corpus ∪ admitted₁

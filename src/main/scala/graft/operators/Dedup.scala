@@ -1398,16 +1398,7 @@ object Dedup {
       fpCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 200): DataFrame = {
-    val docs = df
-      .where(col(fpCol).isNotNull && col(idCol).isNotNull)
-      .select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
-    val blockedRaw = docs.select(
-      col("doc_id"),
-      col("fp"),
-      explode(array((0 until 4).map { q =>
-        struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL)).as("qh"))
-      }: _*)).as("blk"))
-      .select(col("doc_id"), col("fp"), col("blk.q"), col("blk.qh"))
+    val blockedRaw = fpBlocked(df, idCol, fpCol)
     // Same degenerate-bucket guard as the MinHash path, count-first +
     // left-semi: the previous window-count cap shuffled a degenerate block's
     // FULL row set into one task's WindowExec buffer before the filter could
@@ -1453,37 +1444,94 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 200): DataFrame =
+    fingerprintIncrementalDuplicates(
+      corpus.select(col(idCol), simhash64(col(textCol)).as("_fp64")),
+      delta.select(col(idCol), simhash64(col(textCol)).as("_fp64")),
+      idCol, "_fp64", maxHamming, maxBucketSize)
+
+  /** The (delta → corpus) quarter-block Hamming probe behind
+    * [[simhashIncrementalDuplicates]], factored over ANY precomputed
+    * 64-bit fingerprint column — the incremental twin of
+    * [[fingerprintNearDuplicates]]; the image tier
+    * ([[graft.multimodal.Multimodal.imageDHash]]) probes its standing
+    * corpus hashes through this same path, so crawl-time text and pixel
+    * dedup share one banding/cap/verify implementation. The corpus never
+    * self-joins: delta blocks probe the capped (quarter → corpus
+    * fingerprint) index, cap count-first on the CORPUS side. Null ids
+    * and null fingerprints are excluded on both sides (undecodable
+    * blobs). Returns (delta_id, corpus_id, hamming).
+    */
+  def fingerprintIncrementalDuplicates(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 200): DataFrame =
+    fingerprintsAgainstIndex(
+      fingerprintCorpusIndex(corpus, idCol, fpCol, maxBucketSize),
+      delta, idCol, fpCol, maxHamming)
+
+  /** The 4×16-bit quarter-block rows of a fingerprint frame — the shared
+    * blocking behind every fingerprint pair path; null ids/fingerprints
+    * dropped here so no path can join them.
+    */
+  private def fpBlocked(df: DataFrame, idCol: String, fpCol: String): DataFrame = df
+    .where(col(fpCol).isNotNull && col(idCol).isNotNull)
+    .select(col(idCol).as("doc_id"), col(fpCol).as("fp"))
+    .select(
+      col("doc_id"),
+      col("fp"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL)).as("qh"))
+      }: _*)).as("blk"))
+    .select(col("doc_id"), col("fp"), col("blk.q"), col("blk.qh"))
+
+  /** STANDING capped quarter-block index over a corpus fingerprint frame:
+    * (q, qh, corpus_id, fp_c), cap count-first on the corpus side. Build
+    * once at steady state (a streaming caller eagerly caches it — the
+    * [[spanGramIndex]] discipline), probe per delta / per micro-batch
+    * with [[fingerprintsAgainstIndex]].
+    */
+  def fingerprintCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      fpCol: String,
       maxBucketSize: Int = 200): DataFrame = {
-    def blocked(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("fp"))
-      .select(
-        col("doc_id"),
-        col("fp"),
-        explode(array((0 until 4).map { q =>
-          struct(lit(q).as("q"), shiftright(col("fp"), q * 16).bitwiseAND(lit(0xffffL)).as("qh"))
-        }: _*)).as("blk"))
-      .select(col("doc_id"), col("fp"), col("blk.q"), col("blk.qh"))
-    val cBlocked = blocked(corpus)
+    val cBlocked = fpBlocked(corpus, idCol, fpCol)
     val keep = cBlocked
       .groupBy(col("q"), col("qh"))
       .agg(count(lit(1)).as("_bs"))
       .where(col("_bs") <= maxBucketSize)
       .select(col("q"), col("qh"))
-    val cIndex = cBlocked
+    cBlocked
       .join(keep, Seq("q", "qh"), "left_semi")
       .withColumnRenamed("doc_id", "corpus_id")
       .withColumnRenamed("fp", "fp_c")
-    blocked(delta)
+  }
+
+  /** Delta-side probe of a standing [[fingerprintCorpusIndex]]: zero
+    * corpus work per call, delta blocks join the index key-equi and the
+    * full Hamming distance verifies. Returns (delta_id, corpus_id,
+    * hamming) within `maxHamming`.
+    */
+  def fingerprintsAgainstIndex(
+      index: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3): DataFrame =
+    fpBlocked(delta, idCol, fpCol)
       .withColumnRenamed("doc_id", "delta_id")
       .withColumnRenamed("fp", "fp_d")
-      .join(cIndex, Seq("q", "qh"))
+      .join(index, Seq("q", "qh"))
       .select(
         col("delta_id"),
         col("corpus_id"),
         hamming64(col("fp_d"), col("fp_c")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
-  }
 
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * candidates (same full signature → high cosine with high probability),

@@ -87,6 +87,28 @@ class ImageDHashSpec extends SparkSpec {
     assert(Multimodal.imageDHash(png).contains(want))
   }
 
+  test("fingerprintsAgainstIndex equals brute force: delta probes corpus only, corpus never self-pairs") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map(i => (i, rnd.nextLong())) :+ ((50L, 99L))
+    val delta = (101L to 120L).map(i => (i, rnd.nextLong())) ++
+      Seq((201L, 99L), (202L, 99L ^ 5L)) // planted: exact + Hamming-2 hits
+    val idx = Dedup.fingerprintCorpusIndex(corpus.toDF("id", "fp"), "id", "fp")
+    val got = Dedup.fingerprintsAgainstIndex(idx, delta.toDF("id", "fp"), "id", "fp", maxHamming = 8)
+      .orderBy("delta_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    def bands(v: Long) = (0 until 4).map(q => (q, (v >>> (q * 16)) & 0xffffL))
+    val want = (for {
+      (ic, fc) <- corpus; (id, fd) <- delta
+      if bands(fc).intersect(bands(fd)).nonEmpty
+      hd = java.lang.Long.bitCount(fc ^ fd) if hd <= 8
+    } yield (id, ic, hd)).sortBy(p => (p._1, p._2))
+    assert(got.nonEmpty && got == want)
+    // the planted pairs are found through the standing index
+    assert(got.contains((201L, 50L, 0)) && got.contains((202L, 50L, 2)))
+    // no delta-delta pair can appear: every corpus_id is a corpus id
+    assert(got.forall(_._2 <= 50L))
+  }
+
   test("fingerprintNearDuplicates equals brute force restricted to band-sharing pairs") {
     val rnd = new scala.util.Random(42)
     val fps = (1L to 60L).map(i => (i, rnd.nextLong())) ++
