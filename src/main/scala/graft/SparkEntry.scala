@@ -280,6 +280,7 @@ object SparkEntry {
     "q260_mjpeg_video" -> (Pipeline.mjpegVideoScreen _),
     "q261_image_incremental_dedup" -> (Pipeline.imageIncrementalDedup _),
     "q262_streaming_image_admission" -> (Pipeline.streamingImageAdmission _),
+    "q263_image_fp_cap_report" -> (Pipeline.imageFingerprintCapScreen _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -2635,6 +2636,19 @@ object SparkEntry {
            |SELECT media_id, dec AS decodable,
            |  CASE WHEN dec THEN media_id IN (SELECT delta_id FROM dup) ELSE NULL END AS is_duplicate
            |FROM allneg ORDER BY media_id""".stripMargin),
+    // fingerprint cap diagnostics: the q251 "no silent caps" rule on the
+    // image tier — block-bucket stats at cap 4 (even-d families are over
+    // by construction, odd-d at the cap; pert band-1/3 values far under)
+    "q263_image_fp_cap_report" ->
+      ("WITH " + dhashBitsCtes + ",\n" +
+      raw"""bc AS (SELECT band, bv, CAST(count(*) AS BIGINT) AS bs FROM bandvals GROUP BY band, bv)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bc) AS n_blocks,
+           |  (SELECT max(bs) FROM bc) AS max_bucket,
+           |  (SELECT CAST(coalesce(sum(CASE WHEN bs > 4 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM bc) AS n_dropped_blocks,
+           |  (SELECT CAST(coalesce(sum(CASE WHEN bs > 4 THEN bs ELSE 0 END), 0) AS BIGINT) FROM bc) AS dropped_occurrences,
+           |  (SELECT CAST(COUNT(DISTINCT b.media_id) AS BIGINT)
+           |     FROM bandvals b JOIN bc ON b.band = bc.band AND b.bv = bc.bv AND bc.bs > 4) AS affected_ids""".stripMargin),
     // composed streaming span lifecycle: the two-stage cascade recomputed
     // from scratch — batch-1 verdicts against the corpus-only index, then
     // batch-2 verdicts against the index REBUILT over corpus ∪ admitted₁

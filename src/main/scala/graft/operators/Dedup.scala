@@ -1106,6 +1106,40 @@ object Dedup {
     graft.core.ScalarJoin.withScalars(stats, affected)
   }
 
+  /** What the fingerprint family's quarter-block bucket cap dropped — the
+    * [[sharedSpanCapReport]] "no silent caps" rule applied to the 64-bit
+    * fingerprint tier ([[fingerprintNearDuplicates]] /
+    * [[fingerprintCorpusIndex]]): 16-bit band values SATURATE as the
+    * corpus grows (at billions of rows every band value holds far more
+    * than any workable cap, and capped recall collapses), so a deployment
+    * must be able to SEE the saturation. Reports (n_blocks, max_bucket,
+    * n_dropped_blocks, dropped_occurrences, affected_ids) over the
+    * (quarter, value) buckets at the given cap. Null ids/fingerprints are
+    * excluded exactly as the pair paths exclude them.
+    */
+  def fingerprintCapReport(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxBucketSize: Int = 200): DataFrame = {
+    // two aggregation consumers (bucket stats + affected-id reach) over
+    // one blocking pass — eager (the sharedSpanCapReport discipline)
+    val blocks = graft.core.Caching.eager(fpBlocked(df, idCol, fpCol))
+    val buckets = blocks.groupBy(col("q"), col("qh")).agg(count(lit(1)).as("_bs"))
+    val stats = buckets.agg(
+      count(lit(1)).as("n_blocks"),
+      max(col("_bs")).as("max_bucket"),
+      coalesce(sum(when(col("_bs") > maxBucketSize, 1L).otherwise(0L)),
+        lit(0L)).as("n_dropped_blocks"),
+      coalesce(sum(when(col("_bs") > maxBucketSize, col("_bs"))
+        .otherwise(lit(0L))), lit(0L)).as("dropped_occurrences"))
+    val affected = blocks
+      .join(buckets.where(col("_bs") > maxBucketSize).select(col("q"), col("qh")),
+        Seq("q", "qh"), "left_semi")
+      .agg(count_distinct(col("doc_id")).as("affected_ids"))
+    graft.core.ScalarJoin.withScalars(stats, affected)
+  }
+
   /** Incremental exact dedup: the delta rows whose normalized content does
     * not already exist in the corpus — one anti-join on the content hash,
     * the daily-ingest shape (the corpus side is a precomputed hash index at

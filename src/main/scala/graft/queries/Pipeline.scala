@@ -5501,6 +5501,24 @@ object Pipeline {
     spark.read.parquet(s"$tmp/verdicts").orderBy("media_id")
   }
 
+  /** q263 — fingerprint bucket-cap DIAGNOSTICS
+    * ([[graft.operators.Dedup.fingerprintCapReport]]): the q251 "no
+    * silent caps" rule applied to the image-fingerprint tier. The
+    * quarter-block banding saturates as corpora grow (16-bit band values
+    * → at billions of images every value is over any workable cap and
+    * capped recall collapses silently), so the drop mass must be
+    * observable. Certified at cap 4, where the fixture makes BOTH
+    * branches deterministic at every scale: an even-d family puts 5
+    * members (original + 4 decodable copies) into its shared band-0/2
+    * values (over the cap), an odd-d family 4 (at the cap, kept).
+    */
+  def imageFingerprintCapScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.dhashMediaFromDocuments(Tables(spark, dir).documents)
+    Dedup.fingerprintCapReport(
+      Multimodal.imageDHashes(media), "media_id", "dhash", maxBucketSize = 4)
+  }
+
   /** q256 — INTRA-document repetition report
     * ([[graft.operators.Dedup.selfRepetitionReport]]): maximal spans
     * repeated WITHIN one document, with coverage — the self-repetition
