@@ -281,6 +281,7 @@ object SparkEntry {
     "q261_image_incremental_dedup" -> (Pipeline.imageIncrementalDedup _),
     "q262_streaming_image_admission" -> (Pipeline.streamingImageAdmission _),
     "q263_image_fp_cap_report" -> (Pipeline.imageFingerprintCapScreen _),
+    "q264_audio_fp_dedup" -> (Pipeline.audioPerceptualDedup _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -2649,6 +2650,55 @@ object SparkEntry {
            |  (SELECT CAST(coalesce(sum(CASE WHEN bs > 4 THEN bs ELSE 0 END), 0) AS BIGINT) FROM bc) AS dropped_occurrences,
            |  (SELECT CAST(COUNT(DISTINCT b.media_id) AS BIGINT)
            |     FROM bandvals b JOIN bc ON b.band = bc.band AND b.bv = bc.bv AND bc.bs > 4) AS affected_ids""".stripMargin),
+    // audio perceptual near-dup: waveform -> |amplitude| window sums ->
+    // difference bits -> bands/cap/Hamming, all replayed over the
+    // closed-form slope-keyed |sawtooth| — the oracle checks the window
+    // POOLING arithmetic itself, with gain copies exact by construction
+    "q264_audio_fp_dedup" ->
+      raw"""WITH aud AS (SELECT doc_id AS d FROM documents WHERE doc_id % 103 = 0 AND doc_id > 0),
+           |media AS (
+           |  SELECT d, d AS media_id, 1 AS gain, 0 AS pert FROM aud
+           |  UNION ALL SELECT d, -(4*d+1), 2, 0 FROM aud
+           |  UNION ALL SELECT d, -(4*d+2), 3, 0 FROM aud
+           |  UNION ALL SELECT d, -(4*d+3), 1, 1 FROM aud
+           |  UNION ALL SELECT d, -(4*d), 1, 2 FROM aud WHERE d % 2 = 0),
+           |samp AS (
+           |  SELECT m.media_id, m.d, m.gain, m.pert,
+           |    unnest(generate_series(0, CAST(799 + m.d % 401 AS INTEGER))) AS i
+           |  FROM media m),
+           |vals AS (
+           |  SELECT media_id,
+           |    (i * 65) // (800 + d % 401) AS w,
+           |    ABS((31 * d + (17 + 2 * (d % 23)) * i) % 4096 - 2048) * gain
+           |      * (CASE WHEN pert = 1 AND (i * 65) // (800 + d % 401) IN (29, 59) THEN 3
+           |              WHEN pert = 2 AND ((i * 65) // (800 + d % 401)) % 2 = 1
+           |                AND (((i * 65) // (800 + d % 401)) BETWEEN 17 AND 31
+           |                  OR ((i * 65) // (800 + d % 401)) BETWEEN 49 AND 63) THEN 3
+           |              ELSE 1 END) AS a
+           |  FROM samp),
+           |ws AS (SELECT media_id, w, CAST(SUM(a) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM vals GROUP BY media_id, w),
+           |bits AS (
+           |  SELECT a.media_id, a.w AS m, CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS b
+           |  FROM ws a JOIN ws b ON b.media_id = a.media_id AND b.w = a.w + 1
+           |  WHERE a.w < 64),
+           |bandvals AS (
+           |  SELECT media_id, m // 16 AS band,
+           |    STRING_AGG(CAST(b AS VARCHAR), '' ORDER BY m) AS bv
+           |  FROM bits GROUP BY media_id, m // 16),
+           |okv AS (SELECT band, bv FROM bandvals GROUP BY band, bv HAVING count(*) <= 200),
+           |cand AS (
+           |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+           |  FROM bandvals a
+           |  JOIN okv ON a.band = okv.band AND a.bv = okv.bv
+           |  JOIN bandvals b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+           |ham AS (
+           |  SELECT id_a, id_b, CAST(SUM(ABS(x.b - y.b)) AS BIGINT) AS hamming
+           |  FROM cand JOIN bits x ON x.media_id = id_a
+           |  JOIN bits y ON y.media_id = id_b AND y.m = x.m
+           |  GROUP BY id_a, id_b)
+           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+           |ORDER BY id_a, id_b""".stripMargin,
     // composed streaming span lifecycle: the two-stage cascade recomputed
     // from scratch — batch-1 verdicts against the corpus-only index, then
     // batch-2 verdicts against the index REBUILT over corpus ∪ admitted₁

@@ -794,6 +794,154 @@ object Multimodal {
     spark.createDataFrame(out, audioStatSchema)
   }
 
+  // ---- Perceptual AUDIO fingerprinting: the dHash idea on waveforms —
+  // gain-scaled re-encodes of one clip fingerprint identically (uniform
+  // scaling cancels in the cross-multiplied window-mean comparisons), so
+  // volume-normalized duplicates cluster. Shares the quarter-block
+  // Hamming join with the text/image tiers
+  // ([[graft.operators.Dedup.fingerprintNearDuplicates]]). ----
+
+  /** Closed-form fingerprint-fixture waveform: a |sawtooth| whose SLOPE is
+    * keyed by the id (`17 + 2(d mod 23)` — slope-keying is what
+    * decorrelates window profiles across ids; with a fixed slope, phase
+    * pairs collide: probed 3.4% of id pairs within Hamming 8 before the
+    * keyed slope, 0.37% after, all consistent with the oracle either
+    * way). Values stay within ±2048 so a ×3 perturbation is far from
+    * Short clipping.
+    */
+  def audioFpSample(d: Long)(i: Int): Short =
+    ((31 * d + (17 + 2 * (d % 23)) * i) % 4096 - 2048).toShort
+
+  /** 64-bit perceptual audio fingerprint over REAL decoded 16-bit mono
+    * PCM: mean |amplitude| pooled into 65 windows (`w = 65i div n` floor
+    * pooling), bit `m` set iff window m+1's mean strictly exceeds window
+    * m's — integer cross-multiplication, no division. Uniform gain
+    * scales every window sum equally, so the fingerprint is EXACTLY
+    * gain-invariant. None for undecodable bytes, clips shorter than the
+    * window grid, or past 2^22 samples (keeps the cross-multiply far
+    * from Long overflow).
+    */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.isBigEndian) None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        if (n < 65 || n > (1 << 22)) None
+        else {
+          val sums = new Array[Long](65)
+          val cnts = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+            val w = (i * 65L / n).toInt
+            sums(w) += math.abs(s); cnts(w) += 1L
+            i += 1
+          }
+          var hash = 0L
+          var m = 0
+          while (m < 64) {
+            if (sums(m + 1) * cnts(m) > sums(m) * cnts(m + 1))
+              hash |= 1L << m
+            m += 1
+          }
+          Some(hash)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** The audio-fingerprint perturbation factor for fixture window `w`:
+    * near-copy (`pert = 1`) triples windows 29 and 59 — at most two bits
+    * per window, inside bit bands 1 and 3; far "cousin" (`pert = 2`)
+    * triples the ODD INTERIOR windows of those bands (17–31, 49–63 odd —
+    * interior, because bit 15 compares windows 15 and 16 ACROSS the
+    * band-0/1 boundary, and alternating, because uniformly scaling a
+    * contiguous block cancels in every within-block comparison: probed
+    * cousin distance 0–4 with the uniform block vs 2–16 alternating).
+    * Both variants share bands 0 and 2 with the original — guaranteed
+    * candidates, the q259 construction.
+    */
+  def audioFpPerturb(pert: Int, w: Int): Int = pert match {
+    case 1 if w == 29 || w == 59 => 3
+    case 2 if w % 2 == 1 && ((w >= 17 && w <= 31) || (w >= 49 && w <= 63)) => 3
+    case _ => 1
+  }
+
+  /** Deterministic audio-fingerprint media fixture: every
+    * `doc_id % 103 = 0` (> 0) document becomes a clip family — the
+    * original, ×2 and ×3 gain re-encodes (fingerprint-identical), the
+    * near-copy, and for even ids the far cousin / for odd ids the
+    * document's text bytes (not a WAV: the null-fingerprint row).
+    */
+  def audioFpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      .where(col("doc_id") % 103 === 0 && col("doc_id") > 0)
+      .select("doc_id", "text")
+      .rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val n = audioSamples(d)
+          def clip(gain: Int, pert: Int): Array[Byte] = {
+            val arr = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              val w = (i * 65L / n).toInt
+              arr(i) = (audioFpSample(d)(i) * gain * audioFpPerturb(pert, w)).toShort
+              i += 1
+            }
+            encodeWav(16000, arr)
+          }
+          val last =
+            if (d % 2 == 1) {
+              val garbage = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+              Row(-(4 * d), "audio", garbage, "application/octet-stream",
+                s"synthetic://raw/$d")
+            } else
+              Row(-(4 * d), "audio", clip(1, 2), "audio/wav",
+                s"synthetic://afp/$d?cousin")
+          Seq(
+            Row(d, "audio", clip(1, 0), "audio/wav", s"synthetic://afp/$d"),
+            Row(-(4 * d + 1), "audio", clip(2, 0), "audio/wav", s"synthetic://afp/$d?x2"),
+            Row(-(4 * d + 2), "audio", clip(3, 0), "audio/wav", s"synthetic://afp/$d?x3"),
+            Row(-(4 * d + 3), "audio", clip(1, 1), "audio/wav", s"synthetic://afp/$d?pert"),
+            last)
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = true)))
+
+  /** Batched [[audioFingerprint]] over a media frame: per-partition
+    * decode, undecodable blobs keep their row with a null fingerprint,
+    * blobs never leave the scan.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "audio")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Option(r.getAs[Array[Byte]](1)).flatMap(audioFingerprint) match {
+            case Some(hv) => Row(id, hv)
+            case None     => Row(id, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, audioFpSchema)
+  }
+
   // ---- REAL video tier: uncompressed AVI (RIFF 'AVI ' + BI_RGB DIB
   // frames) parsed pure-JVM — the video sibling of the WAV tier above.
   // javax has no AVI reader, so both sides are hand-written to the RIFF

@@ -5519,6 +5519,33 @@ object Pipeline {
       Multimodal.imageDHashes(media), "media_id", "dhash", maxBucketSize = 4)
   }
 
+  /** q264 — AUDIO perceptual near-dup ([[graft.multimodal.Multimodal
+    * .audioFingerprint]] + [[graft.operators.Dedup
+    * .fingerprintNearDuplicates]]): gain-scaled re-encodes of one clip
+    * fingerprint IDENTICALLY through the real WAV decode → window-pool →
+    * difference-bit path (uniform gain cancels in the cross-multiplied
+    * comparisons — the volume-normalized-duplicate contract), near-copies
+    * land within the Hamming threshold, far cousins are guaranteed
+    * candidates whose distances concentrate past it, and non-WAV blobs
+    * fingerprint to null and are excluded. Probed
+    * pairs/d0/mid/cand-rejected: 25/12/13/7 at sf0.001, 310/147/163/313
+    * at sf0.1 — every branch live at every scale. The oracle replays
+    * waveform→windows→bits→bands→cap→Hamming from the closed-form
+    * |sawtooth| (slope keyed by id), i.e. it independently verifies the
+    * WINDOW POOLING arithmetic over actual sample values, not just an
+    * id-derived pattern. Text, image, and audio near-dup now share one
+    * banded join implementation.
+    */
+  def audioPerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.audioFpMediaFromDocuments(Tables(spark, dir).documents)
+    Dedup.fingerprintNearDuplicates(
+        Multimodal.audioFingerprints(media), "media_id", "afp",
+        maxHamming = 8, maxBucketSize = 200)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q256 — INTRA-document repetition report
     * ([[graft.operators.Dedup.selfRepetitionReport]]): maximal spans
     * repeated WITHIN one document, with coverage — the self-repetition
