@@ -34,7 +34,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g through r17): the r17 driver bench ran the grown
+  // 264-query contract + the 10x scaling pass in one 8g JVM and saturated
+  // GC — unchanged queries drifted 1.48x with 82% of wall in GC (q27),
+  // and the sf1 pass's 10x-sized cached index generations amplified two
+  // streaming queries past the 15x alert line. The host has 125 GiB;
+  // heap headroom is the cheap fix for a measurement harness.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Spark whole-stage codegen emits hundreds of JIT-compiled classes across
   // a 75-query run; the JDK default ReservedCodeCacheSize (240 MB) fills,
   // the JIT throttles/deopts, and hot generated loops fall back to the

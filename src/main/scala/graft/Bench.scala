@@ -246,6 +246,9 @@ object Bench {
     val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_BUDGET", "420").toDouble
     var sf1GenSec = -1.0
     val sf1Walls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-entry (run_ms, cpu_ms, gc_ms, heap_mb-after) — the sf1 twin of
+    // the main pass's telemetry split
+    val sf1Tele = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
     val sf1Skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_bench_sf1")
     if (sf1Enabled) {
@@ -259,27 +262,44 @@ object Bench {
         val reusable = java.nio.file.Files.exists(marker) &&
           java.nio.file.Files.readString(marker).trim == want
         if (!reusable) {
+          // drop any stale marker BEFORE regenerating: if the scale below
+          // dies mid-way (the outer catch swallows it), a surviving
+          // old-base marker would let a later run against that old base
+          // see reusable=true and time queries on a mixed-base, partially
+          // overwritten directory — the exact garbled-ratio scenario the
+          // marker exists to prevent
+          java.nio.file.Files.deleteIfExists(marker)
           val t0 = System.nanoTime()
           ScaleData.scale(spark, sfDir, sf1Dir, copies = 10)
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sf1Dir))
           java.nio.file.Files.writeString(marker, want + "\n")
           sf1GenSec = (System.nanoTime() - t0) / 1e9
         } else sf1GenSec = 0.0 // verified same-base complete generation
+        // selection is still top-K BY COST (the expensive queries are the
+        // scaling risks worth measuring), but execution is CHEAPEST-FIRST:
+        // r17's most-expensive-first order let two blowups (q257 218.6 s,
+        // q121 227.6 s) consume the whole budget and starve 26 of 30
+        // measurements — cheapest-first bounds a blowup's damage to the
+        // tail of the series instead of its head
         val candidates = results
           .collect { case (n, w, _, _, _, _) if w >= 0 => (n, w) }
           .sortBy(-_._2)
+          .take(sf1Top)
+          .sortBy(_._2)
         val fnByName = SparkEntry.queries
         var spent = 0.0
-        candidates.take(sf1Top).foreach { case (name, _) =>
+        candidates.foreach { case (name, _) =>
           if (spent > sf1Budget) sf1Skipped += name
           else {
             // watchdog: a super-linear plan at 10x (the exact regression
             // this pass hunts) must become a recorded -1, not an
             // unbounded driver stall — cancel the query's job group at
             // the smaller of the remaining budget and the per-query cap.
-            // (Streaming micro-batch jobs run on their own threads
-            // outside the group; their queries stop via each operator's
-            // own finally — this guard covers the batch plans.)
+            // Streaming micro-batch jobs run on their own threads outside
+            // the group, where cancelJobGroup cannot reach — the stream
+            // deadline below has the harness stop() those queries at the
+            // same cap, so streaming blowups are bounded too (r17's two
+            // budget-eaters were both streaming-shaped).
             val capSec = math.min(
               sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_QUERY_CAP", "300").toDouble,
               math.max(30.0, sf1Budget - spent))
@@ -289,6 +309,14 @@ object Bench {
             watchdog.schedule(new java.util.TimerTask {
               def run(): Unit = spark.sparkContext.cancelJobGroup(group)
             }, (capSec * 1000).toLong)
+            graft.queries.Pipeline.streamDeadlineNanos =
+              System.nanoTime() + (capSec * 1e9).toLong
+            // per-entry executor telemetry (run/cpu/gc), same split as the
+            // main pass: r17's 16.9x q257 entry carried no gc_ms, so
+            // pressure-vs-plan could not be adjudicated from the artifact
+            listener.settle()
+            val (run0, cpu0, gc0) =
+              (listener.executorRunTimeMs.get, listener.executorCpuTimeMs.get, listener.jvmGcTimeMs.get)
             val t0 = System.nanoTime()
             val ok =
               try { fnByName(name)(spark, sf1Dir).count(); true }
@@ -296,12 +324,18 @@ object Bench {
               finally {
                 watchdog.cancel()
                 spark.sparkContext.clearJobGroup()
+                graft.queries.Pipeline.streamDeadlineNanos = Long.MaxValue
               }
             val wall = (System.nanoTime() - t0) / 1e9
+            listener.settle()
             spark.catalog.clearCache()
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
             graft.queries.Pipeline.reapScratch()
             System.gc()
+            val heapMb = graft.perf.JvmMetrics.snapshot()("heap_mb")
+            sf1Tele += name -> ((listener.executorRunTimeMs.get - run0,
+              listener.executorCpuTimeMs.get - cpu0,
+              listener.jvmGcTimeMs.get - gc0, heapMb))
             sf1Walls += name -> (if (ok) wall else -1.0)
             spent += wall
             Console.err.println(f"bench-sf1: $name ${fmt(wall)}s ok=$ok (spent ${fmt(spent)}s of $sf1Budget%.0f)")
@@ -349,8 +383,11 @@ object Bench {
         s"\"" + k + "\":" + fmt(v / baseWall(k))
     }.mkString("{", ",", "}")
     val sf1SkippedJson = sf1Skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sf1TeleJson = sf1Tele.map { case (k, (run, cpu, gc, heap)) =>
+      s"\"" + k + s"\":{\"run_ms\":$run,\"cpu_ms\":$cpu,\"gc_ms\":$gc,\"heap_mb\":$heap}"
+    }.mkString("{", ",", "}")
     val sf1Json =
-      s"""{"dir":"$sf1Dir","gen_sec":${fmt(sf1GenSec)},"top":$sf1Top,"budget_sec":${fmt(sf1Budget)},"queries":$sf1QJson,"sf_ratio":$sf1RatioJson,"skipped_budget":$sf1SkippedJson}"""
+      s"""{"dir":"$sf1Dir","gen_sec":${fmt(sf1GenSec)},"top":$sf1Top,"budget_sec":${fmt(sf1Budget)},"queries":$sf1QJson,"sf_ratio":$sf1RatioJson,"telemetry":$sf1TeleJson,"skipped_budget":$sf1SkippedJson}"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"adjudication_errors":$adjErrJson,"failed":${errors.size},"warmup_sec":${fmt(warmupSec)},"sentinels":$sentinelJson,"telemetry":$teleJson,"sf1":$sf1Json,"sf":"$sfDir"}"""
     // The full artifact (long names, reps, telemetry) runs ~10 KB — far past

@@ -282,6 +282,7 @@ object SparkEntry {
     "q262_streaming_image_admission" -> (Pipeline.streamingImageAdmission _),
     "q263_image_fp_cap_report" -> (Pipeline.imageFingerprintCapScreen _),
     "q264_audio_fp_dedup" -> (Pipeline.audioPerceptualDedup _),
+    "q265_fp_band_saturation" -> (Pipeline.fingerprintBandSaturationScreen _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -336,7 +337,7 @@ object SparkEntry {
          |  UNION ALL SELECT d, -(4*d+2), 0 FROM imgs
          |  UNION ALL SELECT d, -(4*d+3), 1 FROM imgs
          |  UNION ALL SELECT d, -(4*d), 2 FROM imgs WHERE d % 2 = 0),
-         |ck AS (SELECT k FROM generate_series(0, 72) g(k)),
+         |ck AS (SELECT k FROM generate_series(0, 71) g(k)),
          |lev_a AS (
          |  SELECT m.media_id, m.variant, ck.k,
          |    (m.d * 2654435761 + ck.k * 40503) % 2147483647 AS x1
@@ -2699,6 +2700,71 @@ object SparkEntry {
            |  GROUP BY id_a, id_b)
            |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
            |ORDER BY id_a, id_b""".stripMargin,
+    // band-saturation mitigation: the closed-form 8-quarter fixture
+    // replayed from scratch — xor-multiply mix -> quarter adjustments
+    // (twin bit flip, flood codewords) -> BOTH band geometries (4x16 over
+    // quarters 0-3, 4x32 over quarter pairs) -> global bucket counts ->
+    // cap 4 -> per-quarter Hamming. Even-d families saturate every
+    // 64-bit band the pair shares (7 members > cap) and must vanish from
+    // the fp64 path; the fp128 path must find every family's pair
+    "q265_fp_band_saturation" ->
+      raw"""WITH fams AS (SELECT doc_id AS d FROM documents WHERE doc_id % 53 = 11 AND doc_id > 0),
+           |mem AS (
+           |  SELECT d, CASE WHEN role = 0 THEN d ELSE -(8*d + role) END AS mid, role
+           |  FROM fams, generate_series(0, 6) g(role)
+           |  WHERE role <= CASE WHEN d % 2 = 0 THEN 6 ELSE 3 END),
+           |qk AS (SELECT k FROM generate_series(0, 7) g(k)),
+           |seeds AS (
+           |  SELECT m.d, m.mid, m.role, qk.k,
+           |    CASE WHEN qk.k >= 4 AND m.role >= 2 THEN 8*m.d + m.role ELSE m.d END AS seed
+           |  FROM mem m, qk),
+           |mx1 AS (SELECT mid, role, k, (seed * 2654435761 + k * 40503) % 2147483647 AS x1 FROM seeds),
+           |mx2 AS (SELECT mid, role, k, xor(x1, x1 // 65536) AS x2 FROM mx1),
+           |mx3 AS (SELECT mid, role, k, (x2 * 2246822519) % 2147483629 AS x3 FROM mx2),
+           |base AS (SELECT mid, role, k, xor(x3, x3 // 8192) % 65536 AS bv FROM mx3),
+           |q AS (
+           |  SELECT mid, k,
+           |    CASE WHEN k = 1 AND role = 1 THEN xor(bv, 1)
+           |         WHEN k = 1 AND role >= 2 THEN xor(bv,
+           |           CASE role WHEN 2 THEN 255 WHEN 3 THEN 65280 WHEN 4 THEN 65535
+           |                     WHEN 5 THEN 3855 ELSE 61680 END)
+           |         ELSE bv END AS qv
+           |  FROM base),
+           |bcnt64 AS (SELECT k, qv, COUNT(*) AS n FROM q WHERE k < 4 GROUP BY 1, 2),
+           |pairs64 AS (
+           |  SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
+           |  FROM q a JOIN q b ON a.k = b.k AND a.qv = b.qv AND a.mid < b.mid
+           |  JOIN bcnt64 c ON c.k = a.k AND c.qv = a.qv
+           |  WHERE a.k < 4 AND c.n <= 4),
+           |ham64 AS (
+           |  SELECT p.id_a, p.id_b, SUM(bit_count(xor(qa.qv, qb.qv))) AS hamming
+           |  FROM pairs64 p
+           |  JOIN q qa ON qa.mid = p.id_a AND qa.k < 4
+           |  JOIN q qb ON qb.mid = p.id_b AND qb.k = qa.k
+           |  GROUP BY 1, 2),
+           |bands128 AS (
+           |  SELECT mid, k // 2 AS bk,
+           |    SUM(qv * CASE WHEN k % 2 = 0 THEN 1 ELSE 65536 END) AS bv
+           |  FROM q GROUP BY 1, 2),
+           |bcnt128 AS (SELECT bk, bv, COUNT(*) AS n FROM bands128 GROUP BY 1, 2),
+           |pairs128 AS (
+           |  SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
+           |  FROM bands128 a JOIN bands128 b ON a.bk = b.bk AND a.bv = b.bv AND a.mid < b.mid
+           |  JOIN bcnt128 c ON c.bk = a.bk AND c.bv = a.bv
+           |  WHERE c.n <= 4),
+           |ham128 AS (
+           |  SELECT p.id_a, p.id_b, SUM(bit_count(xor(qa.qv, qb.qv))) AS hamming
+           |  FROM pairs128 p
+           |  JOIN q qa ON qa.mid = p.id_a
+           |  JOIN q qb ON qb.mid = p.id_b AND qb.k = qa.k
+           |  GROUP BY 1, 2),
+           |allp AS (
+           |  SELECT 'fp64' AS path, id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+           |  FROM ham64 WHERE hamming <= 3
+           |  UNION ALL
+           |  SELECT 'fp128', id_a, id_b, CAST(hamming AS BIGINT) FROM ham128 WHERE hamming <= 3)
+           |SELECT path, id_a, id_b, hamming FROM allp
+           |ORDER BY path, id_a, id_b""".stripMargin,
     // composed streaming span lifecycle: the two-stage cascade recomputed
     // from scratch — batch-1 verdicts against the corpus-only index, then
     // batch-2 verdicts against the index REBUILT over corpus ∪ admitted₁

@@ -590,6 +590,7 @@ object Multimodal {
     * Long overflow — 765·(cell area)² at 16384² is ~1e16).
     */
   def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    imageDecodeAttempts.incrementAndGet()
     // ImageIO.read THROWS (not null) on recognized-but-corrupt streams —
     // a truncated PNG must yield the documented null hash, not kill the
     // partition
@@ -628,6 +629,15 @@ object Multimodal {
     }
     Some(hash)
   }
+
+  /** Local-mode test instrumentation: total [[imageDHash]] invocations in
+    * this JVM (executor threads share it under `local[*]`), letting a spec
+    * assert a plan decodes each blob exactly once — decode is the dominant
+    * per-blob cost, so an accidental second scan of an uncached hash frame
+    * doubles real work. One uncontended atomic increment next to a full
+    * image decode is noise; not part of the operator contract.
+    */
+  val imageDecodeAttempts = new java.util.concurrent.atomic.AtomicLong
 
   val dhashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

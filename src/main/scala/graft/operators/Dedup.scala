@@ -1567,6 +1567,122 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
 
+  /** 128-bit Hamming distance over a (hi, lo) two-long fingerprint. */
+  def hamming128(aHi: Column, aLo: Column, bHi: Column, bLo: Column): Column =
+    bit_count(aHi.bitwiseXOR(bHi)) + bit_count(aLo.bitwiseXOR(bLo))
+
+  /** The 4×32-bit band rows of a 128-bit (hi, lo) fingerprint frame —
+    * the band-SATURATION mitigation for the 64-bit family's documented
+    * 100 TB failure mode: a 16-bit band value holds ~N/65536 corpus rows
+    * by birthday alone, so at billions of rows EVERY 64-bit-path band
+    * bucket exceeds any workable cap and capped recall collapses
+    * ([[fingerprintCapReport]] makes that observable; this family
+    * mitigates it). Four 32-bit bands keep the pigeonhole guarantee
+    * (Hamming ≤ 3 ⇒ at least one clean band) while deferring birthday
+    * saturation by a factor of 2^16 — at 4 billion rows a 32-bit band
+    * value still holds ~1 row on average. Callers supply a 128-bit
+    * fingerprint (e.g. a 9×16-grid image dHash, or two independent
+    * 64-bit signatures); null ids and null fingerprint halves are
+    * dropped here so no path can join them.
+    */
+  private def fp128Blocked(
+      df: DataFrame, idCol: String, hiCol: String, loCol: String): DataFrame = df
+    .where(col(hiCol).isNotNull && col(loCol).isNotNull && col(idCol).isNotNull)
+    .select(col(idCol).as("doc_id"), col(hiCol).as("fp_hi"), col(loCol).as("fp_lo"))
+    .select(
+      col("doc_id"),
+      col("fp_hi"),
+      col("fp_lo"),
+      explode(array((0 until 4).map { q =>
+        val word = if (q < 2) col("fp_lo") else col("fp_hi")
+        struct(
+          lit(q).as("q"),
+          shiftright(word, (q % 2) * 32).bitwiseAND(lit(0xffffffffL)).as("qh"))
+      }: _*)).as("blk"))
+    .select(col("doc_id"), col("fp_hi"), col("fp_lo"), col("blk.q"), col("blk.qh"))
+
+  /** [[fingerprintNearDuplicates]] over a 128-bit (hi, lo) fingerprint:
+    * 4×32-bit banding (same ≤3 pigeonhole guarantee, band values 2^16×
+    * more selective — see [[fp128Blocked]]), count-first cap + left-semi,
+    * full 128-bit Hamming verify. Returns (id_a, id_b, hamming),
+    * id_a < id_b.
+    */
+  def fingerprint128NearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      hiCol: String,
+      loCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 200): DataFrame = {
+    val blockedRaw = fp128Blocked(df, idCol, hiCol, loCol)
+    val keepBlocks = blockedRaw
+      .groupBy(col("q"), col("qh"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("q"), col("qh"))
+    val blocked = blockedRaw.join(keepBlocks, Seq("q", "qh"), "left_semi")
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(
+        b,
+        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        hamming128(col("a.fp_hi"), col("a.fp_lo"),
+          col("b.fp_hi"), col("b.fp_lo")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Standing capped 4×32-band index over a 128-bit corpus fingerprint
+    * frame — the [[fingerprintCorpusIndex]] shape with the saturation
+    * mitigation. Probe with [[fingerprints128AgainstIndex]].
+    */
+  def fingerprint128CorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      hiCol: String,
+      loCol: String,
+      maxBucketSize: Int = 200): DataFrame = {
+    val cBlocked = fp128Blocked(corpus, idCol, hiCol, loCol)
+    val keep = cBlocked
+      .groupBy(col("q"), col("qh"))
+      .agg(count(lit(1)).as("_bs"))
+      .where(col("_bs") <= maxBucketSize)
+      .select(col("q"), col("qh"))
+    cBlocked
+      .join(keep, Seq("q", "qh"), "left_semi")
+      .withColumnRenamed("doc_id", "corpus_id")
+      .withColumnRenamed("fp_hi", "fp_hi_c")
+      .withColumnRenamed("fp_lo", "fp_lo_c")
+  }
+
+  /** Delta-side probe of a standing [[fingerprint128CorpusIndex]]: zero
+    * corpus work per call. Returns (delta_id, corpus_id, hamming) within
+    * `maxHamming`.
+    */
+  def fingerprints128AgainstIndex(
+      index: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      hiCol: String,
+      loCol: String,
+      maxHamming: Int = 3): DataFrame =
+    fp128Blocked(delta, idCol, hiCol, loCol)
+      .withColumnRenamed("doc_id", "delta_id")
+      .withColumnRenamed("fp_hi", "fp_hi_d")
+      .withColumnRenamed("fp_lo", "fp_lo_d")
+      .join(index, Seq("q", "qh"))
+      .select(
+        col("delta_id"),
+        col("corpus_id"),
+        hamming128(col("fp_hi_d"), col("fp_lo_d"),
+          col("fp_hi_c"), col("fp_lo_c")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * candidates (same full signature → high cosine with high probability),
     * then exact cosine verifies. Same shuffle shape as the MinHash path —

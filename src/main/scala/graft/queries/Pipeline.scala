@@ -1324,6 +1324,39 @@ object Pipeline {
     }
   }
 
+  /** Hard wall-clock deadline (absolute `System.nanoTime`) for the
+    * certification-stream harnesses below. `Long.MaxValue` (the default,
+    * and the value outside bench scaling passes) means unbounded — the
+    * normal Verify/Bench main-pass behavior. The bench 10× scaling pass
+    * sets it around each candidate: its job-group watchdog cannot cancel
+    * streaming micro-batch jobs (they run on the stream's own threads
+    * outside the group), so without this a super-linear streaming plan at
+    * 10× — the exact regression that pass hunts — would stall the driver
+    * unboundedly instead of becoming a recorded -1. At the deadline the
+    * query is `stop()`ped, `processAllAvailable` unblocks (typically by
+    * throwing), and each operator's own `finally` releases its state.
+    */
+  @volatile private[graft] var streamDeadlineNanos: Long = Long.MaxValue
+
+  /** `query.processAllAvailable()` bounded by [[streamDeadlineNanos]]:
+    * a daemon timer stops the query at the deadline so the wait can never
+    * outlive the harness cap. No-op wrapper when no deadline is set.
+    */
+  private def awaitAllAvailable(
+      query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val deadline = streamDeadlineNanos
+    if (deadline == Long.MaxValue) query.processAllAvailable()
+    else {
+      val remainMs = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+      val timer = new java.util.Timer("graft-stream-deadline", true)
+      timer.schedule(new java.util.TimerTask {
+        def run(): Unit =
+          try query.stop() catch { case scala.util.control.NonFatal(_) => }
+      }, remainMs)
+      try query.processAllAvailable() finally timer.cancel()
+    }
+  }
+
   /** Shared drop-directory harness for the stream-path certifications:
     * write `docs` as parquet drops (`files` > 0 repartitions first),
     * stream them back (`perTrigger` > 0 bounds files per micro-batch; 0
@@ -1348,7 +1381,7 @@ object Pipeline {
       (if (perTrigger > 0) reader.option("maxFilesPerTrigger", perTrigger) else reader)
         .parquet(dropDir)
     val query = startRightSized(spark)(start(stream, tmp))
-    try query.processAllAvailable() finally query.stop()
+    try awaitAllAvailable(query) finally query.stop()
     tmp
   }
 
@@ -1417,7 +1450,7 @@ object Pipeline {
     var query = startRightSized(spark)(start(stream, tmp))
     try drops.zipWithIndex.foreach { case (d, i) =>
       d.coalesce(1).write.mode("append").parquet(dropDir)
-      query.processAllAvailable()
+      awaitAllAvailable(query)
       if (i + 1 == restartAfter) {
         query.stop()
         query = startRightSized(spark)(start(stream, tmp))
@@ -5359,11 +5392,16 @@ object Pipeline {
     val state = new java.util.concurrent.atomic.AtomicReference(
       Dedup.spanIndexState(corpus, "doc_id", "text",
         minSpanTokens = 8, maxBucketSize = 50))
+    // foreachBatch is at-least-once: a retried micro-batch must not re-fold
+    // the same admitted docs (refreshSpanIndex's ids-are-new contract) —
+    // the verdict write is already idempotent (overwrite-by-batchId); this
+    // makes the FOLD idempotent too by skipping batch ids already applied
+    val lastFolded = new java.util.concurrent.atomic.AtomicLong(-1L)
     val tmp =
       try runSequencedDrops(spark, Seq(batch1, batch2), "graft_q257_") { (stream, t) =>
         stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-            if (!batch.isEmpty) {
+            if (!batch.isEmpty && batchId > lastFolded.get()) {
               val cur = state.get()
               val out = s"$t/verdicts/batch=$batchId"
               DocStream.spanAdmissionVerdicts(batch.toDF(), cur.index,
@@ -5386,6 +5424,7 @@ object Pipeline {
                 graft.core.Caching.eager(next.counts))
               cur.index.unpersist(); cur.counts.unpersist()
               state.set(folded)
+              lastFolded.set(batchId)
             }
             ()
           }
@@ -5460,8 +5499,12 @@ object Pipeline {
     * the q253 discipline on the pixel tier) for an at-arrival duplicate
     * verdict: (media_id, decodable, is_duplicate). Undecodable blobs
     * arrive too and must survive as (false, null) rows; per-batch work
-    * is delta-sized (one hash pass probes, one names the verdict — both
-    * over the same micro-batch, nothing persisted per trigger).
+    * is delta-sized and each blob is decoded EXACTLY ONCE per trigger:
+    * the batch's hash frame is persisted for its two consumers (the index
+    * probe and the verdict join) and released before the batch returns —
+    * the only per-trigger persist, pinned to that window by
+    * StreamingLeakSpec. Verdicts write overwrite-by-batchId (idempotent
+    * under foreachBatch's at-least-once retries).
     */
   def streamingImageAdmission(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
@@ -5475,30 +5518,43 @@ object Pipeline {
       try runDroppedStream(spark, arriving, files = 4, perTrigger = 2,
         "graft_q262_") { (stream, t) =>
         stream.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             if (!batch.isEmpty) {
+              // ONE decode pass per micro-batch: the hash frame feeds both
+              // the index probe and the verdict join, so it is persisted
+              // (delta-sized, materialized eagerly — a lazy persist would
+              // let both consumers inline the cold decode) and released
+              // before the batch returns — the per-batch persist+release
+              // window StreamingLeakSpec pins
               val hashes = Multimodal.imageDHashes(batch.toDF())
-              val dups = Dedup
-                .fingerprintsAgainstIndex(index, hashes, "media_id", "dhash",
-                  maxHamming = 8)
-                .select(col("delta_id").as("media_id"))
-                .distinct()
-                .withColumn("_dup", lit(true))
-              hashes.join(dups, Seq("media_id"), "left")
-                .select(
-                  col("media_id"),
-                  col("dhash").isNotNull.as("decodable"),
-                  when(col("dhash").isNull, lit(null).cast("boolean"))
-                    .otherwise(coalesce(col("_dup"), lit(false)))
-                    .as("is_duplicate"))
-                .write.mode("append").parquet(s"$t/verdicts")
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                hashes.count()
+                val dups = Dedup
+                  .fingerprintsAgainstIndex(index, hashes, "media_id", "dhash",
+                    maxHamming = 8)
+                  .select(col("delta_id").as("media_id"))
+                  .distinct()
+                  .withColumn("_dup", lit(true))
+                // overwrite-by-batchId: foreachBatch is at-least-once, and
+                // a retried batch appending a second copy of its verdicts
+                // would double rows — per-batch overwrite is idempotent
+                hashes.join(dups, Seq("media_id"), "left")
+                  .select(
+                    col("media_id"),
+                    col("dhash").isNotNull.as("decodable"),
+                    when(col("dhash").isNull, lit(null).cast("boolean"))
+                      .otherwise(coalesce(col("_dup"), lit(false)))
+                      .as("is_duplicate"))
+                  .write.mode("overwrite").parquet(s"$t/verdicts/batch=$batchId")
+              } finally hashes.unpersist()
             }
             ()
           }
           .option("checkpointLocation", s"$t/checkpoint")
           .start()
       } finally index.unpersist()
-    spark.read.parquet(s"$tmp/verdicts").orderBy("media_id")
+    spark.read.parquet(s"$tmp/verdicts").drop("batch").orderBy("media_id")
   }
 
   /** q263 — fingerprint bucket-cap DIAGNOSTICS
@@ -5544,6 +5600,69 @@ object Pipeline {
         maxHamming = 8, maxBucketSize = 200)
       .withColumn("hamming", col("hamming").cast("long"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** q265 — fingerprint band-SATURATION mitigation
+    * ([[graft.operators.Dedup.fingerprint128NearDuplicates]] vs
+    * [[graft.operators.Dedup.fingerprintNearDuplicates]]): the fix for
+    * the failure mode q263 only diagnoses. On a fixture whose shared
+    * 16-bit band values deterministically exceed the cap, the 4×16-bit
+    * path's capped recall COLLAPSES (every saturated family's planted
+    * pair is lost) while the 4×32-bit path over a 128-bit fingerprint
+    * finds every pair — same pigeonhole guarantee (≤ 3 dirty bits ⇒ a
+    * clean band), band values 2^16× more selective, so birthday
+    * saturation is deferred from ~millions to ~trillions of rows.
+    *
+    * Fixture (closed form over `doc_id`, every value replayed by the
+    * oracle): each family `d` (`d % 53 = 11`) is 8 pseudo-random 16-bit
+    * quarters via the xor-multiply mix (the [[graft.multimodal
+    * .Multimodal.dhashLevel]] form, probed collision-free) — quarters
+    * 0–3 are the 64-bit fingerprint, 4–7 the extension word. The twin
+    * `-(8d+1)` flips ONE bit (quarter 1 / 128-bit band 0); flood members
+    * `-(8d+r)` share quarters 0/2/3 with the original but carry ≥8-bit
+    * q1 codeword offsets and distinct extension words. Even-`d` families
+    * get 5 flood members — every 64-bit band the pair shares holds 7 >
+    * cap 4 and the pair is LOST; odd-`d` control families get 2 — their
+    * shared buckets hold 4 ≤ cap and the pair survives both paths. The
+    * 128-bit path recovers every pair through its clean, 2-member
+    * extension-word bands. Probed found64/found128 (= odd/all families):
+    * 5/10 at sf0.001+sf0.01, 48/95 at sf0.1, 472/944 at sf1;
+    * candidate-rejected 25/25 at sf0.01 — every branch live at every
+    * scale. The oracle replays mix → quarters → bands → global bucket
+    * counts → cap → Hamming from scratch.
+    */
+  def fingerprintBandSaturationScreen(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables(spark, dir).documents
+      .where(col("doc_id") % 53 === 11 && col("doc_id") > 0)
+      .selectExpr("doc_id as d")
+      .selectExpr("d", "explode(sequence(0, case when d % 2 = 0 then 6 else 3 end)) as role")
+      .selectExpr("d", "case when role = 0 then d else -(8*d + role) end as mid", "role")
+      .selectExpr("d", "mid", "role", "explode(sequence(0, 7)) as k")
+      .selectExpr("mid", "role", "k",
+        "case when k >= 4 and role >= 2 then 8*d + role else d end as seed")
+      .selectExpr("mid", "role", "k",
+        "(seed * 2654435761 + k * 40503) % 2147483647 as x1")
+      .selectExpr("mid", "role", "k", "(x1 ^ (x1 div 65536)) as x2")
+      .selectExpr("mid", "role", "k", "(x2 * 2246822519) % 2147483629 as x3")
+      .selectExpr("mid", "role", "k", "((x3 ^ (x3 div 8192)) % 65536) as bv")
+      .selectExpr("mid", "k",
+        """case when k = 1 and role = 1 then bv ^ 1
+                when k = 1 and role >= 2 then bv ^ (case role when 2 then 255
+                  when 3 then 65280 when 4 then 65535 when 5 then 3855
+                  else 61680 end)
+                else bv end as qv""")
+      .groupBy("mid")
+      .agg(
+        expr("bit_or(case when k < 4 then shiftleft(qv, 16 * k) else 0L end)").as("fp_lo"),
+        expr("bit_or(case when k >= 4 then shiftleft(qv, 16 * (k - 4)) else 0L end)").as("fp_hi"))
+    val p64 = Dedup.fingerprintNearDuplicates(
+        fps.select(col("mid"), col("fp_lo").as("fp64")), "mid", "fp64",
+        maxHamming = 3, maxBucketSize = 4)
+      .selectExpr("'fp64' as path", "id_a", "id_b", "cast(hamming as bigint) as hamming")
+    val p128 = Dedup.fingerprint128NearDuplicates(
+        fps, "mid", "fp_hi", "fp_lo", maxHamming = 3, maxBucketSize = 4)
+      .selectExpr("'fp128' as path", "id_a", "id_b", "cast(hamming as bigint) as hamming")
+    p64.unionByName(p128).orderBy("path", "id_a", "id_b")
   }
 
   /** q256 — INTRA-document repetition report

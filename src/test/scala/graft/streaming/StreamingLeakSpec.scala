@@ -156,6 +156,97 @@ class StreamingLeakSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.keySet.toSet == baseline)
   }
 
+  test("image admission stream: one decode pass per batch, per-batch persist released") {
+    // the q262 foreachBatch body — per-batch hash frame persisted ONCE for
+    // its two consumers (index probe + verdict join) and released before
+    // the batch returns. Pins BOTH halves of the r17 double-decode fix:
+    // (a) decode count per micro-batch == image rows in the batch (each
+    // blob decoded exactly once — an uncached hash frame feeding two
+    // consumers would decode every blob twice), and (b) the persisted-RDD
+    // set returns to exactly {standing index} after every batch (the
+    // per-batch persist is a WINDOW, not a leak).
+    import graft.multimodal.Multimodal
+    val sc = spark.sparkContext
+    def media(id: Long, content: Array[Byte]) =
+      org.apache.spark.sql.Row(id, "image", content, "image/png", s"synthetic://leak/$id")
+    def png(seed: Int): Array[Byte] =
+      Multimodal.encodePng(18, 16, (x, y) => {
+        val g = 15 + 25 * (((x / 2) + 9 * (y / 2) + seed) % 8)
+        (g, g, g)
+      })
+    val corpusRows = (1L to 6L).map(i => media(i, png(i.toInt)))
+    val corpus = spark.createDataFrame(
+      sc.parallelize(corpusRows, 2), Multimodal.mediaSchema)
+    val index = graft.core.Caching.eager(
+      Dedup.fingerprintCorpusIndex(Multimodal.imageDHashes(corpus),
+        "media_id", "dhash", maxBucketSize = 200))
+    val withIndex = sc.getPersistentRDDs.keySet.toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak-img").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-leak-img-sink").toString
+    // 3 drops × (one decodable duplicate-of-corpus + one garbage blob)
+    (0 until 3).foreach { i =>
+      val rows = Seq(
+        media(100L + i, png(i + 1)),
+        media(200L + i, s"not an image $i".getBytes("UTF-8")))
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-leak-img-stage").resolve("out").toString
+      spark.createDataFrame(sc.parallelize(rows, 1), Multimodal.mediaSchema)
+        .coalesce(1).write.parquet(staging)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$dir/media-$i.parquet"))
+    }
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var batches = 0
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-leak-img-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val rows = batch.count()
+        val decodes0 = Multimodal.imageDecodeAttempts.get()
+        val hashes = Multimodal.imageDHashes(batch.toDF())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          hashes.count()
+          val dups = Dedup
+            .fingerprintsAgainstIndex(index, hashes, "media_id", "dhash", maxHamming = 8)
+            .select(col("delta_id").as("media_id")).distinct()
+            .withColumn("_dup", lit(true))
+          val during = sc.getPersistentRDDs.keySet.toSet
+          if ((during -- withIndex).size != 1)
+            failures += s"batch $batchId: expected exactly the hash-frame persist, got +${during -- withIndex}"
+          hashes.join(dups, Seq("media_id"), "left")
+            .select(col("media_id"), col("dhash").isNotNull.as("decodable"),
+              when(col("dhash").isNull, lit(null).cast("boolean"))
+                .otherwise(coalesce(col("_dup"), lit(false))).as("is_duplicate"))
+            .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+        } finally hashes.unpersist()
+        val decodes = Multimodal.imageDecodeAttempts.get() - decodes0
+        if (decodes != rows)
+          failures += s"batch $batchId: $rows blobs but $decodes decode attempts (must be exactly one per blob)"
+        val after = sc.getPersistentRDDs.keySet.toSet
+        if (after != withIndex)
+          failures += s"batch $batchId left persists beyond the standing index: +${after -- withIndex} -${withIndex -- after}"
+        batches += 1
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"expected 3+ micro-batches, got $batches")
+    assert(failures.isEmpty, failures.mkString("\n"))
+    val verdicts = spark.read.parquet(sink).drop("batch")
+    val byId = verdicts.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toMap
+    (0 until 3).foreach { i =>
+      assert(byId(100L + i) == ((true, Some(true))), s"dup verdict for ${100 + i}: ${byId(100L + i)}")
+      assert(byId(200L + i) == ((false, None)), s"garbage verdict for ${200 + i}: ${byId(200L + i)}")
+    }
+    index.unpersist()
+  }
+
   test("sharedSpansIncrementalFromIndex equals the one-shot sharedSpansIncremental") {
     val corpus = (1L to 25L)
       .map(i => (i, (0 until 24).map(j => s"t${(i * 5 + j) % 17}").mkString(" ")))
