@@ -283,6 +283,8 @@ object SparkEntry {
     "q263_image_fp_cap_report" -> (Pipeline.imageFingerprintCapScreen _),
     "q264_audio_fp_dedup" -> (Pipeline.audioPerceptualDedup _),
     "q265_fp_band_saturation" -> (Pipeline.fingerprintBandSaturationScreen _),
+    "q266_video_clip_dedup" -> (Pipeline.videoClipDedup _),
+    "q267_streaming_audio_admission" -> (Pipeline.streamingAudioAdmission _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -2765,6 +2767,127 @@ object SparkEntry {
            |  SELECT 'fp128', id_a, id_b, CAST(hamming AS BIGINT) FROM ham128 WHERE hamming <= 3)
            |SELECT path, id_a, id_b, hamming FROM allp
            |ORDER BY path, id_a, id_b""".stripMargin,
+    // video clip near-dup: closed-form cell levels -> per-frame dHash
+    // bits -> per-bit MAJORITY over the clip -> bands/cap/Hamming, all
+    // replayed from the id arithmetic — container-independence (raw AVI
+    // vs MJPEG encode the same levels) makes the cross-container pairs
+    // land at Hamming 0 in both engines
+    "q266_video_clip_dedup" ->
+      raw"""WITH vids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 109 = 0 AND doc_id > 0),
+           |media AS (
+           |  SELECT d, d AS media_id, 0 AS v FROM vids
+           |  UNION ALL SELECT d, -(4*d+1), 1 FROM vids
+           |  UNION ALL SELECT d, -(4*d+2), 2 FROM vids
+           |  UNION ALL SELECT d, -(4*d+3), 3 FROM vids
+           |  UNION ALL SELECT d, -(4*d), 4 FROM vids WHERE d % 2 = 0),
+           |fr AS (
+           |  SELECT media_id, d, v, unnest(generate_series(0, CAST(4 + 2*(d % 3) AS INTEGER))) AS t
+           |  FROM media),
+           |ck AS (SELECT k FROM generate_series(0, 71) g(k)),
+           |lv1 AS (
+           |  SELECT f.media_id, f.d, f.v, f.t, ck.k,
+           |    ((31*f.d + f.t) * 2654435761 + ck.k * 40503) % 2147483647 AS x1
+           |  FROM fr f, ck),
+           |lv2 AS (SELECT media_id, d, v, t, k, xor(x1, x1 // 65536) AS x2 FROM lv1),
+           |lv3 AS (SELECT media_id, d, v, t, k, (x2 * 2246822519) % 2147483629 AS x3 FROM lv2),
+           |lvm AS (SELECT media_id, d, v, t, k, xor(x3, x3 // 8192) % 4 AS m4 FROM lv3),
+           |adj AS (
+           |  SELECT media_id, d, t, k,
+           |    2 * xor(
+           |      CASE WHEN v = 2 AND k IN (29, 59) THEN xor(m4, 1) ELSE m4 END,
+           |      CASE WHEN ((v = 2 AND t = 0) OR v IN (3, 4))
+           |             AND (k // 9) IN (2, 3, 6, 7) AND (k % 9) % 2 = 1
+           |           THEN 2 ELSE 0 END) + (k % 2) AS lv
+           |  FROM lvm),
+           |bits AS (
+           |  SELECT a.media_id, a.d, a.t, (a.k // 9) * 8 + (a.k % 9) AS m,
+           |    CASE WHEN b.lv > a.lv THEN 1 ELSE 0 END AS b
+           |  FROM adj a JOIN adj b
+           |    ON a.media_id = b.media_id AND a.t = b.t AND b.k = a.k + 1
+           |  WHERE a.k % 9 < 8),
+           |maj AS (
+           |  SELECT media_id, m,
+           |    CASE WHEN 2 * SUM(b) > MAX(5 + 2*(d % 3)) THEN 1 ELSE 0 END AS b
+           |  FROM bits GROUP BY media_id, m),
+           |bandvals AS (
+           |  SELECT media_id, m // 16 AS band,
+           |    STRING_AGG(CAST(b AS VARCHAR), '' ORDER BY m) AS bv
+           |  FROM maj GROUP BY media_id, m // 16),
+           |okv AS (SELECT band, bv FROM bandvals GROUP BY band, bv HAVING count(*) <= 200),
+           |cand AS (
+           |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+           |  FROM bandvals a
+           |  JOIN okv ON a.band = okv.band AND a.bv = okv.bv
+           |  JOIN bandvals b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+           |ham AS (
+           |  SELECT id_a, id_b, CAST(SUM(ABS(x.b - y.b)) AS BIGINT) AS hamming
+           |  FROM cand JOIN maj x ON x.media_id = id_a
+           |  JOIN maj y ON y.media_id = id_b AND y.m = x.m
+           |  GROUP BY id_a, id_b)
+           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+           |ORDER BY id_a, id_b""".stripMargin,
+    // streaming audio admission: the q264 waveform->windows->bits chain,
+    // split corpus/arriving — arriving fingerprints probe the capped
+    // corpus band index for an at-arrival verdict; odd-family text rows
+    // are the undecodable (false, null) branch
+    "q267_streaming_audio_admission" ->
+      raw"""WITH aud AS (SELECT doc_id AS d FROM documents WHERE doc_id % 103 = 0 AND doc_id > 0),
+           |media AS (
+           |  SELECT d, d AS media_id, 1 AS gain, 0 AS pert FROM aud
+           |  UNION ALL SELECT d, -(4*d+1), 2, 0 FROM aud
+           |  UNION ALL SELECT d, -(4*d+2), 3, 0 FROM aud
+           |  UNION ALL SELECT d, -(4*d+3), 1, 1 FROM aud
+           |  UNION ALL SELECT d, -(4*d), 1, 2 FROM aud WHERE d % 2 = 0),
+           |samp AS (
+           |  SELECT m.media_id, m.d, m.gain, m.pert,
+           |    unnest(generate_series(0, CAST(799 + m.d % 401 AS INTEGER))) AS i
+           |  FROM media m),
+           |vals AS (
+           |  SELECT media_id,
+           |    (i * 65) // (800 + d % 401) AS w,
+           |    ABS((31 * d + (17 + 2 * (d % 23)) * i) % 4096 - 2048) * gain
+           |      * (CASE WHEN pert = 1 AND (i * 65) // (800 + d % 401) IN (29, 59) THEN 3
+           |              WHEN pert = 2 AND ((i * 65) // (800 + d % 401)) % 2 = 1
+           |                AND (((i * 65) // (800 + d % 401)) BETWEEN 17 AND 31
+           |                  OR ((i * 65) // (800 + d % 401)) BETWEEN 49 AND 63) THEN 3
+           |              ELSE 1 END) AS a
+           |  FROM samp),
+           |ws AS (SELECT media_id, w, CAST(SUM(a) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM vals GROUP BY media_id, w),
+           |bits AS (
+           |  SELECT a.media_id, a.w AS m, CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS b
+           |  FROM ws a JOIN ws b ON b.media_id = a.media_id AND b.w = a.w + 1
+           |  WHERE a.w < 64),
+           |bandvals AS (
+           |  SELECT media_id, m // 16 AS band,
+           |    STRING_AGG(CAST(b AS VARCHAR), '' ORDER BY m) AS bv
+           |  FROM bits GROUP BY media_id, m // 16),
+           |corpusbv AS (SELECT * FROM bandvals WHERE media_id >= 0),
+           |okv AS (SELECT band, bv FROM corpusbv GROUP BY band, bv HAVING count(*) <= 200),
+           |arrbv AS (SELECT * FROM bandvals WHERE media_id < 0),
+           |cand AS (
+           |  SELECT DISTINCT a.media_id AS aid, c.media_id AS cid
+           |  FROM arrbv a
+           |  JOIN okv ON a.band = okv.band AND a.bv = okv.bv
+           |  JOIN corpusbv c ON c.band = a.band AND c.bv = a.bv),
+           |ham AS (
+           |  SELECT aid, cid, SUM(ABS(x.b - y.b)) AS hamming
+           |  FROM cand JOIN bits x ON x.media_id = aid
+           |  JOIN bits y ON y.media_id = cid AND y.m = x.m
+           |  GROUP BY aid, cid),
+           |dup AS (SELECT DISTINCT aid FROM ham WHERE hamming <= 8),
+           |arrivals AS (
+           |  SELECT -(4*d + r.r) AS media_id FROM aud, generate_series(1, 3) r(r)
+           |  UNION ALL SELECT -(4*d) FROM aud),
+           |dec AS (SELECT media_id FROM media WHERE media_id < 0)
+           |SELECT a.media_id,
+           |  (dec.media_id IS NOT NULL) AS decodable,
+           |  CASE WHEN dec.media_id IS NULL THEN NULL
+           |       ELSE (dup.aid IS NOT NULL) END AS is_duplicate
+           |FROM arrivals a
+           |LEFT JOIN dec ON dec.media_id = a.media_id
+           |LEFT JOIN dup ON dup.aid = a.media_id
+           |ORDER BY a.media_id""".stripMargin,
     // composed streaming span lifecycle: the two-stage cascade recomputed
     // from scratch — batch-1 verdicts against the corpus-only index, then
     // batch-2 verdicts against the index REBUILT over corpus ∪ admitted₁

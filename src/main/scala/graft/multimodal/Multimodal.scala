@@ -1486,6 +1486,228 @@ object Multimodal {
     spark.createDataFrame(out, mjpegDeviationSchema)
   }
 
+  // ---- Clip-level perceptual signature (video near-dup tier): per-frame
+  // dHash pooled to ONE 64-bit signature by per-bit majority vote over
+  // the clip's frames, so the signature flows through the SAME
+  // fingerprint family joins as text/image/audio. Container-agnostic by
+  // construction: a raw BI_RGB frame pools its exact DIB pixels, an
+  // MJPEG frame decodes its JPEG blob through [[imageDHash]] — the same
+  // content in either container yields the same per-frame bits (the
+  // fixture's cell levels always differ between horizontally adjacent
+  // cells by ≥ 30 gray, vs the probed ≤ ±2 JPEG-q0.95 deviation, so no
+  // comparison can flip), hence the same clip signature. ----
+
+  /** [[imageDHash]]'s 9×8 pooling over one bottom-up BGR24 DIB frame in
+    * place — the raw-AVI frame twin of the JPEG path, so both containers
+    * pool through identical comparison arithmetic.
+    */
+  private def dibFrameDHash(
+      bytes: Array[Byte], off: Int, width: Int, height: Int): Option[Long] = {
+    if (width < 9 || height < 8 || width > 16384 || height > 16384) return None
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val sums = Array.ofDim[Long](8, 9)
+    val areas = Array.ofDim[Long](8, 9)
+    var dy = 0
+    while (dy < height) {
+      val y = height - 1 - dy // bottom-up DIB row -> image row
+      val j = y * 8 / height
+      var x = 0
+      while (x < width) {
+        val i = x * 9 / width
+        val base = off + dy * rowBytes + x * 3
+        sums(j)(i) += (bytes(base) & 0xff).toLong +
+          (bytes(base + 1) & 0xff).toLong + (bytes(base + 2) & 0xff).toLong
+        areas(j)(i) += 1L
+        x += 1
+      }
+      dy += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (sums(j)(i + 1) * areas(j)(i) > sums(j)(i) * areas(j)(i + 1))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    Some(hash)
+  }
+
+  /** 64-bit clip signature of a REAL AVI (BI_RGB or MJPEG): per-frame
+    * dHash ([[dibFrameDHash]] for raw DIB chunks, [[imageDHash]] over
+    * each self-contained JPEG for MJPEG chunks), pooled per bit by
+    * STRICT majority over the clip's frames (ties → 0; the fixture keeps
+    * frame counts odd so the vote is never tied). The majority vote is
+    * what makes the signature robust to a minority of altered frames —
+    * a retouched title frame does not move the clip's identity. None
+    * for undecodable containers, non-AVI bytes, unsupported streams, or
+    * any frame that fails to decode (a clip identity built from half the
+    * frames would silently compare unequal content).
+    */
+  def videoClipSignature(bytes: Array[Byte]): Option[Long] =
+    parseAvi(bytes).flatMap { case (w, h, _, comp, frames) =>
+      val hashes = frames.map { case (off, sz) =>
+        if (comp == 0) dibFrameDHash(bytes, off, w, h)
+        else imageDHash(java.util.Arrays.copyOfRange(bytes, off, off + sz))
+      }
+      if (hashes.exists(_.isEmpty)) None
+      else {
+        val hs = hashes.map(_.get)
+        val n = hs.size
+        var sig = 0L
+        var m = 0
+        while (m < 64) {
+          var c = 0
+          hs.foreach(hv => if (((hv >> m) & 1L) == 1L) c += 1)
+          if (2 * c > n) sig |= 1L << m
+          m += 1
+        }
+        Some(sig)
+      }
+    }
+
+  val clipSigSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("vsig", LongType, nullable = true)))
+
+  /** Batched [[videoClipSignature]] over a media frame: per-partition
+    * decode, undecodable blobs keep their row with a null signature,
+    * blobs never leave the scan — only the 8-byte signature flows into
+    * the dedup join.
+    */
+  def videoClipSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "video")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Option(r.getAs[Array[Byte]](1)).flatMap(videoClipSignature) match {
+            case Some(hv) => Row(id, hv)
+            case None     => Row(id, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, clipSigSchema)
+  }
+
+  /** Clip-fixture geometry: fixed 18×16 (2×2-pixel cells of the 9×8
+    * pooling grid — exact block pooling, and smoother than the
+    * pixel-checkerboard worst case the JPEG bound was probed on) and an
+    * ODD frame count `5 + 2(d mod 3)` so the majority vote never ties.
+    */
+  val ClipW = 18
+  val ClipH = 16
+  def clipFrames(d: Long): Int = (5 + 2 * (d % 3)).toInt
+
+  /** Closed-form clip cell level for frame `t`, cell `k` of family `d`:
+    * the xor-multiply mix (seed `31d + t` — injective per (family,
+    * frame) since t < 31) reduced mod 4, doubled, plus a column-parity
+    * bit — so horizontally ADJACENT cells always carry different levels
+    * (even vs odd), every dHash comparison is strict with ≥ 30 gray of
+    * margin, and the per-frame bits survive the MJPEG round-trip
+    * bit-identically (probed JPEG-q0.95 deviation ≤ ±2).
+    */
+  def clipLevel(d: Long, t: Int, k: Int): Int = {
+    val x1 = ((31L * d + t) * 2654435761L + k * 40503L) % 2147483647L
+    val x2 = x1 ^ (x1 / 65536L)
+    val x3 = (x2 * 2246822519L) % 2147483629L
+    val m4 = ((x3 ^ (x3 / 8192L)) % 4L).toInt
+    2 * m4 + (k % 2)
+  }
+
+  /** Near-copy cells (29 and 59 — grid rows 3 and 6, so every flipped
+    * bit lands in bands 1/3 and the copy always shares bands 0/2 with
+    * its original) and "cousin" cells (odd interior columns of rows
+    * 2/3/6/7 — alternating, because uniformly scaling a contiguous block
+    * cancels in every within-block comparison).
+    */
+  def clipCellIsNear(k: Int): Boolean = k == 29 || k == 59
+  def clipCellIsCousin(k: Int): Boolean = {
+    val r = k / 9; val c = k % 9
+    (r == 2 || r == 3 || r == 6 || r == 7) && c % 2 == 1
+  }
+
+  /** [[clipLevel]] with the variant adjustment applied to the mod-4 mix
+    * value (parity bit preserved, so adjacent-cell strictness holds for
+    * every variant): variant 2 is the near-copy (near cells ±2 levels in
+    * EVERY frame) carrying a minority cousin frame at `t = 0` — one
+    * heavily-altered frame among ≥ 5 that the majority vote must
+    * discard; variants 3/4 are the far cousin in every frame.
+    */
+  def clipVariantLevel(d: Long, variant: Int, t: Int, k: Int): Int = {
+    val x1 = ((31L * d + t) * 2654435761L + k * 40503L) % 2147483647L
+    val x2 = x1 ^ (x1 / 65536L)
+    val x3 = (x2 * 2246822519L) % 2147483629L
+    var m4 = ((x3 ^ (x3 / 8192L)) % 4L).toInt
+    if (variant == 2 && clipCellIsNear(k)) m4 ^= 1
+    if (((variant == 2 && t == 0) || variant == 3 || variant == 4) &&
+      clipCellIsCousin(k)) m4 ^= 2
+    2 * m4 + (k % 2)
+  }
+
+  /** Deterministic clip-dedup media fixture: every `doc_id % 109 = 0`
+    * (> 0) document becomes a clip family —
+    *   - `d`: the original as a raw BI_RGB AVI ([[encodeAvi]]);
+    *   - `-(4d+1)`: THE SAME frames as MJPEG-in-AVI ([[encodeAviMjpeg]])
+    *     — the cross-container duplicate, signature-identical through
+    *     two entirely different codec paths;
+    *   - `-(4d+2)`: raw near-copy (variant 2 — plus the minority cousin
+    *     frame the majority vote discards);
+    *   - `-(4d+3)`: MJPEG cousin (variant 3) — candidate by band
+    *     construction, concentrated past the Hamming threshold;
+    *   - `-4d`: even `d` a RAW cousin (variant 4 — signature-identical
+    *     to the MJPEG cousin: a second cross-container pair); odd `d`
+    *     the document's text bytes (not an AVI: the null-signature row).
+    */
+  def clipMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      .where(col("doc_id") % 109 === 0 && col("doc_id") > 0)
+      .select("doc_id", "text")
+      .rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val nf = clipFrames(d)
+          def frames(variant: Int): Seq[(Int, Int) => (Int, Int, Int)] =
+            (0 until nf).map { t => (x: Int, y: Int) =>
+              val k = (y / (ClipH / 8)) * 9 + x / (ClipW / 9)
+              val g = 20 + 30 * clipVariantLevel(d, variant, t, k)
+              (g, g, g)
+            }
+          val last =
+            if (d % 2 == 1) {
+              val garbage = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+              Row(-(4 * d), "video", garbage, "application/octet-stream",
+                s"synthetic://raw/$d")
+            } else
+              Row(-(4 * d), "video",
+                encodeAvi(ClipW, ClipH, VideoFps, frames(4)),
+                "video/x-msvideo", s"synthetic://clip/$d?cousin-raw")
+          Seq(
+            Row(d, "video", encodeAvi(ClipW, ClipH, VideoFps, frames(0)),
+              "video/x-msvideo", s"synthetic://clip/$d"),
+            Row(-(4 * d + 1), "video",
+              encodeAviMjpeg(ClipW, ClipH, VideoFps, frames(0)),
+              "video/x-msvideo", s"synthetic://clip/$d?mjpeg"),
+            Row(-(4 * d + 2), "video",
+              encodeAvi(ClipW, ClipH, VideoFps, frames(2)),
+              "video/x-msvideo", s"synthetic://clip/$d?near"),
+            Row(-(4 * d + 3), "video",
+              encodeAviMjpeg(ClipW, ClipH, VideoFps, frames(3)),
+              "video/x-msvideo", s"synthetic://clip/$d?cousin-mjpeg"),
+            last)
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
   /** Batched REAL decode over a video media frame — the
     * [[audioWaveformStats]] shape for AVI blobs: per-partition decode,
     * undecodable/null blobs keep their row with null stats, blobs never

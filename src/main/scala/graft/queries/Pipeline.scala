@@ -5602,6 +5602,96 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** q267 — STREAMING audio admission: the q262 discipline on the audio
+    * tier. The standing capped corpus index ([[graft.operators.Dedup
+    * .fingerprintCorpusIndex]] over the ORIGINAL clips' gain-invariant
+    * fingerprints) is built + cached ONCE outside the stream; per
+    * micro-batch, every arriving audio blob is decoded ONCE (the batch's
+    * fingerprint frame is persisted for its two consumers — index probe
+    * and verdict join — and released before the batch returns), probed,
+    * and written as an at-arrival verdict (media_id, decodable,
+    * is_duplicate), overwrite-by-batchId (idempotent under
+    * at-least-once retries). Undecodable blobs (the odd-family text
+    * rows) survive as (false, null); gain re-encodes and near-copies
+    * verdict true, far cousins past the threshold false — probed
+    * true/false/null: 12/2/2 at sf0.001+sf0.01, 144/24/24 at sf0.1,
+    * 1454/240/242 at sf1: every branch live at every scale.
+    */
+  def streamingAudioAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.audioFpMediaFromDocuments(Tables(spark, dir).documents)
+    val index = graft.core.Caching.eager(
+      Dedup.fingerprintCorpusIndex(
+        Multimodal.audioFingerprints(media.where(col("media_id") >= 0)),
+        "media_id", "afp", maxBucketSize = 200))
+    val arriving = media.where(col("media_id") < 0)
+    val tmp =
+      try runDroppedStream(spark, arriving, files = 4, perTrigger = 2,
+        "graft_q267_") { (stream, t) =>
+        stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val fps = Multimodal.audioFingerprints(batch.toDF())
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                fps.count()
+                val dups = Dedup
+                  .fingerprintsAgainstIndex(index, fps, "media_id", "afp",
+                    maxHamming = 8)
+                  .select(col("delta_id").as("media_id"))
+                  .distinct()
+                  .withColumn("_dup", lit(true))
+                fps.join(dups, Seq("media_id"), "left")
+                  .select(
+                    col("media_id"),
+                    col("afp").isNotNull.as("decodable"),
+                    when(col("afp").isNull, lit(null).cast("boolean"))
+                      .otherwise(coalesce(col("_dup"), lit(false)))
+                      .as("is_duplicate"))
+                  .write.mode("overwrite").parquet(s"$t/verdicts/batch=$batchId")
+              } finally fps.unpersist()
+            }
+            ()
+          }
+          .option("checkpointLocation", s"$t/checkpoint")
+          .start()
+      } finally index.unpersist()
+    spark.read.parquet(s"$tmp/verdicts").drop("batch").orderBy("media_id")
+  }
+
+  /** q266 — VIDEO perceptual near-dup ([[graft.multimodal.Multimodal
+    * .videoClipSignature]] + [[graft.operators.Dedup
+    * .fingerprintNearDuplicates]]): per-frame dHash pooled to a
+    * clip-level 64-bit signature by strict per-bit MAJORITY over the
+    * clip's frames, then joined through the same fingerprint family as
+    * text/image/audio. The certification only this repo can run:
+    * the SAME closed-form content planted as BOTH a raw BI_RGB AVI
+    * (q252 encoder) and MJPEG-in-AVI (q260 encoder) MUST collide at
+    * Hamming 0 — two entirely different codec paths (exact DIB pixel
+    * pooling vs per-frame javax.imageio JPEG decode) converging on one
+    * identity (probed cc pairs 4/4, 45/45, 457/457 families at
+    * sf0.001/0.1/1, plus a second raw↔MJPEG cousin pair per even
+    * family). The near-copy variant also carries ONE heavily-altered
+    * minority frame the majority vote must discard (first-frame or
+    * OR-pooling would push it past the threshold — the vote is
+    * load-bearing, certified by the oracle's replay of it). Non-AVI
+    * blobs signature to null and are excluded. Probed
+    * pairs/d0/mid/cand-rejected: 14/6/8/18 at sf0.001+sf0.01,
+    * 171/69/102/369 at sf0.1, 1917/701/1216/13925 at sf1 — every branch
+    * live at every scale. The oracle replays levels → per-frame bits →
+    * majority → bands → cap → Hamming from the closed form; blobs never
+    * shuffle (only the 8-byte signature enters the join).
+    */
+  def videoClipDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.clipMediaFromDocuments(Tables(spark, dir).documents)
+    Dedup.fingerprintNearDuplicates(
+        Multimodal.videoClipSignatures(media), "media_id", "vsig",
+        maxHamming = 8, maxBucketSize = 200)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q265 — fingerprint band-SATURATION mitigation
     * ([[graft.operators.Dedup.fingerprint128NearDuplicates]] vs
     * [[graft.operators.Dedup.fingerprintNearDuplicates]]): the fix for
