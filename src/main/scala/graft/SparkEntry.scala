@@ -285,6 +285,7 @@ object SparkEntry {
     "q265_fp_band_saturation" -> (Pipeline.fingerprintBandSaturationScreen _),
     "q266_video_clip_dedup" -> (Pipeline.videoClipDedup _),
     "q267_streaming_audio_admission" -> (Pipeline.streamingAudioAdmission _),
+    "q268_image_dhash128_dedup" -> (Pipeline.imagePerceptualDedup128 _),
   )
 
   /** The decodable-video CTE shared by the q252/q255 oracles: geometry
@@ -2888,6 +2889,55 @@ object SparkEntry {
            |LEFT JOIN dec ON dec.media_id = a.media_id
            |LEFT JOIN dup ON dup.aid = a.media_id
            |ORDER BY a.media_id""".stripMargin,
+    // 128-bit image near-dup: the q259 replay doubled to the 9x16 grid —
+    // closed-form 8-level cells -> 144 cells -> 128 difference bits ->
+    // 4x32-bit band values -> cap -> Hamming, certifying the mitigation's
+    // image-tier producer including its banding
+    "q268_image_dhash128_dedup" ->
+      raw"""WITH imgs AS (SELECT doc_id AS d FROM documents WHERE doc_id % 113 = 0 AND doc_id > 0),
+           |media AS (
+           |  SELECT d, d AS media_id, 0 AS variant FROM imgs
+           |  UNION ALL SELECT d, -(4*d+1), 0 FROM imgs
+           |  UNION ALL SELECT d, -(4*d+2), 0 FROM imgs
+           |  UNION ALL SELECT d, -(4*d+3), 1 FROM imgs
+           |  UNION ALL SELECT d, -(4*d), 2 FROM imgs WHERE d % 2 = 0),
+           |ck AS (SELECT k FROM generate_series(0, 143) g(k)),
+           |lev_a AS (
+           |  SELECT m.media_id, m.variant, ck.k,
+           |    (m.d * 2654435761 + ck.k * 40503) % 2147483647 AS x1
+           |  FROM media m, ck),
+           |lev_b AS (SELECT media_id, variant, k, xor(x1, x1 // 65536) AS x2 FROM lev_a),
+           |lev_c AS (SELECT media_id, variant, k, (x2 * 2246822519) % 2147483629 AS x3 FROM lev_b),
+           |lev0 AS (SELECT media_id, variant, k, xor(x3, x3 // 8192) % 8 AS lv FROM lev_c),
+           |levels AS (
+           |  SELECT media_id, k,
+           |    CASE WHEN variant = 1 AND k IN (47, 122) THEN xor(lv, 1)
+           |         WHEN variant = 2 AND (k // 9) IN (5, 6, 13, 14) AND (k % 9) % 2 = 1 THEN (lv + 4) % 8
+           |         ELSE lv END AS lv
+           |  FROM lev0),
+           |bits AS (
+           |  SELECT a.media_id, (a.k // 9) * 8 + (a.k % 9) AS m,
+           |    CASE WHEN b.lv > a.lv THEN 1 ELSE 0 END AS b
+           |  FROM levels a JOIN levels b
+           |    ON a.media_id = b.media_id AND b.k = a.k + 1
+           |  WHERE a.k % 9 < 8),
+           |bandvals AS (
+           |  SELECT media_id, m // 32 AS band,
+           |    SUM(CAST(b AS BIGINT) << (m % 32)) AS bv
+           |  FROM bits GROUP BY media_id, m // 32),
+           |okv AS (SELECT band, bv FROM bandvals GROUP BY band, bv HAVING count(*) <= 200),
+           |cand AS (
+           |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+           |  FROM bandvals a
+           |  JOIN okv ON a.band = okv.band AND a.bv = okv.bv
+           |  JOIN bandvals b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+           |ham AS (
+           |  SELECT id_a, id_b, CAST(SUM(ABS(x.b - y.b)) AS BIGINT) AS hamming
+           |  FROM cand JOIN bits x ON x.media_id = id_a
+           |  JOIN bits y ON y.media_id = id_b AND y.m = x.m
+           |  GROUP BY id_a, id_b)
+           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+           |ORDER BY id_a, id_b""".stripMargin,
     // composed streaming span lifecycle: the two-stage cascade recomputed
     // from scratch — batch-1 verdicts against the corpus-only index, then
     // batch-2 verdicts against the index REBUILT over corpus ∪ admitted₁

@@ -666,6 +666,158 @@ object Multimodal {
     spark.createDataFrame(out, dhashSchema)
   }
 
+  // ---- 128-bit image dHash (the band-saturation mitigation's image-tier
+  // producer): the 9×8 pooling doubled vertically to 9×16 — 16 rows × 8
+  // difference bits = 128 bits in two longs, banded 4×32 by
+  // [[graft.operators.Dedup.fingerprint128NearDuplicates]]. At billions
+  // of images the 64-bit path's 16-bit band values saturate every bucket
+  // past any workable cap (q263's diagnosed failure); the 32-bit band
+  // values here hold ~N/2^32 rows — the image-dedup shape for corpora
+  // where that collapse is real. ----
+
+  /** 128-bit difference hash of REAL decoded pixels: intensities pooled
+    * onto a 9×16 grid (same floor pooling and integer cross-multiplied
+    * strict comparisons as [[imageDHash]]); bit `m = 8j + i` of the
+    * (hi, lo) pair — rows 0–7 fill `lo`, rows 8–15 fill `hi`. The same
+    * invariances hold by the same argument: lossless re-encodes and 2×
+    * nearest-neighbor upscales (dims grid-multiples) hash bit-identically.
+    * None for undecodable bytes or images smaller than the 9×16 grid
+    * (or past 2^14 per side).
+    */
+  def imageDHash128(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 9 || h < 16 || w > 16384 || h > 16384) return None
+    val sums = Array.ofDim[Long](16, 9)
+    val areas = Array.ofDim[Long](16, 9)
+    var y = 0
+    while (y < h) {
+      val j = y * 16 / h
+      var x = 0
+      while (x < w) {
+        val i = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        sums(j)(i) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        areas(j)(i) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var j = 0
+    while (j < 16) {
+      var i = 0
+      while (i < 8) {
+        if (sums(j)(i + 1) * areas(j)(i) > sums(j)(i) * areas(j)(i + 1)) {
+          val m = j * 8 + i
+          if (m < 64) lo |= 1L << m else hi |= 1L << (m - 64)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    Some((hi, lo))
+  }
+
+  val dhash128Schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash_hi", LongType, nullable = true),
+    StructField("dhash_lo", LongType, nullable = true)))
+
+  /** Batched [[imageDHash128]] over a media frame: per-partition decode,
+    * undecodable blobs keep their row with null halves, blobs never
+    * leave the scan — only 16 bytes of fingerprint enter the join.
+    */
+  def imageDHashes128(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media
+      .where(col("media_type") === "image")
+      .select("media_id", "content")
+      .rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Option(r.getAs[Array[Byte]](1)).flatMap(imageDHash128) match {
+            case Some((hv, lv)) => Row(id, hv, lv)
+            case None           => Row(id, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, dhash128Schema)
+  }
+
+  /** Fixture dims for the 128-bit grid: multiples of 9×16 so pooling is
+    * exact at 1× and 2×.
+    */
+  def dhash128Dims(d: Long): (Int, Int) =
+    (9 * (1 + (d % 2)).toInt, 16 * (1 + ((d / 2) % 2)).toInt)
+
+  /** Near-copy: cells 47 (row 5) and 122 (row 13) get the lowest level
+    * bit flipped — ≤ 2 bits per cell, all inside 32-bit bands 1 (rows
+    * 4–7) and 3 (rows 12–15), so the copy always shares bands 0 and 2
+    * with its original.
+    */
+  def dhash128PerturbedLevel(d: Long, k: Int): Int =
+    if (k == 47 || k == 122) dhashLevel(d, k) ^ 1 else dhashLevel(d, k)
+
+  /** Far cousin: odd columns of grid rows 5/6/13/14 shifted 4 levels —
+    * many flips, all inside bands 1 and 3 (guaranteed candidate), with
+    * the alternating-interior shape the fixture memory prescribes.
+    */
+  def dhash128CousinLevel(d: Long, k: Int): Int = {
+    val lv = dhashLevel(d, k)
+    if ((k / 9 == 5 || k / 9 == 6 || k / 9 == 13 || k / 9 == 14) && (k % 9) % 2 == 1)
+      (lv + 4) % 8
+    else lv
+  }
+
+  /** The [[dhashMediaFromDocuments]] construction on the 9×16 grid:
+    * every `doc_id % 113 = 0` (> 0) document becomes a 128-bit family —
+    * original PNG, BMP re-encode, 2× resize, perturbed near-copy,
+    * and (even d) the far cousin / (odd d) non-image text bytes.
+    */
+  def dhash128MediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val out = docs
+      .where(col("doc_id") % 113 === 0 && col("doc_id") > 0)
+      .select("doc_id", "text")
+      .rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val d = r.getLong(0)
+          val (w, h) = dhash128Dims(d)
+          def px(levf: Int => Int)(x: Int, y: Int): (Int, Int, Int) = {
+            val g = 20 + 30 * levf((y / (h / 16)) * 9 + x / (w / 9))
+            (g, g, g)
+          }
+          val orig = encodePng(w, h, px(dhashLevel(d, _)))
+          val last =
+            if (d % 2 == 1) {
+              val garbage = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+              Row(-(4 * d), "image", garbage, "application/octet-stream",
+                s"synthetic://raw/$d")
+            } else
+              Row(-(4 * d), "image", encodePng(w, h, px(dhash128CousinLevel(d, _))),
+                "image/png", s"synthetic://dhash128/$d?cousin")
+          Seq(
+            Row(d, "image", orig, "image/png", s"synthetic://dhash128/$d"),
+            Row(-(4 * d + 1), "image", encodeBmp(w, h, px(dhashLevel(d, _))),
+              "image/bmp", s"synthetic://dhash128/$d?bmp"),
+            Row(-(4 * d + 2), "image", resizeNearest(orig, 2 * w, 2 * h).get,
+              "image/png", s"synthetic://dhash128/$d?x2"),
+            Row(-(4 * d + 3), "image", encodePng(w, h, px(dhash128PerturbedLevel(d, _))),
+              "image/png", s"synthetic://dhash128/$d?pert"),
+            last)
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
   /** Build a media table from the documents table (text bytes as stand-in
     * blobs) — gives the multimodal path a deterministic test fixture.
     */

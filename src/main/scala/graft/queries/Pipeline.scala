@@ -5602,6 +5602,31 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** q268 — 128-bit IMAGE perceptual near-dup ([[graft.multimodal
+    * .Multimodal.imageDHash128]] + [[graft.operators.Dedup
+    * .fingerprint128NearDuplicates]]): the band-saturation mitigation's
+    * image-tier producer certified end to end — real decode → 9×16 grid
+    * pool → 128 difference bits in two longs → 4×32-bit banding. The
+    * q259 construction doubled vertically: BMP re-encodes and 2× nearest
+    * resizes hash bit-identically, perturbed near-copies stay within the
+    * threshold with bands 0/2 clean (guaranteed candidates), cousins'
+    * distances concentrate past it, non-image blobs yield null halves
+    * and are excluded. Probed+certified pairs/d0/mid/cand-rejected:
+    * 24/21/3/8 at sf0.001+0.01, 264/198/66/88 at sf0.1,
+    * 2653/2040/613/877 at sf1. The oracle replays pixel → cells → bits →
+    * 32-bit bands → cap → Hamming from the id arithmetic, including the
+    * banding and cap.
+    */
+  def imagePerceptualDedup128(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.dhash128MediaFromDocuments(Tables(spark, dir).documents)
+    Dedup.fingerprint128NearDuplicates(
+        Multimodal.imageDHashes128(media), "media_id", "dhash_hi", "dhash_lo",
+        maxHamming = 8, maxBucketSize = 200)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q267 — STREAMING audio admission: the q262 discipline on the audio
     * tier. The standing capped corpus index ([[graft.operators.Dedup
     * .fingerprintCorpusIndex]] over the ORIGINAL clips' gain-invariant
