@@ -1701,14 +1701,23 @@ object Multimodal {
     */
   def videoClipSignature(bytes: Array[Byte]): Option[Long] =
     parseAvi(bytes).flatMap { case (w, h, _, comp, frames) =>
-      val hashes = frames.map { case (off, sz) =>
-        if (comp == 0) dibFrameDHash(bytes, off, w, h)
-        else imageDHash(java.util.Arrays.copyOfRange(bytes, off, off + sz))
+      // short-circuit on the first undecodable frame: decode is the
+      // dominant per-blob cost, and the whole clip fails closed anyway
+      val n = frames.size
+      val hs = new Array[Long](n)
+      var i = 0
+      var ok = true
+      while (i < n && ok) {
+        val (off, sz) = frames(i)
+        (if (comp == 0) dibFrameDHash(bytes, off, w, h)
+         else imageDHash(java.util.Arrays.copyOfRange(bytes, off, off + sz))) match {
+          case Some(hv) => hs(i) = hv
+          case None     => ok = false
+        }
+        i += 1
       }
-      if (hashes.exists(_.isEmpty)) None
+      if (!ok) None
       else {
-        val hs = hashes.map(_.get)
-        val n = hs.size
         var sig = 0L
         var m = 0
         while (m < 64) {
@@ -1765,13 +1774,7 @@ object Multimodal {
     * margin, and the per-frame bits survive the MJPEG round-trip
     * bit-identically (probed JPEG-q0.95 deviation ≤ ±2).
     */
-  def clipLevel(d: Long, t: Int, k: Int): Int = {
-    val x1 = ((31L * d + t) * 2654435761L + k * 40503L) % 2147483647L
-    val x2 = x1 ^ (x1 / 65536L)
-    val x3 = (x2 * 2246822519L) % 2147483629L
-    val m4 = ((x3 ^ (x3 / 8192L)) % 4L).toInt
-    2 * m4 + (k % 2)
-  }
+  def clipLevel(d: Long, t: Int, k: Int): Int = clipVariantLevel(d, 0, t, k)
 
   /** Near-copy cells (29 and 59 — grid rows 3 and 6, so every flipped
     * bit lands in bands 1/3 and the copy always shares bands 0/2 with

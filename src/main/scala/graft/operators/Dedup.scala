@@ -1426,25 +1426,33 @@ object Dedup {
     * the `id_a < id_b` comparison was null-false) instead of turning it
     * into a mid-job error. Returns (id_a, id_b, hamming), id_a < id_b.
     */
-  def fingerprintNearDuplicates(
-      df: DataFrame,
-      idCol: String,
-      fpCol: String,
-      maxHamming: Int = 3,
-      maxBucketSize: Int = 200): DataFrame = {
-    val blockedRaw = fpBlocked(df, idCol, fpCol)
-    // Same degenerate-bucket guard as the MinHash path, count-first +
-    // left-semi: the previous window-count cap shuffled a degenerate block's
-    // FULL row set into one task's WindowExec buffer before the filter could
-    // drop it — the same single-task hazard the bucket caps eliminate. The
-    // count aggregate sees only (q, qh) keys; blocked rows join back
-    // key-equi.
-    val keepBlocks = blockedRaw
+  /** The degenerate-bucket guard shared by every fingerprint path,
+    * count-first + left-semi: a window-count cap would shuffle a
+    * degenerate block's FULL row set into one task's WindowExec buffer
+    * before the filter could drop it — the same single-task hazard the
+    * bucket caps eliminate. The count aggregate sees only (q, qh) keys;
+    * blocked rows join back key-equi.
+    */
+  private def cappedBlocks(blockedRaw: DataFrame, maxBucketSize: Int): DataFrame = {
+    val keep = blockedRaw
       .groupBy(col("q"), col("qh"))
       .agg(count(lit(1)).as("_bs"))
       .where(col("_bs") <= maxBucketSize)
       .select(col("q"), col("qh"))
-    val blocked = blockedRaw.join(keepBlocks, Seq("q", "qh"), "left_semi")
+    blockedRaw.join(keep, Seq("q", "qh"), "left_semi")
+  }
+
+  /** The band-bucket pair join shared by the 64- and 128-bit families:
+    * cap, self-join key-equi on (q, qh) with `doc_id` ordering, verify
+    * with the caller's Hamming column (referencing aliases `a`/`b`).
+    * ONE copy of the cap/join/verify core so the two widths cannot drift.
+    */
+  private def fpPairs(
+      blockedRaw: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int,
+      hammingCol: Column): DataFrame = {
+    val blocked = cappedBlocks(blockedRaw, maxBucketSize)
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     a.join(
@@ -1454,10 +1462,33 @@ object Dedup {
       .select(
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
-        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+        hammingCol.as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** The (delta → standing index) probe core shared by both widths:
+    * key-equi join on (q, qh), verify with the caller's Hamming column.
+    */
+  private def fpProbe(
+      index: DataFrame,
+      deltaBlocked: DataFrame,
+      maxHamming: Int,
+      hammingCol: Column): DataFrame =
+    deltaBlocked
+      .join(index, Seq("q", "qh"))
+      .select(col("delta_id"), col("corpus_id"), hammingCol.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+
+  def fingerprintNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 200): DataFrame =
+    fpPairs(fpBlocked(df, idCol, fpCol), maxHamming, maxBucketSize,
+      hamming64(col("a.fp"), col("b.fp")))
 
   /** Incremental SimHash dedup: (delta, corpus) near-duplicate pairs within
     * `maxHamming` — which newly arrived documents are homoglyph-level
@@ -1532,18 +1563,10 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       fpCol: String,
-      maxBucketSize: Int = 200): DataFrame = {
-    val cBlocked = fpBlocked(corpus, idCol, fpCol)
-    val keep = cBlocked
-      .groupBy(col("q"), col("qh"))
-      .agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBucketSize)
-      .select(col("q"), col("qh"))
-    cBlocked
-      .join(keep, Seq("q", "qh"), "left_semi")
+      maxBucketSize: Int = 200): DataFrame =
+    cappedBlocks(fpBlocked(corpus, idCol, fpCol), maxBucketSize)
       .withColumnRenamed("doc_id", "corpus_id")
       .withColumnRenamed("fp", "fp_c")
-  }
 
   /** Delta-side probe of a standing [[fingerprintCorpusIndex]]: zero
     * corpus work per call, delta blocks join the index key-equi and the
@@ -1556,16 +1579,12 @@ object Dedup {
       idCol: String,
       fpCol: String,
       maxHamming: Int = 3): DataFrame =
-    fpBlocked(delta, idCol, fpCol)
-      .withColumnRenamed("doc_id", "delta_id")
-      .withColumnRenamed("fp", "fp_d")
-      .join(index, Seq("q", "qh"))
-      .select(
-        col("delta_id"),
-        col("corpus_id"),
-        hamming64(col("fp_d"), col("fp_c")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    fpProbe(index,
+      fpBlocked(delta, idCol, fpCol)
+        .withColumnRenamed("doc_id", "delta_id")
+        .withColumnRenamed("fp", "fp_d"),
+      maxHamming,
+      hamming64(col("fp_d"), col("fp_c")))
 
   /** 128-bit Hamming distance over a (hi, lo) two-long fingerprint. */
   def hamming128(aHi: Column, aLo: Column, bHi: Column, bLo: Column): Column =
@@ -1613,28 +1632,9 @@ object Dedup {
       hiCol: String,
       loCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 200): DataFrame = {
-    val blockedRaw = fp128Blocked(df, idCol, hiCol, loCol)
-    val keepBlocks = blockedRaw
-      .groupBy(col("q"), col("qh"))
-      .agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBucketSize)
-      .select(col("q"), col("qh"))
-    val blocked = blockedRaw.join(keepBlocks, Seq("q", "qh"), "left_semi")
-    val a = blocked.alias("a")
-    val b = blocked.alias("b")
-    a.join(
-        b,
-        col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"),
-        col("b.doc_id").as("id_b"),
-        hamming128(col("a.fp_hi"), col("a.fp_lo"),
-          col("b.fp_hi"), col("b.fp_lo")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-  }
+      maxBucketSize: Int = 200): DataFrame =
+    fpPairs(fp128Blocked(df, idCol, hiCol, loCol), maxHamming, maxBucketSize,
+      hamming128(col("a.fp_hi"), col("a.fp_lo"), col("b.fp_hi"), col("b.fp_lo")))
 
   /** Standing capped 4×32-band index over a 128-bit corpus fingerprint
     * frame — the [[fingerprintCorpusIndex]] shape with the saturation
@@ -1645,19 +1645,11 @@ object Dedup {
       idCol: String,
       hiCol: String,
       loCol: String,
-      maxBucketSize: Int = 200): DataFrame = {
-    val cBlocked = fp128Blocked(corpus, idCol, hiCol, loCol)
-    val keep = cBlocked
-      .groupBy(col("q"), col("qh"))
-      .agg(count(lit(1)).as("_bs"))
-      .where(col("_bs") <= maxBucketSize)
-      .select(col("q"), col("qh"))
-    cBlocked
-      .join(keep, Seq("q", "qh"), "left_semi")
+      maxBucketSize: Int = 200): DataFrame =
+    cappedBlocks(fp128Blocked(corpus, idCol, hiCol, loCol), maxBucketSize)
       .withColumnRenamed("doc_id", "corpus_id")
       .withColumnRenamed("fp_hi", "fp_hi_c")
       .withColumnRenamed("fp_lo", "fp_lo_c")
-  }
 
   /** Delta-side probe of a standing [[fingerprint128CorpusIndex]]: zero
     * corpus work per call. Returns (delta_id, corpus_id, hamming) within
@@ -1670,18 +1662,13 @@ object Dedup {
       hiCol: String,
       loCol: String,
       maxHamming: Int = 3): DataFrame =
-    fp128Blocked(delta, idCol, hiCol, loCol)
-      .withColumnRenamed("doc_id", "delta_id")
-      .withColumnRenamed("fp_hi", "fp_hi_d")
-      .withColumnRenamed("fp_lo", "fp_lo_d")
-      .join(index, Seq("q", "qh"))
-      .select(
-        col("delta_id"),
-        col("corpus_id"),
-        hamming128(col("fp_hi_d"), col("fp_lo_d"),
-          col("fp_hi_c"), col("fp_lo_c")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    fpProbe(index,
+      fp128Blocked(delta, idCol, hiCol, loCol)
+        .withColumnRenamed("doc_id", "delta_id")
+        .withColumnRenamed("fp_hi", "fp_hi_d")
+        .withColumnRenamed("fp_lo", "fp_lo_d"),
+      maxHamming,
+      hamming128(col("fp_hi_d"), col("fp_lo_d"), col("fp_hi_c"), col("fp_lo_c")))
 
   /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * candidates (same full signature → high cosine with high probability),

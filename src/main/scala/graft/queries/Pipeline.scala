@@ -1333,27 +1333,39 @@ object Pipeline {
     * outside the group), so without this a super-linear streaming plan at
     * 10× — the exact regression that pass hunts — would stall the driver
     * unboundedly instead of becoming a recorded -1. At the deadline the
-    * query is `stop()`ped, `processAllAvailable` unblocks (typically by
-    * throwing), and each operator's own `finally` releases its state.
+    * query is `stop()`ped, `processAllAvailable` unblocks, and the wait
+    * THROWS — a deliberate stop() is a clean termination that would
+    * otherwise return normally, let the operator read a PARTIAL sink, and
+    * record a truncated run as a successful ~cap-second measurement; the
+    * throw makes each operator's own `finally` release its state and the
+    * harness record a deterministic -1.
     */
   @volatile private[graft] var streamDeadlineNanos: Long = Long.MaxValue
 
   /** `query.processAllAvailable()` bounded by [[streamDeadlineNanos]]:
     * a daemon timer stops the query at the deadline so the wait can never
-    * outlive the harness cap. No-op wrapper when no deadline is set.
+    * outlive the harness cap, and a fired deadline always surfaces as an
+    * exception (see [[streamDeadlineNanos]]). No-op wrapper when no
+    * deadline is set.
     */
   private def awaitAllAvailable(
       query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val deadline = streamDeadlineNanos
     if (deadline == Long.MaxValue) query.processAllAvailable()
     else {
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       val remainMs = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
       val timer = new java.util.Timer("graft-stream-deadline", true)
       timer.schedule(new java.util.TimerTask {
-        def run(): Unit =
+        def run(): Unit = {
+          fired.set(true)
           try query.stop() catch { case scala.util.control.NonFatal(_) => }
+        }
       }, remainMs)
       try query.processAllAvailable() finally timer.cancel()
+      if (fired.get())
+        throw new IllegalStateException(
+          "graft stream deadline exceeded: query stopped by the harness cap")
     }
   }
 
@@ -5506,48 +5518,49 @@ object Pipeline {
     * StreamingLeakSpec. Verdicts write overwrite-by-batchId (idempotent
     * under foreachBatch's at-least-once retries).
     */
-  def streamingImageAdmission(spark: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.Multimodal
-    val media = Multimodal.dhashMediaFromDocuments(Tables(spark, dir).documents)
-    val index = graft.core.Caching.eager(
-      Dedup.fingerprintCorpusIndex(
-        Multimodal.imageDHashes(media.where(col("media_id") >= 0)),
-        "media_id", "dhash", maxBucketSize = 200))
-    val arriving = media.where(col("media_id") < 0)
+  /** The streaming-admission body shared by the image (q262) and audio
+    * (q267) tiers — ONE copy of the discipline StreamingLeakSpec pins:
+    * standing capped corpus index built+cached by the caller OUTSIDE the
+    * stream; per micro-batch the arriving blobs are fingerprinted ONCE
+    * (the frame feeds both the index probe and the verdict join, so it is
+    * persisted — delta-sized, materialized eagerly; a lazy persist would
+    * let both consumers inline the cold decode — and released before the
+    * batch returns), and verdicts write overwrite-by-batchId (foreachBatch
+    * is at-least-once; a retried batch appending a second copy would
+    * double rows).
+    */
+  private def runFingerprintAdmission(
+      spark: SparkSession,
+      index: DataFrame,
+      arriving: DataFrame,
+      fingerprints: DataFrame => DataFrame,
+      fpCol: String,
+      prefix: String): DataFrame = {
     val tmp =
       try runDroppedStream(spark, arriving, files = 4, perTrigger = 2,
-        "graft_q262_") { (stream, t) =>
+        prefix) { (stream, t) =>
         stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             if (!batch.isEmpty) {
-              // ONE decode pass per micro-batch: the hash frame feeds both
-              // the index probe and the verdict join, so it is persisted
-              // (delta-sized, materialized eagerly — a lazy persist would
-              // let both consumers inline the cold decode) and released
-              // before the batch returns — the per-batch persist+release
-              // window StreamingLeakSpec pins
-              val hashes = Multimodal.imageDHashes(batch.toDF())
+              val fps = fingerprints(batch.toDF())
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               try {
-                hashes.count()
+                fps.count()
                 val dups = Dedup
-                  .fingerprintsAgainstIndex(index, hashes, "media_id", "dhash",
+                  .fingerprintsAgainstIndex(index, fps, "media_id", fpCol,
                     maxHamming = 8)
                   .select(col("delta_id").as("media_id"))
                   .distinct()
                   .withColumn("_dup", lit(true))
-                // overwrite-by-batchId: foreachBatch is at-least-once, and
-                // a retried batch appending a second copy of its verdicts
-                // would double rows — per-batch overwrite is idempotent
-                hashes.join(dups, Seq("media_id"), "left")
+                fps.join(dups, Seq("media_id"), "left")
                   .select(
                     col("media_id"),
-                    col("dhash").isNotNull.as("decodable"),
-                    when(col("dhash").isNull, lit(null).cast("boolean"))
+                    col(fpCol).isNotNull.as("decodable"),
+                    when(col(fpCol).isNull, lit(null).cast("boolean"))
                       .otherwise(coalesce(col("_dup"), lit(false)))
                       .as("is_duplicate"))
                   .write.mode("overwrite").parquet(s"$t/verdicts/batch=$batchId")
-              } finally hashes.unpersist()
+              } finally fps.unpersist()
             }
             ()
           }
@@ -5555,6 +5568,17 @@ object Pipeline {
           .start()
       } finally index.unpersist()
     spark.read.parquet(s"$tmp/verdicts").drop("batch").orderBy("media_id")
+  }
+
+  def streamingImageAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.dhashMediaFromDocuments(Tables(spark, dir).documents)
+    val index = graft.core.Caching.eager(
+      Dedup.fingerprintCorpusIndex(
+        Multimodal.imageDHashes(media.where(col("media_id") >= 0)),
+        "media_id", "dhash", maxBucketSize = 200))
+    runFingerprintAdmission(spark, index, media.where(col("media_id") < 0),
+      Multimodal.imageDHashes, "dhash", "graft_q262_")
   }
 
   /** q263 — fingerprint bucket-cap DIAGNOSTICS
@@ -5649,39 +5673,8 @@ object Pipeline {
       Dedup.fingerprintCorpusIndex(
         Multimodal.audioFingerprints(media.where(col("media_id") >= 0)),
         "media_id", "afp", maxBucketSize = 200))
-    val arriving = media.where(col("media_id") < 0)
-    val tmp =
-      try runDroppedStream(spark, arriving, files = 4, perTrigger = 2,
-        "graft_q267_") { (stream, t) =>
-        stream.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-            if (!batch.isEmpty) {
-              val fps = Multimodal.audioFingerprints(batch.toDF())
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
-                fps.count()
-                val dups = Dedup
-                  .fingerprintsAgainstIndex(index, fps, "media_id", "afp",
-                    maxHamming = 8)
-                  .select(col("delta_id").as("media_id"))
-                  .distinct()
-                  .withColumn("_dup", lit(true))
-                fps.join(dups, Seq("media_id"), "left")
-                  .select(
-                    col("media_id"),
-                    col("afp").isNotNull.as("decodable"),
-                    when(col("afp").isNull, lit(null).cast("boolean"))
-                      .otherwise(coalesce(col("_dup"), lit(false)))
-                      .as("is_duplicate"))
-                  .write.mode("overwrite").parquet(s"$t/verdicts/batch=$batchId")
-              } finally fps.unpersist()
-            }
-            ()
-          }
-          .option("checkpointLocation", s"$t/checkpoint")
-          .start()
-      } finally index.unpersist()
-    spark.read.parquet(s"$tmp/verdicts").drop("batch").orderBy("media_id")
+    runFingerprintAdmission(spark, index, media.where(col("media_id") < 0),
+      Multimodal.audioFingerprints, "afp", "graft_q267_")
   }
 
   /** q266 — VIDEO perceptual near-dup ([[graft.multimodal.Multimodal
