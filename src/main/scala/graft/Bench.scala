@@ -14,7 +14,7 @@ object Bench {
     // override exists for scale experiments (e.g. verifying that a larger
     // partition count flattens a per-partition sort's log factor at 10× data)
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
@@ -26,7 +26,13 @@ object Bench {
       // a contended one (the class of tax behind BENCH_r07's q52)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.file.transferTo", "false")
-      .getOrCreate()
+    // no-chmod local FS (see GraftSession.localFsConf): kills the
+    // per-created-file `chmod` process fork of the native-library-less
+    // stock local FS — profiled at up to ~half the wall of the streaming
+    // certification queries (r18 optimization pass)
+    val spark = graft.core.GraftSession.localFsConf.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/scheduler and the parquet reader once so the
     // first timed query measures the query, not session startup. The string

@@ -48,12 +48,24 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object GraftSession {
+  /** Local-host filesystem tuning shared by every entrypoint's builder:
+    * the no-chmod local FS (both Hadoop APIs — see
+    * [[graft.core.NoChmodLocalFs]]: without the Hadoop native library,
+    * every file/dir create on the stock local FS forks a `chmod` process;
+    * stack-sampled at up to ~half the wall of the streaming certification
+    * queries). Pure environment fix — no query plan or result changes; a
+    * real cluster FS (HDFS/S3) never takes this code path.
+    */
+  def localFsConf: Map[String, String] = Map(
+    "spark.hadoop.fs.file.impl" -> classOf[NoChmodLocalFileSystem].getName,
+    "spark.hadoop.fs.AbstractFileSystem.file.impl" -> classOf[NoChmodLocalFs].getName)
+
   /** Local session with the settings every entrypoint needs: UTC (oracle
     * parity), AQE on (runtime re-plan / skew handling at scale), shuffle
     * partitions sized for local[32] rather than the 200 default.
     */
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
@@ -72,7 +84,9 @@ object GraftSession {
       // lock (jstack-profiled: 26/32 workers in FileChannelImpl.map0
       // during multi-minute stalls). Stream copy avoids mmap entirely.
       .config("spark.file.transferTo", "false")
-      .getOrCreate()
+    val spark = localFsConf.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
